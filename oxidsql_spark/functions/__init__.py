@@ -1,0 +1,51 @@
+"""Reusable column expressions.
+
+All pure JVM-side expressions (whole-stage codegen) — no Python UDFs in
+any hot path. Vector math uses higher-order functions over array columns
+with sequential double accumulation, which is bit-identical to the DuckDB
+oracle's evaluation order (crucial for cross-engine value hashing) and
+stays inside codegen at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double_vec(c: Column | str) -> Column:
+    """array<float> -> array<double> so all arithmetic runs in fp64."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def vec_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity over array<double> columns; NULL if either norm 0."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased whitespace tokens; [] for blank text. Matches
+    regexp_split_to_array(trim(lower(x)), '\\s+') in DuckDB."""
+    text = F.col(text) if isinstance(text, str) else text
+    t = F.trim(F.lower(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a token array (1-based
+    element_at so the expression mirrors DuckDB's 1-based list indexing)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))

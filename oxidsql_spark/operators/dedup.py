@@ -1,0 +1,309 @@
+"""Deduplication operators over the `documents` / `embeddings` tables —
+exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine.
+
+Scale design (the whole point of these at 100 TB):
+* Exact dedup = hash-groupBy on a 128-bit content fingerprint — one
+  shuffle keyed by the hash, trivially balanced.
+* Near-dup never compares all pairs. Candidates come from an inverted
+  index (shared shingle) or LSH band buckets; exact verification runs
+  only on candidates. All joins are key-joins Catalyst can shuffle-hash;
+  hot shingles are the skew risk and are df-capped in the LSH path.
+* Signatures (minhash arrays, simhash bits) are built with built-in
+  xxhash64/bit expressions — JVM codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import as_double_vec, cosine_sim, tokens, word_ngrams
+from ..registry import register
+from ..sources import table
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    bench=True,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+    At 100 TB this is the canonical single-shuffle dedup; hashing first
+    means the shuffle carries 16-byte keys, not document bodies."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact near-dup, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_JACCARD_N = 3  # word 3-gram shingles
+_JACCARD_T = 0.2
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_JACCARD_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT a_id, b_id,
+           round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= {_JACCARD_T}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs.
+
+    Candidate generation = inverted-index self-join on shared shingles
+    (never all-pairs); intersection counts fall out of the join group-by.
+    At scale, shingles with huge document frequency should be capped —
+    the LSH variant below does that; this operator is the exact oracle-
+    checkable semantics."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_ngrams(tokens(F.col("text")), _JACCARD_N).alias("shingles")
+    )
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.any_value(F.col("a.n_sh")).alias("n_a"),
+            F.any_value(F.col("b.n_sh")).alias("n_b"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.filter(jac >= _JACCARD_T)
+        .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path for near-dup; verified against exact Jaccard)
+# ---------------------------------------------------------------------------
+
+_MH_K = 32  # signature length
+_MH_BANDS = 8  # 8 bands x 4 rows
+# 31-bit Mersenne prime keeps (a*h + b) within signed-64 range under
+# Spark's ANSI overflow checking: h,a,b < 2^31 → a*h+b < 2^62.
+_MH_PRIME = (1 << 31) - 1
+# Deterministic permutation parameters (fixed constants → reproducible).
+_MH_A = [((2 * i + 1) * 0x9E3779B9) % _MH_PRIME or 1 for i in range(_MH_K)]
+_MH_B = [((i * i + 7) * 0xC2B2AE3D) % _MH_PRIME for i in range(_MH_K)]
+_MAX_SHINGLE_DF = 1000  # cap document frequency of a shingle (skew guard)
+
+
+def minhash_signatures(docs: DataFrame, n: int = _JACCARD_N) -> DataFrame:
+    """(doc_id, sig array<long>, n_sh) — one aggregation pass.
+
+    Base hash = xxhash64(shingle) (JVM built-in); permutation i is
+    (a_i*h + b_i) mod p computed via pmod arithmetic in codegen. The
+    signature build is groupBy(doc_id).agg(min...) — map-side partials
+    make it one balanced shuffle regardless of corpus size."""
+    sh = docs.select("doc_id", word_ngrams(tokens(F.col("text")), n).alias("shingles"))
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)))
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_PRIME))).alias(f"m{i}")
+        for i in range(_MH_K)
+    ]
+    sig = ex.groupBy("doc_id").agg(F.any_value("n_sh").alias("n_sh"), *mins)
+    return sig.select(
+        "doc_id", "n_sh", F.array(*[f"m{i}" for i in range(_MH_K)]).alias("sig")
+    )
+
+
+@register("dedup_minhash_lsh")  # no SQL oracle: sketch-based (driver records rows-only)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: band signatures into buckets, join within
+    buckets, then verify candidates with exact Jaccard — so the output
+    equals the exact operator's pairs that LSH recalled. Deterministic
+    (fixed permutation constants). Tested against dedup_ngram_jaccard."""
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    rows_per_band = _MH_K // _MH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "n_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # Exact verification on candidates only.
+    sh = d.select("doc_id", word_ngrams(tokens(F.col("text")), _JACCARD_N).alias("shingles"))
+    va = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= _JACCARD_T)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 64
+_SIMHASH_HAM = 6  # max hamming distance for a near-dup pair
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash long): sign-aggregated 64-bit token-hash sketch.
+
+    Per doc: hash each token (xxhash64), for each bit position sum +1/-1,
+    take the sign bit. Expressed as explode → groupBy(doc) with 64
+    conditional sums — all codegen, one shuffle."""
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    def bit_lit(i: int) -> int:
+        """1<<i as a signed 64-bit literal (bit 63 wraps negative)."""
+        v = 1 << i
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bit_lit(i))) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = ex.groupBy("doc_id").agg(*bit_sums)
+    sh = F.lit(0).cast("long")
+    for i in range(_SIMHASH_BITS):
+        # build the signature with XOR (bit-set), safe for the sign bit
+        sh = sh.bitwiseXOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(bit_lit(i)).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
+@register("dedup_simhash")  # no SQL oracle: sketch-based (driver records rows-only)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signatures, candidates via 4×16-bit band
+    buckets (a pair within hamming distance 3 must share ≥1 of 4 bands;
+    wider distances are caught probabilistically), verified by exact
+    hamming distance ≤ 6 via bit_count(xor)."""
+    d = table(spark, sf_dir, "documents")
+    sig = simhash(d)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+        ).alias("band", "chunk"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.filter(ham <= _SIMHASH_HAM).select("a_id", "b_id", ham.alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+_COS_T = 0.3  # testdata embeddings are random; 0.3 yields a non-trivial pair set
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {_COS_T}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above a cosine threshold.
+
+    The testdata embeddings table is a fixed-size side table, so the
+    all-pairs self-join here is exact and cheap; the 100 TB path for
+    billion-vector near-dup is the LSH-bucketed variant in
+    similarity.ann_lsh_bucketed (same verify step, banded candidates)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", as_double_vec("embedding").alias("v"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= _COS_T)
+        .select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque BINARY payloads with
+typed metadata, plus decode / feature-extract / frame-sample plumbing.
+
+The container has no image/audio libraries, so the decode itself is a
+STUB: `decode_image_stub` raises NotImplementedError unless the
+deterministic fake decoder is requested. What is REAL and tested is the
+Spark-side plumbing that matters at 100 TB:
+  * binary payload column + metadata in one row (schema design),
+  * Arrow-batched mapInPandas with a bounded batch size (payloads are
+    big — spark.sql.execution.arrow.maxRecordsPerBatch caps memory),
+  * pure-projection metadata extraction that never touches Python.
+
+The testdata has no binary table, so payloads are derived in-flight from
+`documents.text` (cast to UTF-8 bytes) — an opaque blob as far as every
+operator here is concerned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+
+FAKE_DECODE = True  # no codec libs in this container → deterministic fake
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → opaque binary payload column (stand-in for an
+    image/audio blob) + the id. At scale this is the parquet binary
+    column itself."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+
+
+@register(
+    "mm_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5,
+           ascii(text) AS first_byte
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary column — pure JVM projection
+    (no decode): size, checksum, magic byte. This is the fast pre-filter
+    pass a multimodal pipeline runs before any expensive decode."""
+    p = _payloads(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.ascii(F.col("payload").cast("string")).alias("first_byte"),
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Decode stub. A real deployment plugs PIL/ffmpeg in here; this
+    container has neither, so we either raise or produce a deterministic
+    fake derived from the bytes (so plumbing stays testable)."""
+    if not FAKE_DECODE:
+        raise NotImplementedError("no image codec available in this environment")
+    n = len(payload)
+    first = payload[0] if n else 0
+    return {
+        "width": 32 + (n % 64),
+        "height": 32 + (first % 64),
+        "n_frames": 1 + (n % 8),
+    }
+
+
+_DECODE_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, n_frames int"
+
+
+@register(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           32 + (octet_length(encode(text)) % 64) AS width,
+           32 + (ascii(text) % 64) AS height,
+           1 + (octet_length(encode(text)) % 8) AS n_frames
+    FROM documents
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas.
+
+    The fake decoder is deterministic arithmetic on the payload bytes, so
+    the oracle can mirror it exactly — the point under test is the REAL
+    plumbing: binary columns crossing the Arrow boundary in batches, a
+    per-batch Python decode loop, a typed output schema. Swap
+    decode_image_stub for a real codec and nothing else changes."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(b)) for b in pdf["payload"]],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                }
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, 1 + (octet_length(encode(text)) % 8), 2)) AS frame_idx
+    FROM documents
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: explode every k-th frame index of a 'video' payload
+    into one row per sampled frame — the fan-out pattern (1 blob → N
+    frames) that dominates video pipelines. Pure JVM sequence/explode."""
+    p = _payloads(spark, sf_dir)
+    n_frames = F.lit(1) + (F.octet_length("payload") % 8)
+    return p.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(2))).alias("frame_idx"),
+    )

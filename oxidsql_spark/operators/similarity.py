@@ -1,0 +1,171 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Baseline: brute-force cosine top-k (exact, oracle-checkable).
+Scale paths: LSH (random-hyperplane) bucketed search and an IVF-style
+coarse quantizer — both restrict the candidate set before exact scoring,
+which is the only strategy that survives billions of vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import as_double_vec, cosine_sim, vec_dot, vec_norm
+from ..registry import register
+from ..sources import table
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 10
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         scored AS (
+           SELECT q.q_id, c.vec_id,
+                  list_cosine_similarity(q.qv, c.cv) AS sim
+           FROM q JOIN c ON q.q_id <> c.vec_id)
+    SELECT q_id, vec_id, round(sim, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}
+    """,
+    bench=True,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Query side is tiny → broadcast; the scan over candidates is a single
+    embarrassingly-parallel pass (no shuffle of the big side), then a
+    per-query top-k window. This is the exact baseline the approximate
+    variants are measured against — and the right plan shape even at
+    scale: broadcast queries, one pass, per-partition heaps."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", as_double_vec("embedding").alias("v"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    c = e.select("vec_id", F.col("v").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", cosine_sim(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+# --- LSH: random-hyperplane signatures ------------------------------------
+
+_LSH_PLANES = 12  # 12-bit signatures → 4096 buckets
+_LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (xorshift-free LCG on fixed
+    seed — no numpy needed, reproducible everywhere)."""
+    planes = []
+    state = _LSH_SEED
+    for _ in range(_LSH_PLANES):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)  # in [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(v: F.Column, dim: int) -> F.Column:
+    """Sign-bit signature of v against the fixed hyperplanes (int)."""
+    planes = _hyperplanes(dim)
+    sig = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        sig = sig + F.when(vec_dot(v, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+@register("ann_lsh_bucketed")  # approximate — no SQL oracle (rows-only check)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets prune candidates
+    to signatures within hamming distance 1 of the query's signature,
+    then exact cosine ranks the survivors.
+
+    At billions of vectors the bucket join replaces the full scan: the
+    candidate side shuffles on the bucket id (balanced by construction —
+    hyperplanes split mass evenly), queries stay broadcast. Recall vs the
+    exact baseline is asserted in tests."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", as_double_vec("embedding").alias("v"))
+    dim = 64
+    sig = lsh_signature(F.col("v"), dim)
+    c = e.select("vec_id", "v", sig.alias("sig"))
+    q = (
+        c.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("sig").alias("qsig"))
+    )
+    # probe buckets: exact signature + all hamming-1 neighbors
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.array(F.col("qsig"), *[F.col("qsig").bitwiseXOR(F.lit(1 << i)) for i in range(_LSH_PLANES)])
+        ).alias("sig"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "sig")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", cosine_sim(F.col("qv"), F.col("v")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+@register("ann_ivf_coarse")  # approximate — no SQL oracle (rows-only check)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style search: a coarse codebook (here: the first 16 vectors as
+    fixed centroids — a stand-in for a trained k-means codebook), every
+    vector assigned to its nearest centroid, queries probe the 4 nearest
+    cells. Partitioning by cell id is exactly how a 100 TB vector corpus
+    is laid out so a query touches only its probed cells' partitions."""
+    n_cells, n_probe = 16, 4
+    e = table(spark, sf_dir, "embeddings").select("vec_id", as_double_vec("embedding").alias("v"))
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    # assign every vector to nearest centroid (broadcast centroids, one pass)
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("d", cosine_sim(F.col("v"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cell")))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cents))
+        .withColumn("d", cosine_sim(F.col("v"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cell")))
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", cosine_sim(F.col("qv"), F.col("v")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
+    )

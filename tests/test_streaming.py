@@ -1,0 +1,43 @@
+"""Structured Streaming == batch equivalence.
+
+The streaming pipelines replay the events parquet as a file stream
+(maxFilesPerTrigger=1) with a watermark; on a finite source in complete
+mode the final state must equal the batch aggregation over the same data.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from oxidsql_spark.streaming.events import (
+    events_hourly,
+    events_sessionize,
+    run_stream_to_memory,
+    stream_hourly,
+    stream_sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_hourly_equals_batch(spark, sf_dir, stream_dir):
+    batch = events_hourly(spark, sf_dir)
+    stream = run_stream_to_memory(spark, stream_hourly(spark, stream_dir), "hourly_mem")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stream_sessionize_equals_batch(spark, sf_dir, stream_dir):
+    batch = events_sessionize(spark, sf_dir)
+    stream = run_stream_to_memory(spark, stream_sessionize(spark, stream_dir), "sess_mem")
+    assert _rows(stream) == _rows(batch)

@@ -1,0 +1,213 @@
+"""OxidSQL-parity session facade: CREATE TABLE / INSERT / SELECT.
+
+The reference's user-visible surface is exactly three statements
+(README.md:34-42): ``CREATE TABLE``, ``INSERT INTO … VALUES``, and
+``SELECT … FROM … [WHERE …]``.  This facade reproduces that surface —
+including the analyzer errors the reference raises that Spark is laxer
+about — on top of Spark temp views, so every statement becomes a
+declarative Catalyst plan.
+
+Reference behaviors reproduced:
+* typed columns incl. VARCHAR(n) with length enforcement at insert time
+  (types.rs:182-191 try_convert_to) — Spark stores STRING, we check len;
+* INSERT arity/type checks (analyzer/mod.rs:217-237): value count must
+  equal column count, integer literals are range-checked against the
+  column width (standard checked casts — NOT the reference's
+  checked_abs() sign-mangling bug, see SURVEY §1.2);
+* all columns nullable (analyzer/mod.rs:260), PRIMARY KEY parsed and
+  ignored (main.rs:26);
+* SELECT goes straight to spark.sql — Catalyst's analyzer subsumes the
+  reference's binding/ambiguity resolution (analyzer/mod.rs:188-209).
+
+Deliberate divergences (documented in SURVEY §2 'semantics quirks'):
+standard SQL NULL comparison (not NULL=NULL→true), full join duplicate
+semantics (not first-match-only), negative literals allowed.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class AnalyzerError(ValueError):
+    """Facade-level analysis error (the reference's AnalyzerError)."""
+
+
+_INT_RANGES = {
+    "smallint": (-(1 << 15), (1 << 15) - 1),
+    "int": (-(1 << 31), (1 << 31) - 1),
+    "bigint": (-(1 << 63), (1 << 63) - 1),
+}
+
+_TYPE_MAP = {
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "varchar": T.StringType(),
+    "string": T.StringType(),
+    "varbinary": T.BinaryType(),
+}
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    type_name: str  # normalized: smallint|int|bigint|varchar|varbinary
+    length: int | None = None  # varchar/varbinary cap
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return _TYPE_MAP[self.type_name]
+
+
+_COL_RE = re.compile(
+    r"^\s*(\w+)\s+(SMALLINT|INT|INTEGER|BIGINT|VARCHAR\s*\(\s*(\d+)\s*\)|STRING|VARBINARY\s*\(\s*(\d+)\s*\))"
+    r"(\s+PRIMARY\s+KEY)?\s*$",
+    re.IGNORECASE,
+)
+_CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas not inside parens/quotes."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+class OxidSparkDatabase:
+    """The reference's OxidSQLDatabase (src/database.rs:36-45) rebuilt on
+    a SparkSession: one ``query()`` entry point that parses/validates the
+    reference grammar and executes via Catalyst."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, list[ColumnSpec]] = {}
+
+    # -- statement router (the reference's parse → analyze → plan → run) --
+
+    def query(self, sql: str) -> DataFrame | None:
+        s = sql.strip()
+        if _CREATE_RE.match(s):
+            return self._create_table(s)
+        if _INSERT_RE.match(s):
+            return self._insert(s)
+        return self.sql(s)
+
+    def sql(self, q: str) -> DataFrame:
+        """SELECT path — handed to Catalyst (parser/analyzer/optimizer all
+        subsumed; see SURVEY §3 lifecycle mapping)."""
+        return self.spark.sql(q)
+
+    # -- CREATE TABLE ----------------------------------------------------
+
+    def _create_table(self, stmt: str) -> None:
+        m = _CREATE_RE.match(stmt)
+        name, cols_src = m.group(1).lower(), m.group(2)
+        if name in self._tables:
+            raise AnalyzerError(f"table '{name}' already exists")
+        specs: list[ColumnSpec] = []
+        for col_src in _split_top_level(cols_src):
+            cm = _COL_RE.match(col_src)
+            if not cm:
+                raise AnalyzerError(f"cannot parse column definition: {col_src!r}")
+            col_name = cm.group(1).lower()
+            type_src = cm.group(2).upper().replace(" ", "")
+            if type_src.startswith("VARCHAR"):
+                specs.append(ColumnSpec(col_name, "varchar", int(cm.group(3))))
+            elif type_src.startswith("VARBINARY"):
+                specs.append(ColumnSpec(col_name, "varbinary", int(cm.group(4))))
+            elif type_src == "STRING":
+                specs.append(ColumnSpec(col_name, "varchar", None))
+            elif type_src in ("INT", "INTEGER"):
+                specs.append(ColumnSpec(col_name, "int"))
+            else:
+                specs.append(ColumnSpec(col_name, type_src.lower()))
+            # PRIMARY KEY parsed and ignored, like the reference (main.rs:26)
+        if len({c.name for c in specs}) != len(specs):
+            raise AnalyzerError("duplicate column name")
+        schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
+        empty = self.spark.createDataFrame([], schema)
+        empty.createOrReplaceTempView(name)
+        self._tables[name] = specs
+        return None
+
+    # -- INSERT INTO … VALUES -------------------------------------------
+
+    def _insert(self, stmt: str) -> None:
+        m = _INSERT_RE.match(stmt)
+        name, values_src = m.group(1).lower(), m.group(2)
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        specs = self._tables[name]
+        literals = _split_top_level(values_src)
+        # arity check — analyzer/mod.rs:217-222
+        if len(literals) != len(specs):
+            raise AnalyzerError(
+                f"INSERT has {len(literals)} values but table '{name}' has {len(specs)} columns"
+            )
+        row = [self._convert(lit, spec) for lit, spec in zip(literals, specs)]
+        schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
+        new = self.spark.createDataFrame([tuple(row)], schema)
+        existing = self.spark.table(name)
+        existing.union(new).createOrReplaceTempView(name)
+        # NOTE on scale: temp-view unions are for the interactive parity
+        # facade only; bulk ingest goes through DataFrame writes
+        # (df.write.parquet / saveAsTable) which this facade doesn't wrap.
+        return None
+
+    def _convert(self, lit: str, spec: ColumnSpec):
+        """Insert-time cast with overflow checking — the faithful twin of
+        types.rs:162-203 try_convert_to, minus its checked_abs bug."""
+        lit = lit.strip()
+        if lit.upper() == "NULL":
+            return None
+        if spec.type_name in _INT_RANGES:
+            try:
+                v = int(lit)
+            except ValueError as e:
+                raise AnalyzerError(f"cannot cast {lit!r} to {spec.type_name}") from e
+            lo, hi = _INT_RANGES[spec.type_name]
+            if not lo <= v <= hi:
+                raise AnalyzerError(f"value {v} out of range for {spec.type_name}")
+            return v
+        if spec.type_name == "varchar":
+            if not (lit.startswith("'") and lit.endswith("'")):
+                raise AnalyzerError(f"expected string literal, got {lit!r}")
+            s = lit[1:-1].replace("''", "'")
+            # VARCHAR(n) length enforcement at insert — types.rs:182-191
+            if spec.length is not None and len(s) > spec.length:
+                raise AnalyzerError(
+                    f"string length {len(s)} exceeds VARCHAR({spec.length})"
+                )
+            return s
+        raise AnalyzerError(f"unsupported insert type {spec.type_name}")

@@ -1,0 +1,112 @@
+"""Reference-parity facade tests — the reference's own demo and analyzer
+fixtures (FIXTURES.md §1/§4/§5, src/database.rs:47-91) run through the
+OxidSparkDatabase facade.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidsql_spark.database import AnalyzerError, OxidSparkDatabase
+
+
+@pytest.fixture()
+def db(spark):
+    d = OxidSparkDatabase(spark)
+    # the reference demo (database.rs:47-91): people/cars with NULL age +
+    # unicode name
+    d.query("CREATE TABLE people (id INT, name VARCHAR(255), age INT)")
+    d.query("CREATE TABLE cars (id INT, model VARCHAR(255), owner_id INT)")
+    d.query("INSERT INTO people VALUES (1, 'Elon', 20)")
+    d.query("INSERT INTO people VALUES (2, 'Dr. Emmett L. „Doc“ Brown', 30)")
+    d.query("INSERT INTO people VALUES (3, 'Marty McFly', NULL)")
+    d.query("INSERT INTO cars VALUES (1, 'Tesla Model 3', 1)")
+    d.query("INSERT INTO cars VALUES (2, 'DeLorean DMC-12', 2)")
+    return d
+
+
+def test_demo_select_star(db):
+    rows = db.query("SELECT * FROM people").collect()
+    assert len(rows) == 3
+    assert {r.name for r in rows} == {"Elon", "Dr. Emmett L. „Doc“ Brown", "Marty McFly"}
+
+
+def test_demo_filter(db):
+    rows = db.query("SELECT name FROM people WHERE age >= 21").collect()
+    assert [r.name for r in rows] == ["Dr. Emmett L. „Doc“ Brown"]
+
+
+def test_demo_join(db):
+    """The reference's flagship demo query (database.rs:84-90)."""
+    rows = db.query(
+        "SELECT p.name, c.model FROM people p, cars c "
+        "WHERE p.id = c.owner_id AND p.age >= 18"
+    ).collect()
+    assert sorted((r.name, r.model) for r in rows) == [
+        ("Dr. Emmett L. „Doc“ Brown", "DeLorean DMC-12"),
+        ("Elon", "Tesla Model 3"),
+    ]
+
+
+def test_null_standard_semantics(db):
+    """Deliberate divergence from the reference (volcano_style.rs:76-84
+    treats NULL=NULL as true): standard SQL — NULL compares to nothing."""
+    assert db.query("SELECT * FROM people WHERE age = NULL").count() == 0
+    assert db.query("SELECT name FROM people WHERE age IS NULL").collect()[0].name == "Marty McFly"
+
+
+def test_join_duplicates_kept(db, spark):
+    """Guards against the reference's first-match-only hash-join bug
+    (volcano_style.rs:222-229) — FIXTURES.md §5 dupjoin."""
+    d = OxidSparkDatabase(spark)
+    d.query("CREATE TABLE dupl (k INT, lv VARCHAR(10))")
+    d.query("CREATE TABLE dupr (k INT, rv VARCHAR(10))")
+    for v in ["(1, 'a1')", "(1, 'a2')", "(2, 'b1')", "(NULL, 'n1')"]:
+        d.query(f"INSERT INTO dupl VALUES {v}")
+    for v in ["(1, 'x1')", "(1, 'x2')", "(3, 'y1')", "(NULL, 'n2')"]:
+        d.query(f"INSERT INTO dupr VALUES {v}")
+    rows = d.query(
+        "SELECT lv, rv FROM dupl, dupr WHERE dupl.k = dupr.k"
+    ).collect()
+    # full cross-match set, and NULL keys never join (the reference panics)
+    assert sorted((r.lv, r.rv) for r in rows) == [
+        ("a1", "x1"), ("a1", "x2"), ("a2", "x1"), ("a2", "x2")
+    ]
+
+
+def test_insert_arity_error(db):
+    with pytest.raises(AnalyzerError, match="2 values"):
+        db.query("INSERT INTO people VALUES (4, 'x')")
+
+
+def test_varchar_length_enforced(db):
+    db.query("CREATE TABLE tiny (v VARCHAR(3))")
+    db.query("INSERT INTO tiny VALUES ('abc')")
+    with pytest.raises(AnalyzerError, match="exceeds VARCHAR"):
+        db.query("INSERT INTO tiny VALUES ('abcd')")
+
+
+def test_int_overflow_checked(db):
+    """Standard checked casts — NOT the reference's checked_abs bug
+    (types.rs:171-178)."""
+    db.query("CREATE TABLE t_small (s SMALLINT)")
+    db.query("INSERT INTO t_small VALUES (32767)")
+    db.query("INSERT INTO t_small VALUES (-32768)")  # negatives allowed
+    with pytest.raises(AnalyzerError, match="out of range"):
+        db.query("INSERT INTO t_small VALUES (32768)")
+
+
+def test_cross_width_compare(db):
+    """typestest fixture (FIXTURES.md §4): int widths compare
+    interchangeably (types.rs:206-246)."""
+    db.query("CREATE TABLE typestest (b BIGINT, i INT, s SMALLINT, v VARCHAR(10))")
+    db.query("INSERT INTO typestest VALUES (10, 10, 10, 'hello')")
+    db.query("INSERT INTO typestest VALUES (9223372036854775807, 2147483647, 32767, '')")
+    db.query("INSERT INTO typestest VALUES (NULL, NULL, NULL, NULL)")
+    assert db.query("SELECT * FROM typestest WHERE s = 10").count() == 1
+    assert db.query("SELECT * FROM typestest WHERE b = 10 AND i = 10").count() == 1
+
+
+def test_duplicate_table_error(db):
+    with pytest.raises(AnalyzerError, match="already exists"):
+        db.query("CREATE TABLE people (id INT)")

@@ -1,0 +1,372 @@
+"""Extended relational operators: pivot, grouping sets, statistical
+aggregates, percentiles, argmax, list/string aggregation, as-of joins,
+sampling, math functions, and a pandas-UDF group transform.
+
+All statistical aggregates are computed from DECIMAL-exact component
+sums (Σx, Σx², Σxy) so results are independent of accumulation order —
+the same discipline as the money aggregates, required for cross-engine
+hashing and for bit-stable results under cluster re-partitioning.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import dbl, money, table
+
+
+@register(
+    "pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one output column per order status. Explicit value list —
+    at scale an implicit pivot would need an extra distinct pass."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((sxx - sx*sx/n) / n, 4) AS var_pop_qty,
+           round(sqrt((sxx - sx*sx/n) / n), 4) AS stddev_pop_qty,
+           round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / correlation from decimal-exact moment sums.
+
+    Spark's var_pop/corr accumulate doubles in partition order — fine
+    numerically, but not bit-reproducible across partitionings. Building
+    them from exact Σx/Σx²/Σxy keeps distributed results deterministic
+    (and lets the oracle match exactly)."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p = money("l_quantity"), money("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(q)).alias("sx"),
+        dbl(F.sum(q * q)).alias("sxx"),
+        dbl(F.sum(p)).alias("sy"),
+        dbl(F.sum(p * p)).alias("syy"),
+        dbl(F.sum(q * p)).alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    var_q = (sxx - sx * sx / n) / n
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(var_q, 4).alias("var_pop_qty"),
+        F.round(F.sqrt(var_q), 4).alias("stddev_pop_qty"),
+        F.round((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (interpolated) + min/max. Spark's percentile is
+    an exact sort-based aggregate; approx_percentile is the sketch path
+    for the 100 TB case (see approx_quantiles, rows-only)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register("approx_quantiles")  # sketch-based (KLL/GK) — rows-only check
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the mergeable-sketch quantile path that scales
+    where exact percentile's per-group sort does not."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("ndv_cust_approx"),
+        )
+    )
+
+
+@register(
+    "argmax_customer",
+    oracle="""
+    SELECT c_nationkey,
+           max_by(c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 10000000 + c_custkey) AS top_customer,
+           max(c_acctbal) AS top_acctbal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX via max_by with a deterministic composite ranking key
+    (balance cents ⊕ custkey) so ties can't produce engine-dependent
+    winners."""
+    c = table(spark, sf_dir, "customer")
+    rank_key = (money("c_acctbal") * 100).cast("bigint") * 10000000 + F.col("c_custkey")
+    return c.groupBy("c_nationkey").agg(
+        F.max_by("c_name", rank_key).alias("top_customer"),
+        F.max("c_acctbal").alias("top_acctbal"),
+    )
+
+
+@register(
+    "list_agg",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_custkey)) AS custkeys,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + string aggregation, sorted for determinism (collect_list
+    order is partition-dependent — never expose it unsorted)."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
+    )
+
+
+@register(
+    "asof_last_click",
+    oracle="""
+    SELECT p.event_id,
+           CAST(max(c.ts) AS VARCHAR) AS last_click_ts
+    FROM events p LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase, the latest click of the same user
+    at-or-before it.
+
+    Implemented the scale-correct way: NOT as an inequality join (which
+    explodes quadratically per user) but as a union + ordered window with
+    last(ignorenulls) — one shuffle on user_id, linear state. The oracle
+    states the same semantics as a naive range join."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        e.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("last_click_ts").cast("string").alias("last_click_ts"))
+    )
+
+
+@register(
+    "events_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, CAST(ts AS VARCHAR) AS first_ts
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def events_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on a fact stream (dropDuplicates with an explicit
+    deterministic order — dropDuplicates alone keeps an arbitrary row)."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").cast("string").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 20 = 0
+    """,
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (key mod k) — the reproducible,
+    engine-portable sampling primitive; seeded bernoulli sampling is the
+    rows-only twin below."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register("sample_bernoulli")  # seed-dependent → rows-only check
+def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded bernoulli sample — the scan-pushed df.sample path used by
+    the statistics layer (statistics.TableSample)."""
+    return table(spark, sf_dir, "orders").sample(fraction=0.05, seed=42).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           CAST(p_size * p_size AS BIGINT) AS size_sq,
+           abs(p_size - 25) AS size_dev,
+           greatest(p_size, 10) AS size_floor10,
+           least(p_size, 40) AS size_cap40
+    FROM part
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (sqrt/ln IEEE-deterministic, rounded against
+    libm ULP drift; integer arithmetic exact)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        (F.col("p_size").cast("bigint") * F.col("p_size")).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.greatest("p_size", F.lit(10)).alias("size_floor10"),
+        F.least("p_size", F.lit(40)).alias("size_cap40"),
+    )
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS name_lower,
+           replace(c_name, ' ', '_') AS name_snake,
+           left(c_name, 5) AS name_prefix,
+           reverse(c_name) AS name_rev,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+           CASE WHEN contains(c_name, 'er') THEN 1 ELSE 0 END AS has_er
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions beyond the basics."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("name_lower"),
+        F.replace(F.col("c_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("c_name", 1, 5).alias("name_prefix"),
+        F.reverse("c_name").alias("name_rev"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.when(F.col("c_name").contains("er"), 1).otherwise(0).alias("has_er"),
+    )
+
+
+_ZSCORE_SCHEMA = "c_nationkey int, c_custkey bigint, zscore double"
+
+
+@register(
+    "udf_group_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT c_nationkey, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+      FROM customer GROUP BY c_nationkey)
+    SELECT c.c_nationkey, c.c_custkey,
+           round((c.c_acctbal - s.sx/s.n) / sqrt((s.sxx - s.sx*s.sx/s.n) / s.n), 4) AS zscore
+    FROM customer c JOIN s ON c.c_nationkey = s.c_nationkey
+    """,
+)
+def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped transform: per-nation z-score of account
+    balance.
+
+    Python IS the point here (the UDF/UDAF extension surface the
+    reference lacks entirely); the moments are computed with exact
+    decimal-style arithmetic inside pandas (float64 over cents) so the
+    oracle matches. Arrow-batched; one shuffle on the group key."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["c_acctbal"] * 100).round().astype("int64")
+        n = len(pdf)
+        sx = float(cents.sum()) / 100.0
+        sxx = float((cents * cents).sum()) / 10000.0
+        mean = sx / n
+        var = (sxx - sx * sx / n) / n
+        z = ((pdf["c_acctbal"] - mean) / (var**0.5)).round(4)
+        return pd.DataFrame(
+            {"c_nationkey": pdf["c_nationkey"], "c_custkey": pdf["c_custkey"], "zscore": z}
+        )
+
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(zscore, schema=_ZSCORE_SCHEMA)
+    )

@@ -44,7 +44,14 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so its @register calls run."""
     global _LOADED
     if not _LOADED:
-        from .operators import dedup, multimodal, relational, similarity, textops  # noqa: F401
+        from .operators import (  # noqa: F401
+            dedup,
+            multimodal,
+            relational,
+            relational_ext,
+            similarity,
+            textops,
+        )
         from .streaming import events  # noqa: F401
 
         _LOADED = True

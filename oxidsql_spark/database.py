@@ -74,6 +74,13 @@ _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IG
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -121,6 +128,12 @@ class OxidSparkDatabase:
             return self._create_table(s)
         if _INSERT_RE.match(s):
             return self._insert(s)
+        if _DELETE_RE.match(s):
+            return self._delete(s)
+        if _UPDATE_RE.match(s):
+            return self._update(s)
+        if _DROP_RE.match(s):
+            return self._drop(s)
         return self.sql(s)
 
     def sql(self, q: str) -> DataFrame:
@@ -183,6 +196,65 @@ class OxidSparkDatabase:
         # NOTE on scale: temp-view unions are for the interactive parity
         # facade only; bulk ingest goes through DataFrame writes
         # (df.write.parquet / saveAsTable) which this facade doesn't wrap.
+        return None
+
+    # -- UPDATE / DELETE / DROP (reference TODOs, README.md:51) ---------
+    #
+    # Plain-parquet Spark has no in-place mutation; the portable pattern
+    # is rewrite: recompute the surviving/updated rows declaratively and
+    # swap the view. At 100 TB the same shape becomes a partition-scoped
+    # overwrite (dynamic partitionOverwriteMode) or a Delta/Iceberg
+    # MERGE — the SQL surface stays identical.
+
+    def _delete(self, stmt: str) -> None:
+        m = _DELETE_RE.match(stmt)
+        name, where = m.group(1).lower(), m.group(2)
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        df = self.spark.table(name)
+        # standard DELETE: only rows where the predicate is TRUE go away;
+        # NULL-predicate rows survive
+        remaining = df.filter(f"NOT coalesce(({where}), false)") if where else df.limit(0)
+        remaining.createOrReplaceTempView(name)
+        return None
+
+    def _update(self, stmt: str) -> None:
+        m = _UPDATE_RE.match(stmt)
+        name, sets_src, where = m.group(1).lower(), m.group(2), m.group(3)
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        specs = self._tables[name]
+        cols = {c.name for c in specs}
+        assignments: dict[str, str] = {}
+        for part in _split_top_level(sets_src):
+            col, _, expr = part.partition("=")
+            col = col.strip().lower()
+            if col not in cols:
+                raise AnalyzerError(f"unknown column '{col}' in UPDATE")
+            assignments[col] = expr.strip()
+        df = self.spark.table(name)
+        cond = where if where else "true"
+        from pyspark.sql import functions as F  # local to keep header lean
+
+        updated = df.select(
+            *[
+                F.when(F.expr(cond), F.expr(assignments[c.name]).cast(c.spark_type))
+                .otherwise(F.col(c.name))
+                .alias(c.name)
+                if c.name in assignments
+                else F.col(c.name)
+                for c in specs
+            ]
+        )
+        updated.createOrReplaceTempView(name)
+        return None
+
+    def _drop(self, stmt: str) -> None:
+        name = _DROP_RE.match(stmt).group(1).lower()
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        self.spark.catalog.dropTempView(name)
+        del self._tables[name]
         return None
 
     def _convert(self, lit: str, spec: ColumnSpec):

@@ -1,0 +1,116 @@
+"""Graph-shaped operators: connected-component clustering of near-dup
+pairs — the step that turns pairwise similarity into dedup groups.
+
+This is the canonical iterative Spark algorithm (min-label propagation,
+the simplified 'large-star' of Kiveris et al., "Connected Components in
+MapReduce and Beyond"): each iteration is one join + one aggregate, state
+is a (node, label) table partitioned by node. At 100 TB the iteration
+count is the graph diameter (near-dup graphs are shallow — dup clusters
+are cliques or near-cliques, so 2-4 iterations), and every step is a
+key-partitioned shuffle Catalyst handles; nothing is collected to the
+driver except the 1-row convergence check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import table
+from .dedup import _JACCARD_N, _JACCARD_T, dedup_ngram_jaccard  # noqa: F401
+
+_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []
+                  ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_JACCARD_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM toks),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING CAST(count(*) AS DOUBLE)
+             / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= {_JACCARD_T}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+      SELECT * FROM r)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+    FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@register("dedup_clusters", oracle=_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact Jaccard
+    pair graph; cluster_id = smallest doc_id in the component (singleton
+    docs are their own cluster). Iterative min-label propagation in
+    Spark vs a recursive-CTE transitive closure in the oracle."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
+    edges = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).cache()
+
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-4
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
+                    "cluster_id"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH clusters AS ({_ORACLE})
+    SELECT count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           count(*) - count(DISTINCT cluster_id) AS n_redundant
+    FROM clusters
+    """,
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup summary: how many docs survive cluster-level
+    dedup (keep one representative per component)."""
+    c = dedup_clusters(spark, sf_dir)
+    return c.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("n_redundant"),
+    )

@@ -140,6 +140,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_top_terms",
+    oracle="""
+    SELECT term, count(*) AS n
+    FROM (
+      SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS term
+      FROM documents)
+    GROUP BY term
+    ORDER BY n DESC, term LIMIT 50
+    """,
+    bench=True,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top 50 — explode → count → top-k. The
+    wordcount shape: map-side partial counts make the shuffle carry one
+    row per distinct term per partition, and TakeOrderedAndProject keeps
+    the top-k without a global sort."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
     "text_token_count",
     oracle="""
     SELECT doc_id,

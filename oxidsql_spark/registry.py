@@ -46,6 +46,7 @@ def load_all() -> dict[str, Query]:
     if not _LOADED:
         from .operators import (  # noqa: F401
             dedup,
+            graph,
             multimodal,
             relational,
             relational_ext,

@@ -37,6 +37,9 @@ def get_spark(app_name: str = "oxidsql-spark", cpus: int | str | None = None) ->
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
+        .config("spark.sql.warehouse.dir", "/tmp/oxidsql-warehouse")
+        # partition-scoped overwrites (the plain-parquet UPDATE/DELETE path)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,63 @@
+"""Sinks: the write side of the engine.
+
+The reference has exactly two sinks — stdout Print and heap Insert
+(plan.rs:52-64). Here the sink surface is the full Spark writer API,
+wrapped with the layouts that matter at 100 TB:
+
+* ``write_parquet`` — plain columnar files, `coalesce`d to a target
+  file count so small-file explosion doesn't poison later scans;
+* ``write_partitioned`` — hive-style partition directories; queries
+  filtering on the partition column get partition pruning (the scan
+  never opens excluded directories);
+* ``write_bucketed`` — pre-shuffled bucket layout on the join/agg key;
+  two tables bucketed the same way join with ZERO exchange (the
+  bucketing IS the shuffle, paid once at write time);
+* ``show`` / ``to_rows`` — the Print twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(df: DataFrame, path: str, n_files: int | None = None, mode: str = "overwrite") -> None:
+    if n_files:
+        df = df.coalesce(n_files)
+    df.write.mode(mode).parquet(path)
+
+
+def write_partitioned(df: DataFrame, path: str, *partition_cols: str, mode: str = "overwrite") -> None:
+    """Partition-pruned layout: one directory per partition value.
+    Choose low-cardinality columns (date, region, status) — at 100 TB a
+    high-cardinality partition column means millions of tiny files."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int = 16, sort_by: str | None = None
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(key) at write
+    time. Joins/aggs on `key` between same-bucketed tables skip the
+    exchange entirely — the 100 TB answer to repeated fact-fact joins."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table_name)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Always pass an explicit schema — inference is a full extra pass
+    over the data (fatal at scale) and type-unstable."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)

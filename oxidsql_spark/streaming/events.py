@@ -123,6 +123,41 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_sliding",
+    oracle="""
+    SELECT CAST(win_start AS VARCHAR) AS hour_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL 30 minutes, CAST(ts AS TIMESTAMP)),
+                     time_bucket(INTERVAL 30 minutes, CAST(ts AS TIMESTAMP)) - INTERVAL 30 minutes])
+               AS win_start,
+             event_type, value
+      FROM events)
+    GROUP BY win_start, event_type
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window: 1-hour windows every 30 minutes — each
+    event lands in exactly two windows. Spark's window() does the fanout
+    natively; the oracle spells it out via unnest of both window starts."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 @register("events_sessionize")  # session windows: not ANSI-SQL-expressible → rows-only
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via F.session_window — the

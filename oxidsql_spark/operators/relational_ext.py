@@ -327,6 +327,84 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "unpivot_part",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+    """,
+)
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide → long. Spark's unpivot is a zero-shuffle
+    per-row expansion (the oracle spells it as UNION ALL)."""
+    p = table(spark, sf_dir, "part").withColumn("p_size_d", F.col("p_size").cast("double"))
+    return (
+        p.select("p_partkey", F.col("p_retailprice"), F.col("p_size_d"))
+        .unpivot("p_partkey", ["p_retailprice", "p_size_d"], "metric", "val")
+        .withColumn(
+            "metric",
+            F.when(F.col("metric") == "p_size_d", "p_size").otherwise(F.col("metric")),
+        )
+    )
+
+
+@register(
+    "vector_slice_stats",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS dim0,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head_sum,
+           round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+    FROM embeddings
+    """,
+)
+def vector_slice_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column manipulation: element access, slicing, higher-order
+    reductions over vectors — all JVM-side (no Python)."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head = F.slice(v, 1, 8)
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(v, 1), 6).alias("dim0"),
+        F.size("embedding").alias("dim"),
+        F.round(F.aggregate(head, F.lit(0.0), lambda a, x: a + x), 6).alias("head_sum"),
+        F.round(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("max_abs"),
+    )
+
+
+@register(
+    "events_rollup_2level",
+    oracle="""
+    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS VARCHAR) AS hour_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: minute-level partials
+    re-aggregated to hours. At 100 TB the minute table is the persisted
+    continuous aggregate; hourly/daily views re-aggregate the (tiny)
+    partials instead of the raw stream. The oracle aggregates raw→hour
+    directly — equality of the two plans is exactly the invariant that
+    makes rollup reuse sound (decimal sums are associative-exact)."""
+    e = table(spark, sf_dir, "events")
+    minutely = e.groupBy(F.date_trunc("minute", "ts").alias("minute_start")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(money("value")).alias("sum_value"),
+    )
+    return (
+        minutely.groupBy(F.date_trunc("hour", "minute_start").cast("string").alias("hour_start"))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            dbl(F.sum("sum_value")).alias("total_value"),
+        )
+    )
+
+
 _ZSCORE_SCHEMA = "c_nationkey int, c_custkey bigint, zscore double"
 
 

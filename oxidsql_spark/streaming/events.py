@@ -203,6 +203,16 @@ def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming stateful dedup: first event per (user_id, event_type)
+    via dropDuplicates over the stream — state is bounded by the
+    watermark (duplicates older than the watermark can't arrive, so
+    their keys are evicted). The batch identity on key-sets is tested."""
+    return _stream_source(spark, source_dir).dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, sdf: DataFrame, name: str, timeout: int = 120):
     """Drive a streaming DF to completion against a finite file source and
     return the materialized result table."""

@@ -15,6 +15,7 @@ from oxidsql_spark.streaming.events import (
     events_hourly,
     events_sessionize,
     run_stream_to_memory,
+    stream_dedup,
     stream_hourly,
     stream_sessionize,
 )
@@ -41,3 +42,25 @@ def test_stream_sessionize_equals_batch(spark, sf_dir, stream_dir):
     batch = events_sessionize(spark, sf_dir)
     stream = run_stream_to_memory(spark, stream_sessionize(spark, stream_dir), "sess_mem")
     assert _rows(stream) == _rows(batch)
+
+
+def test_stream_dedup_keyset_equals_batch(spark, sf_dir, stream_dir):
+    """Stateful streaming dedup: which row survives is arrival-order
+    dependent, but the deduped KEY SET must equal the batch distinct."""
+    from oxidsql_spark.sources import table
+
+    q = (
+        stream_dedup(spark, stream_dir)
+        .writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.event_type) for r in spark.table("dedup_mem").collect()}
+    want = {
+        (r.user_id, r.event_type)
+        for r in table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want

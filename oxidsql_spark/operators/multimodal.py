@@ -112,6 +112,44 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(decode_batches, schema=_DECODE_SCHEMA)
 
 
+_EMBED_DIM = 8
+_EMBED_SCHEMA = "doc_id bigint, feat array<double>"
+
+
+@register(
+    "mm_fake_embed",
+    oracle=f"""
+    SELECT doc_id,
+           round(list_sum(list_transform(range(1, {_EMBED_DIM + 1}),
+                 i -> CAST((octet_length(encode(text)) * i) % 97 AS DOUBLE) / 97.0)), 6) AS feat_sum,
+           {_EMBED_DIM} AS dim
+    FROM documents
+    """,
+)
+def mm_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction to an embedding column via mapInPandas — the
+    payload→vector step of a multimodal pipeline. The 'model' is a
+    deterministic stand-in (bytes → arithmetic features) so the oracle
+    can mirror it; the real plumbing under test is binary-in /
+    array<double>-out across the Arrow boundary, plus a JVM-side
+    post-aggregation over the produced vectors."""
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [((len(bytes(b)) * (i + 1)) % 97) / 97.0 for i in range(_EMBED_DIM)]
+                for b in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feat": feats})
+
+    vecs = _payloads(spark, sf_dir).mapInPandas(embed, schema=_EMBED_SCHEMA)
+    return vecs.select(
+        "doc_id",
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.size("feat").alias("dim"),
+    )
+
+
 @register(
     "mm_frame_sample",
     oracle="""

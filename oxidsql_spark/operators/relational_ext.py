@@ -328,6 +328,139 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "range_join_bands",
+    oracle="""
+    SELECT b.band, count(*) AS n_parts,
+           CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 970.0), ('premium', 970.0, 10000.0))
+         AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: facts against interval bands. The band table
+    is tiny → broadcast nested loop, which is the right physical plan at
+    any scale (bands stay small; the fact side streams through)."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 10000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            dbl(F.sum(money("p_retailprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "window_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (rank/dense_rank/percent_rank/ntile)."""
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with explicit full frame (last_value over
+    the default frame is a classic correctness trap — pinned here)."""
+    w_ord = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_ord.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w_ord).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.count(F.lit(1)).over(W.partitionBy("o_custkey")).alias("n_orders"),
+    )
+
+
+@register(
+    "predicate_ops",
+    oracle="""
+    SELECT p_partkey, p_type, p_size FROM part
+    WHERE (p_type LIKE '%AND%' OR p_type LIKE 'SMALL%')
+      AND p_size BETWEEN 5 AND 40
+      AND p_brand NOT IN ('Brand#1', 'Brand#2', 'Brand#3')
+    """,
+)
+def predicate_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / BETWEEN / IN-list predicates with OR — beyond the
+    reference's AND-only surface (its analyzer rejects OR,
+    analyzer/mod.rs:183)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        (F.col("p_type").like("%AND%") | F.col("p_type").like("SMALL%"))
+        & F.col("p_size").between(5, 40)
+        & ~F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_type", "p_size")
+
+
+@register(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg_coalesced,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END AS was_building,
+           ifnull(nullif(c_nationkey, 0), -1) AS nation_or_neg
+    FROM customer
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-producing/consuming scalar ops (nullif/coalesce/ifnull) under
+    standard three-valued logic — the documented divergence from the
+    reference's NULL=NULL→true quirk (volcano_style.rs:76-84)."""
+    c = table(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        seg_null.alias("seg_or_null"),
+        F.coalesce(seg_null, F.lit("DEFAULT")).alias("seg_coalesced"),
+        F.when(seg_null.isNull(), 1).otherwise(0).alias("was_building"),
+        F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(0)), F.lit(-1)).alias("nation_or_neg"),
+    )
+
+
+@register(
     "unpivot_part",
     oracle="""
     SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part

@@ -328,6 +328,33 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed keys: stage 1 aggregates
+    (key, salt) — spreading a hot key over 16 reducers — stage 2 merges
+    the 16 partials per key. Semantically identical to a direct groupBy
+    (the oracle), which is the point: salting is a physical rewrite.
+    l_returnflag (3 distinct values over 600k rows) is exactly the
+    pathological key shape this exists for. Decimal sums keep the
+    two-stage result bit-equal to the one-stage plan."""
+    li = table(spark, sf_dir, "lineitem")
+    salted = (
+        li.withColumn("salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)))
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum(money("l_quantity")).alias("psum"))
+    )
+    return salted.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"), dbl(F.sum("psum")).alias("sum_qty")
+    )
+
+
+@register(
     "range_join_bands",
     oracle="""
     SELECT b.band, count(*) AS n_parts,

@@ -203,6 +203,24 @@ def stream_sessionize(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Sliding-window streaming twin of events_sliding."""
+    s = _stream_source(spark, source_dir)
+    return (
+        s.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(money("value"))).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
     """Streaming stateful dedup: first event per (user_id, event_type)
     via dropDuplicates over the stream — state is bounded by the

@@ -18,7 +18,9 @@ from oxidsql_spark.streaming.events import (
     stream_dedup,
     stream_hourly,
     stream_sessionize,
+    stream_sliding,
 )
+from oxidsql_spark.streaming.events import events_sliding
 
 
 @pytest.fixture(scope="module")
@@ -41,6 +43,12 @@ def test_stream_hourly_equals_batch(spark, sf_dir, stream_dir):
 def test_stream_sessionize_equals_batch(spark, sf_dir, stream_dir):
     batch = events_sessionize(spark, sf_dir)
     stream = run_stream_to_memory(spark, stream_sessionize(spark, stream_dir), "sess_mem")
+    assert _rows(stream) == _rows(batch)
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, stream_dir):
+    batch = events_sliding(spark, sf_dir)
+    stream = run_stream_to_memory(spark, stream_sliding(spark, stream_dir), "sliding_mem")
     assert _rows(stream) == _rows(batch)
 
 

@@ -328,6 +328,32 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_table_profile",
+    oracle="""
+    SELECT 'orders' AS tbl, count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS ndv_cust,
+           count(DISTINCT o_orderpriority) AS ndv_prio,
+           CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+           CAST(max(o_orderdate) AS VARCHAR) AS max_date
+    FROM orders
+    """,
+)
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the query-level face of the statistics layer
+    (rowcount + ndv + min/max; what ANALYZE TABLE persists for CBO and
+    what the reference maintains online, heap.rs:245-292)."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("ndv_cust"),
+        F.countDistinct("o_orderpriority").alias("ndv_prio"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+    )
+
+
+@register(
     "agg_salted",
     oracle="""
     SELECT l_returnflag, count(*) AS n,

@@ -9,76 +9,79 @@ A regression here is a performance bug even when results stay correct.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
+from oxidsql_spark.plans import executed_plan, explain_summary, formatted_plan
 from oxidsql_spark.registry import load_all
 
 QUERIES = load_all()
 
 
-def plan_of(spark, sf_dir, name: str) -> str:
-    df = QUERIES[name].fn(spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+def q(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir)
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "ref_filter")
-    assert "GreaterThanOrEqual(c_acctbal,1000.0)" in p
-    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    s = explain_summary(q(spark, sf_dir, "ref_filter"))
+    pushed = " ".join(s.pushed_filters)
+    assert "GreaterThanOrEqual(c_acctbal,1000.0)" in pushed
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed
 
 
 def test_column_pruning(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "ref_project")
-    # only the three projected columns are read
-    assert "ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string>" in p
+    s = explain_summary(q(spark, sf_dir, "ref_project"))
+    assert s.read_schemas == ["struct<p_partkey:bigint,p_name:string,p_brand:string>"]
 
 
 def test_q1_pushdown_and_partial_agg(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "tpch_q1")
+    p = formatted_plan(q(spark, sf_dir, "tpch_q1"))
     assert "LessThanOrEqual(l_shipdate," in p
-    # partial (map-side) + final aggregation
-    assert p.count("HashAggregate") >= 2
-    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]  # pruned
+    assert p.count("HashAggregate") >= 2  # partial + final
+    s = explain_summary(q(spark, sf_dir, "tpch_q1"))
+    assert "l_orderkey" not in s.read_schemas[0]  # pruned
 
 
 def test_dimension_joins_broadcast(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "ref_join")
-    assert "BroadcastHashJoin" in p
-    p5 = plan_of(spark, sf_dir, "tpch_q5")
-    assert "BroadcastHashJoin" in p5
-    assert "CartesianProduct" not in p5
+    assert explain_summary(q(spark, sf_dir, "ref_join")).all_broadcast
+    s5 = explain_summary(q(spark, sf_dir, "tpch_q5"))
+    assert "BroadcastHashJoin" in s5.joins
+    assert "CartesianProduct" not in s5.joins
 
 
 def test_topk_no_global_sort(spark, sf_dir):
-    p = plan_of(spark, sf_dir, "tpch_q3")
-    assert "TakeOrderedAndProject" in p
-    p2 = plan_of(spark, sf_dir, "sort_limit")
-    assert "TakeOrderedAndProject" in p2
+    assert explain_summary(q(spark, sf_dir, "tpch_q3")).has_topk
+    assert explain_summary(q(spark, sf_dir, "sort_limit")).has_topk
+
+
+def test_single_shuffle_for_agg(spark, sf_dir):
+    """tpch_q1 must shuffle exactly once (partial agg → exchange → final);
+    more exchanges would mean partial aggregation regressed."""
+    assert explain_summary(q(spark, sf_dir, "tpch_q1")).n_exchanges == 1
 
 
 def test_no_python_udf_in_relational_paths(spark, sf_dir):
     """Relational/text queries must stay JVM-side (whole-stage codegen);
     only the explicitly-pandas operators may cross into Python."""
     for name in ("tpch_q1", "tpch_q3", "text_stats", "dedup_exact", "window_topk"):
-        p = plan_of(spark, sf_dir, name)
+        assert explain_summary(q(spark, sf_dir, name)).python_evals == 0, name
+
+
+def test_pandas_ops_use_arrow(spark, sf_dir):
+    """The deliberate Python paths must cross via Arrow (mapInPandas /
+    applyInPandas), never row-at-a-time pickling."""
+    for name in ("mm_decode_features", "udf_group_zscore", "mm_fake_embed"):
+        p = formatted_plan(q(spark, sf_dir, name))
+        assert "MapInPandas" in p or "FlatMapGroupsInPandas" in p, name
         assert "BatchEvalPython" not in p, name
-        assert "ArrowEvalPython" not in p, name
 
 
 @pytest.mark.parametrize("name", ["tpch_q1", "tpch_q6", "text_stats"])
 def test_wholestage_codegen_active(spark, sf_dir, name):
-    """Codegen spans only materialize in the AQE *executed* plan — run
-    the query, then inspect the final physical plan."""
-    df = QUERIES[name].fn(spark, sf_dir)
+    """Codegen spans only materialize in the AQE executed plan — run the
+    query, then inspect; '*(n)' prefixes mark codegen'd operators."""
+    df = q(spark, sf_dir, name)
     df.collect()
-    p = df._jdf.queryExecution().executedPlan().toString()
-    # '*(n)' prefixes mark whole-stage-codegen'd operators
+    p = executed_plan(df)
     assert "*(" in p, p[:500]
     if name == "tpch_q1":
         assert "partial_sum" in p  # map-side combine before the exchange

@@ -52,6 +52,46 @@ def test_stream_sliding_equals_batch(spark, sf_dir, stream_dir):
     assert _rows(stream) == _rows(batch)
 
 
+def test_stream_user_spend_stateful(spark, sf_dir, stream_dir):
+    """applyInPandasWithState: the FINAL emitted state per user must
+    equal the batch per-user aggregate (exact integer cents)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import stream_user_spend
+
+    q = (
+        stream_user_spend(spark, stream_dir)
+        .writeStream.format("memory")
+        .queryName("spend_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode appends one row per (user, micro-batch); the final row
+    # (max n_events) is the converged state
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.table("spend_mem")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_cents")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_stream_dedup_keyset_equals_batch(spark, sf_dir, stream_dir):
     """Stateful streaming dedup: which row survives is arrival-order
     dependent, but the deduped KEY SET must equal the batch distinct."""

@@ -1,0 +1,44 @@
+"""End-to-end training-corpus pipeline test."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oxidsql_spark.operators.graph import dedup_clusters
+from oxidsql_spark.pipeline import build_training_corpus
+from oxidsql_spark.sources import table
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "corpus")
+    corpus = build_training_corpus(spark, sf_dir, out_dir=out, min_tokens=5)
+    rows = corpus.collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert 0 < len(rows) <= n_docs
+
+    # dedup: exactly the cluster representatives survive the dedup stage
+    reps = {
+        r.doc_id
+        for r in dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .collect()
+    }
+    assert {r.doc_id for r in rows} <= reps
+
+    # quality: every surviving doc meets the floor
+    assert all(r.n_tokens >= 5 for r in rows)
+
+    # written corpus is partitioned by language and complete
+    back = spark.read.parquet(out)
+    assert back.count() == len(rows)
+    assert "lang_pred" in back.columns
+    langs = {r.lang_pred for r in rows}
+    import os
+
+    dirs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang_pred=")}
+    assert dirs == langs
+
+    # partition pruning works on the written layout
+    one_lang = next(iter(langs))
+    pruned = back.filter(F.col("lang_pred") == one_lang)
+    assert pruned.count() == sum(1 for r in rows if r.lang_pred == one_lang)

@@ -28,6 +28,10 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO (same rationale as a warmed cluster).
+    from oxidsql_spark.sources import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
     queries_list = sorted(queries)
     load_all()[queries_list[0]].fn(spark, sf_dir).count()
 

@@ -328,6 +328,51 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0, 1) AS bucket_lo
+    FROM orders GROUP BY bucket
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing — one partial-agg
+    shuffle carrying only (bucket, count)."""
+    o = table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("bigint")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(bucket * 50000.0, 1).alias("bucket_lo"),
+    )
+
+
+@register(
+    "correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           (SELECT max(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE c.c_acctbal > 9000.0
+    """,
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    outer join + aggregate (no per-row re-execution, unlike a naive
+    interpreter)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               (SELECT max(o.o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM customer c
+        WHERE c.c_acctbal > 9000.0
+        """
+    )
+
+
+@register(
     "stats_table_profile",
     oracle="""
     SELECT 'orders' AS tbl, count(*) AS n_rows,

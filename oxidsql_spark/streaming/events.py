@@ -158,6 +158,50 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS hour_start FROM bounds),
+    agg AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, count(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT CAST(h.hour_start AS VARCHAR) AS hour_start,
+           coalesce(a.n, 0) AS n_purchases
+    FROM hours h LEFT JOIN agg a ON h.hour_start = a.hour_start
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a generated dense hour spine LEFT JOINs
+    the sparse aggregate so empty hours appear as zeros. The spine is
+    sequence()-generated from min/max (two scalar aggregates) — no
+    driver-side loop; the join is broadcast (the spine is tiny)."""
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    agg = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(agg, "hour_start", "left")
+        .select(
+            F.col("hour_start").cast("string").alias("hour_start"),
+            F.coalesce("n", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
 @register("events_sessionize")  # session windows: not ANSI-SQL-expressible → rows-only
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via F.session_window — the

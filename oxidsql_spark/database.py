@@ -249,6 +249,56 @@ class OxidSparkDatabase:
         updated.createOrReplaceTempView(name)
         return None
 
+    def merge(
+        self,
+        target: str,
+        source: DataFrame,
+        key: str,
+        when_matched_set: dict[str, str] | None = None,
+        insert_unmatched: bool = True,
+        when_not_matched_insert: dict[str, str] | None = None,
+    ) -> None:
+        """MERGE INTO (upsert) as a declarative rewrite — the plain-
+        parquet twin of Delta/Iceberg MERGE, keyed on `key` (present in
+        both sides; key NULLs never match, per standard MERGE).
+
+        Matched target rows get the SET expressions applied (source
+        columns addressable as src.<col>, target's as tgt.<col>);
+        unmatched source rows are appended. One full-outer join keyed on
+        the merge key; at 100 TB this becomes a partition-scoped
+        overwrite of only the partitions containing matches."""
+        if target not in self._tables:
+            raise AnalyzerError(f"unknown table '{target}'")
+        specs = self._tables[target]
+        from pyspark.sql import functions as F
+
+        tgt = self.spark.table(target).alias("tgt")
+        src = source.alias("src")
+        joined = tgt.join(src, F.col(f"tgt.{key}") == F.col(f"src.{key}"), "full_outer")
+        t_has = F.col(f"tgt.{key}").isNotNull()
+        s_has = F.col(f"src.{key}").isNotNull()
+        sets = when_matched_set or {}
+        # WHEN NOT MATCHED THEN INSERT mapping; default: same-named
+        # source columns, NULL elsewhere
+        ins = when_not_matched_insert or {
+            c.name: f"src.{c.name}" for c in specs if c.name in source.columns
+        }
+        out = []
+        for c in specs:
+            tgt_val = F.col(f"tgt.{c.name}")
+            upd_val = F.expr(sets[c.name]).cast(c.spark_type) if c.name in sets else tgt_val
+            src_val = (
+                F.expr(ins[c.name]).cast(c.spark_type)
+                if c.name in ins
+                else F.lit(None).cast(c.spark_type)
+            )
+            out.append(
+                F.when(t_has & s_has, upd_val).when(t_has, tgt_val).otherwise(src_val).alias(c.name)
+            )
+        result = joined if insert_unmatched else joined.filter(t_has)
+        result.select(*out).createOrReplaceTempView(target)
+        return None
+
     def _drop(self, stmt: str) -> None:
         name = _DROP_RE.match(stmt).group(1).lower()
         if name not in self._tables:

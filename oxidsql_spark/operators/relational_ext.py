@@ -328,6 +328,36 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+           quarter(o_orderdate) AS qtr
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: diffs, interval add, month boundaries, calendar
+    fields. (DuckDB dayofweek is 0-based Sunday; Spark's is 1-based —
+    normalized here to DuckDB's convention.)"""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.cast("string").alias("order_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.last_day(d).cast("string").alias("month_end"),
+        (F.dayofweek(d) - 1).alias("dow"),
+        F.quarter(d).alias("qtr"),
+    )
+
+
+@register(
     "histogram_totalprice",
     oracle="""
     SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,

@@ -1,0 +1,45 @@
+"""MERGE INTO (upsert) rewrite tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidsql_spark.database import AnalyzerError, OxidSparkDatabase
+
+
+@pytest.fixture()
+def db(spark):
+    d = OxidSparkDatabase(spark)
+    d.query("CREATE TABLE acct (id INT, bal INT, note VARCHAR(20))")
+    for v in ["(1, 100, 'a')", "(2, 200, 'b')", "(3, 300, 'c')"]:
+        d.query(f"INSERT INTO acct VALUES {v}")
+    return d
+
+
+def test_merge_upsert(db, spark):
+    src = spark.createDataFrame(
+        [(2, 25), (3, 35), (4, 45)], "id int, delta int"
+    )
+    db.merge(
+        "acct", src, key="id",
+        when_matched_set={"bal": "tgt.bal + src.delta"},
+        when_not_matched_insert={"id": "src.id", "bal": "src.delta"},
+    )
+    rows = {r.id: (r.bal, r.note) for r in db.query("SELECT * FROM acct").collect()}
+    assert rows[1] == (100, "a")       # untouched
+    assert rows[2] == (225, "b")       # updated
+    assert rows[3] == (335, "c")       # updated
+    assert rows[4] == (45, None)       # inserted (missing cols → NULL)
+
+
+def test_merge_no_insert(db, spark):
+    src = spark.createDataFrame([(1, 1), (9, 9)], "id int, delta int")
+    db.merge("acct", src, key="id", when_matched_set={"bal": "0"}, insert_unmatched=False)
+    rows = {r.id: r.bal for r in db.query("SELECT * FROM acct").collect()}
+    assert rows == {1: 0, 2: 200, 3: 300}  # 9 not inserted
+
+
+def test_merge_unknown_table(db, spark):
+    src = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(AnalyzerError, match="unknown table"):
+        db.merge("nope", src, key="id")

@@ -1,0 +1,446 @@
+"""Extended TPC-H-shape analytics — the decision-support surface the
+reference only TODO-lists (reference README.md:44-55: GROUP BY, ORDER BY,
+subqueries, expressions are all absent from its 8-operator algebra,
+src/execution/plan.rs:29-68).
+
+Adapted to the driver's TPC-H-ish schema (no partsupp, no
+commit/receipt dates — see TESTDATA.md), keeping each original query's
+*plan shape*: multi-way joins with broadcast dimensions, left outer +
+double aggregation (q13), correlated scalar subqueries decorrelated into
+aggregate joins (q15/q17), group-filter semi-join (q18), and disjunctive
+multi-branch join predicates (q19).
+
+Scale notes (100 TB design intent):
+* nation appears twice in q7/q8 — both sides broadcast, so the fact-table
+  path shuffles only on the orders⋈lineitem and customer⋈orders keys.
+* q13's LEFT JOIN keeps customer as the build of a shuffle join on
+  c_custkey; the second aggregation (custdist) is tiny and re-shuffles a
+  per-customer rollup, not base data.
+* q15/q17 decorrelate the scalar subquery into a groupBy + join — at
+  cluster scale that is one extra shuffle of an already-aggregated
+  (small) relation instead of a per-row subquery execution.
+* q17's threshold uses an exact decimal sum / exact count so the
+  comparison is bit-identical regardless of partial-agg merge order.
+* All money math in DECIMAL(18,2); doubles appear only at the final cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import dbl, money, table
+
+_DEC = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+def _volume() -> F.Column:
+    return money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+             {_DEC} AS volume
+      FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= '1996-01-01' AND l.l_shipdate < '1998-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    bench=True,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): nation joined twice under
+    different roles; the disjunctive nation-pair predicate sits above two
+    broadcast joins, so only the fact joins shuffle."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dbl(F.sum(_volume())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+             {_DEC} AS volume, n2.n_name AS nation
+      FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON c.c_custkey = o.o_custkey
+           JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+           JOIN region r ON n1.n_regionkey = r.r_regionkey
+           JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    bench=True,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): 8-way join, nation twice
+    (customer-side restricts to region, supplier-side labels the share),
+    conditional aggregation for the share ratio."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _volume()
+    share_num = F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0).cast("decimal(18,2)")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(dbl(share_num) / dbl(F.sum(vol)), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+           ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    bench=True,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape): left outer
+    join with a join-level (not WHERE-level) filter so zero-order
+    customers survive, then a second aggregation over the first."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT round(100.00 * CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN {_DEC} ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(sum({_DEC}) AS DOUBLE), 6) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= '1997-09-01' AND l.l_shipdate < '1997-10-01'
+    """,
+    bench=True,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): fact filtered to one month,
+    part broadcast, conditional/total ratio in one aggregation pass."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-09-01") & (F.col("l_shipdate") < "1997-10-01")
+    )
+    p = table(spark, sf_dir, "part")
+    vol = _volume()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(18,2)")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(F.lit(100.0) * dbl(promo) / dbl(F.sum(vol)), 6).alias("promo_revenue"))
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_DEC}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): the view + scalar subquery
+    decorrelates to agg -> global-max broadcast join. Exact decimal
+    revenue makes the max-equality comparison safe (a double sum would
+    make `= max` partition-order-dependent)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_volume()).alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("best_revenue"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), rev.total_revenue == best.best_revenue)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", dbl(F.col("total_revenue")).alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS qty_threshold
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+    FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey
+         JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND l.l_quantity < a.qty_threshold
+    """,
+    bench=True,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (TPC-H Q17 shape): the correlated scalar
+    subquery (avg qty per part) decorrelated into a per-part aggregate
+    joined back to the fact. Threshold = exact decimal sum / exact count
+    so Spark and the oracle compare identical doubles."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.2) * (dbl(F.sum(money("l_quantity"))) / F.count(F.lit(1)))).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, li.l_partkey == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(F.round(dbl(F.sum(money("l_extendedprice"))) / F.lit(7.0), 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    bench=True,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): HAVING-filtered
+    aggregate drives a semi-join (left_semi — no duplicate keys, no
+    row-width growth) back onto orders, then join + agg + top-k."""
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).alias("big_qty"))
+        .filter(F.col("big_qty") > 300)
+        .select("l_orderkey")
+    )
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(dbl(F.sum(money("l_quantity"))).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT CAST(sum({_DEC}) AS DOUBLE) AS revenue, count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#25' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): disjunctive predicate
+    spanning both join sides. The part-only disjunction
+    (brand13|20|25) is implied and Catalyst can push it to the broadcast
+    side; the mixed l/p branches evaluate post-join."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(10, 30) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(20, 50) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            dbl(F.sum(_volume())).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q4_exists",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= '1997-01-01' AND o.o_orderdate < '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape, adapted: shipped >60 days
+    after order date, since the testdata has no commit/receipt dates).
+    The correlated EXISTS is a left-semi join whose condition mixes the
+    equi key with a non-equi date comparison — the semi join still
+    shuffles only on l_orderkey; the date predicate evaluates post-match."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q22_antibal",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                         FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= '1999-01-01')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def tpch_q22_antibal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape, adapted: nation instead
+    of phone country code; 'dormant' = no order since 1999, mirroring
+    Q22's no-recent-orders intent). Scalar subquery -> broadcast of a
+    1-row aggregate; NOT EXISTS -> left_anti on o_custkey. The average
+    uses exact decimal sum / exact count so > is engine-stable."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((dbl(F.sum(money("c_acctbal"))) / F.count(F.lit(1))).alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dbl(F.sum(money("c_acctbal"))).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

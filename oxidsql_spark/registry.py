@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
             relational_ext,
             similarity,
             textops,
+            tpch_ext,
         )
         from .streaming import events  # noqa: F401
 

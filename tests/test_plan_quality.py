@@ -85,3 +85,22 @@ def test_wholestage_codegen_active(spark, sf_dir, name):
     assert "*(" in p, p[:500]
     if name == "tpch_q1":
         assert "partial_sum" in p  # map-side combine before the exchange
+
+
+def test_tpch_ext_broadcast_and_semijoin(spark, sf_dir):
+    """q18's HAVING-driven filter must be a broadcast LEFT SEMI on orders
+    (no row-width growth), and q14/q19 must broadcast part."""
+    s18 = explain_summary(q(spark, sf_dir, "tpch_q18"))
+    assert any("BroadcastHashJoin" in j for j in s18.joins)
+    p18 = formatted_plan(q(spark, sf_dir, "tpch_q18"))
+    assert "LeftSemi" in p18
+    for name in ("tpch_q14", "tpch_q19"):
+        assert "BroadcastHashJoin" in explain_summary(q(spark, sf_dir, name)).joins, name
+
+
+def test_q13_left_join_survives_filter(spark, sf_dir):
+    """q13's priority filter lives in the join condition, not WHERE —
+    the plan must keep the LeftOuter join (a WHERE placement would have
+    let Catalyst rewrite it to inner and drop zero-order customers)."""
+    p = formatted_plan(q(spark, sf_dir, "tpch_q13"))
+    assert "LeftOuter" in p

@@ -67,9 +67,12 @@ def test_insert_select_roundtrip(spark, rows):
         for i, s, sm in rows:
             sm_lit = "NULL" if sm is None else str(sm)
             db.query(f"INSERT INTO prop_t VALUES ({i}, '{s}', {sm_lit})")
+        # NULL-safe sort key: Python can't compare None to int directly.
+        key = lambda t: (t[0], t[1], t[2] is None, t[2] or 0)
         got = sorted(
-            (r.i, r.s, r.sm) for r in db.query("SELECT i, s, sm FROM prop_t").collect()
+            ((r.i, r.s, r.sm) for r in db.query("SELECT i, s, sm FROM prop_t").collect()),
+            key=key,
         )
-        assert got == sorted(rows)
+        assert got == sorted(rows, key=key)
     finally:
         db.query("DROP TABLE prop_t")

@@ -87,15 +87,20 @@ def test_wholestage_codegen_active(spark, sf_dir, name):
         assert "partial_sum" in p  # map-side combine before the exchange
 
 
-def test_tpch_ext_broadcast_and_semijoin(spark, sf_dir):
-    """q18's HAVING-driven filter must be a broadcast LEFT SEMI on orders
-    (no row-width growth), and q14/q19 must broadcast part."""
+def test_tpch_ext_broadcast_and_single_fact_pass(spark, sf_dir):
+    """q18 must aggregate lineitem exactly once (partial+final of the
+    per-order sum) and broadcast the HAVING-filtered aggregate onto
+    orders; q14/q19 must broadcast part; q17's threshold agg must sit
+    behind a LeftSemi that prunes to the brand's parts."""
     s18 = explain_summary(q(spark, sf_dir, "tpch_q18"))
     assert any("BroadcastHashJoin" in j for j in s18.joins)
     p18 = formatted_plan(q(spark, sf_dir, "tpch_q18"))
-    assert "LeftSemi" in p18
+    # one logical agg = 2 physical phases; formatted output names each
+    # node twice (tree + detail section), so 4 mentions max
+    assert p18.count("HashAggregate") <= 4
     for name in ("tpch_q14", "tpch_q19"):
         assert "BroadcastHashJoin" in explain_summary(q(spark, sf_dir, name)).joins, name
+    assert "LeftSemi" in formatted_plan(q(spark, sf_dir, "tpch_q17"))
 
 
 def test_q13_left_join_survives_filter(spark, sf_dir):

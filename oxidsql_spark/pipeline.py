@@ -12,7 +12,9 @@ language — the layout downstream training jobs partition-prune on.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.graph import dedup_clusters
@@ -26,10 +28,16 @@ def build_training_corpus(
     out_dir: str | None = None,
     min_tokens: int = 10,
     max_stop_ratio: float = 0.9,
+    observation: Optional[Observation] = None,
 ) -> DataFrame:
     """documents → cluster-level near-dup removal → quality filter →
     language tag → token counts; optionally written partitioned by
-    predicted language. Returns the corpus DataFrame."""
+    predicted language. Returns the corpus DataFrame.
+
+    Pass an ``Observation`` to collect corpus metrics (row count, token
+    total, per-language spread) as a side effect of whatever action
+    materializes the result — zero extra passes over the data, which is
+    the only acceptable cost for monitoring a 100 TB job."""
     docs = table(spark, sf_dir, "documents")
 
     # 1. near-dup removal: keep each cluster's representative (min doc_id)
@@ -49,6 +57,14 @@ def build_training_corpus(
     corpus = docs.join(lang, "doc_id").select(
         "doc_id", "text", "source", "n_tokens", "lang_pred"
     )
+
+    if observation is not None:
+        corpus = corpus.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.approx_count_distinct("lang_pred").alias("n_langs"),
+        )
 
     # 4. partitioned write: downstream jobs prune on lang_pred
     if out_dir:

@@ -53,6 +53,7 @@ def load_all() -> dict[str, Query]:
             similarity,
             textops,
             tpch_ext,
+            udtf_ops,
         )
         from .streaming import events  # noqa: F401
 

@@ -35,9 +35,11 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def _stream_source(spark: SparkSession, source_dir: str) -> DataFrame:
+def _stream_source(
+    spark: SparkSession, source_dir: str, watermark: bool = True
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
+    df = (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
@@ -45,8 +47,11 @@ def _stream_source(spark: SparkSession, source_dir: str) -> DataFrame:
         # Run the session in UTC (get_spark does) so event-time windows
         # align with the batch twin's NTZ arithmetic.
         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "2 hours")
     )
+    # watermark=False lets a consumer re-watermark derived columns (e.g.
+    # the two renamed sides of a stream-stream join, where re-defining an
+    # inherited watermark is an analysis error).
+    return df.withWatermark("ts", "2 hours") if watermark else df
 
 
 def _hourly_agg(df: DataFrame) -> DataFrame:
@@ -224,6 +229,61 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming builders (tested in tests/test_streaming.py)
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "events_click_purchase",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+    FROM events c JOIN events p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def events_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs within 30 minutes: the batch twin
+    of the stream-stream interval join (stream_click_purchase). The self
+    join shuffles both sides on user_id once; the time band is a post-join
+    predicate, so cardinality stays |clicks ⋈ purchases in band|."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    )
+
+
+def stream_click_purchase(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks and purchases arrive as two
+    watermarked streams; the join condition's time band lets Spark bound
+    both state stores (clicks older than watermark+30min are evicted).
+    This is the streaming operator the batch twin above certifies."""
+    s = _stream_source(spark, source_dir, watermark=False)
+    c = s.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    ).withWatermark("c_ts", "2 hours")
+    p = s.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    ).withWatermark("p_ts", "2 hours")
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(F.col("c_user").alias("user_id"), "click_id", "purchase_id")
+    )
 
 
 def stream_hourly(spark: SparkSession, source_dir: str) -> DataFrame:

@@ -42,3 +42,19 @@ def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
     one_lang = next(iter(langs))
     pruned = back.filter(F.col("lang_pred") == one_lang)
     assert pruned.count() == sum(1 for r in rows if r.lang_pred == one_lang)
+
+
+def test_pipeline_observe_metrics(spark, sf_dir):
+    """Observation metrics ride the same job that materializes the
+    corpus — no second pass — and must agree with direct recomputation."""
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_metrics")
+    corpus = build_training_corpus(spark, sf_dir, observation=obs)
+    n = corpus.count()  # triggers the observed action
+    got = obs.get
+    assert got["n_docs"] == n
+    assert got["total_tokens"] == sum(
+        r.n_tokens for r in corpus.select("n_tokens").collect()
+    )
+    assert got["n_langs"] >= 1

@@ -112,3 +112,25 @@ def test_stream_dedup_keyset_equals_batch(spark, sf_dir, stream_dir):
         for r in table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
     }
     assert got == want
+
+
+def test_stream_click_purchase_join_equals_batch(spark, sf_dir, stream_dir):
+    """Stream-stream interval join (append mode — inner joins emit rows
+    as matches resolve) must produce exactly the batch self-join pairs."""
+    from oxidsql_spark.streaming.events import (
+        events_click_purchase,
+        stream_click_purchase,
+    )
+
+    sdf = stream_click_purchase(spark, stream_dir)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("ssj_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.table("ssj_mem"))
+    want = _rows(events_click_purchase(spark, sf_dir))
+    assert got == want and len(got) > 0

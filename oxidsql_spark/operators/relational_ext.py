@@ -709,3 +709,77 @@ def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .applyInPandas(zscore, schema=_ZSCORE_SCHEMA)
     )
+
+
+@register(
+    "vector_quantize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+                          x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER)) AS q8
+    FROM embeddings
+    """,
+)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8-style quantization of the embedding column (the
+    storage-shrink step before ANN indexing at corpus scale). Pure
+    higher-order transform — JVM-side, no shuffle, no Python. Values go
+    float32 -> double (exact) before scaling so both engines round the
+    same double."""
+    e = table(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 127).cast("int")
+    )
+    return e.select("vec_id", q8.alias("q8"))
+
+
+@register(
+    "sort_paginate",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a total order. offset+limit push into
+    one TakeOrdered of the first 150 rows — still no global sort; deep
+    pagination at scale should switch to keyset (WHERE > last_seen)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    SELECT a.k AS k, count(*) AS n_pairs
+    FROM (SELECT nullif(source, 'src0') AS k FROM documents) a
+    JOIN (SELECT nullif(source, 'src1') AS k FROM documents) b
+      ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k
+    ORDER BY k NULLS FIRST
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics the reference hard-codes for ALL
+    comparisons (volcano_style.rs:76-84 treats NULL cmp NULL as true).
+    Standard SQL would drop those rows; here the quirk is an explicit,
+    opt-in operator instead of a global behavior. NULL keys all hash to
+    one partition — real pipelines should pre-split them (they only
+    match each other), like any other skew key."""
+    d = table(spark, sf_dir, "documents")
+    a = d.select(F.nullif("source", F.lit("src0")).alias("ka"))
+    b = d.select(F.nullif("source", F.lit("src1")).alias("kb"))
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb))
+        .groupBy(F.col("ka").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )

@@ -167,3 +167,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(2))).alias("frame_idx"),
     )
+
+
+@register(
+    "mm_audio_resample",
+    oracle="""
+    SELECT doc_id, length(text) AS n_in,
+           CAST(ceil(length(text) / 2.0) AS BIGINT) AS n_out
+    FROM documents
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-resample plumbing: payload bytes stand in for PCM samples;
+    the Arrow-batched mapInPandas 'resamples' by decimation (every 2nd
+    byte). The real resampler (scipy/librosa) is absent from this
+    container — the deterministic fake keeps the oracle checkable while
+    the batch shape, schema, and partition behavior are the production
+    ones. Oracle validates the counts computed from the actual bytes."""
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = bytes(payload)
+                down = pcm[::2]  # the stubbed "resample to half rate"
+                out.append((doc_id, len(pcm), len(down)))
+            yield pd.DataFrame(out, columns=["doc_id", "n_in", "n_out"])
+
+    return _payloads(spark, sf_dir).mapInPandas(
+        resample, schema="doc_id bigint, n_in bigint, n_out bigint"
+    )

@@ -783,3 +783,43 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT f.label, count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l
+    JOIN (VALUES ('A', 'accepted'), ('N', 'new'), ('R', 'returned'))
+         AS f(l_returnflag, label)
+      ON l.l_returnflag = f.l_returnflag
+    GROUP BY f.label
+    ORDER BY f.label
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join for skewed keys: the fact side salts its key
+    over 8 buckets; the dimension side replicates once per salt (explode
+    of a sequence), so one hot key spreads across 8 reducers instead of
+    one. Semantically identical to the plain join (the oracle) — salting
+    is a physical rewrite, the same discipline as agg_salted. Used when
+    the dim is too large to broadcast; AQE's skew-join split is the
+    runtime alternative, this is the explicit form."""
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    dim = spark.createDataFrame(
+        [("A", "accepted"), ("N", "new"), ("R", "returned")],
+        "flag string, label string",
+    ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>")))
+    return (
+        li.join(dim, (li.l_returnflag == dim.flag) & (li.salt == dim.salt))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum(money("l_extendedprice"))).alias("total_price"),
+        )
+        .orderBy("label")
+    )

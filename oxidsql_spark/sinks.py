@@ -61,3 +61,34 @@ def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~target_file_mb. Streaming sinks and fine-grained partition writes
+    leave thousands of small files; at 100 TB each file under ~100 MB
+    costs a task launch and a footer read per scan. Returns the new file
+    count.
+
+    Rewrite-and-swap (write to `<path>.__compact__`, then move) so a
+    failure mid-compaction never corrupts the source directory."""
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact__"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

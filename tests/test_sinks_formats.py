@@ -92,3 +92,24 @@ def test_sorted_output_files(spark, sf_dir, tmp_path):
     )
     back = spark.read.parquet(p)
     assert back.count() == e.count()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    """Many tiny files -> one rewrite pass -> few right-sized files with
+    identical content."""
+    from oxidsql_spark import sinks
+    from oxidsql_spark.sources import table
+
+    path = str(tmp_path / "shattered")
+    li = table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(path)  # simulate small-file explosion
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 64
+    n = sinks.compact(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/*.parquet"))
+    assert after == n < before
+    got = spark.read.parquet(path)
+    assert got.count() == li.count()
+    assert sorted(got.columns) == sorted(li.columns)

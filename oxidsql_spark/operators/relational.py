@@ -241,21 +241,31 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local supplier volume (TPC-H Q5 shape): 6-way join. supplier/nation/
     region are broadcast; only customer⋈orders⋈lineitem shuffle. CBO join
     reorder = the reference's DPccp intent at cluster scale."""
-    c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
+    # The customer side is implicitly restricted to ASIA (c_nationkey =
+    # s_nationkey and the supplier's nation is in ASIA) — applying the
+    # 5-nation broadcast semi-filter to customer BEFORE the fact joins
+    # drops ~80% of customer, orders, and join traffic at any scale.
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n_asia.select("n_nationkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     rev = F.sum(money("l_extendedprice") * (F.lit(1) - money("l_discount")))
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(n_asia), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(dbl(rev).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")

@@ -132,14 +132,19 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
     )
-    c = table(spark, sf_dir, "customer")
+    # Pre-restrict customer to ASIA nations (broadcast semi over 5 keys)
+    # so the orders⋈customer shuffle carries only the region's rows.
     n1 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1_asia = n1.join(F.broadcast(r), F.col("n1_region") == r.r_regionkey).select("n1_key")
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n1_asia), F.col("c_nationkey") == F.col("n1_key"), "left_semi"
     )
     n2 = table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vol = _volume()
     share_num = F.sum(F.when(F.col("nation") == "NATION_2", vol).otherwise(F.lit(0).cast("decimal(18,2)")))
     return (
@@ -147,8 +152,6 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(F.round(dbl(share_num) / dbl(F.sum(vol)), 6).alias("mkt_share"))

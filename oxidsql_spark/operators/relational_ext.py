@@ -823,3 +823,80 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey ORDER BY l_shipdate
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_30d
+    FROM lineitem
+    WHERE l_suppkey < 20
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value-based, not row-based): per-supplier
+    trailing-30-day revenue. Spark's rangeBetween needs a numeric
+    ordering, so the timestamp orders as epoch seconds with a
+    30-day-in-seconds frame — identical semantics to the oracle's
+    INTERVAL frame (ties included, exact decimal sum). One shuffle on
+    the partition key; the frame is evaluated streaming per partition."""
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 20)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            dbl(F.sum(money("l_extendedprice")).over(w)).alias("trailing_30d"),
+        )
+    )
+
+
+@register(
+    "recursive_month_series",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT DATE '1996-01-01'
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '1996-12-01'
+    )
+    SELECT CAST(months.m AS VARCHAR) AS month_start,
+           count(o.o_orderkey) AS n_orders
+    FROM months
+    LEFT JOIN orders o
+      ON o.o_orderdate >= months.m AND o.o_orderdate < months.m + INTERVAL 1 MONTH
+    GROUP BY months.m
+    ORDER BY months.m
+    """,
+)
+def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): generate a month spine by
+    recursion, then left-join order counts so empty months survive.
+    The recursion is a 12-step driver-side expansion — the heavy side
+    (orders) stays a single distributed aggregation."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("rcte_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1996-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '1996-12-01'
+        )
+        SELECT CAST(months.m AS STRING) AS month_start,
+               count(o.o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN rcte_orders o
+          ON o.o_orderdate >= months.m AND o.o_orderdate < months.m + INTERVAL 1 MONTH
+        GROUP BY months.m
+        ORDER BY months.m
+        """
+    )

@@ -30,6 +30,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -64,6 +65,11 @@ class ColumnSpec:
     def spark_type(self) -> T.DataType:
         return _TYPE_MAP[self.type_name]
 
+    def sql_repr(self) -> str:
+        if self.length is not None:
+            return f"{self.type_name.upper()}({self.length})"
+        return self.type_name.upper()
+
 
 _COL_RE = re.compile(
     r"^\s*(\w+)\s+(SMALLINT|INT|INTEGER|BIGINT|VARCHAR\s*\(\s*(\d+)\s*\)|STRING|VARBINARY\s*\(\s*(\d+)\s*\))"
@@ -73,6 +79,9 @@ _COL_RE = re.compile(
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+)
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.IGNORECASE | re.DOTALL
@@ -126,8 +135,23 @@ class OxidSparkDatabase:
         s = sql.strip()
         if _CREATE_RE.match(s):
             return self._create_table(s)
+        if _INSERT_SELECT_RE.match(s):
+            return self._insert_select(s)
         if _INSERT_RE.match(s):
             return self._insert(s)
+        if re.match(r"^\s*SHOW\s+TABLES\s*;?\s*$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(t,) for t in sorted(self._tables)], "table_name string"
+            )
+        dm = re.match(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+        if dm:
+            name = dm.group(1).lower()
+            if name not in self._tables:
+                raise AnalyzerError(f"unknown table '{name}'")
+            return self.spark.createDataFrame(
+                [(c.name, c.sql_repr()) for c in self._tables[name]],
+                "col_name string, data_type string",
+            )
         if _DELETE_RE.match(s):
             return self._delete(s)
         if _UPDATE_RE.match(s):
@@ -196,6 +220,41 @@ class OxidSparkDatabase:
         # NOTE on scale: temp-view unions are for the interactive parity
         # facade only; bulk ingest goes through DataFrame writes
         # (df.write.parquet / saveAsTable) which this facade doesn't wrap.
+        return None
+
+    def _insert_select(self, stmt: str) -> None:
+        """INSERT INTO t SELECT … (a reference TODO; the set-oriented
+        twin of VALUES). Arity-checked like the reference's analyzer,
+        then each column cast to the declared type (VARCHAR(n) caps
+        enforced via the same overflow-checked conversion discipline)."""
+        m = _INSERT_SELECT_RE.match(stmt)
+        name, select_src = m.group(1).lower(), m.group(2)
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        specs = self._tables[name]
+        src = self.spark.sql(select_src)
+        if len(src.columns) != len(specs):
+            raise AnalyzerError(
+                f"INSERT SELECT has {len(src.columns)} columns but table "
+                f"'{name}' has {len(specs)}"
+            )
+        cast = src.select(
+            *[
+                F.col(src.columns[i]).cast(spec.spark_type).alias(spec.name)
+                for i, spec in enumerate(specs)
+            ]
+        )
+        for spec in specs:
+            if spec.type_name == "varchar" and spec.length is not None:
+                # the reference rejects over-length strings at insert
+                # (types.rs:182-191); enforce the same contract setwise
+                over = cast.filter(F.length(spec.name) > spec.length).count()
+                if over:
+                    raise AnalyzerError(
+                        f"{over} value(s) exceed VARCHAR({spec.length}) for "
+                        f"column '{spec.name}'"
+                    )
+        self.spark.table(name).union(cast).createOrReplaceTempView(name)
         return None
 
     # -- UPDATE / DELETE / DROP (reference TODOs, README.md:51) ---------

@@ -186,3 +186,35 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_ws = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
     n_bpeish = F.size(F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"))
     return d.select("doc_id", n_bpeish.alias("n_bpeish"), n_ws.alias("n_ws"))
+
+
+@register(
+    "text_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+           length(text) - length(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g')) AS delta_chars
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub for a training corpus: emails and phone-shaped numbers
+    replaced by typed placeholder tokens. Pure regexp_replace — JVM-side,
+    embarrassingly parallel, no shuffle; the regexes are RE2-safe so the
+    DuckDB oracle runs the identical patterns. delta_chars doubles as a
+    cheap 'how much PII was here' audit metric."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (F.length("text") - F.length(redacted)).alias("delta_chars"),
+    )

@@ -110,3 +110,38 @@ def test_cross_width_compare(db):
 def test_duplicate_table_error(db):
     with pytest.raises(AnalyzerError, match="already exists"):
         db.query("CREATE TABLE people (id INT)")
+
+
+def test_insert_select_and_catalog_cmds(spark):
+    from oxidsql_spark.database import AnalyzerError, OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark)
+    try:
+        db.query("CREATE TABLE src_t (i INT, s VARCHAR(10))")
+        db.query("INSERT INTO src_t VALUES (1, 'a')")
+        db.query("INSERT INTO src_t VALUES (2, 'bb')")
+        db.query("CREATE TABLE dst_t (i INT, s VARCHAR(10))")
+        db.query("INSERT INTO dst_t SELECT i + 10, s FROM src_t WHERE i >= 2")
+        got = sorted((r.i, r.s) for r in db.query("SELECT i, s FROM dst_t").collect())
+        assert got == [(12, "bb")]
+
+        # catalog commands
+        tables = {r.table_name for r in db.query("SHOW TABLES").collect()}
+        assert {"src_t", "dst_t"} <= tables
+        desc = {r.col_name: r.data_type for r in db.query("DESCRIBE dst_t").collect()}
+        assert desc == {"i": "INT", "s": "VARCHAR(10)"}
+
+        # arity + varchar cap contracts carry over to the set-oriented path
+        import pytest
+
+        with pytest.raises(AnalyzerError):
+            db.query("INSERT INTO dst_t SELECT i FROM src_t")
+        db.query("CREATE TABLE tiny_t (s VARCHAR(1))")
+        with pytest.raises(AnalyzerError):
+            db.query("INSERT INTO tiny_t SELECT s FROM src_t WHERE i = 2")
+    finally:
+        for t in ("src_t", "dst_t", "tiny_t"):
+            try:
+                db.query(f"DROP TABLE {t}")
+            except Exception:
+                pass

@@ -92,3 +92,21 @@ def compact(
     shutil.rmtree(path)
     os.rename(tmp, path)
     return n_files
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    *sort_cols: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Data-skipping layout: range-partition by the sort key, then sort
+    within each file, so parquet row-group min/max statistics become
+    disjoint ranges. A later scan with a predicate on the sort column
+    skips whole row groups / files without reading them — the plain-
+    parquet equivalent of clustering/Z-ordering on one key. Worth one
+    shuffle at write time for any column queried with range predicates."""
+    n = n_files or df.rdd.getNumPartitions()
+    out = df.repartitionByRange(n, *sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)

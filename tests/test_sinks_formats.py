@@ -113,3 +113,34 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == li.count()
     assert sorted(got.columns) == sorted(li.columns)
+
+
+def test_write_sorted_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
+    """Sorted layout must yield (near-)disjoint per-file min/max ranges on
+    the sort key — the property parquet scans use to skip data."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oxidsql_spark import sinks
+    from oxidsql_spark.sources import table
+
+    path = str(tmp_path / "sorted_orders")
+    o = table(spark, sf_dir, "orders")
+    sinks.write_sorted(o, path, "o_totalprice", n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("o_totalprice")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            ranges.append((st.min, st.max))
+    ranges.sort()
+    assert len(ranges) >= 8
+    # consecutive ranges must not substantially overlap (range partition
+    # boundaries are exact; row groups within a file are sorted)
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2 or abs(hi1 - lo2) < 1e-9
+    # round-trip intact
+    assert spark.read.parquet(path).count() == o.count()

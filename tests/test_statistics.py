@@ -45,3 +45,34 @@ def test_sample_deterministic(spark, sf_dir):
     a = TableSample(o).sample.select("o_orderkey").collect()
     b = TableSample(o).sample.select("o_orderkey").collect()
     assert [r.o_orderkey for r in a] == [r.o_orderkey for r in b]
+
+
+def test_analyze_feeds_cbo_and_broadcast_choice(spark, sf_dir):
+    """ANALYZE TABLE statistics must reach the optimizer (the CBO path
+    that subsumes the reference's DPccp + sample estimator): the leaf
+    rowCount equals the analyzed count, and a small managed table joins
+    broadcast WITHOUT an explicit hint — size chosen from catalog stats,
+    exactly how the 100 TB cluster decides build sides."""
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.statistics import analyze_table
+
+    for t in ("cbo_nation", "cbo_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    table(spark, sf_dir, "nation").write.saveAsTable("cbo_nation")
+    table(spark, sf_dir, "lineitem").write.saveAsTable("cbo_lineitem")
+    try:
+        analyze_table(spark, "cbo_nation", ["n_nationkey", "n_name"])
+        analyze_table(spark, "cbo_lineitem")
+
+        n = spark.table("cbo_nation")
+        stats = n._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 25
+
+        li = spark.table("cbo_lineitem")
+        j = li.join(n, li.l_suppkey == n.n_nationkey)  # no broadcast() hint
+        plan = j._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" in plan
+    finally:
+        for t in ("cbo_nation", "cbo_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

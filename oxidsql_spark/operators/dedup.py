@@ -307,3 +307,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") >= _COS_T)
         .select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    SELECT n.doc_id, n.source
+    FROM documents n
+    WHERE n.source IN ('src15', 'src16', 'src17', 'src18', 'src19')
+      AND NOT EXISTS (
+        SELECT 1 FROM documents o
+        WHERE o.source NOT IN ('src15', 'src16', 'src17', 'src18', 'src19')
+          AND md5(o.text) = md5(n.text)
+      )
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: a new batch (sources 15-19 stand in for
+    'today's crawl') keeps only docs whose fingerprint is absent from the
+    existing corpus. The anti-join ships 16-byte md5 keys, never bodies;
+    at 100 TB the existing-corpus side is a pre-built fingerprint table
+    read instead of recomputed, and the join shuffles new-batch keys only."""
+    d = table(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("source").isin("src15", "src16", "src17", "src18", "src19"))
+    corpus_fp = (
+        d.filter(~F.col("source").isin("src15", "src16", "src17", "src18", "src19"))
+        .select(F.md5("text").alias("fp"))
+    )
+    return (
+        new_batch.withColumn("fp", F.md5("text"))
+        .join(corpus_fp, "fp", "left_anti")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -11,6 +11,7 @@ no shuffle at all except where an aggregate is explicitly requested.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import tokens
@@ -217,4 +218,44 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         redacted.alias("redacted"),
         (F.length("text") - F.length(redacted)).alias("delta_chars"),
+    )
+
+
+@register(
+    "corpus_shard_pack",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS DOUBLE)
+                      / 5000) AS BIGINT) AS shard_id
+    FROM sized
+    ORDER BY doc_id
+    """,
+)
+def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign docs (in deterministic doc_id
+    order) to shards of ~5000 tokens via a running token total — the
+    training-data step that cuts a corpus into uniform work units.
+    A single global-ordered window is the spec; at 100 TB the same
+    assignment runs hierarchically (per-partition cumsums + a tiny
+    driver-side prefix-offset join) — the window here IS that plan under
+    Spark's range-partitioned window execution."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    sized = d.select("doc_id", toks.alias("n_tokens"))
+    return (
+        sized.withColumn(
+            "shard_id",
+            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 5000).cast("bigint"),
+        )
+        .orderBy("doc_id")
     )

@@ -383,3 +383,95 @@ def run_stream_to_memory(spark: SparkSession, sdf: DataFrame, name: str, timeout
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+    SELECT stage, n_users FROM (
+      SELECT 1 AS ord, 'signup' AS stage, count(*) AS n_users FROM s1
+      UNION ALL SELECT 2, 'click_after_signup', count(*) FROM s2
+      UNION ALL SELECT 3, 'purchase_after_click', count(*) FROM s3
+    ) ORDER BY ord
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who signed up, then clicked AFTER signup,
+    then purchased AFTER that click. Each stage is a per-user min-ts
+    aggregate joined to the previous stage — 3 aggregations over the
+    (already user-partitioned) events, no window materialization. The
+    ordering constraint is the part naive event counting gets wrong."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda ord_, name, df: df.agg(
+        F.lit(ord_).alias("ord"), F.lit(name).alias("stage"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        stage(1, "signup", s1)
+        .unionAll(stage(2, "click_after_signup", s2))
+        .unionAll(stage(3, "purchase_after_click", s3))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort_m FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.cohort_m AS VARCHAR) AS cohort_month,
+           CAST(date_diff('month', f.cohort_m, date_trunc('month', e.ts)) AS INTEGER) AS month_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY f.cohort_m, month_offset
+    ORDER BY cohort_month, month_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen month, counted
+    distinct in each subsequent activity month. Two aggregations — the
+    firsts table is per-user (small) and re-joins the stream on user_id;
+    the distinct count shuffles (cohort, offset, user) once."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("month", F.min("ts")).alias("cohort_m"))
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_m",
+            F.months_between(F.date_trunc("month", F.col("ts")), F.col("cohort_m"))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .groupBy(F.col("cohort_m").cast("date").cast("string").alias("cohort_month"), "month_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_month", "month_offset")
+    )

@@ -207,11 +207,35 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("events_sessionize")  # session windows: not ANSI-SQL-expressible → rows-only
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    numbered AS (
+      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS sess_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS VARCHAR) AS sess_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min gap) per user via F.session_window — the
     same operator Structured Streaming uses for stateful sessionization.
-    Batch mode here; the streaming twin is stream_sessionize()."""
+    Batch mode here; the streaming twin is stream_sessionize(). The
+    oracle is the gaps-and-islands formulation: a session break is a
+    >=30-min gap, session end = last event + 30 min — bitwise the
+    session_window contract."""
     e = table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("sess"), "user_id")

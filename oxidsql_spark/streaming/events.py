@@ -499,3 +499,29 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "events_props_map",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS prop_value
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into map<string,int> and
+    explode to (key, value) rows — the generic path for ragged
+    semi-structured properties (vs the fixed-path get_json_object in
+    events_json_props). from_json + explode are both codegen'd. The
+    testdata's props happen to hold the single key 'k' (asserted by the
+    oracle's fixed-path formulation — this DuckDB build lacks
+    json_each); the Spark side stays fully generic."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "prop_value"),
+        )
+    )

@@ -900,3 +900,36 @@ def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY months.m
         """
     )
+
+
+@register(
+    "udaf_acctbal_sumsq",
+    oracle="""
+    SELECT c_nationkey,
+           sum(CAST(round(c_acctbal * 100) AS BIGINT)
+               * CAST(round(c_acctbal * 100) AS BIGINT)) AS sumsq_cents
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def udaf_acctbal_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined AGGREGATE function (pandas GROUPED_AGG — the UDAF
+    slot next to the GROUPED_MAP udf_group_zscore): per-nation sum of
+    squared balances in integer cents. Integer arithmetic end-to-end so
+    the custom aggregate is exactly reproducible at any parallelism —
+    the discipline any 100 TB UDAF needs (float partials would merge
+    order-dependently). Arrow-batched; partial aggregation applies."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def sumsq_cents(bal: pd.Series) -> int:
+        cents = (bal * 100).round().astype("int64")
+        return int((cents * cents).sum())
+
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(sumsq_cents("c_acctbal").alias("sumsq_cents"))
+        .orderBy("c_nationkey")
+    )

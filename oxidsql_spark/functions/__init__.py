@@ -44,8 +44,19 @@ def tokens(text: Column | str) -> Column:
 
 
 def word_ngrams(toks: Column, n: int) -> Column:
-    """Distinct word n-gram shingles from a token array (1-based
-    element_at so the expression mirrors DuckDB's 1-based list indexing)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    """Distinct word n-gram shingles from a token array.
+
+    Built as zip_with over n shifted slices rather than
+    transform(sequence, i -> element_at(toks, i+k)): Catalyst inlines
+    the `toks` expression into every lambda reference, so the element_at
+    form re-evaluates the underlying split() O(tokens·n) times per row
+    (measured 4x slower at sf0.1); the slice form references `toks` a
+    constant ~2n times per row. Also avoids sequence(1,0) == [1,0]
+    (descending!) on docs shorter than n tokens — slices are just empty."""
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, m)
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.array_distinct(grams)

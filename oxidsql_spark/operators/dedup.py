@@ -15,6 +15,7 @@ Scale design (the whole point of these at 100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..functions import as_double_vec, cosine_sim, tokens, word_ngrams
@@ -80,34 +81,81 @@ _JACCARD_T = 0.2
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs.
+    """Exact word-3-gram Jaccard near-dup pairs via prefix filtering
+    (the AllPairs/SSJoin similarity-join algorithm).
 
-    Candidate generation = inverted-index self-join on shared shingles
-    (never all-pairs); intersection counts fall out of the join group-by.
-    At scale, shingles with huge document frequency should be capped —
-    the LSH variant below does that; this operator is the exact oracle-
-    checkable semantics."""
+    A naive inverted-index self-join explodes quadratically on hot
+    shingles (a phrase shared by k docs yields k² candidate rows). The
+    prefix filter bounds that: order each doc's shingles by global
+    document frequency (rarest first); Jaccard(a,b) >= t forces
+    |a∩b| >= ceil(t·n) for BOTH docs, so any qualifying pair must share
+    a shingle inside both docs' first (n - ceil(t·n) + 1) shingles.
+    Candidates come from self-joining only those prefixes (rare
+    shingles → tiny buckets); each candidate is then verified exactly
+    with array_intersect on the full shingle sets. Hot shingles never
+    generate candidates because they sort to the ends of the prefixes —
+    this is what makes exact near-dup viable at corpus scale."""
+    # Shingles as ROWS (posexplode + window leads), not arrays: Spark's
+    # higher-order array functions evaluate interpreted (outside codegen)
+    # and Catalyst re-inlines the tokenizer into every lambda reference —
+    # the row formulation stays entirely inside whole-stage codegen.
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", word_ngrams(tokens(F.col("text")), _JACCARD_N).alias("shingles")
+    tok_rows = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", k).over(wp) for k in range(1, _JACCARD_N)]
+    ex = (
+        tok_rows.select(
+            "doc_id", F.concat_ws(" ", *grams).alias("shingle"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("doc_id", "shingle")
+        .distinct()
     )
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    n_tab = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = ex.join(n_tab, "doc_id")
+
+    df_tab = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    # global rarity order (ties broken by shingle text → deterministic)
+    rk = W.partitionBy("doc_id").orderBy("sdf", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(_JACCARD_T) * F.col("n_sh")) + 1
+    prefix = (
+        ex.join(df_tab, "shingle")
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "n_sh", "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: jac >= t bounds the size ratio to [t, 1/t]
+            & (F.col("b.n_sh") >= _JACCARD_T * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= _JACCARD_T * F.col("b.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+    # exact verify on candidates only: count shared shingles per pair
+    ea = ex.select(F.col("doc_id").alias("a_id"), F.col("shingle"), F.col("n_sh").alias("n_a"))
+    eb = ex.select(F.col("doc_id").alias("b_id"), F.col("shingle"), F.col("n_sh").alias("n_b"))
+    verified = (
+        cand.join(ea, "a_id")
+        .join(eb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
         .agg(
             F.count(F.lit(1)).alias("inter"),
-            F.any_value(F.col("a.n_sh")).alias("n_a"),
-            F.any_value(F.col("b.n_sh")).alias("n_b"),
+            F.any_value("n_a").alias("n_a"),
+            F.any_value("n_b").alias("n_b"),
         )
     )
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        pairs.filter(jac >= _JACCARD_T)
+        verified.filter(jac >= _JACCARD_T)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
     )
 

@@ -66,6 +66,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).cache()
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
+    first_labels = labels
     for _ in range(20):  # diameter bound; near-dup graphs converge in 2-4
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -89,6 +90,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # `changed` materialized new_labels' cache; the superseded
+        # generation's cache is dead weight from here on.
+        if labels is not first_labels:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -69,3 +69,52 @@ def test_bruteforce_topk_shape(spark, sf_dir):
         assert len(rs) == 10
         sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rnk)]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, tmp_path):
+    """The AllPairs prefix filter must lose NOTHING: on an adversarial
+    corpus (hot template phrases shared by everyone + genuine near-dups
+    of different lengths) the filtered operator's pairs must equal a
+    brute-force all-pairs Jaccard computed in Python."""
+    import itertools
+
+    from oxidsql_spark.operators.dedup import _JACCARD_N, _JACCARD_T, dedup_ngram_jaccard
+
+    hot = "the quick brown fox jumps over the lazy dog again and again "
+    docs = []
+    # family A: 4 near-identical docs (one token appended each step)
+    base = hot + "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    for i in range(4):
+        docs.append(base + " tail" + " x" * i)
+    # family B: duplicates of a different doc
+    b = hot + "one two three four five six seven eight nine ten eleven twelve"
+    docs += [b, b]
+    # unrelated docs sharing ONLY the hot prefix (must not pair)
+    for i in range(6):
+        docs.append(hot + " ".join(f"u{i}w{j}" for j in range(12)))
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs,
+                        "lang": "en", "source": "t", "n_chars": [len(d) for d in docs]})
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+
+    def shingles(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + _JACCARD_N]) for i in range(len(toks) - _JACCARD_N + 1)}
+
+    want = {}
+    sh = [shingles(d) for d in docs]
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        inter = len(sh[i] & sh[j])
+        jac = inter / (len(sh[i]) + len(sh[j]) - inter)
+        if jac >= _JACCARD_T:
+            want[(i, j)] = round(jac, 4)
+
+    assert got == want and len(want) >= 4

@@ -44,14 +44,22 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k window. This is the exact baseline the approximate
     variants are measured against — and the right plan shape even at
     scale: broadcast queries, one pass, per-partition heaps."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", as_double_vec("embedding").alias("v"))
-    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    # Norms are hoisted to one fold per ROW (identical float bits — the
+    # same expression evaluated before the join); only the dot product
+    # runs per pair. The non-equi broadcast join is a nested-loop plan,
+    # so per-pair expression cost is the whole game.
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
     )
-    c = e.select("vec_id", F.col("v").alias("cv"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    c = e.select("vec_id", F.col("v").alias("cv"), "nrm")
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
-        .withColumn("sim", cosine_sim(F.col("qv"), F.col("cv")))
+        .withColumn("sim", vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (

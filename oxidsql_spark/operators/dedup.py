@@ -428,3 +428,36 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted fingerprints (the write-once/reuse shape for production dedup)
+# ---------------------------------------------------------------------------
+
+
+def build_fingerprint_table(spark: SparkSession, docs: DataFrame, out_path: str) -> None:
+    """Write the corpus fingerprint table: one row per doc with the md5
+    content hash. At 100 TB this is written once per corpus snapshot and
+    every dedup consumer (incremental merge, exact dedup, audit) reads
+    the 24-byte rows instead of rehashing document bodies. Partitioned
+    by the first hex nibble so a fingerprint lookup prunes to 1/16 of
+    the table."""
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    ).withColumn("fp_prefix", F.substring("fp", 1, 1))
+    fp.write.mode("overwrite").partitionBy("fp_prefix").parquet(out_path)
+
+
+def dedup_incremental_prepared(
+    spark: SparkSession, new_docs: DataFrame, fp_path: str
+) -> DataFrame:
+    """Incremental dedup against a PREBUILT fingerprint table: hash only
+    the new batch, anti-join on the fingerprint. The corpus side streams
+    from its parquet snapshot — no rehash, no body shuffle."""
+    corpus_fp = spark.read.parquet(fp_path).select("fp")
+    return (
+        new_docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+        .join(corpus_fp, "fp", "left_anti")
+        .drop("fp")
+    )

@@ -118,3 +118,28 @@ def test_prefix_filter_jaccard_complete_vs_bruteforce(spark, tmp_path):
             want[(i, j)] = round(jac, 4)
 
     assert got == want and len(want) >= 4
+
+
+def test_prepared_fingerprints_match_inline_incremental(spark, sf_dir, tmp_path):
+    """The write-once fingerprint path must keep exactly the docs the
+    inline (rehash-everything) incremental operator keeps."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        build_fingerprint_table,
+        dedup_incremental,
+        dedup_incremental_prepared,
+    )
+    from oxidsql_spark.sources import table
+
+    new_sources = ["src15", "src16", "src17", "src18", "src19"]
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(~F.col("source").isin(new_sources))
+    new = d.filter(F.col("source").isin(new_sources))
+
+    fp_path = str(tmp_path / "corpus_fp")
+    build_fingerprint_table(spark, old, fp_path)
+
+    got = sorted(r.doc_id for r in dedup_incremental_prepared(spark, new, fp_path).collect())
+    want = sorted(r.doc_id for r in dedup_incremental(spark, sf_dir).collect())
+    assert got == want and len(got) > 0

@@ -26,6 +26,7 @@ semantics (not first-match-only), negative literals allowed.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass
 
@@ -125,9 +126,42 @@ class OxidSparkDatabase:
     a SparkSession: one ``query()`` entry point that parses/validates the
     reference grammar and executes via Catalyst."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, storage_dir: str | None = None):
+        """In-memory by default (temp views). With ``storage_dir``, every
+        table is backed by a snapshot-versioned parquet directory
+        (versioned.VersionedTable): mutations commit durable snapshots,
+        and a new OxidSparkDatabase on the same directory sees every
+        table — the rebuild's twin of the reference's disk persistence
+        (its buffer-managed segment files, src/storage/disk.rs)."""
+        import json
+
         self.spark = spark
+        self.storage_dir = storage_dir
         self._tables: dict[str, list[ColumnSpec]] = {}
+        if storage_dir:
+            os.makedirs(storage_dir, exist_ok=True)
+            for name in sorted(os.listdir(storage_dir)):
+                schema_f = os.path.join(storage_dir, name, "_schema.json")
+                if not os.path.exists(schema_f):
+                    continue
+                with open(schema_f) as fh:
+                    self._tables[name] = [ColumnSpec(**c) for c in json.load(fh)]
+                self._vt(name).read().createOrReplaceTempView(name)
+
+    def _vt(self, name: str):
+        from .versioned import VersionedTable
+
+        return VersionedTable(self.spark, os.path.join(self.storage_dir, name))
+
+    def _commit(self, name: str, df: DataFrame) -> None:
+        """Publish a table's new content: durable snapshot when backed by
+        storage (readers of older versions are unaffected), else a temp
+        view swap."""
+        if self.storage_dir:
+            vt = self._vt(name)
+            vt.write(df)
+            df = vt.read()
+        df.createOrReplaceTempView(name)
 
     # -- statement router (the reference's parse → analyze → plan → run) --
 
@@ -194,7 +228,14 @@ class OxidSparkDatabase:
             raise AnalyzerError("duplicate column name")
         schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
         empty = self.spark.createDataFrame([], schema)
-        empty.createOrReplaceTempView(name)
+        if self.storage_dir:
+            import json
+
+            tdir = os.path.join(self.storage_dir, name)
+            os.makedirs(tdir, exist_ok=True)
+            with open(os.path.join(tdir, "_schema.json"), "w") as fh:
+                json.dump([c.__dict__ for c in specs], fh)
+        self._commit(name, empty)
         self._tables[name] = specs
         return None
 
@@ -216,7 +257,7 @@ class OxidSparkDatabase:
         schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
         new = self.spark.createDataFrame([tuple(row)], schema)
         existing = self.spark.table(name)
-        existing.union(new).createOrReplaceTempView(name)
+        self._commit(name, existing.union(new))
         # NOTE on scale: temp-view unions are for the interactive parity
         # facade only; bulk ingest goes through DataFrame writes
         # (df.write.parquet / saveAsTable) which this facade doesn't wrap.
@@ -254,7 +295,7 @@ class OxidSparkDatabase:
                         f"{over} value(s) exceed VARCHAR({spec.length}) for "
                         f"column '{spec.name}'"
                     )
-        self.spark.table(name).union(cast).createOrReplaceTempView(name)
+        self._commit(name, self.spark.table(name).union(cast))
         return None
 
     # -- UPDATE / DELETE / DROP (reference TODOs, README.md:51) ---------
@@ -274,7 +315,7 @@ class OxidSparkDatabase:
         # standard DELETE: only rows where the predicate is TRUE go away;
         # NULL-predicate rows survive
         remaining = df.filter(f"NOT coalesce(({where}), false)") if where else df.limit(0)
-        remaining.createOrReplaceTempView(name)
+        self._commit(name, remaining)
         return None
 
     def _update(self, stmt: str) -> None:
@@ -305,7 +346,7 @@ class OxidSparkDatabase:
                 for c in specs
             ]
         )
-        updated.createOrReplaceTempView(name)
+        self._commit(name, updated)
         return None
 
     def merge(
@@ -355,7 +396,7 @@ class OxidSparkDatabase:
                 F.when(t_has & s_has, upd_val).when(t_has, tgt_val).otherwise(src_val).alias(c.name)
             )
         result = joined if insert_unmatched else joined.filter(t_has)
-        result.select(*out).createOrReplaceTempView(target)
+        self._commit(target, result.select(*out))
         return None
 
     def _drop(self, stmt: str) -> None:
@@ -364,6 +405,10 @@ class OxidSparkDatabase:
             raise AnalyzerError(f"unknown table '{name}'")
         self.spark.catalog.dropTempView(name)
         del self._tables[name]
+        if self.storage_dir:
+            import shutil
+
+            shutil.rmtree(os.path.join(self.storage_dir, name), ignore_errors=True)
         return None
 
     def _convert(self, lit: str, spec: ColumnSpec):

@@ -145,3 +145,33 @@ def test_insert_select_and_catalog_cmds(spark):
                 db.query(f"DROP TABLE {t}")
             except Exception:
                 pass
+
+
+def test_durable_storage_survives_reopen(spark, tmp_path):
+    """storage_dir-backed facade: tables persist across database
+    instances (the reference's disk persistence, rebuilt as versioned
+    snapshots), and DML goes through durable commits."""
+    from oxidsql_spark.database import OxidSparkDatabase
+
+    store = str(tmp_path / "db_store")
+    db1 = OxidSparkDatabase(spark, storage_dir=store)
+    db1.query("CREATE TABLE people (id INT, name VARCHAR(40), age SMALLINT)")
+    db1.query("INSERT INTO people VALUES (1, 'Elster Glanz', 50)")
+    db1.query("INSERT INTO people VALUES (2, 'Xenia Xenon', NULL)")
+    db1.query("UPDATE people SET age = 51 WHERE id = 1")
+
+    # a brand-new facade over the same directory sees everything
+    db2 = OxidSparkDatabase(spark, storage_dir=store)
+    assert {r.table_name for r in db2.query("SHOW TABLES").collect()} == {"people"}
+    rows = sorted((r.id, r.name, r.age) for r in db2.query("SELECT * FROM people").collect())
+    assert rows == [(1, "Elster Glanz", 51), (2, "Xenia Xenon", None)]
+
+    # time travel through the versioned backend: v2 = after first insert
+    v2 = db2._vt("people").read(2)
+    assert [(r.id, r.age) for r in v2.collect()] == [(1, 50)]
+
+    db2.query("DELETE FROM people WHERE id = 2")
+    db3 = OxidSparkDatabase(spark, storage_dir=store)
+    assert db3.query("SELECT count(*) AS n FROM people").collect()[0].n == 1
+    db3.query("DROP TABLE people")
+    assert OxidSparkDatabase(spark, storage_dir=store)._tables == {}

@@ -2,7 +2,11 @@
 a rustyline loop that feeds statements to OxidSQLDatabase::query and
 prints result tables).
 
-Usage: python -m oxidsql_spark.repl [--sf-dir DIR]
+Usage: python -m oxidsql_spark.repl [DB_PATH] [--sf-dir DIR]
+
+DB_PATH opens/creates a durable database at that directory (versioned
+parquet snapshots) — the twin of the reference's `oxidsql <path>`
+(main.rs:40: OxidSQLDatabase::new(path, 1024)); omitted = in-memory.
 
 Statements go through the OxidSparkDatabase facade (CREATE TABLE /
 INSERT / UPDATE / DELETE / DROP / any SELECT Spark SQL accepts). With
@@ -20,11 +24,11 @@ from .session import get_spark
 from .sources import register_views
 
 
-def run_repl(sf_dir: str | None = None, in_stream=None, out=None) -> None:
+def run_repl(sf_dir: str | None = None, in_stream=None, out=None, db_path: str | None = None) -> None:
     in_stream = in_stream or sys.stdin
     out = out or sys.stdout
     spark = get_spark("oxidsql-repl")
-    db = OxidSparkDatabase(spark)
+    db = OxidSparkDatabase(spark, storage_dir=db_path)
     if sf_dir:
         register_views(spark, sf_dir)
     print("oxidsql-spark repl — end statements with ';', exit with \\q", file=out)
@@ -57,9 +61,11 @@ def run_repl(sf_dir: str | None = None, in_stream=None, out=None) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("db_path", nargs="?", default=None,
+                    help="durable database directory (omit for in-memory)")
     ap.add_argument("--sf-dir", default=None, help="pre-register testdata views from this dir")
     args = ap.parse_args()
-    run_repl(args.sf_dir)
+    run_repl(args.sf_dir, db_path=args.db_path)
 
 
 if __name__ == "__main__":

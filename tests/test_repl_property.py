@@ -76,3 +76,31 @@ def test_insert_select_roundtrip(spark, rows):
         assert got == sorted(rows, key=key)
     finally:
         db.query("DROP TABLE prop_t")
+
+
+def test_repl_durable_db_path(spark, tmp_path, monkeypatch):
+    """REPL with a DB_PATH: statements persist across REPL sessions,
+    like the reference's `oxidsql <path>`."""
+    import io
+
+    from oxidsql_spark import repl
+
+    # keep the module from creating/stopping its own SparkSession
+    monkeypatch.setattr(repl, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+
+    db_dir = str(tmp_path / "repl_db")
+    out1 = io.StringIO()
+    repl.run_repl(
+        in_stream=io.StringIO(
+            "CREATE TABLE t (i INT, s VARCHAR(10));\n"
+            "INSERT INTO t VALUES (7, 'seven');\n\\q\n"
+        ),
+        out=out1,
+        db_path=db_dir,
+    )
+    out2 = io.StringIO()
+    repl.run_repl(
+        in_stream=io.StringIO("SELECT i, s FROM t;\n\\q\n"), out=out2, db_path=db_dir
+    )
+    assert "seven" in out2.getvalue()

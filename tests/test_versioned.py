@@ -63,3 +63,38 @@ def test_uncommitted_snapshot_invisible(spark, sf_dir, tmp_path):
     vt.vacuum(keep_last=5)
     assert not os.path.exists(crashed)  # vacuum clears the debris
     assert vt.write(table(spark, sf_dir, "region")) == 2
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_path):
+    import glob
+
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    pvt = PartitionedVersionedTable(
+        spark, str(tmp_path / "orders_pvt"), "o_orderpriority"
+    )
+    orders = table(spark, sf_dir, "orders")
+    v1 = pvt.write_full(orders)
+    assert v1 == 1
+    assert _rows(pvt.read()) == _rows(orders)
+
+    # upsert rows in ONE priority partition
+    sample = [r for r in orders.filter("o_orderpriority = '1-URGENT'").limit(2).collect()]
+    updates = spark.createDataFrame(
+        [(r.o_orderkey, r.o_custkey, "X", 0.0, r.o_orderdate, "1-URGENT") for r in sample],
+        orders.schema,
+    )
+    dirs_before = set(glob.glob(str(tmp_path / "orders_pvt" / "_data" / "*" / "g*")))
+    v2 = pvt.upsert(updates, "o_orderkey")
+    dirs_after = set(glob.glob(str(tmp_path / "orders_pvt" / "_data" / "*" / "g*")))
+
+    new_dirs = dirs_after - dirs_before
+    assert len(new_dirs) == 1  # only the 1-URGENT partition advanced
+    assert "o_orderpriority=1-URGENT" in next(iter(new_dirs))
+
+    # semantics: latest == full-rewrite MERGE; v1 untouched
+    got = {r.o_orderkey: r.o_orderstatus for r in pvt.read().collect()}
+    for r in sample:
+        assert got[r.o_orderkey] == "X"
+    assert pvt.read().count() == orders.count()
+    assert _rows(pvt.read(1)) == _rows(orders)

@@ -216,3 +216,20 @@ class PartitionedVersionedTable:
             raise ValueError(f"no committed version {version!r} at {self.path}")
         paths = [os.path.join(self.path, rel) for rel in self._manifest(v).values()]
         return self.spark.read.parquet(*paths)
+
+    def read_partitions(self, values: list[str], version: int | None = None) -> DataFrame:
+        """Partition-pruned read: scan only the named partitions' data
+        dirs — manifest-level pruning, no file listing of the rest."""
+        vs = self.versions()
+        v = version if version is not None else (vs[-1] if vs else None)
+        if v is None or v not in vs:
+            raise ValueError(f"no committed version {version!r} at {self.path}")
+        manifest = self._manifest(v)
+        paths = [
+            os.path.join(self.path, manifest[str(val)])
+            for val in values
+            if str(val) in manifest
+        ]
+        if not paths:
+            return self.read(v).limit(0)
+        return self.spark.read.parquet(*paths)

@@ -98,3 +98,62 @@ def test_partitioned_upsert_rewrites_only_touched_partitions(spark, sf_dir, tmp_
         assert got[r.o_orderkey] == "X"
     assert pvt.read().count() == orders.count()
     assert _rows(pvt.read(1)) == _rows(orders)
+
+
+def test_partitioned_read_prunes_to_named_partitions(spark, sf_dir, tmp_path):
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    pvt = PartitionedVersionedTable(spark, str(tmp_path / "po"), "o_orderpriority")
+    orders = table(spark, sf_dir, "orders")
+    pvt.write_full(orders)
+    one = pvt.read_partitions(["1-URGENT"])
+    assert one.count() == orders.filter("o_orderpriority = '1-URGENT'").count()
+    assert {r.o_orderpriority for r in one.select("o_orderpriority").distinct().collect()} == {"1-URGENT"}
+    assert pvt.read_partitions(["no-such"]).count() == 0
+
+
+def test_streaming_foreachbatch_upserts_versioned_table(spark, sf_dir, tmp_path):
+    """Production streaming sink shape: each micro-batch MERGEs into a
+    versioned table via foreachBatch — the final state equals the batch
+    per-user rollup, and every micro-batch left a committed, readable
+    version behind it (reader isolation during the stream)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.streaming.events import EVENT_SCHEMA
+    from oxidsql_spark.versioned import VersionedTable
+
+    stream_dir = str(tmp_path / "ev_stream")
+    os.makedirs(stream_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir + "/part-0.parquet")
+
+    vt = VersionedTable(spark, str(tmp_path / "user_totals"))
+    vt.write(spark.createDataFrame([], "user_id long, n_events long"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_dir)
+
+    def upsert_batch(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+        prev = vt.read().withColumnRenamed("n_events", "prev_n")
+        merged = (
+            agg.join(prev, "user_id", "full")
+            .select(
+                "user_id",
+                (F.coalesce("n_events", F.lit(0)) + F.coalesce("prev_n", F.lit(0))).alias("n_events"),
+            )
+        )
+        vt.upsert(merged, "user_id")
+
+    q = stream.writeStream.foreachBatch(upsert_batch).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.user_id: r.n_events for r in vt.read().collect()}
+    want = {
+        r.user_id: r.n
+        for r in table(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
+    assert len(vt.versions()) >= 2  # every batch committed a version

@@ -109,3 +109,23 @@ def test_q13_left_join_survives_filter(spark, sf_dir):
     let Catalyst rewrite it to inner and drop zero-order customers)."""
     p = formatted_plan(q(spark, sf_dir, "tpch_q13"))
     assert "LeftOuter" in p
+
+
+def test_all_benched_queries_scale_clean(spark, sf_dir):
+    """Fleet-wide lock for the headline set: no Python in the hot path,
+    no cartesian product, and every parquet scan prunes its columns
+    (reading every column of a wide table at 100 TB is a bug even when
+    results are right)."""
+    from oxidsql_spark.registry import load_all
+
+    for name, qq in sorted(load_all().items()):
+        if not qq.bench:
+            continue
+        s = explain_summary(qq.fn(spark, sf_dir))
+        if name.startswith(("ann_", "mm_")):
+            continue  # deliberate pandas/broadcast paths
+        assert s.python_evals == 0, f"{name}: Python in hot path"
+        assert not any("CartesianProduct" in j for j in s.joins), name
+        for rs in s.read_schemas:
+            # no benched query needs more than 8 columns of any table
+            assert rs.count(",") <= 7, f"{name}: unpruned scan {rs[:80]}"

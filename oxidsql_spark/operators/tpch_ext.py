@@ -456,3 +456,126 @@ def tpch_q22_antibal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "tpch_q12_ship",
+    oracle="""
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS priority_bucket,
+           count(*) AS late_lines,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS late_value
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY priority_bucket
+    ORDER BY priority_bucket
+    """,
+    bench=True,
+)
+def tpch_q12_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode/priority (TPC-H Q12 shape, adapted: 'late' = shipped
+    >90 days after order date since the testdata has no commit/receipt
+    dates): fact-fact join with a cross-table date predicate, then the
+    two-bucket conditional aggregation. The date predicate can't push to
+    either scan (it spans the join) — it evaluates post-join, which is
+    why Q12 is the canonical join-residual-predicate benchmark."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    bucket = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+    ).otherwise("low")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(bucket.alias("priority_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("late_lines"),
+            dbl(F.sum(money("l_extendedprice"))).alias("late_value"),
+        )
+        .orderBy("priority_bucket")
+    )
+
+
+@register(
+    "tpch_q16_suppcnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_size IN (1, 5, 9, 13, 17)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape, adapted: lineitem
+    stands in for partsupp, 'complaint' suppliers = negative balance):
+    NOT IN anti-join against a broadcast exclusion list, then a
+    COUNT(DISTINCT) grouped by part attributes — Spark expands it to the
+    two-exchange exact distinct plan."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q21_waiting",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    sole AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM late GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM sole JOIN supplier s ON sole.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    'late' = shipped >60 days after order date). The original's double
+    correlated EXISTS/NOT EXISTS ('another supplier on the order, and
+    no OTHER supplier was late') decorrelates to one grouped HAVING:
+    the late set per order has exactly one supplier. One pass over the
+    late lines instead of two correlated self-joins of lineitem —
+    the decorrelation IS the 100 TB plan."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        late.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("nsupp"))
+        .filter(F.col("nsupp") == 1)
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

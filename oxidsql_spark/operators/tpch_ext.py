@@ -579,3 +579,110 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "tpch_q9_profit",
+    oracle=f"""
+    SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS o_year,
+             {_DEC} - CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+      FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    bench=True,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape, adapted:
+    no partsupp, so per-unit cost = p_retailprice). The classic
+    star-join rollup: one pass over the fact table with every dimension
+    broadcast (part is filtered *before* the join so the LIKE prunes the
+    build side, not the probe), then a single shuffle on the tiny
+    (nation, year) grouping key. All money math stays DECIMAL until the
+    final double cast so partial-agg merge order can't change the hash."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = _volume() - money("p_retailprice") * money("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(dbl(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "tpch_q2_mincost",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, min(cost) AS mincost FROM offers GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           CAST(o.cost AS DOUBLE) AS cost
+    FROM offers o
+         JOIN best b ON o.l_partkey = b.l_partkey AND o.cost = b.mincost
+         JOIN part p ON p.p_partkey = o.l_partkey
+         JOIN supplier s ON s.s_suppkey = o.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size <= 10
+    ORDER BY p.p_partkey, s.s_name
+    """,
+)
+def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2 shape, adapted: a
+    supplier's offer price for a part = its cheapest lineitem
+    extendedprice, standing in for partsupp). The original's correlated
+    'cost = (SELECT min...)' subquery becomes a window min over the
+    already-aggregated offers relation — one extra shuffle of the small
+    (part, supplier) rollup instead of a per-row subquery or a
+    self-join, and ties keep all witnesses exactly like the SQL form.
+    part is filtered before its broadcast join so p_size prunes early."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(money("l_extendedprice")).alias("cost")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    best = offers.join(F.broadcast(p), offers.l_partkey == p.p_partkey).withColumn(
+        "mincost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("mincost"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_name",
+            F.col("n_name").alias("nation"),
+            dbl(F.col("cost")).alias("cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+    )

@@ -53,10 +53,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_N = 3  # word 3-gram shingles
 _JACCARD_T = 0.2
 
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+# Exact n-gram Jaccard pair oracle — shared by dedup_ngram_jaccard and
+# dedup_minhash_lsh (whose banded-LSH + exact-verify output equals the
+# exact pair set: the band config recalls every >=T pair on this corpus,
+# deterministically — fixed permutation constants, no RNG).
+_JACCARD_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -78,8 +79,10 @@ _JACCARD_T = 0.2
            round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
     FROM pairs
     WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= {_JACCARD_T}
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via prefix filtering
     (the AllPairs/SSJoin similarity-join algorithm).
@@ -196,12 +199,15 @@ def minhash_signatures(docs: DataFrame, n: int = _JACCARD_N) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # no SQL oracle: sketch-based (driver records rows-only)
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: band signatures into buckets, join within
     buckets, then verify candidates with exact Jaccard — so the output
     equals the exact operator's pairs that LSH recalled. Deterministic
-    (fixed permutation constants). Tested against dedup_ngram_jaccard."""
+    (fixed permutation constants, no RNG), and at this band config the
+    LSH recalls every >=T pair of the test corpus, so the exact-Jaccard
+    SQL is a true oracle (recall additionally asserted in
+    tests/test_dedup_similarity.py)."""
     d = table(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
     rows_per_band = _MH_K // _MH_BANDS
@@ -252,53 +258,90 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash
 # ---------------------------------------------------------------------------
 
-_SIMHASH_BITS = 64
+_SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed int64 in any engine
 _SIMHASH_HAM = 6  # max hamming distance for a near-dup pair
+_SIMHASH_BANDS = 4  # 4 × 15-bit band buckets
 
 
 def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash long): sign-aggregated 64-bit token-hash sketch.
+    """(doc_id, simhash long): sign-aggregated 60-bit token-hash sketch.
 
-    Per doc: hash each token (xxhash64), for each bit position sum +1/-1,
-    take the sign bit. Expressed as explode → groupBy(doc) with 64
-    conditional sums — all codegen, one shuffle."""
+    Per doc: hash each token, for each bit position sum +1/-1, take the
+    sign bit. Expressed as explode → groupBy(doc) with 60 conditional
+    sums — all codegen, one shuffle. The token hash is the first 15 hex
+    chars of md5 (not xxhash64): a portable definition every engine can
+    reproduce, which makes the whole sketch SQL-oracle-checkable; 60 bits
+    also never touches the int64 sign bit, so no wraparound cases."""
     ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
     )
-    def bit_lit(i: int) -> int:
-        """1<<i as a signed 64-bit literal (bit 63 wraps negative)."""
-        v = 1 << i
-        return v - (1 << 64) if v >= 1 << 63 else v
-
     bit_sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(bit_lit(i))) != 0, F.lit(1)).otherwise(F.lit(-1))
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"b{i}")
         for i in range(_SIMHASH_BITS)
     ]
     agg = ex.groupBy("doc_id").agg(*bit_sums)
     sh = F.lit(0).cast("long")
     for i in range(_SIMHASH_BITS):
-        # build the signature with XOR (bit-set), safe for the sign bit
-        sh = sh.bitwiseXOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(bit_lit(i)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sh = sh + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
     return agg.select("doc_id", sh.alias("simhash"))
 
 
-@register("dedup_simhash")  # no SQL oracle: sketch-based (driver records rows-only)
+def _simhash_oracle() -> str:
+    """DuckDB SQL computing the identical simhash pipeline: md5-based
+    60-bit token hash → sign-aggregated signature → 4×15-bit band
+    candidates → exact hamming verify. A full independent re-derivation
+    (not a stored expected answer) — the strongest oracle an approximate-
+    flavored operator can have."""
+    sig_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(
+        CASE WHEN length(trim(text)) = 0 THEN []
+             ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok),
+    sig AS (SELECT doc_id, {sig_terms} AS simhash FROM h GROUP BY doc_id),
+    band AS (
+      SELECT doc_id, simhash, b AS band, (simhash >> (15 * b)) & 32767 AS chunk
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM band a JOIN band b ON a.band = b.band AND a.chunk = b.chunk
+                             AND a.doc_id < b.doc_id
+    )
+    SELECT c.a_id, c.b_id,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.a_id
+    JOIN sig sb ON sb.doc_id = c.b_id
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_HAM}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signatures, candidates via 4×16-bit band
+    """SimHash near-dup: 60-bit signatures, candidates via 4×15-bit band
     buckets (a pair within hamming distance 3 must share ≥1 of 4 bands;
     wider distances are caught probabilistically), verified by exact
-    hamming distance ≤ 6 via bit_count(xor)."""
+    hamming distance ≤ 6 via bit_count(xor). Oracle re-derives the whole
+    pipeline in DuckDB SQL — possible because the token hash is md5."""
     d = table(spark, sf_dir, "documents")
     sig = simhash(d)
     bands = sig.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)) for b in range(4)])
+            F.array(*[F.shiftrightunsigned("simhash", 15 * b).bitwiseAND(F.lit(0x7FFF)) for b in range(_SIMHASH_BANDS)])
         ).alias("band", "chunk"),
     )
     a = bands.alias("a")
@@ -318,7 +361,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return cand.filter(ham <= _SIMHASH_HAM).select("a_id", "b_id", ham.alias("hamming"))
 
 
@@ -327,6 +370,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _COS_T = 0.3  # testdata embeddings are random; 0.3 yields a non-trivial pair set
+# Broadcast-regime guard: the exact GEMM path collects one side to the
+# driver to broadcast it. ~1M rows × 64 dims × 8 B ≈ 0.5 GB — the edge of
+# a sane broadcast. Above the cap the operator routes to the LSH-bucketed
+# candidate path instead of OOMing the driver at corpus scale.
+_COS_BROADCAST_ROW_CAP = 1_000_000
 
 
 @register(
@@ -353,10 +401,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     still hash-matches; final rounding stays in Spark (HALF_UP). The
     100 TB billion-vector path is similarity.ann_lsh_bucketed; this is
     the exact spec + the broadcastable-side fast path."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return embedding_cosine_pairs(spark, e)
+
+
+def embedding_cosine_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    threshold: float = _COS_T,
+    broadcast_row_cap: int = _COS_BROADCAST_ROW_CAP,
+) -> DataFrame:
+    """Cosine near-dup pairs with an explicit broadcast-regime guard.
+
+    <= broadcast_row_cap rows: exact blocked GEMM (collect one side,
+    broadcast, numpy per partition block). Above the cap the collect
+    would OOM the driver long before the O(n²) output mattered, so the
+    operator routes to the LSH-bucketed candidate path (exact cosine
+    verify on bucket candidates only — approximate recall, linear cost),
+    the same strategy similarity.ann_lsh_bucketed uses for search."""
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_rows = e.count()
+    if n_rows > broadcast_row_cap:
+        return _embedding_cosine_lsh_path(e, threshold)
     full = e.toPandas()  # the broadcastable side (one row per vector)
     ids_f = full["vec_id"].to_numpy()
     M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
@@ -369,7 +437,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     norms_f = seq_sq_norms(M)
     bc = spark.sparkContext.broadcast((ids_f, M, norms_f))
-    thresh = _COS_T
+    thresh = threshold
 
     def block_sims(batches):
         ids_all, mat_all, nrm_all = bc.value
@@ -394,6 +462,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = e.mapInPandas(block_sims, "a_id bigint, b_id bigint, cos_sim_raw double")
     return out.select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+
+
+def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
+    """Above-broadcast-cap route: random-hyperplane LSH buckets generate
+    candidates (same-bucket or hamming-1 bucket), exact cosine verifies.
+    Linear in corpus size (bucket join, no all-pairs, nothing collected);
+    recall < 1 by design — the documented trade at the scale where the
+    exact GEMM's broadcast is impossible."""
+    from ..functions import as_double_vec, vec_dot_unrolled, vec_norm
+    from .similarity import _LSH_PLANES, lsh_signature
+
+    dim = len(e.select("embedding").head()["embedding"])
+    v = (
+        e.select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+        .withColumn("sig", lsh_signature(F.col("v"), dim))
+    )
+    # candidate ids only ride the bucket join; vectors rejoin afterwards
+    a = v.select(F.col("vec_id").alias("a_id"), "sig")
+    probes = v.select(
+        F.col("vec_id").alias("b_id"),
+        F.explode(
+            F.array(
+                F.col("sig"),
+                *[F.col("sig").bitwiseXOR(F.lit(1 << i)) for i in range(_LSH_PLANES)],
+            )
+        ).alias("sig"),
+    )
+    cand = (
+        a.join(probes, "sig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = vec_dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= threshold)
+        .select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )
 
 
 @register(

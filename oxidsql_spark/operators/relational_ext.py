@@ -135,17 +135,48 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_quantiles")  # sketch-based (KLL/GK) — rows-only check
+_AQ_ACCURACY = 10000  # GK sketch: rank error <= n / accuracy
+_AQ_RSD = 0.02  # HLL++ relative standard deviation
+
+
+@register(
+    "approx_quantiles",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_rows,
+           true AS p50_rank_ok, true AS ndv_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile — the mergeable-sketch quantile path that scales
-    where exact percentile's per-group sort does not."""
-    return (
-        table(spark, sf_dir, "orders")
+    """approx_percentile + approx_count_distinct — the mergeable-sketch
+    paths that scale where exact per-group sorts do not — surfaced as a
+    self-verifying row per group: the approx p50's exact rank must land
+    within the GK sketch's guaranteed rank-error bound (n/accuracy), and
+    the HLL ndv within 3·rsd of the exact count. Both sketches are
+    deterministic for a fixed dataset, so the oracle pins the checks TRUE
+    and independently recomputes the group counts."""
+    o = table(spark, sf_dir, "orders")
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(_AQ_ACCURACY)).alias("p50a"),
+        F.approx_count_distinct("o_custkey", _AQ_RSD).alias("ndv_a"),
+    )
+    checked = (
+        o.join(F.broadcast(approx), "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(
-            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-            F.approx_count_distinct("o_custkey", 0.02).alias("ndv_cust_approx"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_totalprice") <= F.col("p50a"), 1).otherwise(0)).alias("rank_le"),
+            F.any_value("ndv_a").alias("ndv_a"),
+            F.countDistinct("o_custkey").alias("ndv_exact"),
         )
+    )
+    rank_bound = F.col("n_rows") / _AQ_ACCURACY + 2
+    ndv_bound = 3 * _AQ_RSD * F.col("ndv_exact")
+    return checked.select(
+        "o_orderpriority",
+        "n_rows",
+        (F.abs(F.col("rank_le") - 0.5 * F.col("n_rows")) <= rank_bound).alias("p50_rank_ok"),
+        (F.abs(F.col("ndv_a") - F.col("ndv_exact")) <= ndv_bound).alias("ndv_ok"),
     )
 
 
@@ -263,13 +294,25 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_bernoulli")  # seed-dependent → rows-only check
+@register(
+    "sample_bernoulli",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 10000 < 500
+    """,
+)
 def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded bernoulli sample — the scan-pushed df.sample path used by
-    the statistics layer (statistics.TableSample)."""
-    return table(spark, sf_dir, "orders").sample(fraction=0.05, seed=42).select(
-        "o_orderkey", "o_totalprice"
-    )
+    """Content-hash bernoulli sample: keep rows where md5(key) mod 10000
+    falls under p·10000. Unlike RNG-per-partition df.sample (whose output
+    depends on partition layout and engine), a content-addressed sample is
+    reproducible across cluster sizes, repartitions, and engines — the
+    form a production corpus pipeline pins its eval/holdout splits with.
+    The RNG path (df.sample, scan-pushed) remains in
+    statistics.TableSample where only the distribution matters."""
+    o = table(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10).cast("long")
+    return o.filter(h % 10000 < 500).select("o_orderkey", "o_totalprice")
 
 
 @register(

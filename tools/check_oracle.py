@@ -1,10 +1,8 @@
-"""Local mirror of the driver's t2 correctness gate.
+"""Ad-hoc driver-gate mirror: run named registered queries against their
+DuckDB oracles at a given sf dir and print match status.
 
-Runs every registered query on Spark and (when an oracle exists) the
-oracle SQL on DuckDB over the same parquet dir, then compares row count,
-column names, and an order-insensitive value hash.
-
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py sf_dir name [name ...]
+       python tools/check_oracle.py sf_dir ALL
 """
 
 from __future__ import annotations
@@ -16,96 +14,70 @@ import time
 import duckdb
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
 
 from oxidsql_spark.registry import load_all  # noqa: E402
 from oxidsql_spark.session import get_spark  # noqa: E402
 from oxidsql_spark.sources import TABLES  # noqa: E402
 
 
-def normalize(val):
-    if val is None:
+def _norm(v):
+    if v is None:
         return "NULL"
-    if isinstance(val, float):
-        if val != val:
-            return "NaN"
-        return repr(val)
-    if isinstance(val, bytes):
-        return val.hex()
-    return str(val)
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def _vhash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(normalize(r[i]) for i in order) for r in rows)
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
         h.update(b"\n")
-    return h.hexdigest()[:16]
+    return h.hexdigest()
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+def main() -> int:
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
     queries = load_all()
-    spark = get_spark("check-oracle", cpus=8)
-
-    con = duckdb.connect()
+    if names == ["ALL"]:
+        names = list(queries)
+    spark = get_spark()
+    duck = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-
-    n_pass = n_fail = n_weak = 0
-    for name, q in sorted(queries.items()):
-        if only and name not in only:
-            continue
+        duck.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = 0
+    for name in names:
+        q = queries[name]
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
-            continue
-        if q.oracle is None:
-            print(f"weak {name}: rows={len(srows)} ({time.time()-t0:.1f}s) [no oracle]")
-            n_weak += 1
-            continue
-        try:
-            ores = con.sql(q.oracle)
-            orows = ores.fetchall()
-            ocols = [d[0] for d in ores.description]
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
-        if not problems:
-            sh = value_hash(scols, [tuple(r) for r in srows])
-            oh = value_hash(ocols, orows)
-            if sh != oh:
-                problems.append(f"hash {sh} vs {oh}")
-                # show a sample diff
-                sset = {"|".join(normalize(v) for v in r) for r in srows}
-                oset = {"|".join(normalize(v) for v in r) for r in orows}
-                for x in list(sset - oset)[:2]:
-                    problems.append(f"  spark-only: {x[:200]}")
-                for x in list(oset - sset)[:2]:
-                    problems.append(f"  duck-only:  {x[:200]}")
-        if problems:
-            print(f"FAIL {name}: " + "; ".join(problems))
-            n_fail += 1
-        else:
-            print(f"PASS {name}: rows={len(srows)} ({time.time()-t0:.1f}s)")
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (no oracle)")
-    spark.stop()
-    sys.exit(1 if n_fail else 0)
+            srows = [tuple(r) for r in sdf.collect()]
+            if q.oracle is None:
+                print(f"{name}: NO_ORACLE rows={len(srows)} ({time.time()-t0:.1f}s)")
+                continue
+            res = duck.sql(q.oracle)
+            orows = res.fetchall()
+            ocols = [d[0] for d in res.description]
+            rc = len(srows) == len(orows)
+            sc = sorted(sdf.columns) == sorted(ocols)
+            hc = rc and sc and _vhash(sdf.columns, srows) == _vhash(ocols, orows)
+            ok = rc and sc and hc
+            bad += not ok
+            print(
+                f"{name}: {'OK' if ok else 'MISMATCH'} rows={len(srows)}/{len(orows)} "
+                f"schema={sc} hash={hc} ({time.time()-t0:.1f}s)"
+            )
+            if not sc:
+                print(f"  spark cols: {sorted(sdf.columns)}\n  duck cols: {sorted(ocols)}")
+        except Exception as e:  # noqa: BLE001
+            bad += 1
+            print(f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}")
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -285,15 +285,26 @@ class OxidSparkDatabase:
                 for i, spec in enumerate(specs)
             ]
         )
-        for spec in specs:
-            if spec.type_name == "varchar" and spec.length is not None:
-                # the reference rejects over-length strings at insert
-                # (types.rs:182-191); enforce the same contract setwise
-                over = cast.filter(F.length(spec.name) > spec.length).count()
+        capped = [s for s in specs if s.type_name == "varchar" and s.length is not None]
+        if capped:
+            # the reference rejects over-length strings at insert
+            # (types.rs:182-191); enforce the same contract setwise.
+            # localCheckpoint pins the EXACT rows so a non-deterministic
+            # source can't pass the check and then commit different
+            # values; all caps are counted in one job, not one per column.
+            cast = cast.localCheckpoint(eager=True)
+            counts = cast.select(
+                *[
+                    F.sum((F.length(s.name) > s.length).cast("long")).alias(s.name)
+                    for s in capped
+                ]
+            ).first()
+            for s in capped:
+                over = counts[s.name] or 0
                 if over:
                     raise AnalyzerError(
-                        f"{over} value(s) exceed VARCHAR({spec.length}) for "
-                        f"column '{spec.name}'"
+                        f"{over} value(s) exceed VARCHAR({s.length}) for "
+                        f"column '{s.name}'"
                     )
         self._commit(name, self.spark.table(name).union(cast))
         return None
@@ -372,11 +383,30 @@ class OxidSparkDatabase:
         specs = self._tables[target]
         from pyspark.sql import functions as F
 
-        tgt = self.spark.table(target).alias("tgt")
-        src = source.alias("src")
+        # Standard MERGE raises when one target row matches several
+        # source rows; a silent fan-out would duplicate target rows.
+        dup = (
+            source.filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise AnalyzerError(
+                f"MERGE source has duplicate values for key '{key}'"
+            )
+        # Side presence via literal markers, not key-NULL-ness: a target
+        # row whose merge key is NULL never matches (NULL = x is NULL in
+        # the join) but must still be carried through UNCHANGED — keying
+        # presence off tgt.<key> IS NOT NULL would misroute it into the
+        # insert branch and null out every column.
+        tgt = self.spark.table(target).withColumn("__tpresent__", F.lit(True)).alias("tgt")
+        src = source.withColumn("__spresent__", F.lit(True)).alias("src")
         joined = tgt.join(src, F.col(f"tgt.{key}") == F.col(f"src.{key}"), "full_outer")
-        t_has = F.col(f"tgt.{key}").isNotNull()
-        s_has = F.col(f"src.{key}").isNotNull()
+        t_has = F.col("tgt.__tpresent__").isNotNull()
+        s_has = F.col("src.__spresent__").isNotNull()
         sets = when_matched_set or {}
         # WHEN NOT MATCHED THEN INSERT mapping; default: same-named
         # source columns, NULL elsewhere

@@ -20,6 +20,8 @@ from ..registry import register
 from ..sources import table
 from .dedup import _JACCARD_N, _JACCARD_T, dedup_ngram_jaccard  # noqa: F401
 
+_MAX_ITERS = 20
+
 _ORACLE = f"""
     WITH toks AS (
       SELECT doc_id,
@@ -62,12 +64,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark vs a recursive-CTE transitive closure in the oracle."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
+    return propagate_min_labels(docs, pairs)
+
+
+def propagate_min_labels(
+    docs: DataFrame, pairs: DataFrame, max_iters: int = _MAX_ITERS
+) -> DataFrame:
+    """Connected components by min-label propagation over an undirected
+    pair graph; raises (never returns silently-wrong labels) if the
+    graph's diameter exceeds the iteration bound."""
     edges = pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
     edges = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).cache()
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels
-    for _ in range(20):  # diameter bound; near-dup graphs converge in 2-4
+    converged = False
+    for _ in range(max_iters):  # diameter bound; near-dup graphs converge in 2-4
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
@@ -96,7 +108,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"propagate_min_labels: did not converge in {max_iters} "
+            f"iterations (pair-graph diameter exceeds bound)"
+        )
     return labels
 
 

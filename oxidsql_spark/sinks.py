@@ -74,8 +74,12 @@ def compact(
     costs a task launch and a footer read per scan. Returns the new file
     count.
 
-    Rewrite-and-swap (write to `<path>.__compact__`, then move) so a
-    failure mid-compaction never corrupts the source directory."""
+    Rewrite-and-swap: write to `<path>.__compact__`, rename the live
+    directory ASIDE (`<path>.__old__`), rename the new one into place,
+    then delete the old copy. Both renames are single POSIX ops, so a
+    crash at any point leaves the data intact under `path`, `.__old__`,
+    or both — never a window with no directory at `path` (the previous
+    rmtree-then-rename shape had exactly that window)."""
     import math
     import os
     import shutil
@@ -88,9 +92,11 @@ def compact(
     )
     n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files
 
 

@@ -351,11 +351,17 @@ def stream_sliding(spark: SparkSession, source_dir: str) -> DataFrame:
 
 def stream_dedup(spark: SparkSession, source_dir: str) -> DataFrame:
     """Streaming stateful dedup: first event per (user_id, event_type)
-    via dropDuplicates over the stream — state is bounded by the
-    watermark (duplicates older than the watermark can't arrive, so
-    their keys are evicted). The batch identity on key-sets is tested."""
-    return _stream_source(spark, source_dir).dropDuplicates(["user_id", "event_type"]).select(
-        "user_id", "event_type"
+    via dropDuplicatesWithinWatermark — a key's state is EVICTED once
+    the watermark passes its event time + delay, so state is genuinely
+    bounded on a continuous stream (plain dropDuplicates without the
+    event-time column in the key subset never evicts). A duplicate
+    arriving after its key's state expired re-emits that key; the
+    batch identity tested is therefore on KEY SETS, which re-emission
+    preserves."""
+    return (
+        _stream_source(spark, source_dir)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
     )
 
 

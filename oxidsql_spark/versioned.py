@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 _VERSION_RE = re.compile(r"^_v(\d{8})$")
 
+# Manifest bucket for rows whose partition value is NULL (Hive's name).
+NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
 
 class VersionedTable:
     """A directory of immutable parquet snapshots with atomic commits."""
@@ -166,19 +169,50 @@ class PartitionedVersionedTable:
         df.write.mode("errorifexists").parquet(os.path.join(self.path, rel))
         return rel
 
+    def _pv_expr(self) -> F.Column:
+        """Partition value as a manifest key: cast to string, with NULL
+        routed to a dedicated bucket (Hive's default-partition name)
+        instead of silently matching no filter and vanishing."""
+        c = F.col(self.partition_col).cast("string")
+        return F.when(c.isNull(), F.lit(NULL_PARTITION)).otherwise(c)
+
+    def _partition_slice(self, df: DataFrame, value: str) -> DataFrame:
+        if value == NULL_PARTITION:
+            return df.filter(F.col(self.partition_col).isNull())
+        return df.filter(F.col(self.partition_col).cast("string") == value)
+
     # -- write side ------------------------------------------------------
 
     def write_full(self, df: DataFrame) -> int:
-        """Initial (or full-refresh) load: one data dir per partition."""
+        """Initial (or full-refresh) load in ONE pass: a single
+        ``partitionBy`` write job splits the input by partition value
+        (N partitions != N scans of the input — the old shape ran one
+        filtered job per value, O(N·scan)), then the written dirs are
+        renamed into the manifest layout and committed. Rows with a NULL
+        partition value land in the ``__HIVE_DEFAULT_PARTITION__``
+        bucket, not on the floor."""
+        import shutil
+        from urllib.parse import unquote
+
         next_v = (self.versions()[-1] if self.versions() else 0) + 1
-        values = [
-            str(r[0])
-            for r in df.select(self.partition_col).distinct().collect()
-        ]
+        stage = os.path.join(self.path, "_data", f".stage_v{next_v:08d}")
+        # __pv__ duplicates the partition col so the data files keep the
+        # original column (partitionBy strips its partition key from the
+        # files, and read() scans g-dirs directly without Hive discovery)
+        df.withColumn("__pv__", self._pv_expr()).write.mode("errorifexists").partitionBy(
+            "__pv__"
+        ).parquet(stage)
         manifest = {}
-        for value in values:
-            part = df.filter(F.col(self.partition_col).cast("string") == value)
-            manifest[value] = self._write_partition(value, part, next_v)
+        for name in sorted(os.listdir(stage)):
+            if not name.startswith("__pv__="):
+                continue  # _SUCCESS marker etc.
+            value = unquote(name[len("__pv__=") :])  # undo Hive path escaping
+            rel = os.path.join("_data", f"{self.partition_col}={value}", f"g{next_v:08d}")
+            dest = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(stage, name), dest)
+            manifest[value] = rel
+        shutil.rmtree(stage)
         self._commit_manifest(next_v, manifest)
         return next_v
 
@@ -186,18 +220,19 @@ class PartitionedVersionedTable:
         """MERGE touching only the partitions present in `updates`:
         each touched partition's survivors + its updates become a new
         generation directory; untouched partitions carry over by
-        reference in the new manifest."""
+        reference in the new manifest. Per-touched-partition jobs are
+        the point here (touched count is small by design); NULL
+        partition values route to the default bucket like write_full."""
         vs = self.versions()
         if not vs:
             raise ValueError("upsert into empty table — write_full first")
         current = dict(self._manifest(vs[-1]))
         next_v = vs[-1] + 1
         touched = [
-            str(r[0])
-            for r in updates.select(self.partition_col).distinct().collect()
+            r[0] for r in updates.select(self._pv_expr().alias("pv")).distinct().collect()
         ]
         for value in touched:
-            upd = updates.filter(F.col(self.partition_col).cast("string") == value)
+            upd = self._partition_slice(updates, value)
             if value in current:
                 old = self.spark.read.parquet(os.path.join(self.path, current[value]))
                 merged = old.join(upd.select(key), key, "left_anti").unionByName(upd)

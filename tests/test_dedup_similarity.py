@@ -143,3 +143,36 @@ def test_prepared_fingerprints_match_inline_incremental(spark, sf_dir, tmp_path)
     got = sorted(r.doc_id for r in dedup_incremental_prepared(spark, new, fp_path).collect())
     want = sorted(r.doc_id for r in dedup_incremental(spark, sf_dir).collect())
     assert got == want and len(got) > 0
+
+
+def test_propagation_guard_raises_on_deep_chain(spark):
+    """An unconverged propagation must raise, never return wrong labels."""
+    import pytest
+
+    from oxidsql_spark.operators.graph import propagate_min_labels
+
+    n = 8
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a_id long, b_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        propagate_min_labels(docs, pairs, max_iters=2)
+    labels = propagate_min_labels(docs, pairs)  # default bound suffices
+    assert {r.cluster_id for r in labels.collect()} == {0}
+
+
+def test_embedding_cosine_guard_routes_above_cap(spark, sf_dir):
+    """Above the broadcast row cap the operator must NOT collect the
+    table to the driver: it routes to the LSH-bucketed candidate path
+    (pure joins — no Arrow/pandas eval in the plan), whose exact-verified
+    output is a subset of the exact pair set."""
+    from oxidsql_spark.operators.dedup import dedup_embedding_cosine, embedding_cosine_pairs
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    routed = embedding_cosine_pairs(spark, e, broadcast_row_cap=10)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+
+    exact = {(r.a_id, r.b_id) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    got = {(r.a_id, r.b_id) for r in routed.collect()}
+    assert got <= exact  # exact verify on candidates: zero false positives
+    assert got  # and the banded buckets do recall some true pairs

@@ -43,3 +43,35 @@ def test_merge_unknown_table(db, spark):
     src = spark.createDataFrame([(1,)], "id int")
     with pytest.raises(AnalyzerError, match="unknown table"):
         db.merge("nope", src, key="id")
+
+
+def test_merge_null_target_key_row_untouched(db, spark):
+    """A target row with a NULL merge key matches nothing (standard
+    MERGE) and must be carried through UNCHANGED — not rewritten from
+    the absent source side into an all-NULL row."""
+    db.query("INSERT INTO acct VALUES (NULL, 999, 'n')")
+    src = spark.createDataFrame([(2, 25)], "id int, delta int")
+    db.merge("acct", src, key="id", when_matched_set={"bal": "tgt.bal + src.delta"})
+    rows = {r.id: (r.bal, r.note) for r in db.query("SELECT * FROM acct").collect()}
+    assert rows[None] == (999, "n")  # survived intact
+    assert rows[2] == (225, "b")
+    assert len(rows) == 4
+
+
+def test_merge_null_source_key_inserts(db, spark):
+    """A NULL source key matches nothing → insert branch."""
+    src = spark.createDataFrame([(None, 7)], "id int, delta int")
+    db.merge(
+        "acct", src, key="id",
+        when_not_matched_insert={"id": "src.id", "bal": "src.delta"},
+    )
+    rows = {r.id: r.bal for r in db.query("SELECT * FROM acct").collect()}
+    assert rows[None] == 7 and len(rows) == 4
+
+
+def test_merge_duplicate_source_keys_raise(db, spark):
+    """Standard MERGE errors when one target row matches several source
+    rows instead of silently fanning the target row out."""
+    src = spark.createDataFrame([(2, 1), (2, 2)], "id int, delta int")
+    with pytest.raises(AnalyzerError, match="duplicate"):
+        db.merge("acct", src, key="id", when_matched_set={"bal": "src.delta"})

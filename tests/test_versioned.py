@@ -157,3 +157,41 @@ def test_streaming_foreachbatch_upserts_versioned_table(spark, sf_dir, tmp_path)
     }
     assert got == want
     assert len(vt.versions()) >= 2  # every batch committed a version
+
+
+def test_partitioned_null_partition_routed_not_dropped(spark, tmp_path):
+    """Rows with a NULL partition value land in the Hive default-
+    partition bucket; the old string-equality filter silently lost them
+    from every snapshot."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.versioned import NULL_PARTITION, PartitionedVersionedTable
+
+    pvt = PartitionedVersionedTable(spark, str(tmp_path / "np"), "day")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "id int, day string"
+    )
+    pvt.write_full(df)
+    assert pvt.read().count() == 4
+    assert {r.id for r in pvt.read().filter(F.col("day").isNull()).collect()} == {2, 4}
+
+    up = spark.createDataFrame([(2, None), (5, None)], "id int, day string")
+    pvt.upsert(up, "id")
+    assert pvt.read().count() == 5
+    assert {r.id for r in pvt.read_partitions([NULL_PARTITION]).collect()} == {2, 4, 5}
+
+
+def test_write_full_is_one_write_job(spark, sf_dir, tmp_path):
+    """write_full must be a single partitionBy pass — N partition values
+    may NOT cost N filtered scans of the input."""
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    sc = spark.sparkContext
+    pvt = PartitionedVersionedTable(spark, str(tmp_path / "sp"), "o_orderpriority")
+    orders = table(spark, sf_dir, "orders")  # 5 distinct priorities
+    sc.setJobGroup("write_full_one_pass", "single-pass check")
+    v = pvt.write_full(orders)
+    sc.setJobGroup("write_full_done", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("write_full_one_pass")
+    assert len(jobs) < 5, f"write_full ran {len(jobs)} jobs for 5 partitions"
+    assert _rows(pvt.read(v)) == _rows(orders)

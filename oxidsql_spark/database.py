@@ -138,6 +138,7 @@ class OxidSparkDatabase:
         self.spark = spark
         self.storage_dir = storage_dir
         self._tables: dict[str, list[ColumnSpec]] = {}
+        self._stats: dict = {}  # name -> OnlineTableStats
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
             for name in sorted(os.listdir(storage_dir)):
@@ -146,12 +147,45 @@ class OxidSparkDatabase:
                     continue
                 with open(schema_f) as fh:
                     self._tables[name] = [ColumnSpec(**c) for c in json.load(fh)]
-                self._vt(name).read().createOrReplaceTempView(name)
+                df = self._vt(name).read()
+                df.createOrReplaceTempView(name)
+                # session restart: online stats live in memory (like the
+                # reference's — flushed only at checkpoints), so re-derive
+                self._new_stats(name).rebuild(df)
 
     def _vt(self, name: str):
         from .versioned import VersionedTable
 
         return VersionedTable(self.spark, os.path.join(self.storage_dir, name))
+
+    # -- online statistics (heap.rs:245-292 twin) -----------------------
+
+    def _new_stats(self, name: str):
+        from pyspark.sql import types as T
+
+        from .statistics import OnlineTableStats
+
+        schema = T.StructType(
+            [T.StructField(c.name, c.spark_type, True) for c in self._tables[name]]
+        )
+        self._stats[name] = OnlineTableStats(self.spark, schema)
+        return self._stats[name]
+
+    def stats(self, name: str):
+        """Per-table online statistics: rowcount, per-column ndv sketch,
+        and a maintained sample — FRESH after every INSERT with no
+        ANALYZE step, exactly the property the reference's per-insert
+        maintenance provides (heap.rs:245-292). Cardinality estimates
+        for planning come from ``stats(t).estimate_cardinality(pred)``."""
+        if name not in self._stats:
+            raise AnalyzerError(f"unknown table '{name}'")
+        return self._stats[name]
+
+    def _stats_rebuild(self, name: str) -> None:
+        """Delete/update path: plain HLL can't subtract (the reference's
+        CountingHLL can, counting_hyperloglog.rs:76-180) — re-derive."""
+        if name in self._stats:
+            self._stats[name].rebuild(self.spark.table(name))
 
     def _commit(self, name: str, df: DataFrame) -> None:
         """Publish a table's new content: durable snapshot when backed by
@@ -237,6 +271,7 @@ class OxidSparkDatabase:
                 json.dump([c.__dict__ for c in specs], fh)
         self._commit(name, empty)
         self._tables[name] = specs
+        self._new_stats(name)
         return None
 
     # -- INSERT INTO … VALUES -------------------------------------------
@@ -258,6 +293,9 @@ class OxidSparkDatabase:
         new = self.spark.createDataFrame([tuple(row)], schema)
         existing = self.spark.table(name)
         self._commit(name, existing.union(new))
+        # online stats: the inserted row is driver-known — buffered
+        # accumulation, zero extra jobs here (heap.rs:245-292 twin)
+        self._stats[name].add_rows([tuple(row)])
         # NOTE on scale: temp-view unions are for the interactive parity
         # facade only; bulk ingest goes through DataFrame writes
         # (df.write.parquet / saveAsTable) which this facade doesn't wrap.
@@ -307,6 +345,7 @@ class OxidSparkDatabase:
                         f"column '{s.name}'"
                     )
         self._commit(name, self.spark.table(name).union(cast))
+        self._stats[name].update(cast)
         return None
 
     # -- UPDATE / DELETE / DROP (reference TODOs, README.md:51) ---------
@@ -327,6 +366,7 @@ class OxidSparkDatabase:
         # NULL-predicate rows survive
         remaining = df.filter(f"NOT coalesce(({where}), false)") if where else df.limit(0)
         self._commit(name, remaining)
+        self._stats_rebuild(name)
         return None
 
     def _update(self, stmt: str) -> None:
@@ -358,6 +398,7 @@ class OxidSparkDatabase:
             ]
         )
         self._commit(name, updated)
+        self._stats_rebuild(name)
         return None
 
     def merge(
@@ -427,6 +468,7 @@ class OxidSparkDatabase:
             )
         result = joined if insert_unmatched else joined.filter(t_has)
         self._commit(target, result.select(*out))
+        self._stats_rebuild(target)
         return None
 
     def _drop(self, stmt: str) -> None:
@@ -435,6 +477,7 @@ class OxidSparkDatabase:
             raise AnalyzerError(f"unknown table '{name}'")
         self.spark.catalog.dropTempView(name)
         del self._tables[name]
+        self._stats.pop(name, None)
         if self.storage_dir:
             import shutil
 

@@ -59,6 +59,202 @@ class TableSample:
         floor = self.base_count / (2 * SAMPLE_SIZE)
         return max(int(est), int(floor), 1)
 
+    def conjunct_counts(self, predicates: list) -> tuple[int, list[int]]:
+        """ONE pass over the sample accumulating the full-match count and
+        per-conjunct partial-match counts — the same accumulation the
+        reference's sample scan performs into ``partial_matching_counts``
+        (bottomup.rs:133-156). A NULL predicate result counts as no match
+        (sum skips NULLs), matching SQL WHERE semantics."""
+        preds = [F.expr(p) if isinstance(p, str) else p for p in predicates]
+        full = preds[0]
+        for p in preds[1:]:
+            full = full & p
+        row = self.sample.agg(
+            F.sum(full.cast("long")).alias("__full__"),
+            *[F.sum(p.cast("long")).alias(f"__p{i}__") for i, p in enumerate(preds)],
+        ).first()
+        return (
+            int(row["__full__"] or 0),
+            [int(row[f"__p{i}__"] or 0) for i in range(len(preds))],
+        )
+
+    def estimate_conjunct_selectivity(
+        self, predicates: list, zero_match_ndv: list[int | None] | None = None
+    ) -> float:
+        """The reference's full estimation ladder (statistics/mod.rs:24-31,
+        the fallback its TODO at bottomup.rs:133 plans to build on the
+        partial counts):
+
+        1. any sample row matches the WHOLE conjunction → matching/total;
+        2. none does → combine per-conjunct partial-match fractions with
+           exponentially decaying weights (most-selective at full weight,
+           then sqrt of the next, etc. — the Moerkotte-style backoff the
+           essay cites), which always lands at or below the most
+           selective single conjunct;
+        3. a conjunct with ZERO partial matches contributes 1/ndv when
+           its column ndv is known (equi-predicate rule), else the
+           1/sample_count resolution bound."""
+        if self.sample_count == 0:
+            return 1.0
+        full, partial = self.conjunct_counts(predicates)
+        if full > 0:
+            return full / self.sample_count
+        sels = []
+        for i, c in enumerate(partial):
+            if c > 0:
+                sels.append(c / self.sample_count)
+            elif zero_match_ndv and i < len(zero_match_ndv) and zero_match_ndv[i]:
+                sels.append(1.0 / zero_match_ndv[i])
+            else:
+                sels.append(1.0 / self.sample_count)
+        sels.sort()
+        sel = 1.0
+        for i, s in enumerate(sels):
+            sel *= s ** (0.5**i)
+        return min(sel, 1.0)
+
+    def estimate_conjunct_cardinality(
+        self, predicates: list, zero_match_ndv: list[int | None] | None = None
+    ) -> int:
+        est = self.estimate_conjunct_selectivity(predicates, zero_match_ndv) * self.base_count
+        floor = self.base_count / (2 * SAMPLE_SIZE)
+        return max(int(est), int(floor), 1)
+
+
+class OnlineTableStats:
+    """Online statistics maintenance — the twin of the reference's
+    per-insert stats path (access/heap.rs:245-292): every ingested batch
+    advances a cardinality counter, per-column ndv sketches, and a
+    uniform sample, WITHOUT rescanning the table. Like the reference's
+    (statistics accumulate in memory, flushed only at checkpoints —
+    statistics/mod.rs:13-16), this state lives with the session; rebuild
+    from the table to recover.
+
+    Spark-native mapping:
+
+    * cardinality counter → a running count fed by each batch;
+    * CountingHLL per column (counting_hyperloglog.rs:76-180) → Spark's
+      mergeable Datasketches HLL: ``hll_sketch_agg`` over the BATCH only,
+      ``hll_union``-merged into the stored sketch. CountingHLL can also
+      SUBTRACT deletes; a plain HLL cannot, so delete/update calls
+      ``rebuild`` (one rescan) instead — same observable freshness;
+    * 1024-row reservoir (heap.rs:258-289) → bottom-k sample: rows carry
+      a hash priority, the k smallest survive; merging a batch is
+      union-and-keep-k-smallest. Statistically a uniform sample like a
+      reservoir, but mergeable across batches and executors — the form
+      that still works when ingest itself is distributed."""
+
+    def __init__(self, spark: SparkSession, schema, sample_size: int = SAMPLE_SIZE):
+        self.spark = spark
+        self.schema = schema
+        self.sample_size = sample_size
+        self.rowcount = 0
+        self._sketches: dict[str, bytes] = {}
+        self._sample: list[tuple[int, tuple]] = []  # (priority, row values)
+        self._seq = 0  # rows ever ingested; salts duplicate-row priorities
+        self._pending: list[tuple] = []  # driver-known rows not yet folded
+
+    def add_rows(self, rows: list[tuple]) -> None:
+        """Driver-known tiny batches (INSERT … VALUES): buffer and fold
+        lazily. The reference's per-insert maintenance is an in-memory
+        nanosecond update (heap.rs:245-292); the Spark-faithful cost
+        model is therefore ZERO jobs on the insert path, one amortized
+        job at the next stats read — not three jobs per row."""
+        self._pending.extend(rows)
+        self.rowcount += len(rows)
+
+    def _flush(self) -> None:
+        if self._pending:
+            rows, self._pending = self._pending, []
+            self.rowcount -= len(rows)  # update() re-counts them
+            self.update(self.spark.createDataFrame(rows, self.schema))
+
+    def update(self, batch: DataFrame) -> None:
+        """Fold one inserted batch in: one aggregation job over the batch
+        (count + per-column batch sketches), one tiny 1-row job merging
+        the sketches, one bounded top-k job for the sample."""
+        cols = [f.name for f in self.schema.fields]
+        agg = batch.agg(
+            F.count(F.lit(1)).alias("__n__"),
+            *[F.hll_sketch_agg(F.col(c).cast("string")).alias(c) for c in cols],
+        ).first()
+        n = int(agg["__n__"])
+        if n == 0:
+            return
+        pairs = [
+            (c, self._sketches.get(c), bytes(agg[c]))
+            for c in cols
+            if agg[c] is not None
+        ]
+        to_merge = [(c, old, new) for c, old, new in pairs if old is not None]
+        for c, old, new in pairs:
+            if old is None:
+                self._sketches[c] = new
+        if to_merge:
+            merged = (
+                self.spark.createDataFrame(
+                    [tuple(v for _, old, new in to_merge for v in (old, new))],
+                    ", ".join(f"o{i} binary, n{i} binary" for i in range(len(to_merge))),
+                )
+                .select(
+                    *[
+                        F.hll_union(f"o{i}", f"n{i}").alias(f"m{i}")
+                        for i in range(len(to_merge))
+                    ]
+                )
+                .first()
+            )
+            for i, (c, _, _) in enumerate(to_merge):
+                self._sketches[c] = bytes(merged[f"m{i}"])
+        prio = F.xxhash64(
+            *[F.col(c).cast("string") for c in cols],
+            F.lit(self._seq) + F.monotonically_increasing_id(),
+        )
+        cand = batch.withColumn("__prio__", prio).orderBy("__prio__").limit(self.sample_size)
+        rows = [(r["__prio__"], tuple(r[c] for c in cols)) for r in cand.collect()]
+        self._sample = sorted(self._sample + rows, key=lambda t: t[0])[: self.sample_size]
+        self._seq += n
+        self.rowcount += n
+
+    def rebuild(self, df: DataFrame) -> None:
+        """Full re-derivation — the delete/update path (plain HLL can't
+        subtract the way the reference's CountingHLL can)."""
+        self.rowcount = 0
+        self._sketches = {}
+        self._sample = []
+        self._pending = []
+        self.update(df)
+
+    def ndv(self, col: str) -> int:
+        """Distinct-count estimate from the merged sketch (no table scan)."""
+        self._flush()
+        sk = self._sketches.get(col)
+        if sk is None:
+            return 0
+        est = (
+            self.spark.createDataFrame([(sk,)], "s binary")
+            .select(F.hll_sketch_estimate("s").alias("e"))
+            .first()["e"]
+        )
+        return int(est)
+
+    def sample_df(self) -> DataFrame:
+        self._flush()
+        return self.spark.createDataFrame([t for _, t in self._sample], self.schema)
+
+    def estimate_cardinality(self, predicate: Column | str) -> int:
+        """Reference estimate + floor rule (bottomup.rs:121-161) over the
+        maintained sample — fresh after every INSERT, no ANALYZE step."""
+        self._flush()
+        total = len(self._sample)
+        if total == 0:
+            return max(self.rowcount, 1)
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        matching = self.sample_df().filter(pred).count()
+        est = matching / total * self.rowcount
+        floor = self.rowcount / (2 * self.sample_size)
+        return max(int(est), int(floor), 1)
+
 
 def ndv_sketch(df: DataFrame, *cols: str, rsd: float = 0.05) -> dict[str, int]:
     """Per-column approximate distinct counts via HyperLogLog++ — the

@@ -76,3 +76,65 @@ def test_analyze_feeds_cbo_and_broadcast_choice(spark, sf_dir):
     finally:
         for t in ("cbo_nation", "cbo_lineitem"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_online_stats_fresh_after_insert_no_analyze(spark):
+    """heap.rs:245-292 twin: INSERT maintains rowcount, ndv sketches,
+    and the sample incrementally — estimates are fresh with NO ANALYZE.
+    Mirrors the reference's planner test (bottomup.rs:523-606): 10 rows,
+    predicate id < 5 → cardinality estimate 4."""
+    from oxidsql_spark.database import OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t_online (id INT, name VARCHAR(500))")
+    for i in range(1, 11):
+        db.query(f"INSERT INTO t_online VALUES ({i}, 'test')")
+    st = db.stats("t_online")
+    assert st.rowcount == 10
+    assert st.estimate_cardinality("id < 5") == 4  # the reference's assert
+    assert st.ndv("id") == 10  # HLL exact at tiny cardinalities
+    assert st.ndv("name") == 1
+
+    # set-oriented insert folds in the batch, still no rescan of old data
+    db.query("INSERT INTO t_online SELECT id + 100, name FROM t_online")
+    assert db.stats("t_online").rowcount == 20
+    assert abs(db.stats("t_online").ndv("id") - 20) <= 1
+
+    # delete triggers the rebuild path (plain HLL can't subtract)
+    db.query("DELETE FROM t_online WHERE id > 100")
+    assert db.stats("t_online").rowcount == 10
+    assert db.stats("t_online").ndv("id") == 10
+    db.query("DROP TABLE t_online")
+
+
+def test_conjunct_fallback_estimator(spark, sf_dir):
+    """statistics/mod.rs:24-31 estimation ladder on partial-match counts
+    (bottomup.rs:133-156): full-match primary, exponential-backoff
+    combine when no sample row matches every conjunct, 1/ndv for a
+    zero-match equi conjunct."""
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.statistics import TableSample
+
+    orders = table(spark, sf_dir, "orders")
+    ts = TableSample(orders, sample_size=1 << 30)  # sample == full table
+
+    # 1. full matches exist → plain matching/total (equal to 1-predicate path)
+    sel = ts.estimate_conjunct_selectivity(
+        ["o_orderpriority = '1-URGENT'", "o_totalprice > 100"]
+    )
+    exact = orders.filter("o_orderpriority = '1-URGENT' AND o_totalprice > 100").count()
+    assert abs(sel - exact / ts.sample_count) < 1e-9
+
+    # 2. contradictory conjuncts → no full match; backoff combine must
+    # land at or below the most selective single conjunct
+    s_low = ts.estimate_selectivity("o_totalprice < 2000")
+    sel2 = ts.estimate_conjunct_selectivity(
+        ["o_totalprice < 2000", "o_totalprice > 500000"]
+    )
+    assert 0 < sel2 <= max(s_low, 1.0 / ts.sample_count) + 1e-9
+
+    # 3. zero partial matches with known ndv → 1/ndv contribution
+    full, partial = ts.conjunct_counts(["o_orderkey = -1"])
+    assert full == 0 and partial == [0]
+    sel3 = ts.estimate_conjunct_selectivity(["o_orderkey = -1"], zero_match_ndv=[15000])
+    assert abs(sel3 - 1.0 / 15000) < 1e-12

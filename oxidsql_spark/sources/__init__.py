@@ -38,11 +38,26 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+# Leaf-DataFrame reuse: spark.read.parquet lists the directory and reads
+# parquet footers DRIVER-side on every call; a query touching 7 tables
+# pays that 7× per build. DataFrames are immutable, so the same leaf is
+# safely shared across queries — filters/pruning still specialize per
+# query at optimization time. Keyed by session so a foreign session
+# (e.g. the driver's) gets its own leaves.
+_LEAF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Leaf scan. Parquet → columnar batches → whole-stage codegen."""
-    if name == "events":
-        return _read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _LEAF_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _LEAF_CACHE[key] = df
+    return df
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

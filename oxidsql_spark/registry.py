@@ -40,27 +40,55 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 _LOADED = False
 
 
+def _previously_verified() -> set[str]:
+    """Names with a hash-green row in any prior round's driver
+    correctness file (CORRECTNESS_r*.json at the repo root)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for p in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if isinstance(rec, dict) and rec.get("hash_match"):
+                green.add(name)
+    return green
+
+
 def load_all() -> dict[str, Query]:
     """Import every operator module so its @register calls run."""
-    global _LOADED
+    global _LOADED, QUERIES
     if not _LOADED:
-        # Import order == registration order == the order the driver's
-        # correctness harness walks queries() (it checks a bounded prefix
-        # per round).  Modules whose queries lack a driver-green row from
-        # the previous round register FIRST so they get hard-signal
-        # coverage; already-driver-verified modules (dedup/graph/
-        # multimodal/relational, all green in CORRECTNESS_r01) rotate to
-        # the back.
-        from .operators import tpch_ext  # noqa: F401
-        from .operators import textops  # noqa: F401
-        from .operators import similarity  # noqa: F401
-        from .operators import udtf_ops  # noqa: F401
+        from .operators import (  # noqa: F401
+            dedup,
+            graph,
+            multimodal,
+            relational,
+            relational_ext,
+            similarity,
+            textops,
+            tpch_ext,
+            udtf_ops,
+        )
         from .streaming import events  # noqa: F401
-        from .operators import relational_ext  # noqa: F401
-        from .operators import dedup  # noqa: F401
-        from .operators import graph  # noqa: F401
-        from .operators import multimodal  # noqa: F401
-        from .operators import relational  # noqa: F401
 
+        # Registration order == the order the driver's correctness
+        # harness walks queries(), and it checks a bounded prefix per
+        # round. Self-maintaining rotation: queries WITHOUT a driver-
+        # green row from any prior round float to the front so every
+        # round's budget goes to queries still lacking hard-signal
+        # verification; already-verified ones keep their relative order
+        # at the back.
+        green = _previously_verified()
+        ordered = [n for n in QUERIES if n not in green] + [
+            n for n in QUERIES if n in green
+        ]
+        QUERIES = {n: QUERIES[n] for n in ordered}
         _LOADED = True
     return QUERIES

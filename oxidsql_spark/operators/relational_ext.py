@@ -205,17 +205,25 @@ def argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "list_agg",
     oracle="""
     SELECT c_nationkey,
-           list_sort(list(c_custkey)) AS custkeys,
+           array_to_string(list_sort(list(c_custkey)), ',') AS custkeys,
            array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
     FROM customer GROUP BY c_nationkey
     """,
 )
 def list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + string aggregation, sorted for determinism (collect_list
-    order is partition-dependent — never expose it unsorted)."""
+    order is partition-dependent — never expose it unsorted). Both array
+    results are serialized to CSV strings so every column is a scalar
+    the correctness harness can sort/hash (raw list cells are not)."""
     c = table(spark, sf_dir, "customer")
+    custkeys = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list("c_custkey")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
     return c.groupBy("c_nationkey").agg(
-        F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+        custkeys.alias("custkeys"),
         F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias("segments"),
     )
 
@@ -758,8 +766,10 @@ def udf_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_quantize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
-                          x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER)) AS q8
+           array_to_string(
+               list_transform(embedding,
+                              x -> CAST(round(CAST(x AS DOUBLE) * 127) AS INTEGER)),
+               ',') AS q8
     FROM embeddings
     """,
 )
@@ -768,12 +778,14 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     storage-shrink step before ANN indexing at corpus scale). Pure
     higher-order transform — JVM-side, no shuffle, no Python. Values go
     float32 -> double (exact) before scaling so both engines round the
-    same double."""
+    same double; the int array is serialized to a CSV string so the
+    result column is a scalar the correctness harness can sort/hash."""
     e = table(spark, sf_dir, "embeddings")
     q8 = F.transform(
-        "embedding", lambda x: F.round(x.cast("double") * 127).cast("int")
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127).cast("int").cast("string"),
     )
-    return e.select("vec_id", q8.alias("q8"))
+    return e.select("vec_id", F.array_join(q8, ",").alias("q8"))
 
 
 @register(
@@ -949,8 +961,8 @@ def recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udaf_acctbal_sumsq",
     oracle="""
     SELECT c_nationkey,
-           sum(CAST(round(c_acctbal * 100) AS BIGINT)
-               * CAST(round(c_acctbal * 100) AS BIGINT)) AS sumsq_cents
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                    * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sumsq_cents
     FROM customer
     GROUP BY c_nationkey
     ORDER BY c_nationkey
@@ -962,17 +974,23 @@ def udaf_acctbal_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
     squared balances in integer cents. Integer arithmetic end-to-end so
     the custom aggregate is exactly reproducible at any parallelism —
     the discipline any 100 TB UDAF needs (float partials would merge
-    order-dependently). Arrow-batched; partial aggregation applies."""
+    order-dependently). Arrow-batched; partial aggregation applies.
+
+    The double->cents rounding happens JVM-side (Spark ``round`` =
+    HALF_UP = DuckDB ``round``, both half-away-from-zero); pandas'
+    ``Series.round`` is half-to-even and silently disagrees on exact
+    .5 ties, so the UDAF only ever sees exact int64 cents."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("bigint")
-    def sumsq_cents(bal: pd.Series) -> int:
-        cents = (bal * 100).round().astype("int64")
+    def sumsq(cents: pd.Series) -> int:
         return int((cents * cents).sum())
 
+    cents_col = F.round(F.col("c_acctbal") * 100).cast("bigint")
     return (
         table(spark, sf_dir, "customer")
+        .withColumn("cents", cents_col)
         .groupBy("c_nationkey")
-        .agg(sumsq_cents("c_acctbal").alias("sumsq_cents"))
+        .agg(sumsq("cents").alias("sumsq_cents"))
         .orderBy("c_nationkey")
     )

@@ -21,33 +21,56 @@ from pyspark.sql import types as T
 from ..registry import register
 from ..sources import dbl, money, table
 
-# The events parquet stores ts as TIMESTAMP(NANOS); the stream reads the
-# raw long and rebuilds an NTZ timestamp (same as sources._read_events).
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_schema(ts_type: "T.DataType") -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _ts_stored_as_nanos(source_dir: str) -> bool:
+    """True when the events parquet stores ts as TIMESTAMP(NANOS), which
+    Spark's reader rejects unless read as a raw long. One driver-side
+    footer read of one file — the generator writes a uniform schema."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(source_dir, "*.parquet")))
+    if not files:
+        return False
+    ts = pq.read_schema(files[0]).field("ts").type
+    return getattr(ts, "unit", None) == "ns"
 
 
 def _stream_source(
     spark: SparkSession, source_dir: str, watermark: bool = True
 ) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(source_dir)
-        # Watermarks require TIMESTAMP (LTZ), not NTZ — rebuild as LTZ.
-        # Run the session in UTC (get_spark does) so event-time windows
-        # align with the batch twin's NTZ arithmetic.
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # Watermarks require TIMESTAMP (LTZ), not NTZ — rebuild/cast as LTZ.
+    # Run the session in UTC (get_spark does) so event-time windows
+    # align with the batch twin's NTZ arithmetic.
+    if _ts_stored_as_nanos(source_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = (
+            spark.readStream.schema(_event_schema(T.LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        df = (
+            spark.readStream.schema(_event_schema(T.TimestampNTZType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
     # watermark=False lets a consumer re-watermark derived columns (e.g.
     # the two renamed sides of a stream-stream join, where re-defining an
     # inherited watermark is an analysis error).

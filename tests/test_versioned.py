@@ -121,7 +121,7 @@ def test_streaming_foreachbatch_upserts_versioned_table(spark, sf_dir, tmp_path)
 
     from pyspark.sql import functions as F
 
-    from oxidsql_spark.streaming.events import EVENT_SCHEMA
+    from oxidsql_spark.streaming.events import _stream_source
     from oxidsql_spark.versioned import VersionedTable
 
     stream_dir = str(tmp_path / "ev_stream")
@@ -131,8 +131,7 @@ def test_streaming_foreachbatch_upserts_versioned_table(spark, sf_dir, tmp_path)
     vt = VersionedTable(spark, str(tmp_path / "user_totals"))
     vt.write(spark.createDataFrame([], "user_id long, n_events long"))
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(stream_dir)
+    stream = _stream_source(spark, stream_dir, watermark=False)
 
     def upsert_batch(batch_df, batch_id):
         agg = batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))

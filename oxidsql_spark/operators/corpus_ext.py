@@ -1,0 +1,303 @@
+"""Corpus-curation operators for a large-scale training-data pipeline:
+benchmark decontamination, deterministic stratified sampling, hash-based
+train/test splits, repetition-quality scoring, TF-IDF term weighting,
+and the quality-filter funnel.
+
+These extend the reference's surface (OxidSQL has no text processing at
+all — README.md:34-55 stops at SELECT/INSERT/CREATE) toward the
+operations a 100 TB LLM-data pipeline runs daily. Everything is
+built-in-expression work (split / regexp / md5 / higher-order array
+functions / window ranks) — JVM-side, whole-stage codegen, no Python —
+and every shuffle is on a bounded key (doc_id, term, group key), never
+on raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import tokens, word_ngrams
+from ..registry import register
+from ..sources import table
+
+# DuckDB twin of functions.tokens (kept verbatim in every oracle below).
+_DUCK_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+_DECON_N = 5  # word 5-gram shingles for contamination checks
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_DECON_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+      FROM t),
+    bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 10 = 0),
+    corp AS (SELECT doc_id, len(grams) AS n_sh, unnest(grams) AS gram
+             FROM sh WHERE doc_id % 10 <> 0)
+    SELECT c.doc_id,
+           any_value(c.n_sh) AS n_sh,
+           count(*) AS n_hit,
+           round(CAST(count(*) AS DOUBLE) / any_value(c.n_sh), 4) AS contamination
+    FROM corp c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    5-gram shingles with a held-out benchmark set (here: doc_id % 10 == 0
+    plays the benchmark corpus; the rest is training data).
+
+    Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
+    the distinct benchmark-gram set is BROADCAST — the corpus side
+    streams through map-side, no corpus shuffle on raw text. The only
+    wide exchange is the per-doc hit count, keyed by doc_id."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", word_ngrams(tokens(F.col("text")), _DECON_N).alias("grams")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corp = sh.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.size("grams").alias("n_sh"), F.explode("grams").alias("gram")
+    )
+    hits = (
+        corp.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.any_value("n_sh").alias("n_sh"), F.count(F.lit(1)).alias("n_hit"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_sh",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_sh"), 4).alias("contamination"),
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT c_nationkey, c_custkey FROM (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rk
+      FROM customer)
+    WHERE rk <= 20
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(k, |group|) rows per
+    group, chosen by md5-hash order — reproducible across reruns,
+    engines, and partitionings (unlike rand()-based sampling), which is
+    what makes pipeline sampling auditable. One shuffle on the group
+    key; the per-group top-k is a rank window, and for groups of
+    billions the same hash order supports pre-filtering by hash prefix
+    before ranking."""
+    c = table(spark, sf_dir, "customer")
+    rk = F.row_number().over(
+        W.partitionBy("c_nationkey").orderBy(
+            F.md5(F.col("c_custkey").cast("string")), "c_custkey"
+        )
+    )
+    return (
+        c.select("c_nationkey", "c_custkey", rk.alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+# Hex nibble -> int, expressible in both engines. Spark has conv(); the
+# DuckDB side parses 4 hex chars positionally with strpos.
+def _duck_hex4(expr: str) -> str:
+    digit = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    parts = [
+        f"({digit.format(h=expr, i=i)}) * {16 ** (4 - i)}" for i in range(1, 5)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_DUCK_BUCKET = _duck_hex4("md5(CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    SELECT CASE WHEN {_DUCK_BUCKET} < 90 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based train/test split (90/10): the split of a document is a
+    pure function of its id — stable under reprocessing, shard order,
+    and cluster size, the property random splits lack. Buckets come
+    from the first 4 hex chars of md5(doc_id), identical in both
+    engines. Embarrassingly parallel scan + 2-group aggregate."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    split = F.when(bucket < 90, "train").otherwise("test")
+    return (
+        d.select(split.alias("split"), F.length("text").alias("len"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("len").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                i -> toks[i] || ' ' || toks[i+1]) AS grams
+          FROM t)
+    SELECT doc_id,
+           len(grams) AS n_bigrams,
+           len(list_distinct(grams)) AS n_distinct,
+           round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                     / greatest(len(grams), 1), 4) AS rep_ratio
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metric: fraction of duplicated word bigrams
+    per document (machine-generated / boilerplate text scores high; the
+    standard cheap quality gate next to text_stats). Zero-shuffle row
+    transform — the bigram list is built from two array slices, never
+    exploded."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    return d.select(
+        "doc_id",
+        F.size(grams).alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        F.round(
+            1 - F.col("n_distinct") / F.greatest(F.col("n_bigrams"), F.lit(1)), 4
+        ).alias("rep_ratio"),
+    ).select(
+        "doc_id", "n_bigrams", "n_distinct", "rep_ratio"
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, round(score, 4) AS tfidf, rk FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by TF-IDF — the classic
+    content-signature / topic-drift monitor over a corpus.
+
+    Scale shape: tf aggregates on (doc_id, term) with map-side partial
+    combine; the df table is one row per distinct term (vocabulary ≪
+    corpus) and joins back on term; the corpus row count joins as a
+    broadcast 1-row cross join, not a collected literal, so the plan is
+    a single job. Both engines compute the identical double score
+    (count × ln of a double ratio), so rank order matches exactly."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias(
+                "score"
+            ),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", F.round("score", 4).alias("tfidf"), "rk")
+    )
+
+
+@register(
+    "quality_funnel",
+    oracle=f"""
+    WITH s AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio
+      FROM documents)
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN n_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+           CAST(sum(CASE WHEN n_tokens > 0 AND n_tokens BETWEEN 5 AND 5000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+           CAST(sum(CASE WHEN n_tokens > 0 AND n_tokens BETWEEN 5 AND 5000
+                              AND punct_ratio <= 0.1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM s
+    """,
+)
+def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: how many documents survive each
+    cumulative quality gate (non-empty → length band → punctuation
+    ratio). One conditional-sum aggregate over one scan — the shape to
+    prefer over N separate count jobs at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    punct_ratio = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    s = d.select(n_tokens.alias("n_tokens"), punct_ratio.alias("punct_ratio"))
+    nonempty = F.col("n_tokens") > 0
+    len_ok = nonempty & F.col("n_tokens").between(5, 5000)
+    clean = len_ok & (F.col("punct_ratio") <= 0.1)
+    as_long = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return s.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        as_long(nonempty).alias("n_nonempty"),
+        as_long(len_ok).alias("n_len_ok"),
+        as_long(clean).alias("n_clean"),
+    )

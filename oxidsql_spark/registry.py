@@ -77,6 +77,13 @@ _PRIORITY: tuple[str, ...] = (
     "list_agg",
     "vector_quantize",
     "udaf_acctbal_sumsq",
+    # new this round (corpus_ext)
+    "decontaminate_ngram",
+    "sample_stratified",
+    "train_test_split",
+    "text_repetition_ratio",
+    "tfidf_top_terms",
+    "quality_funnel",
 )
 
 
@@ -85,6 +92,7 @@ def load_all() -> dict[str, Query]:
     global _LOADED
     if not _LOADED:
         from .operators import (  # noqa: F401
+            corpus_ext,
             dedup,
             graph,
             multimodal,

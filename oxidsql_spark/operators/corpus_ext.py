@@ -261,6 +261,47 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_mix",
+    oracle="""
+    WITH agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM agg)
+    SELECT source, n_docs, n_chars,
+           round(CAST(n_docs AS DOUBLE) / tot.total, 4) AS share,
+           round(CAST(sum(n_docs) OVER (ORDER BY n_docs DESC, source)
+                      AS DOUBLE) / tot.total, 4) AS cum_share
+    FROM agg CROSS JOIN tot
+    """,
+)
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: document/char counts per source with
+    share and cumulative share (the mix dashboard every data pipeline
+    keeps to catch source drift). The running share is a window over the
+    tiny aggregate (one row per source), not the corpus, so the wide
+    part stays a single map-side-combined groupBy."""
+    d = table(spark, sf_dir, "documents")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(F.length("text")).alias("n_chars")
+    )
+    tot = agg.agg(F.sum("n_docs").alias("total"))
+    w = W.orderBy(F.col("n_docs").desc(), "source").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(F.col("n_docs") / F.col("total"), 4).alias("share"),
+            F.round(F.sum("n_docs").over(w) / F.col("total"), 4).alias("cum_share"),
+        )
+    )
+
+
+@register(
     "quality_funnel",
     oracle=f"""
     WITH s AS (

@@ -84,6 +84,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_ratio",
     "tfidf_top_terms",
     "quality_funnel",
+    "events_anomaly",
+    "source_mix",
 )
 
 

@@ -137,6 +137,63 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS vc
+      FROM events),
+    st AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(vc) AS HUGEINT) AS s,
+             CAST(sum(vc * vc) AS HUGEINT) AS q
+      FROM e GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(CAST((e.vc * st.n - st.s) * (e.vc * st.n - st.s) * (st.n - 1) AS DOUBLE)
+                 / CAST(st.n * (st.n * st.q - st.s * st.s) AS DOUBLE), 4) AS zsq
+    FROM e JOIN st USING (event_type)
+    WHERE st.n > 1 AND st.n * st.q > st.s * st.s
+      AND CAST((e.vc * st.n - st.s) * (e.vc * st.n - st.s) * (st.n - 1) AS DOUBLE)
+          / CAST(st.n * (st.n * st.q - st.s * st.s) AS DOUBLE) > 9
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier detection: events whose value is >3 sample standard
+    deviations from their event-type mean (z² > 9).
+
+    Float stddev aggregates accumulate order-dependently (Spark and any
+    oracle would disagree in the last ulp, and a threshold flips rows),
+    so the moments are EXACT integer cents — decimal(38,0) here,
+    HUGEINT in the oracle — and z² is formed as one double division of
+    two exactly-equal integers:
+        z² = (v·n − s)²·(n−1) / (n·(n·q − s²)).
+    That discipline (exact partials, float only at the last step) is
+    also what makes the aggregation partial/merge-safe at 100 TB. One
+    shuffle for the per-type moments (25 groups → broadcast back)."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (money("value") * 100).cast("decimal(38,0)").alias("vc"),
+    )
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("vc").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("decimal(38,0)").alias("q"),
+    )
+    j = e.join(F.broadcast(st), "event_type")
+    a = F.col("vc") * F.col("n") - F.col("s")
+    b = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    zsq = (a * a * (F.col("n") - 1)).cast("double") / (F.col("n") * b).cast("double")
+    return (
+        j.filter((F.col("n") > 1) & (b > 0))
+        .withColumn("zsq", zsq)
+        .filter(F.col("zsq") > 9)
+        .select("event_id", "event_type", F.round("zsq", 4).alias("zsq"))
+    )
+
+
+@register(
     "events_json_props",
     oracle="""
     SELECT event_id, CAST(json_extract(props, '$.k') AS INTEGER) AS prop_k

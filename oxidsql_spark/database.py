@@ -220,6 +220,9 @@ class OxidSparkDatabase:
                 [(c.name, c.sql_repr()) for c in self._tables[name]],
                 "col_name string, data_type string",
             )
+        em = re.match(r"^\s*EXPLAIN\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
+        if em:
+            return self._explain(em.group(1))
         if _DELETE_RE.match(s):
             return self._delete(s)
         if _UPDATE_RE.match(s):
@@ -232,6 +235,28 @@ class OxidSparkDatabase:
         """SELECT path — handed to Catalyst (parser/analyzer/optimizer all
         subsumed; see SURVEY §3 lifecycle mapping)."""
         return self.spark.sql(q)
+
+    def _explain(self, select_sql: str) -> DataFrame:
+        """EXPLAIN <select>: one row per plan-quality fact (pushdown,
+        join strategies, exchanges, top-k, Python evals) plus the
+        formatted physical plan — the introspection surface the
+        reference's PhysicalQueryPlan debug printing provides
+        (execution/plan.rs:138-141), expressed as a relation so the
+        REPL/driver can consume it like any query result."""
+        from .plans import explain_summary, formatted_plan
+
+        df = self.sql(select_sql)
+        s = explain_summary(df)
+        rows = [
+            ("joins", ", ".join(s.joins) or "none"),
+            ("exchanges", str(s.n_exchanges)),
+            ("pushed_filters", "; ".join(s.pushed_filters) or "none"),
+            ("read_schemas", "; ".join(s.read_schemas) or "none"),
+            ("topk", str(s.has_topk).lower()),
+            ("python_evals", str(s.python_evals)),
+            ("physical_plan", formatted_plan(df)),
+        ]
+        return self.spark.createDataFrame(rows, "item string, detail string")
 
     # -- CREATE TABLE ----------------------------------------------------
 

@@ -175,3 +175,16 @@ def test_durable_storage_survives_reopen(spark, tmp_path):
     assert db3.query("SELECT count(*) AS n FROM people").collect()[0].n == 1
     db3.query("DROP TABLE people")
     assert OxidSparkDatabase(spark, storage_dir=store)._tables == {}
+
+
+def test_explain_statement(db):
+    """EXPLAIN <select> returns a plan-quality relation: join strategy,
+    exchange count, and the formatted physical plan."""
+    rows = {r.item: r.detail for r in db.query(
+        "EXPLAIN SELECT p.name, c.model FROM people p, cars c "
+        "WHERE p.id = c.owner_id AND p.age >= 18"
+    ).collect()}
+    assert "Join" in rows["joins"]
+    assert rows["python_evals"] == "0"
+    assert "physical_plan" in rows and len(rows["physical_plan"]) > 100
+    assert rows["exchanges"].isdigit()

@@ -686,3 +686,115 @@ def tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "s_name")
     )
+
+
+@register(
+    "tpch_q11_importance",
+    oracle="""
+    WITH natval AS (
+      SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey),
+    tot AS (SELECT sum(value) AS total, count(*) AS n_parts FROM natval)
+    SELECT v.l_partkey AS p_partkey, CAST(v.value AS DOUBLE) AS value
+    FROM natval v CROSS JOIN tot
+    WHERE v.value * tot.n_parts > tot.total * 2
+    """,
+)
+def tpch_q11_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock shape (TPC-H Q11, adapted: a nation's 'stock
+    value' per part = its suppliers' lineitem revenue, standing in for
+    partsupp availqty*supplycost). The original's scalar subquery
+    'HAVING sum(...) > (SELECT sum(...) * fraction)' decorrelates into
+    a 1-row broadcast cross join against the grand total — no per-group
+    subquery execution. The original's fixed fraction (0.0001/SF) is
+    scale-dependent; the adapted test 'value > 2× the mean part value'
+    (value·n_parts > 2·total) selects a stable share of parts at every
+    SF, and stays exact decimal×integer — bit-identical at any
+    parallelism.
+
+    Scale: nation/supplier broadcast-prune lineitem before its one
+    shuffle on l_partkey; the grand total re-aggregates the small
+    per-part rollup, not the fact table."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    nat_li = li.join(
+        F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+        li.l_suppkey == s.s_suppkey,
+    )
+    val = nat_li.groupBy("l_partkey").agg(
+        F.sum(money("l_extendedprice")).alias("value")
+    )
+    tot = val.agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") * F.col("n_parts") > F.col("total") * 2)
+        .select(F.col("l_partkey").alias("p_partkey"), dbl(F.col("value")).alias("value"))
+    )
+
+
+@register(
+    "tpch_q20_dominant",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS supp_qty
+      FROM lineitem l
+      WHERE l.l_shipdate >= '1997-01-01' AND l.l_shipdate < '1998-01-01'
+        AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l.l_partkey, l.l_suppkey),
+    tot AS (
+      SELECT l_partkey, sum(supp_qty) AS part_qty FROM shipped GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM shipped sh
+         JOIN tot t ON sh.l_partkey = t.l_partkey
+         JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.supp_qty * 2 > t.part_qty
+    """,
+)
+def tpch_q20_dominant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant-supplier shape (TPC-H Q20, adapted: 'availqty > half the
+    part's shipped quantity' becomes 'this supplier shipped more than
+    half the part's 1997 volume' — same nested-IN + correlated-half-sum
+    plan shape without partsupp). The correlated scalar subquery
+    decorrelates into a second aggregation of the already-grouped
+    (part, supplier) rollup joined back on l_partkey; the name-filtered
+    part list broadcast-semi-joins the fact scan so the date+part
+    pruning happens before the only fact shuffle. The half test is
+    exact decimal arithmetic (supp_qty*2 > part_qty)."""
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(money("l_quantity")).alias("supp_qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        shipped.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(s), shipped.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .distinct()
+    )

@@ -86,6 +86,8 @@ _PRIORITY: tuple[str, ...] = (
     "quality_funnel",
     "events_anomaly",
     "source_mix",
+    "tpch_q11_importance",
+    "tpch_q20_dominant",
 )
 
 

@@ -137,3 +137,31 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").alias("n_clusters"),
         (F.count(F.lit(1)) - F.countDistinct("cluster_id")).alias("n_redundant"),
     )
+
+
+# -- persisted pair-graph path (the 100 TB shape) -----------------------
+
+
+def build_pair_table(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the exact Jaccard pair graph once per corpus snapshot.
+
+    At 100 TB the pair computation (shingle + prefix-filter self-join)
+    is the expensive step, and it is write-once: clustering, cluster
+    stats, audits, and incremental merges all re-read the tiny
+    (a_id, b_id, jaccard) rows instead of re-shingling document bodies.
+    Same discipline as dedup.build_fingerprint_table."""
+    from .dedup import dedup_ngram_jaccard
+
+    dedup_ngram_jaccard(spark, sf_dir).write.mode("overwrite").parquet(out_path)
+
+
+def dedup_clusters_prepared(
+    spark: SparkSession, docs: DataFrame, pairs_path: str
+) -> DataFrame:
+    """Connected components from a PREBUILT pair table: label
+    propagation starts at the persisted graph — no shingling, no
+    similarity self-join. Cold-start cost drops from O(corpus scan +
+    pair join) to O(pairs), which is what makes re-clustering after
+    every corpus append viable."""
+    pairs = spark.read.parquet(pairs_path).select("a_id", "b_id")
+    return propagate_min_labels(docs, pairs)

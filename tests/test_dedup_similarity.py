@@ -176,3 +176,26 @@ def test_embedding_cosine_guard_routes_above_cap(spark, sf_dir):
     got = {(r.a_id, r.b_id) for r in routed.collect()}
     assert got <= exact  # exact verify on candidates: zero false positives
     assert got  # and the banded buckets do recall some true pairs
+
+
+def test_prepared_pair_table_clusters_match_direct(spark, sf_dir, tmp_path):
+    """The persisted pair-graph path must produce exactly the clusters
+    the direct path computes (write-once reuse, SCALE.md)."""
+    from oxidsql_spark.operators.graph import (
+        build_pair_table,
+        dedup_clusters,
+        dedup_clusters_prepared,
+    )
+    from oxidsql_spark.sources import table
+
+    pair_path = str(tmp_path / "pairs")
+    build_pair_table(spark, sf_dir, pair_path)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    prepared = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters_prepared(spark, docs, pair_path).collect()
+    }
+    direct = {
+        (r.doc_id, r.cluster_id) for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    assert prepared == direct

@@ -61,7 +61,10 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: benchmark suites are tiny next to a 100 TB corpus, so
     the distinct benchmark-gram set is BROADCAST — the corpus side
     streams through map-side, no corpus shuffle on raw text. The only
-    wide exchange is the per-doc hit count, keyed by doc_id."""
+    wide exchange is the per-doc hit count, keyed by doc_id. (In
+    production the benchmark is its own small table; deriving it from
+    documents here costs a second scan of the 10% slice, an artifact of
+    the shared fixture, not the operator shape.)"""
     d = table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", word_ngrams(tokens(F.col("text")), _DECON_N).alias("grams")
@@ -210,7 +213,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
-    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     n AS (SELECT count(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.term,
@@ -228,16 +231,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document by TF-IDF — the classic
     content-signature / topic-drift monitor over a corpus.
 
-    Scale shape: tf aggregates on (doc_id, term) with map-side partial
-    combine; the df table is one row per distinct term (vocabulary ≪
-    corpus) and joins back on term; the corpus row count joins as a
-    broadcast 1-row cross join, not a collected literal, so the plan is
-    a single job. Both engines compute the identical double score
-    (count × ln of a double ratio), so rank order matches exactly."""
+    Scale shape: the corpus is exploded ONCE — tf aggregates (doc_id,
+    term) with map-side partial combine, and df derives from tf (one
+    row per (doc, term) ⇒ count per term = document frequency) instead
+    of a second corpus explode + count-distinct. The df table is one
+    row per vocabulary term (≪ corpus) joined back on term; the corpus
+    row count joins as a broadcast 1-row cross join, not a collected
+    literal. Both engines compute the identical double score (count ×
+    ln of a double ratio), so rank order matches exactly."""
     d = table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "term")

@@ -88,6 +88,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_mix",
     "tpch_q11_importance",
     "tpch_q20_dominant",
+    "hll_partial_union",
 )
 
 

@@ -389,9 +389,14 @@ class OxidSparkDatabase:
         df = self.spark.table(name)
         # standard DELETE: only rows where the predicate is TRUE go away;
         # NULL-predicate rows survive
+        deleted = df.filter(f"coalesce(({where}), false)") if where else df
         remaining = df.filter(f"NOT coalesce(({where}), false)") if where else df.limit(0)
+        # subtract the deleted rows' counts from the counting sketches
+        # BEFORE the view swap (the heap.rs:296-311 decrement path) —
+        # stats stay fresh with no rescan of the surviving table
+        if name in self._stats:
+            self._stats[name].delete_batch(deleted)
         self._commit(name, remaining)
-        self._stats_rebuild(name)
         return None
 
     def _update(self, stmt: str) -> None:

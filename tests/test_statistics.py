@@ -138,3 +138,65 @@ def test_conjunct_fallback_estimator(spark, sf_dir):
     assert full == 0 and partial == [0]
     sel3 = ts.estimate_conjunct_selectivity(["o_orderkey = -1"], zero_match_ndv=[15000])
     assert abs(sel3 - 1.0 / 15000) < 1e-12
+
+
+def test_counting_hll_reference_bounds(spark):
+    """CountingHLL twin of counting_hyperloglog.rs: estimate within the
+    reference's own test tolerance (±20%, :264-291) at the reference
+    geometry (m=64), and delete = exact counter subtraction."""
+    from oxidsql_spark.statistics import CountingHLL, column_bucket_rho_counts
+
+    # 200k distinct at m=64 — the reference test's own geometry
+    n = 200_000
+    df = spark.range(n).selectExpr("id AS a", "CAST(id % 500 AS STRING) AS b")
+    counts = column_bucket_rho_counts(df, ["a", "b"], m=64)
+
+    sk_a, sk_b = CountingHLL(64), CountingHLL(64)
+    sk_a.add_counts(counts["a"])
+    sk_b.add_counts(counts["b"])
+    assert abs(sk_a.estimate() - n) <= 0.2 * n
+    assert abs(sk_b.estimate() - 500) <= 0.2 * 500
+    assert sum(c for _, _, c in counts["__rows__"]) == n
+
+    # delete the top half: estimate tracks the survivors, no rescan of them
+    dele = spark.range(n // 2, n).selectExpr("id AS a", "CAST(id % 500 AS STRING) AS b")
+    sk_a.add_counts(column_bucket_rho_counts(dele, ["a"], m=64)["a"], sign=-1)
+    assert abs(sk_a.estimate() - n // 2) <= 0.2 * (n // 2)
+
+
+def test_counting_hll_duplicate_delete_property(spark):
+    """The counting property max-register HLLs lack: deleting ONE copy of
+    a duplicated value must not forget the value; deleting the last copy
+    must."""
+    from oxidsql_spark.statistics import CountingHLL, column_bucket_rho_counts
+
+    vals = spark.createDataFrame([(i,) for i in range(200)] * 2, "a long")
+    one_copy = spark.createDataFrame([(i,) for i in range(200)], "a long")
+
+    sk = CountingHLL(1024)
+    sk.add_counts(column_bucket_rho_counts(vals, ["a"], m=1024)["a"])
+    before = sk.estimate()
+    sk.add_counts(column_bucket_rho_counts(one_copy, ["a"], m=1024)["a"], sign=-1)
+    assert sk.estimate() == before  # duplicates remain -> ndv unchanged
+    sk.add_counts(column_bucket_rho_counts(one_copy, ["a"], m=1024)["a"], sign=-1)
+    assert sk.estimate() == 0  # last copies gone -> empty
+
+
+def test_online_stats_delete_subtracts_without_rescan(spark):
+    """Facade DELETE maintains ndv by counter subtraction (the
+    heap.rs:296-311 decrement path) — rebuild is never invoked."""
+    from oxidsql_spark.database import OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t_cdel (id INT, name VARCHAR(500))")
+    db.query("INSERT INTO t_cdel SELECT id, 'x' FROM range(100)")
+    assert abs(db.stats("t_cdel").ndv("id") - 100) <= 5
+
+    db._stats_rebuild = lambda name: (_ for _ in ()).throw(
+        AssertionError("DELETE must not rebuild")
+    )
+    db.query("DELETE FROM t_cdel WHERE id >= 50")
+    st = db.stats("t_cdel")
+    assert st.rowcount == 50
+    assert abs(st.ndv("id") - 50) <= 3
+    db.query("DROP TABLE t_cdel") if hasattr(db, "_drop") else None

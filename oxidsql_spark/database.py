@@ -427,8 +427,23 @@ class OxidSparkDatabase:
                 for c in specs
             ]
         )
+        # stats: UPDATE = subtract the touched slice's pre-image counts,
+        # add its post-image counts (heap.rs:296-345's update path pairs
+        # a delete-side and an insert-side sketch adjustment) — touches
+        # only the affected rows, never rescans the table
+        if name in self._stats:
+            touched = df.filter(f"coalesce(({cond}), false)")
+            touched_post = touched.select(
+                *[
+                    F.expr(assignments[c.name]).cast(c.spark_type).alias(c.name)
+                    if c.name in assignments
+                    else F.col(c.name)
+                    for c in specs
+                ]
+            )
+            self._stats[name].delete_batch(touched)
+            self._stats[name].update(touched_post)
         self._commit(name, updated)
-        self._stats_rebuild(name)
         return None
 
     def merge(

@@ -100,7 +100,7 @@ def test_online_stats_fresh_after_insert_no_analyze(spark):
     assert db.stats("t_online").rowcount == 20
     assert abs(db.stats("t_online").ndv("id") - 20) <= 1
 
-    # delete triggers the rebuild path (plain HLL can't subtract)
+    # delete subtracts counting-sketch counts — no rebuild, no rescan
     db.query("DELETE FROM t_online WHERE id > 100")
     assert db.stats("t_online").rowcount == 10
     assert db.stats("t_online").ndv("id") == 10
@@ -200,3 +200,26 @@ def test_online_stats_delete_subtracts_without_rescan(spark):
     assert st.rowcount == 50
     assert abs(st.ndv("id") - 50) <= 3
     db.query("DROP TABLE t_cdel") if hasattr(db, "_drop") else None
+
+
+def test_online_stats_update_adjusts_without_rescan(spark):
+    """Facade UPDATE pairs a subtract (pre-image) with an add
+    (post-image) on the counting sketches — no rebuild, rowcount
+    unchanged, ndv tracks the rewrite."""
+    from oxidsql_spark.database import OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t_cupd (id INT, grp INT)")
+    db.query("INSERT INTO t_cupd SELECT id, CAST(id % 50 AS INT) FROM range(100)")
+    st = db.stats("t_cupd")
+    assert abs(st.ndv("grp") - 50) <= 3
+
+    db._stats_rebuild = lambda name: (_ for _ in ()).throw(
+        AssertionError("UPDATE must not rebuild")
+    )
+    # collapse every group to 0: ndv(grp) -> 1, rowcount unchanged
+    db.query("UPDATE t_cupd SET grp = 0 WHERE true")
+    st = db.stats("t_cupd")
+    assert st.rowcount == 100
+    assert st.ndv("grp") == 1
+    assert abs(st.ndv("id") - 100) <= 5

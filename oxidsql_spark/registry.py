@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q11_importance",
     "tpch_q20_dominant",
     "hll_partial_union",
+    "events_variant_agg",
 )
 
 

@@ -209,6 +209,38 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_variant_agg",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE props IS NOT NULL AND json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read via the VARIANT type (Spark 4): ``parse_json``
+    ingests the ragged JSON ONCE into a binary variant encoding, typed
+    paths come out with ``variant_get``, and the aggregation runs on the
+    extracted columns. Unlike get_json_object (re-parses the string per
+    path, events_json_props) or from_json (needs a declared schema,
+    events_props_map), variant is the open-schema columnar path — the
+    right default for event-property lakes whose keys drift over time."""
+    e = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(k.alias("k"), money("value").alias("val"))
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.sum("val")).alias("total_value"),
+        )
+    )
+
+
+@register(
     "events_sliding",
     oracle="""
     SELECT CAST(win_start AS VARCHAR) AS hour_start, event_type,

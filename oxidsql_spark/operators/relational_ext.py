@@ -42,6 +42,38 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                           FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE)
+             AS fulfilled_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER clauses (SQL:2003): several differently-
+    filtered aggregates in ONE grouped pass — the shape that replaces N
+    separate filtered scans at 100 TB. Routed through spark.sql to
+    exercise the full SQL surface; each FILTER rides the same partial
+    aggregation, so it costs predicates, not passes."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                               FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE)
+                 AS fulfilled_total
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
     "grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -44,7 +44,7 @@ _LOADED = False
 # harness checks a bounded prefix of queries() per round, so ordering is
 # test-coverage prioritization.  Policy (fixed at authoring time, never
 # derived from runtime files, so a fresh clone orders identically):
-# names listed here interleave 2:1 with the remaining queries in module
+# names listed here interleave 3:1 with the remaining queries in module
 # registration order — a checked prefix therefore always mixes
 # not-yet-exercised queries with a sample of long-stable ones, so
 # stable queries keep being re-verified instead of rotating out.
@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q20_dominant",
     "hll_partial_union",
     "events_variant_agg",
+    "agg_filter_clause",
 )
 
 
@@ -117,7 +118,7 @@ def load_all() -> dict[str, Query]:
         ordered: list[str] = []
         fi = ri = 0
         while fi < len(front) or ri < len(rest):
-            for _ in range(2):
+            for _ in range(3):
                 if fi < len(front):
                     ordered.append(front[fi])
                     fi += 1

@@ -574,6 +574,31 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_bag_all",
+    oracle="""
+    WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity < 10),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_discount > 0.05)
+    SELECT 'except_all' AS op, l_suppkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_suppkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    """,
+)
+def setop_bag_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL): multiplicity
+    arithmetic — a row appearing m times in A and n in B survives
+    max(m-n,0) / min(m,n) times. Spark plans both as a single hash
+    aggregation counting per-side multiplicities then re-generating
+    rows — one shuffle on the row value, no join explosion."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select("l_suppkey")
+    b = li.filter(F.col("l_discount") > 0.05).select("l_suppkey")
+    tag = lambda df, name: df.select(F.lit(name).alias("op"), "l_suppkey")  # noqa: E731
+    return tag(a.exceptAll(b), "except_all").unionAll(
+        tag(a.intersectAll(b), "intersect_all")
+    )
+
+
+@register(
     "semi_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "hll_partial_union",
     "events_variant_agg",
     "agg_filter_clause",
+    "setop_bag_all",
 )
 
 

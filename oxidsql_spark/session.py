@@ -32,6 +32,13 @@ def get_spark(app_name: str = "oxidsql-spark", cpus: int | str | None = None) ->
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Runtime bloom-filter join reduction: a selective dimension
+        # filter is pushed as a bloom of its join keys into the fact
+        # scan BEFORE the shuffle — the single biggest IO saver for
+        # selective star joins at 100 TB. Self-gating: only injects for
+        # shuffle joins whose application side exceeds the (default
+        # 10 GB) scan threshold, so local runs are unaffected.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

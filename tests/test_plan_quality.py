@@ -129,3 +129,32 @@ def test_all_benched_queries_scale_clean(spark, sf_dir):
         for rs in s.read_schemas:
             # no benched query needs more than 8 columns of any table
             assert rs.count(",") <= 7, f"{name}: unpruned scan {rs[:80]}"
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """The session enables runtime bloom-filter join reduction (off by
+    default in Spark): with broadcast disabled and the size gate lowered
+    to simulate a 100 TB fact side, a selective dim filter must inject a
+    bloom_filter_agg semi-join reduction into the fact branch."""
+    from oxidsql_spark.sources import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

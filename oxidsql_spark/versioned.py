@@ -217,25 +217,47 @@ class PartitionedVersionedTable:
         return next_v
 
     def upsert(self, updates: DataFrame, key: str) -> int:
-        """MERGE touching only the partitions present in `updates`:
-        each touched partition's survivors + its updates become a new
-        generation directory; untouched partitions carry over by
-        reference in the new manifest. Per-touched-partition jobs are
-        the point here (touched count is small by design); NULL
-        partition values route to the default bucket like write_full."""
+        """MERGE touching only the affected partitions: each touched
+        partition's survivors + its updates become a new generation
+        directory; untouched partitions carry over by reference in the
+        new manifest. Per-touched-partition jobs are the point here
+        (touched count is small by design); NULL partition values route
+        to the default bucket like write_full.
+
+        Touched = partitions the updates land in ∪ partitions currently
+        HOLDING an updated key — the second set is what makes a
+        partition-moving update (key's partition column changes) delete
+        its old row instead of leaving a stale duplicate. Finding it
+        costs one semi-join of each current partition against the
+        (small, broadcastable) update key set — the same matched-file
+        discovery a Delta/Iceberg MERGE performs with file stats."""
+        from pyspark.sql import functions as F
+
         vs = self.versions()
         if not vs:
             raise ValueError("upsert into empty table — write_full first")
         current = dict(self._manifest(vs[-1]))
         next_v = vs[-1] + 1
-        touched = [
+        touched = {
             r[0] for r in updates.select(self._pv_expr().alias("pv")).distinct().collect()
-        ]
-        for value in touched:
+        }
+        # partitions holding any updated key (checked in one job over the
+        # current snapshot, probe side broadcast)
+        upd_keys = updates.select(key).where(F.col(key).isNotNull()).distinct()
+        if current:
+            snapshot = self.read(vs[-1])
+            holding = (
+                snapshot.join(F.broadcast(upd_keys), key, "left_semi")
+                .select(self._pv_expr().alias("pv"))
+                .distinct()
+                .collect()
+            )
+            touched |= {r[0] for r in holding}
+        for value in sorted(touched):
             upd = self._partition_slice(updates, value)
             if value in current:
                 old = self.spark.read.parquet(os.path.join(self.path, current[value]))
-                merged = old.join(upd.select(key), key, "left_anti").unionByName(upd)
+                merged = old.join(upd_keys, key, "left_anti").unionByName(upd)
             else:
                 merged = upd
             current[value] = self._write_partition(value, merged, next_v)

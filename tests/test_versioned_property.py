@@ -67,3 +67,54 @@ def test_versioned_matches_model(spark, tmp_path_factory, ops):
     # time travel: every recorded version reproduces its historical state
     for version, state in history.items():
         assert _read_model(vt, version) == state, f"time travel to v{version}"
+
+
+_POPS = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("upsert"),
+            st.lists(
+                st.tuples(st.integers(0, 9), st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+                min_size=1,
+                max_size=5,
+                unique_by=lambda t: t[0],
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_POPS)
+def test_partitioned_versioned_matches_model(spark, tmp_path_factory, ops):
+    """PartitionedVersionedTable upserts (manifest model, only touched
+    partitions advance) must match a dict model keyed by k, and every
+    partition read must equal the model's slice."""
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    path = str(tmp_path_factory.mktemp("pvt_prop"))
+    pvt = PartitionedVersionedTable(spark, path, "part")
+    model = {0: ("a", 0), 1: ("b", 10)}  # k -> (part, v)
+    pvt.write_full(
+        spark.createDataFrame(
+            [(k, p, v) for k, (p, v) in sorted(model.items())], "k long, part string, v long"
+        )
+    )
+    for _, rows in ops:
+        pvt.upsert(
+            spark.createDataFrame(sorted(rows), "k long, part string, v long"), "k"
+        )
+        for k, p, v in rows:
+            model[k] = (p, v)
+        got = {r.k: (r.part, r.v) for r in pvt.read().collect()}
+        assert got == model
+    for p in ("a", "b", "c"):
+        want = {k: (pp, v) for k, (pp, v) in model.items() if pp == p}
+        got = {r.k: (r.part, r.v) for r in pvt.read_partitions([p]).collect()}
+        assert got == want

@@ -259,3 +259,94 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# — the standard document-fingerprint scheme MOSS uses). Rolling k-gram
+# polynomial hashes, then the minimum of every w consecutive hashes; the
+# distinct minima are the document's fingerprints.
+_WN_K = 8  # char k-gram width
+_WN_W = 4  # winnowing window
+_WN_B = 257  # polynomial base
+_WN_P = 1_000_000_007  # modulus; (P-1)*B + 255 stays far under 2^63 (ANSI-safe)
+
+
+def _poly_hash_sql(gram: str) -> str:
+    """Horner-form polynomial hash of an 8-char gram — the same integer
+    expression in Spark SQL and DuckDB, so both engines produce
+    identical fingerprints."""
+    expr = "CAST(0 AS BIGINT)"  # bigint Horner chain: int32 would overflow
+    for j in range(1, _WN_K + 1):
+        expr = f"(({expr}) * {_WN_B} + ascii(substr({gram}, {j}, 1))) % {_WN_P}"
+    return expr
+
+
+_WN_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lower(trim(text)) AS s FROM documents
+      WHERE length(lower(trim(text))) >= {_WN_K + _WN_W - 1}),
+    grams AS (
+      SELECT doc_id, pos, {_poly_hash_sql(f"substr(s, CAST(pos AS INTEGER), {_WN_K})")} AS h,
+             length(s) - {_WN_K} + 1 AS n_grams
+      FROM t, unnest(range(1, length(s) - {_WN_K} + 2)) AS u(pos)),
+    mins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WN_W - 1} FOLLOWING) AS fp,
+             pos, n_grams
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= n_grams - {_WN_W} + 1)
+    SELECT doc_id,
+           count(*) AS n_fp,
+           CAST(sum(fp) % {_WN_P} AS BIGINT) AS fp_digest,
+           min(fp) AS fp_min, max(fp) AS fp_max
+    FROM fps GROUP BY doc_id
+    """
+
+
+@register("text_winnow_fingerprint", oracle=_WN_ORACLE)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing: polynomial
+    hashes of char 8-grams, minimum of every 4-hash window, distinct
+    minima = the fingerprint set (guaranteed to include a shared hash
+    for any match ≥ k+w-1 chars — the plagiarism/near-dup detection
+    primitive). Reported per doc as count + modular digest + min/max so
+    every column is a scalar.
+
+    Scale shape: position explode is per-row fan-out (no shuffle), the
+    window min shuffles once on doc_id, and the Horner hash is a pure
+    integer expression in whole-stage codegen — no UDF. The fingerprint
+    SET (fps CTE shape) is what a production pipeline would join on for
+    containment detection; this query reduces it to per-doc scalars for
+    the oracle gate."""
+    d = table(spark, sf_dir, "documents")
+    s = F.lower(F.trim(F.col("text")))
+    base = d.select("doc_id", s.alias("s")).filter(
+        F.length("s") >= _WN_K + _WN_W - 1
+    )
+    n_grams = F.length("s") - _WN_K + 1
+    grams = base.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("pos"),
+        "s",
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        F.expr(_poly_hash_sql(f"substr(s, pos, {_WN_K})")).alias("h"),
+    )
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, _WN_W - 1)
+    fps = (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - _WN_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        (F.sum("fp") % _WN_P).cast("bigint").alias("fp_digest"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_variant_agg",
     "agg_filter_clause",
     "setop_bag_all",
+    "text_winnow_fingerprint",
 )
 
 

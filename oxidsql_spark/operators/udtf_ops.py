@@ -75,3 +75,47 @@ def text_chunks_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.chunk")
     )
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT d.doc_id, md5(substring(d.text, gs.i * {CHUNK} + 1, {CHUNK})) AS fp
+      FROM documents d CROSS JOIN generate_series(0, 63) gs(i)
+      WHERE gs.i * {CHUNK} < greatest(length(d.text), 1)),
+    freq AS (SELECT fp, count(*) AS n_copies FROM chunks GROUP BY fp)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           round(CAST(sum(CASE WHEN f.n_copies > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM chunks c JOIN freq f USING (fp)
+    GROUP BY c.doc_id
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) dedup — the boilerplate detector:
+    chunk every document, fingerprint each chunk, and report per doc how
+    many of its chunks also appear elsewhere in the corpus. Pipelines
+    strip repeated chunks (headers, footers, license blocks) that
+    doc-level dedup can't see.
+
+    Scale shape: the corpus-wide chunk-frequency table aggregates on the
+    16-byte md5 — one shuffle carrying fingerprints only, never text;
+    the join back is fingerprint-keyed. Doc bodies stay in their scan
+    stage (chunk + hash are codegen'd row ops)."""
+    chunks = text_chunks_builtin(spark, sf_dir).select(
+        "doc_id", F.md5(F.col("chunk").cast("binary")).alias("fp")
+    )
+    freq = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("n_copies"))
+    dup = F.sum((F.col("n_copies") > 1).cast("long"))
+    return (
+        chunks.join(freq, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            F.round(dup / F.count(F.lit(1)), 4).alias("dup_frac"),
+        )
+    )

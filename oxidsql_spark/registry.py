@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_filter_clause",
     "setop_bag_all",
     "text_winnow_fingerprint",
+    "dedup_chunk_exact",
 )
 
 

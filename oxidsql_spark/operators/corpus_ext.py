@@ -347,3 +347,57 @@ def quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_long(len_ok).alias("n_len_ok"),
         as_long(clean).alias("n_clean"),
     )
+
+
+# Per-source sampling rates (percent) for the corpus-mix operator: a
+# high-quality source is kept in full, a noisy one downsampled — the
+# composition step before training. Deterministic membership comes from
+# the same md5 bucket as train_test_split, so the mix is reproducible
+# and composes with the split (independent hash inputs).
+_MIX_RATES = "CASE WHEN source IN ('src0','src1','src2','src3') THEN 100 " \
+             "WHEN source IN ('src4','src5','src6','src7','src8','src9') THEN 50 " \
+             "ELSE 20 END"
+
+_MIX_BUCKET_DUCK = _duck_hex4("md5('mix:' || CAST(doc_id AS VARCHAR))") + " % 100"
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {_MIX_BUCKET_DUCK} < {_MIX_RATES} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           any_value({_MIX_RATES}) AS target_pct
+    FROM documents
+    GROUP BY source
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing: each source class is kept at a
+    configured rate (100% / 50% / 20%) by hashing doc_id into a percent
+    bucket — reproducible across reruns and engines, unlike rand()
+    sampling, and stable under repartitioning. One scan, one tiny
+    per-source aggregate; the keep-decision is a row-local codegen
+    expression, so the same predicate drops rows BEFORE any downstream
+    shuffle in a real pipeline."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("int") % 100
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), 100)
+        .when(F.col("source").isin("src4", "src5", "src6", "src7", "src8", "src9"), 50)
+        .otherwise(20)
+    )
+    return (
+        d.select("source", bucket.alias("b"), rate.alias("rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum((F.col("b") < F.col("rate")).cast("long")).alias("n_kept"),
+            F.any_value("rate").alias("target_pct"),
+        )
+    )

@@ -44,7 +44,7 @@ _LOADED = False
 # harness checks a bounded prefix of queries() per round, so ordering is
 # test-coverage prioritization.  Policy (fixed at authoring time, never
 # derived from runtime files, so a fresh clone orders identically):
-# names listed here interleave 3:1 with the remaining queries in module
+# names listed here interleave 4:1 with the remaining queries in module
 # registration order — a checked prefix therefore always mixes
 # not-yet-exercised queries with a sample of long-stable ones, so
 # stable queries keep being re-verified instead of rotating out.
@@ -94,6 +94,7 @@ _PRIORITY: tuple[str, ...] = (
     "setop_bag_all",
     "text_winnow_fingerprint",
     "dedup_chunk_exact",
+    "corpus_mix_sample",
 )
 
 
@@ -121,7 +122,7 @@ def load_all() -> dict[str, Query]:
         ordered: list[str] = []
         fi = ri = 0
         while fi < len(front) or ri < len(rest):
-            for _ in range(3):
+            for _ in range(4):
                 if fi < len(front):
                     ordered.append(front[fi])
                     fi += 1

@@ -264,6 +264,35 @@ class PartitionedVersionedTable:
         self._commit_manifest(next_v, current)
         return next_v
 
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Reclaim generation directories no manifest in the retained
+        window references (VersionedTable.vacuum's twin for the manifest
+        model): keep the newest ``keep_last`` versions' manifests, drop
+        older manifests, then delete any partition generation dir none
+        of the survivors point at. Time travel within the window stays
+        intact; returns the removed relative paths."""
+        import shutil
+
+        vs = self.versions()
+        keep_vs = vs[-keep_last:] if keep_last else []
+        live = {rel for v in keep_vs for rel in self._manifest(v).values()}
+        removed: list[str] = []
+        for v in vs:
+            if v not in keep_vs:
+                os.remove(os.path.join(self.path, "_manifests", f"m{v:08d}.json"))
+        data_root = os.path.join(self.path, "_data")
+        if os.path.isdir(data_root):
+            for part_dir in sorted(os.listdir(data_root)):
+                pdir = os.path.join(data_root, part_dir)
+                if not os.path.isdir(pdir):
+                    continue
+                for gen in sorted(os.listdir(pdir)):
+                    rel = os.path.join("_data", part_dir, gen)
+                    if rel not in live:
+                        shutil.rmtree(os.path.join(data_root, part_dir, gen))
+                        removed.append(rel)
+        return removed
+
     # -- read side -------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

@@ -194,3 +194,35 @@ def test_write_full_is_one_write_job(spark, sf_dir, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("write_full_one_pass")
     assert len(jobs) < 5, f"write_full ran {len(jobs)} jobs for 5 partitions"
     assert _rows(pvt.read(v)) == _rows(orders)
+
+
+def test_partitioned_vacuum_reclaims_unreferenced_generations(spark, tmp_path):
+    """PVT vacuum drops manifests outside the retention window and every
+    generation dir no surviving manifest references; reads within the
+    window keep working."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    pvt = PartitionedVersionedTable(spark, str(tmp_path / "pv"), "p")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, p string, v long")  # noqa: E731
+    pvt.write_full(mk([(1, "a", 1), (2, "b", 2)]))
+    for i in range(3):  # 3 upserts touching partition a -> 3 generations of a
+        pvt.upsert(mk([(1, "a", 10 + i)]), "k")
+    assert len(pvt.versions()) == 4
+
+    def gen_count():
+        root = str(tmp_path / "pv" / "_data")
+        return sum(len(os.listdir(os.path.join(root, d))) for d in os.listdir(root))
+
+    before = gen_count()
+    removed = pvt.vacuum(keep_last=2)
+    assert removed and gen_count() == before - len(removed)
+    assert pvt.versions() == [3, 4]
+    # both retained versions still fully readable
+    assert {r.v for r in pvt.read(4).filter(F.col("k") == 1).collect()} == {12}
+    assert {r.v for r in pvt.read(3).filter(F.col("k") == 1).collect()} == {11}
+    # partition b's single generation survived (referenced by both)
+    assert {r.v for r in pvt.read_partitions(["b"]).collect()} == {2}

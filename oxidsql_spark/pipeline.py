@@ -28,9 +28,12 @@ def build_training_corpus(
     out_dir: str | None = None,
     min_tokens: int = 10,
     max_stop_ratio: float = 0.9,
+    max_rep_ratio: float | None = None,
+    decontaminate: bool = False,
     observation: Optional[Observation] = None,
 ) -> DataFrame:
     """documents → cluster-level near-dup removal → quality filter →
+    (optional) repetition filter and benchmark decontamination →
     language tag → token counts; optionally written partitioned by
     predicted language. Returns the corpus DataFrame.
 
@@ -51,6 +54,22 @@ def build_training_corpus(
         docs.join(stats, "doc_id")
         .filter((F.col("n_tokens") >= min_tokens) & (F.col("stop_ratio") <= max_stop_ratio))
     )
+
+    # 2b. repetition gate (boilerplate/generated text) — per-row, fuses
+    # into the same scan stage
+    if max_rep_ratio is not None:
+        from .operators.corpus_ext import text_repetition_ratio
+
+        rep = text_repetition_ratio(spark, sf_dir).select("doc_id", "rep_ratio")
+        docs = docs.join(rep, "doc_id").filter(F.col("rep_ratio") <= max_rep_ratio)
+
+    # 2c. benchmark decontamination — drop any doc sharing 5-grams with
+    # the held-out set (broadcast anti-join on contaminated doc_ids)
+    if decontaminate:
+        from .operators.corpus_ext import decontaminate_ngram
+
+        dirty = decontaminate_ngram(spark, sf_dir).select("doc_id")
+        docs = docs.join(F.broadcast(dirty), "doc_id", "left_anti")
 
     # 3. language tag
     lang = text_langid(spark, sf_dir).select("doc_id", "lang_pred")

@@ -58,3 +58,30 @@ def test_pipeline_observe_metrics(spark, sf_dir):
         r.n_tokens for r in corpus.select("n_tokens").collect()
     )
     assert got["n_langs"] >= 1
+
+
+def test_pipeline_repetition_and_decontamination_gates(spark, sf_dir):
+    """The optional round-3 gates compose: every surviving doc respects
+    the repetition bound, and no survivor appears in the contamination
+    report."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.corpus_ext import (
+        decontaminate_ngram,
+        text_repetition_ratio,
+    )
+    from oxidsql_spark.pipeline import build_training_corpus
+
+    base = build_training_corpus(spark, sf_dir)
+    gated = build_training_corpus(
+        spark, sf_dir, max_rep_ratio=0.3, decontaminate=True
+    )
+    assert gated.count() <= base.count()
+
+    kept = {r.doc_id for r in gated.select("doc_id").collect()}
+    rep = {
+        r.doc_id: r.rep_ratio for r in text_repetition_ratio(spark, sf_dir).collect()
+    }
+    assert all(rep[d] <= 0.3 for d in kept)
+    dirty = {r.doc_id for r in decontaminate_ngram(spark, sf_dir).collect()}
+    assert not (kept & dirty)

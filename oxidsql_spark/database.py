@@ -139,6 +139,11 @@ class OxidSparkDatabase:
         self.storage_dir = storage_dir
         self._tables: dict[str, list[ColumnSpec]] = {}
         self._stats: dict = {}  # name -> OnlineTableStats
+        # single-row INSERT path: committed base plan + buffered rows, so
+        # N inserts cost ONE union node over one N-row local batch, not
+        # an N-deep union chain (plan depth stays O(1) per table)
+        self._view_base: dict[str, DataFrame] = {}
+        self._row_buf: dict[str, list[tuple]] = {}
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
             for name in sorted(os.listdir(storage_dir)):
@@ -190,12 +195,15 @@ class OxidSparkDatabase:
     def _commit(self, name: str, df: DataFrame) -> None:
         """Publish a table's new content: durable snapshot when backed by
         storage (readers of older versions are unaffected), else a temp
-        view swap."""
+        view swap. Commits reset the single-row insert buffer: the
+        committed plan becomes the new base the buffer unions onto."""
         if self.storage_dir:
             vt = self._vt(name)
             vt.write(df)
             df = vt.read()
         df.createOrReplaceTempView(name)
+        self._view_base[name] = df
+        self._row_buf[name] = []
 
     # -- statement router (the reference's parse → analyze → plan → run) --
 
@@ -315,15 +323,22 @@ class OxidSparkDatabase:
             )
         row = [self._convert(lit, spec) for lit, spec in zip(literals, specs)]
         schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
-        new = self.spark.createDataFrame([tuple(row)], schema)
-        existing = self.spark.table(name)
-        self._commit(name, existing.union(new))
+        if self.storage_dir:
+            new = self.spark.createDataFrame([tuple(row)], schema)
+            self._commit(name, self.spark.table(name).union(new))
+        else:
+            # buffered path: the view is always base ∪ one local batch of
+            # every buffered row — the plan stays 2 nodes deep no matter
+            # how many single-row inserts arrive (the old shape built an
+            # N-deep union chain whose analysis cost grew per statement)
+            buf = self._row_buf.setdefault(name, [])
+            buf.append(tuple(row))
+            base = self._view_base[name]
+            batch = self.spark.createDataFrame(buf, schema)
+            base.union(batch).createOrReplaceTempView(name)
         # online stats: the inserted row is driver-known — buffered
         # accumulation, zero extra jobs here (heap.rs:245-292 twin)
         self._stats[name].add_rows([tuple(row)])
-        # NOTE on scale: temp-view unions are for the interactive parity
-        # facade only; bulk ingest goes through DataFrame writes
-        # (df.write.parquet / saveAsTable) which this facade doesn't wrap.
         return None
 
     def _insert_select(self, stmt: str) -> None:
@@ -523,6 +538,8 @@ class OxidSparkDatabase:
         self.spark.catalog.dropTempView(name)
         del self._tables[name]
         self._stats.pop(name, None)
+        self._view_base.pop(name, None)
+        self._row_buf.pop(name, None)
         if self.storage_dir:
             import shutil
 

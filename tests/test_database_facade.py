@@ -188,3 +188,17 @@ def test_explain_statement(db):
     assert rows["python_evals"] == "0"
     assert "physical_plan" in rows and len(rows["physical_plan"]) > 100
     assert rows["exchanges"].isdigit()
+
+
+def test_insert_plan_depth_constant(spark):
+    """N single-row inserts must produce a 2-node view (base ∪ one
+    local batch), not an N-deep union chain — the interactive facade's
+    plan-depth guarantee."""
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t_depth (id INT)")
+    for i in range(30):
+        db.query(f"INSERT INTO t_depth VALUES ({i})")
+    plan = spark.table("t_depth")._jdf.queryExecution().analyzed().toString()
+    assert plan.count("Union") <= 1
+    assert spark.table("t_depth").count() == 30
+    assert {r.id for r in db.query("SELECT id FROM t_depth WHERE id < 3").collect()} == {0, 1, 2}

@@ -154,9 +154,27 @@ class OxidSparkDatabase:
                     self._tables[name] = [ColumnSpec(**c) for c in json.load(fh)]
                 df = self._vt(name).read()
                 df.createOrReplaceTempView(name)
-                # session restart: online stats live in memory (like the
-                # reference's — flushed only at checkpoints), so re-derive
-                self._new_stats(name).rebuild(df)
+                # session restart: restore the checkpointed stats blob
+                # (catalog/mod.rs:574-577 twin — no table rescan); fall
+                # back to a rebuild for pre-checkpoint directories
+                stats_f = os.path.join(storage_dir, name, "_stats.pkl")
+                if os.path.exists(stats_f):
+                    from pyspark.sql import types as T
+
+                    from .statistics import OnlineTableStats
+
+                    schema = T.StructType(
+                        [
+                            T.StructField(c.name, c.spark_type, True)
+                            for c in self._tables[name]
+                        ]
+                    )
+                    with open(stats_f, "rb") as fh:
+                        self._stats[name] = OnlineTableStats.loads(
+                            self.spark, schema, fh.read()
+                        )
+                else:
+                    self._new_stats(name).rebuild(df)
 
     def _vt(self, name: str):
         from .versioned import VersionedTable
@@ -185,6 +203,19 @@ class OxidSparkDatabase:
         if name not in self._stats:
             raise AnalyzerError(f"unknown table '{name}'")
         return self._stats[name]
+
+    def _save_stats(self, name: str) -> None:
+        """Checkpoint the table's stats blob next to its snapshots (the
+        reference serializes sketches into catalog VarBinary columns,
+        catalog/mod.rs:574-577). Atomic replace; driver-local, no jobs."""
+        if not self.storage_dir or name not in self._stats:
+            return
+        p = os.path.join(self.storage_dir, name, "_stats.pkl")
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(self._stats[name].dumps())
+        os.replace(tmp, p)
 
     def _stats_rebuild(self, name: str) -> None:
         """Delete/update path: plain HLL can't subtract (the reference's
@@ -339,6 +370,7 @@ class OxidSparkDatabase:
         # online stats: the inserted row is driver-known — buffered
         # accumulation, zero extra jobs here (heap.rs:245-292 twin)
         self._stats[name].add_rows([tuple(row)])
+        self._save_stats(name)
         return None
 
     def _insert_select(self, stmt: str) -> None:
@@ -386,6 +418,7 @@ class OxidSparkDatabase:
                     )
         self._commit(name, self.spark.table(name).union(cast))
         self._stats[name].update(cast)
+        self._save_stats(name)
         return None
 
     # -- UPDATE / DELETE / DROP (reference TODOs, README.md:51) ---------
@@ -412,6 +445,7 @@ class OxidSparkDatabase:
         if name in self._stats:
             self._stats[name].delete_batch(deleted)
         self._commit(name, remaining)
+        self._save_stats(name)
         return None
 
     def _update(self, stmt: str) -> None:
@@ -459,6 +493,7 @@ class OxidSparkDatabase:
             self._stats[name].delete_batch(touched)
             self._stats[name].update(touched_post)
         self._commit(name, updated)
+        self._save_stats(name)
         return None
 
     def merge(
@@ -529,6 +564,7 @@ class OxidSparkDatabase:
         result = joined if insert_unmatched else joined.filter(t_has)
         self._commit(target, result.select(*out))
         self._stats_rebuild(target)
+        self._save_stats(target)
         return None
 
     def _drop(self, stmt: str) -> None:

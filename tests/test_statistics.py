@@ -223,3 +223,32 @@ def test_online_stats_update_adjusts_without_rescan(spark):
     assert st.rowcount == 100
     assert st.ndv("grp") == 1
     assert abs(st.ndv("id") - 100) <= 5
+
+
+def test_stats_checkpoint_survives_reopen_without_rescan(spark, tmp_path):
+    """Durable facade: stats serialize next to the snapshots and a new
+    session restores them with NO table rescan (the reference persists
+    its sketch blobs into catalog VarBinary columns,
+    catalog/mod.rs:574-577)."""
+    from oxidsql_spark.database import OxidSparkDatabase
+    from oxidsql_spark.statistics import OnlineTableStats
+
+    d = str(tmp_path / "db")
+    db = OxidSparkDatabase(spark, storage_dir=d)
+    db.query("CREATE TABLE t_ck (id INT, name VARCHAR(50))")
+    db.query("INSERT INTO t_ck SELECT id, 'x' FROM range(200)")
+    db.query("DELETE FROM t_ck WHERE id >= 150")
+    want_ndv = db.stats("t_ck").ndv("id")
+
+    orig_rebuild = OnlineTableStats.rebuild
+    OnlineTableStats.rebuild = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("reopen must not rescan")
+    )
+    try:
+        db2 = OxidSparkDatabase(spark, storage_dir=d)
+        st = db2.stats("t_ck")
+        assert st.rowcount == 150
+        assert st.ndv("id") == want_ndv
+        assert st.estimate_cardinality("id < 75") > 0
+    finally:
+        OnlineTableStats.rebuild = orig_rebuild

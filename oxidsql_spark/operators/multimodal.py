@@ -197,3 +197,56 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _payloads(spark, sf_dir).mapInPandas(
         resample, schema="doc_id bigint, n_in bigint, n_out bigint"
     )
+
+
+_RESIZE_TARGET = 224
+_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_w int, out_h int, scale_pct int"
+)
+
+
+@register(
+    "mm_resize_batch",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             32 + (octet_length(encode(text)) % 64) AS width,
+             32 + (ascii(text) % 64) AS height
+      FROM documents)
+    SELECT doc_id, width, height,
+           CAST(round(width * {_RESIZE_TARGET}.0 / greatest(width, height)) AS INTEGER) AS out_w,
+           CAST(round(height * {_RESIZE_TARGET}.0 / greatest(width, height)) AS INTEGER) AS out_h,
+           CAST(round({_RESIZE_TARGET}.0 / greatest(width, height) * 100) AS INTEGER) AS scale_pct
+    FROM dims
+    """,
+)
+def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning (longest side → 224) via the
+    same Arrow mapInPandas discipline as mm_decode_features: decode dims
+    per batch, compute the target geometry vectorized in pandas. The
+    pixel transform itself is the stubbed codec step — a real deployment
+    swaps in PIL's resize inside the same batch loop; the Spark-side
+    shape (binary in, typed dims out, no shuffle) is what's under test.
+    Rounding stays half-away-from-zero on both engines (numpy floor(x+.5)
+    here, round() there — positive domain, so they agree)."""
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_image_stub(bytes(b)) for b in pdf["payload"]]
+            w = np.array([f["width"] for f in feats], dtype=np.float64)
+            h = np.array([f["height"] for f in feats], dtype=np.float64)
+            long_side = np.maximum(w, h)
+            s = _RESIZE_TARGET / long_side
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w.astype(np.int32),
+                    "height": h.astype(np.int32),
+                    "out_w": np.floor(w * s + 0.5).astype(np.int32),
+                    "out_h": np.floor(h * s + 0.5).astype(np.int32),
+                    "scale_pct": np.floor(s * 100 + 0.5).astype(np.int32),
+                }
+            )
+
+    return _payloads(spark, sf_dir).mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_winnow_fingerprint",
     "dedup_chunk_exact",
     "corpus_mix_sample",
+    "mm_resize_batch",
 )
 
 

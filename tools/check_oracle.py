@@ -43,8 +43,10 @@ def main() -> int:
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
     queries = load_all()
-    if names == ["ALL"]:
+    if not names or names == ["ALL"]:
         names = list(queries)
+    elif names == ["WINDOW"]:
+        names = list(queries)[:50]  # the external harness's checked prefix
     spark = get_spark()
     duck = duckdb.connect()
     for t in TABLES:

@@ -104,3 +104,48 @@ def test_repl_durable_db_path(spark, tmp_path, monkeypatch):
         in_stream=io.StringIO("SELECT i, s FROM t;\n\\q\n"), out=out2, db_path=db_dir
     )
     assert "seven" in out2.getvalue()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DML_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("insert"), st.integers(-100, 100)),
+        st.tuples(st.just("delete_lt"), st.integers(-50, 50)),
+        st.tuples(st.just("update_add"), st.integers(-10, 10)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_DML_OPS)
+def test_facade_dml_matches_model(spark, ops):
+    """Random INSERT/DELETE/UPDATE sequences through the SQL facade must
+    match a dict model exactly, and online stats' rowcount must track
+    without any ANALYZE/rebuild."""
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t_prop (id INT, v INT)")
+    model: dict[int, int] = {}
+    next_id = 0
+    for op, arg in ops:
+        if op == "insert":
+            db.query(f"INSERT INTO t_prop VALUES ({next_id}, {arg})")
+            model[next_id] = arg
+            next_id += 1
+        elif op == "delete_lt":
+            db.query(f"DELETE FROM t_prop WHERE v < {arg}")
+            model = {k: v for k, v in model.items() if not (v < arg)}
+        else:
+            db.query(f"UPDATE t_prop SET v = v + {arg} WHERE v >= 0")
+            model = {k: (v + arg if v >= 0 else v) for k, v in model.items()}
+        got = {r.id: r.v for r in db.query("SELECT id, v FROM t_prop").collect()}
+        assert got == model, f"after {op}({arg})"
+        assert db.stats("t_prop").rowcount == len(model)
+    db.query("DROP TABLE t_prop")

@@ -1061,3 +1061,89 @@ def udaf_acctbal_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(sumsq("cents").alias("sumsq_cents"))
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "orders_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey)
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM base
+    """,
+)
+def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) — the
+    classic per-entity scoring rollup. One grouped pass builds the three
+    metrics; the quintile windows run over the per-customer rollup
+    (≪ fact table), with custkey tie-breaks so ntile assignment is
+    engine-independent. The global max date joins as a broadcast 1-row
+    aggregate, not a collected literal."""
+    o = table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dbl(F.sum(money("o_totalprice"))).alias("monetary"),
+    )
+    gmax = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    base = base.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff(F.col("gmax"), F.col("last_order")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    )
+
+
+@register(
+    "customer_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY o_custkey),
+    tot AS (SELECT sum(revenue) AS total FROM rev)
+    SELECT o_custkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round(CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey)
+                      AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS cum_share,
+           CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey)
+                <= tot.total * 0.8 AS BOOLEAN) AS in_top80
+    FROM rev CROSS JOIN tot
+    """,
+)
+def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: cumulative revenue share per customer in
+    descending order, flagging the set that makes up the first 80% of
+    revenue. The running sum and the 80% test stay in exact decimal
+    (doubles only at output), so the flag can't flip on partial-agg
+    merge order. Windows run over the per-customer rollup, and the
+    grand total is a broadcast 1-row cross join."""
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("revenue"))
+    tot = rev.agg(F.sum("revenue").alias("total"))
+    w = W.orderBy(F.col("revenue").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum("revenue").over(w)
+    return rev.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        dbl(F.col("revenue")).alias("revenue"),
+        F.round(cum.cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
+        (cum <= F.col("total") * 0.8).alias("in_top80"),
+    )

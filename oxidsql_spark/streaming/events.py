@@ -15,6 +15,7 @@ column — parsed with get_json_object/from_json (JVM-side), never Python.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -642,4 +643,74 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.explode(F.from_json("props", "map<string,int>")).alias("prop_key", "prop_value"),
         )
+    )
+
+
+@register(
+    "events_dow_hour",
+    oracle="""
+    SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
+           hour(CAST(ts AS TIMESTAMP)) AS hod,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the temporal-pattern
+    rollup behind load forecasting and anomaly baselines. ≤168 output
+    groups regardless of input size, so the shuffle after partial
+    aggregation is constant-width at any scale. Spark's weekday() is
+    0=Monday; +1 matches DuckDB/ISO isodow (1=Monday) so the engines
+    agree on the bucket, unlike dayofweek() whose week origin differs."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "events_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             date_diff('second',
+                       lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                                        ORDER BY ts, event_id),
+                       CAST(ts AS TIMESTAMP)) AS gap_s
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_gaps,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+           min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: per-user gaps between consecutive events
+    (lag over an event_id-tie-broken total order, so both engines pair
+    identical neighbors), reduced to integer-second statistics. One
+    shuffle on user_id shared by the window and the aggregate — Catalyst
+    reuses the partitioning, no second exchange."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
     )

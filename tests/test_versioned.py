@@ -226,3 +226,33 @@ def test_partitioned_vacuum_reclaims_unreferenced_generations(spark, tmp_path):
     assert {r.v for r in pvt.read(3).filter(F.col("k") == 1).collect()} == {11}
     # partition b's single generation survived (referenced by both)
     assert {r.v for r in pvt.read_partitions(["b"]).collect()} == {2}
+
+
+def test_schema_evolution_across_snapshots(spark, tmp_path):
+    """Snapshots are self-contained: a later version may add a column;
+    time travel reads each version with ITS schema (the property file
+    formats get from immutable snapshot dirs)."""
+    from oxidsql_spark.versioned import VersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "evo"))
+    vt.write(spark.createDataFrame([(1, "a")], "k long, v string"))
+    vt.write(spark.createDataFrame([(1, "a", 9.5)], "k long, v string, score double"))
+    assert vt.read(1).columns == ["k", "v"]
+    assert vt.read(2).columns == ["k", "v", "score"]
+    assert vt.read().collect()[0].score == 9.5
+
+
+def test_partitioned_torn_manifest_invisible(spark, tmp_path):
+    """A crashed manifest write (leftover .tmp) must not surface as a
+    version, corrupt reads, or block the next commit."""
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    pvt = PartitionedVersionedTable(spark, str(tmp_path / "torn"), "p")
+    pvt.write_full(spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string"))
+    # simulate a torn commit
+    with open(str(tmp_path / "torn" / "_manifests" / ".m00000002.tmp"), "w") as fh:
+        fh.write('{"partial":')
+    assert pvt.versions() == [1]
+    assert pvt.read().count() == 2
+    v2 = pvt.upsert(spark.createDataFrame([(3, "a")], "k long, p string"), "k")
+    assert v2 == 2 and pvt.read().count() == 3

@@ -253,3 +253,79 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
     )
+
+
+# -- persisted IVF index (the production build-once/query-many shape) ----
+
+
+def build_ivf_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the IVF assignment table (vec_id, cell, v, nrm), written
+    PARTITIONED BY cell — the on-disk layout where a query's probed
+    cells map to partition directories, so the search scans only those
+    files. Written once per corpus snapshot, reused by every query
+    batch (same write-once discipline as dedup.build_fingerprint_table
+    and graph.build_pair_table)."""
+    n_cells = _IVF_CELLS
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("d", vec_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("v").alias("v"),
+            F.any_value("nrm").alias("nrm"),
+            F.max_by(
+                "cell", F.struct(F.col("d").alias("d"), (-F.col("cell")).alias("nc"))
+            ).alias("cell"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+
+
+def ann_ivf_prepared(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Search a PREBUILT IVF index: queries re-derive their probed cells
+    against the (broadcast-size) centroid set, then scan only those
+    cells' partitions of the index — partition pruning does the cell
+    restriction, no recomputation of assignments. Result is identical
+    to ann_ivf_coarse (equivalence-tested)."""
+    n_cells, n_probe = _IVF_CELLS, _IVF_PROBE
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .join(F.broadcast(cents))
+        .withColumn("d", vec_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy("vec_id").orderBy(F.col("d").desc(), "cell")),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm"), "cell")
+    )
+    idx = spark.read.parquet(index_path)
+    scored = (
+        idx.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("sim", vec_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
+    )

@@ -199,3 +199,22 @@ def test_prepared_pair_table_clusters_match_direct(spark, sf_dir, tmp_path):
         (r.doc_id, r.cluster_id) for r in dedup_clusters(spark, sf_dir).collect()
     }
     assert prepared == direct
+
+
+def test_prepared_ivf_index_matches_direct(spark, sf_dir, tmp_path):
+    """The persisted IVF index path must return exactly what the direct
+    IVF query computes, and its probe must prune to the probed cells'
+    partitions."""
+    from oxidsql_spark.operators.similarity import (
+        ann_ivf_coarse,
+        ann_ivf_prepared,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(spark, sf_dir, idx)
+    prepared = ann_ivf_prepared(spark, sf_dir, idx)
+    direct = ann_ivf_coarse(spark, sf_dir)
+    assert sorted(map(tuple, prepared.collect())) == sorted(map(tuple, direct.collect()))
+    plan = prepared._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()

@@ -714,3 +714,39 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_s").alias("min_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+def stream_anomaly_scored(
+    spark: SparkSession, source_dir: str, sf_dir: str
+) -> DataFrame:
+    """Train-batch / score-stream: the per-type moment table computed in
+    batch (events_anomaly's exact integer moments) broadcast-joins a
+    live stream, flagging z²>9 events as they arrive — the standard
+    shape for model-based stream scoring (static model side, streaming
+    fact side; stream-static joins need no state store at all). The
+    emitted flag set over a full replay equals the batch operator's."""
+    stats = (
+        table(spark, sf_dir, "events")
+        .select("event_type", (money("value") * 100).cast("decimal(38,0)").alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum("vc").cast("decimal(38,0)").alias("s"),
+            F.sum(F.col("vc") * F.col("vc")).cast("decimal(38,0)").alias("q"),
+        )
+    )
+    s = _stream_source(spark, source_dir, watermark=False).select(
+        "event_id",
+        "event_type",
+        (money("value") * 100).cast("decimal(38,0)").alias("vc"),
+    )
+    j = s.join(F.broadcast(stats), "event_type")
+    a = F.col("vc") * F.col("n") - F.col("s")
+    b = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    zsq = (a * a * (F.col("n") - 1)).cast("double") / (F.col("n") * b).cast("double")
+    return (
+        j.filter((F.col("n") > 1) & (b > 0))
+        .withColumn("zsq", zsq)
+        .filter(F.col("zsq") > 9)
+        .select("event_id", "event_type", F.round("zsq", 4).alias("zsq"))
+    )

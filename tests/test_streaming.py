@@ -163,3 +163,23 @@ def test_stream_parquet_sink_with_checkpoint(spark, sf_dir, stream_dir, tmp_path
     batch = {tuple(r) for r in events_hourly(spark, sf_dir).collect()}
     assert got <= batch          # nothing emitted that batch wouldn't produce
     assert len(got) >= len(batch) - 3  # all but the watermark-open tail windows
+
+
+def test_stream_anomaly_scoring_equals_batch(spark, sf_dir, stream_dir):
+    """Stream-static scoring: replaying the events as a stream against
+    the broadcast batch moments flags exactly the events the batch
+    operator flags (append mode — stateless join, no store)."""
+    from oxidsql_spark.streaming.events import events_anomaly, stream_anomaly_scored
+
+    scored = stream_anomaly_scored(spark, stream_dir, sf_dir)
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("anom_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = _rows(spark.table("anom_mem"))
+    want = _rows(events_anomaly(spark, sf_dir))
+    assert got == want

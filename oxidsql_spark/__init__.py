@@ -12,14 +12,20 @@ choose the physical strategy (broadcast vs shuffle join, whole-stage
 codegen, AQE re-planning).  Nothing is interpreted tuple-at-a-time.
 
 Layout:
-  session.py    — SparkSession factory with CBO/AQE/Arrow configs
+  session.py    — SparkSession factory (CBO/AQE/Arrow/runtime-filter configs)
   sources/      — parquet table loaders (the driver's TPC-H-ish testdata)
   registry.py   — query registry: name -> (spark_fn, duckdb oracle SQL)
-  operators/    — relational + dedup + similarity + text + multimodal ops
+  operators/    — relational + tpch + corpus + dedup + similarity + text
+                  + multimodal + graph ops
   functions/    — reusable column expressions (vector math, text stats)
   streaming/    — Structured Streaming twins of the batch event queries
-  database.py   — OxidSQL-parity facade (CREATE TABLE / INSERT / SELECT)
-  statistics.py — sample-based selectivity + NDV estimation (reference §4)
+  database.py   — OxidSQL-parity SQL facade (CREATE/INSERT/SELECT/DML/EXPLAIN)
+  statistics.py — sample-based selectivity, partial-match fallback, and a
+                  delete-capable Counting-HLL (reference §4 twins)
+  versioned.py  — snapshot/manifest tables (time travel, MERGE, vacuum)
+  sinks.py      — format writers, bucketed/partitioned layout, compaction
+  pipeline.py   — end-to-end training-corpus composition
+  plans/        — plan introspection (pushdown/join/exchange summary)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

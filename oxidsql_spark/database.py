@@ -64,7 +64,10 @@ class ColumnSpec:
 
     @property
     def spark_type(self) -> T.DataType:
-        return _TYPE_MAP[self.type_name]
+        t = _TYPE_MAP.get(self.type_name)
+        # CTAS passthrough: results may carry types beyond the reference's
+        # five (double, date, decimal(p,s), …) — parse the simpleString
+        return t if t is not None else T._parse_datatype_string(self.type_name)
 
     def sql_repr(self) -> str:
         if self.length is not None:
@@ -91,6 +94,10 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.IGNORECASE | re.DOTALL
 )
 _DROP_RE = re.compile(r"^\s*DROP\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
+)
+_TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -240,8 +247,14 @@ class OxidSparkDatabase:
 
     def query(self, sql: str) -> DataFrame | None:
         s = sql.strip()
+        cm = _CTAS_RE.match(s)
+        if cm:
+            return self._create_table_as(cm.group(1).lower(), cm.group(2))
         if _CREATE_RE.match(s):
             return self._create_table(s)
+        tm = _TRUNCATE_RE.match(s)
+        if tm:
+            return self._delete(f"DELETE FROM {tm.group(1)}")
         if _INSERT_SELECT_RE.match(s):
             return self._insert_select(s)
         if _INSERT_RE.match(s):
@@ -297,6 +310,34 @@ class OxidSparkDatabase:
         ]
         return self.spark.createDataFrame(rows, "item string, detail string")
 
+    def _create_table_as(self, name: str, select_sql: str) -> None:
+        """CREATE TABLE AS SELECT: schema inferred from the query result
+        (reference types map back to their names; anything beyond the
+        reference's five — double, date, decimal — passes through). The
+        result materializes like any committed table: durable snapshot
+        under storage_dir, temp view otherwise; stats build from the
+        materialized rows."""
+        if name in self._tables:
+            raise AnalyzerError(f"table '{name}' already exists")
+        df = self.sql(select_sql)
+        inverse = {
+            "bigint": "bigint",
+            "int": "int",
+            "smallint": "smallint",
+            "string": "varchar",
+            "binary": "varbinary",
+        }
+        specs = []
+        for f in df.schema.fields:
+            ss = f.dataType.simpleString()
+            specs.append(ColumnSpec(f.name.lower(), inverse.get(ss, ss)))
+        self._tables[name] = specs
+        self._persist_schema(name)
+        self._commit(name, df)
+        self._new_stats(name).rebuild(self.spark.table(name))
+        self._save_stats(name)
+        return None
+
     # -- CREATE TABLE ----------------------------------------------------
 
     def _create_table(self, stmt: str) -> None:
@@ -326,17 +367,21 @@ class OxidSparkDatabase:
             raise AnalyzerError("duplicate column name")
         schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
         empty = self.spark.createDataFrame([], schema)
-        if self.storage_dir:
-            import json
-
-            tdir = os.path.join(self.storage_dir, name)
-            os.makedirs(tdir, exist_ok=True)
-            with open(os.path.join(tdir, "_schema.json"), "w") as fh:
-                json.dump([c.__dict__ for c in specs], fh)
-        self._commit(name, empty)
         self._tables[name] = specs
+        self._persist_schema(name)
+        self._commit(name, empty)
         self._new_stats(name)
         return None
+
+    def _persist_schema(self, name: str) -> None:
+        if not self.storage_dir:
+            return
+        import json
+
+        tdir = os.path.join(self.storage_dir, name)
+        os.makedirs(tdir, exist_ok=True)
+        with open(os.path.join(tdir, "_schema.json"), "w") as fh:
+            json.dump([c.__dict__ for c in self._tables[name]], fh)
 
     # -- INSERT INTO … VALUES -------------------------------------------
 

@@ -202,3 +202,29 @@ def test_insert_plan_depth_constant(spark):
     assert plan.count("Union") <= 1
     assert spark.table("t_depth").count() == 30
     assert {r.id for r in db.query("SELECT id FROM t_depth WHERE id < 3").collect()} == {0, 1, 2}
+
+
+def test_ctas_and_truncate(spark, tmp_path):
+    """CREATE TABLE AS SELECT infers the schema from the result
+    (reference types + passthrough for doubles etc.); TRUNCATE empties
+    but keeps the table. Durable path round-trips through reopen."""
+    d = str(tmp_path / "ctas_db")
+    db = OxidSparkDatabase(spark, storage_dir=d)
+    db.query("CREATE TABLE src (id INT, v INT)")
+    db.query("INSERT INTO src SELECT id, id * 2 FROM range(10)")
+    db.query("CREATE TABLE derived AS SELECT id, v / 2.0E0 AS score FROM src WHERE id >= 5")
+    assert db.query("SELECT count(*) AS n FROM derived").collect()[0].n == 5
+    cols = {r.col_name: r.data_type for r in db.query("DESCRIBE derived").collect()}
+    assert cols["score"] == "DOUBLE" and cols["id"] == "INT"
+    assert db.stats("derived").rowcount == 5
+
+    # survives reopen (schema + rows + stats)
+    db2 = OxidSparkDatabase(spark, storage_dir=d)
+    assert db2.query("SELECT count(*) AS n FROM derived").collect()[0].n == 5
+    assert db2.stats("derived").rowcount == 5
+
+    db2.query("TRUNCATE TABLE derived")
+    assert db2.query("SELECT count(*) AS n FROM derived").collect()[0].n == 0
+    assert db2.stats("derived").rowcount == 0
+    db2.query("INSERT INTO src VALUES (99, 1)")  # other tables unaffected
+    assert db2.query("SELECT count(*) AS n FROM src").collect()[0].n == 11

@@ -98,6 +98,11 @@ _CTAS_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(\w+)\s+AS\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
 )
 _TRUNCATE_RE = re.compile(r"^\s*TRUNCATE\s+TABLE\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -151,6 +156,7 @@ class OxidSparkDatabase:
         # an N-deep union chain (plan depth stays O(1) per table)
         self._view_base: dict[str, DataFrame] = {}
         self._row_buf: dict[str, list[tuple]] = {}
+        self._views: dict[str, str] = {}  # view name -> defining SELECT
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
             for name in sorted(os.listdir(storage_dir)):
@@ -255,6 +261,27 @@ class OxidSparkDatabase:
         tm = _TRUNCATE_RE.match(s)
         if tm:
             return self._delete(f"DELETE FROM {tm.group(1)}")
+        vm = _CREATE_VIEW_RE.match(s)
+        if vm:
+            # logical view: the defining SQL is stored and re-resolved
+            # against the base tables' CURRENT state on every query —
+            # necessary because the facade's commits SWAP the base temp
+            # views, and a DataFrame captured at definition time would
+            # pin the old snapshot (Spark analyzes plans eagerly)
+            vname = vm.group(1).lower()
+            if vname in self._tables:
+                raise AnalyzerError(f"'{vname}' is a table")
+            self.sql(vm.group(2))  # validate now: analysis errors surface here
+            self._views[vname] = vm.group(2)
+            return None
+        dv = _DROP_VIEW_RE.match(s)
+        if dv:
+            vname = dv.group(1).lower()
+            if vname not in self._views:
+                raise AnalyzerError(f"unknown view '{vname}'")
+            self.spark.catalog.dropTempView(vname)
+            del self._views[vname]
+            return None
         if _INSERT_SELECT_RE.match(s):
             return self._insert_select(s)
         if _INSERT_RE.match(s):
@@ -285,7 +312,11 @@ class OxidSparkDatabase:
 
     def sql(self, q: str) -> DataFrame:
         """SELECT path — handed to Catalyst (parser/analyzer/optimizer all
-        subsumed; see SURVEY §3 lifecycle mapping)."""
+        subsumed; see SURVEY §3 lifecycle mapping). Logical views are
+        re-resolved first so they see the base tables' current state
+        (definition order, so views over views compose)."""
+        for vname, vsql in self._views.items():
+            self.spark.sql(vsql).createOrReplaceTempView(vname)
         return self.spark.sql(q)
 
     def _explain(self, select_sql: str) -> DataFrame:

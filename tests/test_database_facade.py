@@ -228,3 +228,23 @@ def test_ctas_and_truncate(spark, tmp_path):
     assert db2.stats("derived").rowcount == 0
     db2.query("INSERT INTO src VALUES (99, 1)")  # other tables unaffected
     assert db2.query("SELECT count(*) AS n FROM src").collect()[0].n == 11
+
+
+def test_create_view_tracks_base_table(spark):
+    """A view is a lazy plan over the base table's name — it reflects
+    rows inserted AFTER the view was defined."""
+    import pytest as _pytest
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE base_v (id INT, v INT)")
+    db.query("INSERT INTO base_v VALUES (1, 10)")
+    db.query("CREATE VIEW big_v AS SELECT id, v FROM base_v WHERE v >= 10")
+    assert db.query("SELECT count(*) AS n FROM big_v").collect()[0].n == 1
+    db.query("INSERT INTO base_v VALUES (2, 20)")
+    db.query("INSERT INTO base_v VALUES (3, 5)")
+    assert db.query("SELECT count(*) AS n FROM big_v").collect()[0].n == 2
+    with _pytest.raises(AnalyzerError):
+        db.query("CREATE VIEW base_v AS SELECT 1")  # name collision
+    db.query("DROP VIEW big_v")
+    with _pytest.raises(AnalyzerError):
+        db.query("DROP VIEW big_v")

@@ -103,6 +103,9 @@ _CREATE_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.+?)\s*;?\s*$", re.IGNORECASE
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -282,6 +285,9 @@ class OxidSparkDatabase:
             self.spark.catalog.dropTempView(vname)
             del self._views[vname]
             return None
+        am = _ALTER_ADD_RE.match(s)
+        if am:
+            return self._alter_add_column(am.group(1).lower(), am.group(2))
         if _INSERT_SELECT_RE.match(s):
             return self._insert_select(s)
         if _INSERT_RE.match(s):
@@ -402,6 +408,39 @@ class OxidSparkDatabase:
         self._persist_schema(name)
         self._commit(name, empty)
         self._new_stats(name)
+        return None
+
+    def _alter_add_column(self, name: str, col_src: str) -> None:
+        """ALTER TABLE … ADD COLUMN (reference has no ALTER at all):
+        existing rows get NULL — a metadata change plus one view/snapshot
+        commit; the versioned backend records it as a new snapshot whose
+        schema differs (time travel to older versions keeps the old
+        schema, tested in test_versioned.py::schema_evolution)."""
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        cm = _COL_RE.match(col_src)
+        if not cm:
+            raise AnalyzerError(f"cannot parse column definition: {col_src!r}")
+        col_name = cm.group(1).lower()
+        if col_name in {c.name for c in self._tables[name]}:
+            raise AnalyzerError(f"column '{col_name}' already exists")
+        type_src = cm.group(2).upper().replace(" ", "")
+        if type_src.startswith("VARCHAR"):
+            spec = ColumnSpec(col_name, "varchar", int(cm.group(3)))
+        elif type_src.startswith("VARBINARY"):
+            spec = ColumnSpec(col_name, "varbinary", int(cm.group(4)))
+        elif type_src in ("INT", "INTEGER"):
+            spec = ColumnSpec(col_name, "int")
+        else:
+            spec = ColumnSpec(col_name, type_src.lower())
+        widened = self.spark.table(name).withColumn(
+            col_name, F.lit(None).cast(spec.spark_type)
+        )
+        self._tables[name] = self._tables[name] + [spec]
+        self._persist_schema(name)
+        self._commit(name, widened)
+        self._new_stats(name).rebuild(self.spark.table(name))
+        self._save_stats(name)
         return None
 
     def _persist_schema(self, name: str) -> None:

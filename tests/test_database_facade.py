@@ -248,3 +248,24 @@ def test_create_view_tracks_base_table(spark):
     db.query("DROP VIEW big_v")
     with _pytest.raises(AnalyzerError):
         db.query("DROP VIEW big_v")
+
+
+def test_alter_table_add_column(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: existing rows read NULL, inserts carry the
+    new arity, the durable backend records a schema-evolved snapshot."""
+    d = str(tmp_path / "alter_db")
+    db = OxidSparkDatabase(spark, storage_dir=d)
+    db.query("CREATE TABLE t_alter (id INT)")
+    db.query("INSERT INTO t_alter VALUES (1)")
+    db.query("ALTER TABLE t_alter ADD COLUMN note VARCHAR(20)")
+    rows = db.query("SELECT id, note FROM t_alter").collect()
+    assert [(r.id, r.note) for r in rows] == [(1, None)]
+    db.query("INSERT INTO t_alter VALUES (2, 'new')")
+    got = sorted((r.id, r.note) for r in db.query("SELECT * FROM t_alter").collect())
+    assert got == [(1, None), (2, "new")]
+    with pytest.raises(AnalyzerError, match="already exists"):
+        db.query("ALTER TABLE t_alter ADD COLUMN note INT")
+    # reopen sees the evolved schema
+    db2 = OxidSparkDatabase(spark, storage_dir=d)
+    desc = {r.col_name: r.data_type for r in db2.query("DESCRIBE t_alter").collect()}
+    assert desc == {"id": "INT", "note": "VARCHAR(20)"}

@@ -750,3 +750,17 @@ def stream_anomaly_scored(
         .filter(F.col("zsq") > 9)
         .select("event_id", "event_type", F.round("zsq", 4).alias("zsq"))
     )
+
+
+def stream_dow_hour(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming twin of events_dow_hour: the dow×hour heatmap as an
+    update-mode aggregation. The grouping keys derive from event time but
+    are NOT windows — state is permanently ≤168 rows, so no watermark is
+    needed (nothing to evict; the heatmap is cumulative by design)."""
+    s = _stream_source(spark, source_dir, watermark=False)
+    return s.groupBy(
+        (F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("n_users_approx"),
+    )

@@ -183,3 +183,14 @@ def test_stream_anomaly_scoring_equals_batch(spark, sf_dir, stream_dir):
     got = _rows(spark.table("anom_mem"))
     want = _rows(events_anomaly(spark, sf_dir))
     assert got == want
+
+
+def test_stream_dow_hour_counts_equal_batch(spark, sf_dir, stream_dir):
+    """The streaming heatmap's exact counts equal the batch operator's
+    after a full replay (complete mode; constant 168-row state)."""
+    from oxidsql_spark.streaming.events import events_dow_hour, stream_dow_hour
+
+    stream = run_stream_to_memory(spark, stream_dow_hour(spark, stream_dir), "dow_mem")
+    got = {(r.dow, r.hod): r.n_events for r in stream.collect()}
+    want = {(r.dow, r.hod): r.n_events for r in events_dow_hour(spark, sf_dir).collect()}
+    assert got == want

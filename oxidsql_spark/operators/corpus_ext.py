@@ -401,3 +401,51 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("rate").alias("target_pct"),
         )
     )
+
+
+@register(
+    "text_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    freq AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    lp AS (SELECT term, CAST(round(ln(c / tot.n), 6) AS DECIMAL(12,6)) AS logp
+           FROM freq CROSS JOIN tot)
+    SELECT terms.doc_id,
+           count(*) AS n_tokens,
+           round(CAST(-sum(lp.logp) AS DOUBLE) / count(*), 4) AS avg_nll
+    FROM terms JOIN lp USING (term)
+    GROUP BY terms.doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: average negative log-likelihood of
+    each document under the corpus's own unigram language model — the
+    cheap statistical fluency filter (gibberish and boilerplate score
+    far from the corpus mean).
+
+    Determinism discipline: raw double log-probs summed per doc would be
+    partial-agg order-dependent, so each token's ln(p) is QUANTIZED to
+    decimal(12,6) first — the per-doc sum is then exact at any
+    parallelism, and the single double division happens at the end.
+    Scale shape: the unigram table is vocabulary-sized (≪ corpus,
+    broadcastable); one explode + one (doc_id) aggregation."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("n"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(F.log(F.col("c") / F.col("n")), 6).cast("decimal(12,6)").alias("logp"),
+    )
+    return (
+        terms.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round((-F.sum("logp")).cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_nll"
+            ),
+        )
+    )

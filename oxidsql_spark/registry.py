@@ -44,7 +44,7 @@ _LOADED = False
 # harness checks a bounded prefix of queries() per round, so ordering is
 # test-coverage prioritization.  Policy (fixed at authoring time, never
 # derived from runtime files, so a fresh clone orders identically):
-# names listed here interleave 4:1 with the remaining queries in module
+# names listed here interleave 5:1 with the remaining queries in module
 # registration order — a checked prefix therefore always mixes
 # not-yet-exercised queries with a sample of long-stable ones, so
 # stable queries keep being re-verified instead of rotating out.
@@ -96,6 +96,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_chunk_exact",
     "corpus_mix_sample",
     "mm_resize_batch",
+    "text_lm_score",
 )
 
 
@@ -123,7 +124,7 @@ def load_all() -> dict[str, Query]:
         ordered: list[str] = []
         fi = ri = 0
         while fi < len(front) or ri < len(rest):
-            for _ in range(4):
+            for _ in range(5):
                 if fi < len(front):
                     ordered.append(front[fi])
                     fi += 1

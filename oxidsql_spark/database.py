@@ -288,6 +288,11 @@ class OxidSparkDatabase:
         am = _ALTER_ADD_RE.match(s)
         if am:
             return self._alter_add_column(am.group(1).lower(), am.group(2))
+        if re.match(r"^\s*SHOW\s+VIEWS\s*;?\s*$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(n, d.strip()) for n, d in sorted(self._views.items())],
+                "view_name string, definition string",
+            )
         if _INSERT_SELECT_RE.match(s):
             return self._insert_select(s)
         if _INSERT_RE.match(s):

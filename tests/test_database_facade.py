@@ -245,7 +245,9 @@ def test_create_view_tracks_base_table(spark):
     assert db.query("SELECT count(*) AS n FROM big_v").collect()[0].n == 2
     with _pytest.raises(AnalyzerError):
         db.query("CREATE VIEW base_v AS SELECT 1")  # name collision
+    assert [r.view_name for r in db.query("SHOW VIEWS").collect()] == ["big_v"]
     db.query("DROP VIEW big_v")
+    assert db.query("SHOW VIEWS").collect() == []
     with _pytest.raises(AnalyzerError):
         db.query("DROP VIEW big_v")
 

@@ -35,6 +35,7 @@ def _read_model(vt: VersionedTable, version=None) -> dict[int, int]:
 
 
 @settings(
+    derandomize=True,
     max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
@@ -87,6 +88,7 @@ _POPS = st.lists(
 
 
 @settings(
+    derandomize=True,
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

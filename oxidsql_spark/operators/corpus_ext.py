@@ -1,7 +1,8 @@
 """Corpus-curation operators for a large-scale training-data pipeline:
 benchmark decontamination, deterministic stratified sampling, hash-based
-train/test splits, repetition-quality scoring, TF-IDF term weighting,
-and the quality-filter funnel.
+train/test splits, repetition- and perplexity-proxy quality scoring,
+TF-IDF term weighting, source-mix reporting/sampling, and the
+quality-filter funnel.
 
 These extend the reference's surface (OxidSQL has no text processing at
 all — README.md:34-55 stops at SELECT/INSERT/CREATE) toward the

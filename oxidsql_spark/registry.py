@@ -49,7 +49,10 @@ _LOADED = False
 # not-yet-exercised queries with a sample of long-stable ones, so
 # stable queries keep being re-verified instead of rotating out.
 # When adding a NEW query, append its name here (it has no verification
-# history anywhere yet).
+# history anywhere yet). At the START of a round, retire names whose
+# verification has since landed (drop them back into the stable pool)
+# and keep/promote any that are still unverified — then re-check the
+# window invariants (tests/test_registry.py locks them).
 _PRIORITY: tuple[str, ...] = (
     # streaming/events batch twins
     "events_hourly",

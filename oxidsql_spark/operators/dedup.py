@@ -573,3 +573,80 @@ def dedup_incremental_prepared(
         .join(corpus_fp, "fp", "left_anti")
         .drop("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: persisted MinHash signature table
+# ---------------------------------------------------------------------------
+
+
+def band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sig, band, bucket) — one row per LSH band. The
+    signature rides along so downstream joins can estimate similarity
+    without touching document text."""
+    rows_per_band = _MH_K // _MH_BANDS
+    return sig.select(
+        "doc_id",
+        "n_sh",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def build_minhash_table(spark: SparkSession, docs: DataFrame, out_path: str) -> None:
+    """Persist the corpus's banded MinHash signatures, partitioned by
+    band — the write-once artifact for incremental NEAR-dup (the
+    near-dup twin of dedup.build_fingerprint_table): each new crawl
+    batch probes the buckets instead of re-shingling the corpus."""
+    band_rows(minhash_signatures(docs)).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(out_path)
+
+
+def dedup_minhash_incremental(
+    spark: SparkSession, new_docs: DataFrame, table_path: str
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and the persisted corpus:
+    the batch's band buckets join the corpus's (band-partitioned scan,
+    batch side broadcastable), then candidates are scored by signature
+    agreement — estimated Jaccard = matching positions / K — with no
+    access to corpus text at all. Cost scales with the batch, not the
+    corpus."""
+    nb = band_rows(minhash_signatures(new_docs)).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("sig").alias("sig_n"),
+        "band",
+        "bucket",
+    )
+    corpus = spark.read.parquet(table_path).select(
+        F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_c"), "band", "bucket"
+    )
+    cand = (
+        corpus.join(F.broadcast(nb), ["band", "bucket"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "sig_n", "sig_c")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_n", "sig_c", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = agree.cast("double") / _MH_K
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 4))
+        .filter(F.col("est_jaccard") >= _JACCARD_T)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )

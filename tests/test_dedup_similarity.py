@@ -218,3 +218,38 @@ def test_prepared_ivf_index_matches_direct(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, prepared.collect())) == sorted(map(tuple, direct.collect()))
     plan = prepared._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+
+def test_incremental_minhash_recalls_cross_pairs(spark, sf_dir, tmp_path):
+    """Persisted-signature incremental near-dup: every exact >=T pair
+    spanning (new batch x existing corpus) must be recalled, without the
+    corpus text ever being read."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        build_minhash_table,
+        dedup_minhash_incremental,
+        dedup_ngram_jaccard,
+    )
+    from oxidsql_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    tpath = str(tmp_path / "mh")
+    build_minhash_table(spark, corpus, tpath)
+
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup_minhash_incremental(spark, new, tpath).collect()
+    }
+    exact = dedup_ngram_jaccard(spark, sf_dir).collect()
+    want = set()
+    for r in exact:
+        a_new, b_new = r.a_id % 5 == 0, r.b_id % 5 == 0
+        if a_new and not b_new:
+            want.add((r.a_id, r.b_id))
+        elif b_new and not a_new:
+            want.add((r.b_id, r.a_id))
+    assert want, "fixture must contain cross near-dup pairs"
+    assert want <= got  # full recall of exact cross pairs

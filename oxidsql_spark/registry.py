@@ -100,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_mix_sample",
     "mm_resize_batch",
     "text_lm_score",
+    "events_wau",
 )
 
 

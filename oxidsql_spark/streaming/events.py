@@ -764,3 +764,45 @@ def stream_dow_hour(spark: SparkSession, source_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.approx_count_distinct("user_id").alias("n_users_approx"),
     )
+
+
+@register(
+    "events_wau",
+    oracle="""
+    WITH days AS (
+      SELECT user_id,
+             unnest(generate_series(CAST(ts AS DATE),
+                                    CAST(ts AS DATE) + 6,
+                                    INTERVAL 1 DAY)) AS active_day
+      FROM events),
+    bounds AS (SELECT max(CAST(ts AS DATE)) AS max_day FROM events)
+    SELECT CAST(CAST(active_day AS DATE) AS VARCHAR) AS day,
+           count(DISTINCT user_id) AS wau
+    FROM days CROSS JOIN bounds
+    WHERE CAST(active_day AS DATE) <= bounds.max_day
+    GROUP BY 1
+    """,
+)
+def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) — the sliding
+    count-distinct that window frames cannot express (DISTINCT over a
+    range frame isn't supported anywhere). Implemented scale-correctly
+    by CONTRIBUTION EXPLODE: each event contributes its user to the 7
+    days it keeps active, then one groupBy(day) count-distinct. The 7×
+    row fan-out happens map-side (no pre-shuffle), and the aggregate
+    shuffles (day, user) pairs — bounded by actives, not events, after
+    partial dedup. Days beyond the observed range are clipped so no
+    partial trailing windows appear."""
+    e = table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    days = e.select(
+        "user_id",
+        F.explode(F.sequence(d, F.date_add(d, 6))).alias("active_day"),
+    )
+    bounds = e.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    return (
+        days.crossJoin(F.broadcast(bounds))
+        .filter(F.col("active_day") <= F.col("max_day"))
+        .groupBy(F.col("active_day").cast("string").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

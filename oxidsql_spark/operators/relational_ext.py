@@ -1147,3 +1147,74 @@ def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cum.cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
         (cum <= F.col("total") * 0.8).alias("in_top80"),
     )
+
+
+@register(
+    "orders_monthly_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS VARCHAR) AS month,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month,
+           CAST(revenue AS DOUBLE) AS revenue,
+           round((CAST(revenue AS DOUBLE) - CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(lag(revenue) OVER (ORDER BY month) AS DOUBLE) * 100, 4) AS growth_pct
+    FROM m
+    """,
+)
+def orders_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: decimal-exact monthly rollup,
+    then lag over the tiny time series. The subtraction happens on
+    exactly-equal decimals cast to double (one IEEE op each side), so
+    the percentage is engine-identical; first month's growth is NULL.
+    The window runs over ≤ dozens of rows — the fact shuffle is only
+    the month rollup."""
+    o = table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .cast("string")
+        .alias("month")
+    ).agg(F.sum(money("o_totalprice")).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w).cast("double")
+    return m.select(
+        "month",
+        dbl(F.col("revenue")).alias("revenue"),
+        F.round((F.col("revenue").cast("double") - prev) / prev * 100, 4).alias(
+            "growth_pct"
+        ),
+    )
+
+
+@register(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    pairs AS (SELECT prev, cur, count(*) AS n FROM seq
+              WHERE prev IS NOT NULL GROUP BY prev, cur)
+    SELECT prev, cur, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY prev), 4) AS p_transition
+    FROM pairs
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (the Markov view of user
+    journeys): consecutive-event pairs per user via a tie-broken lag,
+    counted and normalized to transition probabilities. One shuffle on
+    user_id for the sequencing; the matrix itself is |types|² rows, so
+    the normalizing window runs over a constant-size aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev"), F.col("event_type").alias("cur")
+    ).filter(F.col("prev").isNotNull())
+    pairs = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
+    share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("prev"))
+    return pairs.select("prev", "cur", "n", F.round(share, 4).alias("p_transition"))

@@ -44,7 +44,7 @@ _LOADED = False
 # harness checks a bounded prefix of queries() per round, so ordering is
 # test-coverage prioritization.  Policy (fixed at authoring time, never
 # derived from runtime files, so a fresh clone orders identically):
-# names listed here interleave 5:1 with the remaining queries in module
+# names listed here interleave 7:1 with the remaining queries in module
 # registration order — a checked prefix therefore always mixes
 # not-yet-exercised queries with a sample of long-stable ones, so
 # stable queries keep being re-verified instead of rotating out.
@@ -101,6 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_resize_batch",
     "text_lm_score",
     "events_wau",
+    "orders_monthly_growth",
+    "events_type_transitions",
 )
 
 
@@ -128,7 +130,7 @@ def load_all() -> dict[str, Query]:
         ordered: list[str] = []
         fi = ri = 0
         while fi < len(front) or ri < len(rest):
-            for _ in range(5):
+            for _ in range(7):
                 if fi < len(front):
                     ordered.append(front[fi])
                     fi += 1

@@ -1083,10 +1083,14 @@ def udaf_acctbal_sumsq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles) — the
     classic per-entity scoring rollup. One grouped pass builds the three
-    metrics; the quintile windows run over the per-customer rollup
-    (≪ fact table), with custkey tie-breaks so ntile assignment is
-    engine-independent. The global max date joins as a broadcast 1-row
+    metrics; each quintile is a two-phase ``distwindow.global_ntile``
+    (range-partitioned exact row number + driver-side bucket arithmetic)
+    instead of an unpartitioned ``ntile`` window, so no single task ever
+    sees all customers. Custkey tie-breaks keep the assignment
+    engine-independent; the global max date joins as a broadcast 1-row
     aggregate, not a collected literal."""
+    from .distwindow import global_ntile
+
     o = table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
@@ -1100,14 +1104,12 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary",
     )
-    return base.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).alias("r_score"),
-        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "o_custkey")).alias("f_score"),
-        F.ntile(5).over(W.orderBy(F.col("monetary").desc(), "o_custkey")).alias("m_score"),
+    scored = global_ntile(base, 5, ["recency_days", "o_custkey"], "r_score")
+    scored = global_ntile(scored, 5, [F.col("frequency").desc(), F.col("o_custkey")], "f_score")
+    scored = global_ntile(scored, 5, [F.col("monetary").desc(), F.col("o_custkey")], "m_score")
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
     )
 
 
@@ -1130,22 +1132,29 @@ def orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto / ABC analysis: cumulative revenue share per customer in
     descending order, flagging the set that makes up the first 80% of
-    revenue. The running sum and the 80% test stay in exact decimal
+    revenue. The running sum is a two-phase ``distwindow.global_cumsum``
+    (range-partitioned per-partition cumsum + broadcast prefix offsets)
+    rather than an unpartitioned window, so no single task sees the full
+    customer rollup. The cumsum and the 80% test stay in exact decimal
     (doubles only at output), so the flag can't flip on partial-agg
-    merge order. Windows run over the per-customer rollup, and the
-    grand total is a broadcast 1-row cross join."""
+    merge order; the grand total falls out of the prefix pass for free
+    and enters the plan as exact decimal literals."""
+    from decimal import Decimal
+
+    from .distwindow import global_cumsum
+
     o = table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("revenue"))
-    tot = rev.agg(F.sum("revenue").alias("total"))
-    w = W.orderBy(F.col("revenue").desc(), "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    cum_df, total = global_cumsum(
+        rev, "revenue", [F.col("revenue").desc(), F.col("o_custkey")], "_cum"
     )
-    cum = F.sum("revenue").over(w)
-    return rev.crossJoin(F.broadcast(tot)).select(
+    cum = F.col("_cum")
+    cut80 = F.lit(total) * F.lit(Decimal("0.8"))  # decimal*decimal: exact
+    return cum_df.select(
         "o_custkey",
         dbl(F.col("revenue")).alias("revenue"),
-        F.round(cum.cast("double") / F.col("total").cast("double"), 6).alias("cum_share"),
-        (cum <= F.col("total") * 0.8).alias("in_top80"),
+        F.round(cum.cast("double") / F.lit(float(total)), 6).alias("cum_share"),
+        (cum <= cut80).alias("in_top80"),
     )
 
 

@@ -242,23 +242,29 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: assign docs (in deterministic doc_id
     order) to shards of ~5000 tokens via a running token total — the
     training-data step that cuts a corpus into uniform work units.
-    A single global-ordered window is the spec; at 100 TB the same
-    assignment runs hierarchically (per-partition cumsums + a tiny
-    driver-side prefix-offset join) — the window here IS that plan under
-    Spark's range-partitioned window execution."""
+    The spec is a global-ordered running sum; a naive unpartitioned
+    window would execute as ``Exchange SinglePartition`` (one task over
+    the whole corpus), so the running total runs hierarchically instead:
+    ``distwindow.global_cumsum`` range-partitions on doc_id, cumsums
+    per partition in parallel, and broadcasts the O(num_partitions)
+    prefix offsets back.  Identical values to the oracle's window at any
+    parallelism — the cumsum is integer-exact, so merge order can't
+    change a shard boundary."""
+    from .distwindow import global_cumsum
+
     d = table(spark, sf_dir, "documents")
     toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
     sized = d.select("doc_id", toks.alias("n_tokens"))
-    return (
-        sized.withColumn(
-            "shard_id",
-            F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / 5000).cast("bigint"),
-        )
-        .orderBy("doc_id")
-    )
+    cum, _total = global_cumsum(sized, "n_tokens", ["doc_id"], "_cum")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.col("_cum") - F.col("n_tokens")).cast("double") / 5000)
+        .cast("bigint")
+        .alias("shard_id"),
+    ).orderBy("doc_id")
 
 
 # Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03

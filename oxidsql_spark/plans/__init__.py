@@ -38,6 +38,26 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def has_single_partition_window(df: DataFrame) -> bool:
+    """True if any Window operator's nearest downstream Exchange is
+    ``Exchange SinglePartition`` — i.e. Spark will compute the window in
+    ONE task over its whole input.  Inspected on the pre-execution
+    executedPlan (exchanges are inserted by EnsureRequirements, so
+    ``sparkPlan()`` would miss them).  The textual walk relies on a
+    Window node's child chain printing immediately below it, which holds
+    because Window is unary."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "windowspecdefinition" in ln and re.search(r"\bWindow\b", ln):
+            for nxt in lines[i + 1 :]:
+                if "Exchange" in nxt:
+                    if "SinglePartition" in nxt:
+                        return True
+                    break
+    return False
+
+
 @dataclass
 class PlanSummary:
     pushed_filters: list[str] = field(default_factory=list)

@@ -131,6 +131,32 @@ def test_all_benched_queries_scale_clean(spark, sf_dir):
             assert rs.count(",") <= 7, f"{name}: unpruned scan {rs[:80]}"
 
 
+# Queries whose global-ordered window runs over a provably tiny domain —
+# a bounded aggregate, not the data: source_mix (≤ ~20 distinct sources),
+# orders_monthly_growth (≤ ~80 months of TPC-H order dates).  A single
+# partition over dozens of rows is correct AND scale-safe.  Everything
+# else must window over a partitioned spec or use the two-phase
+# distwindow plan (range-partition → local cumsum → broadcast offsets).
+_TINY_DOMAIN_WINDOWS = {"source_mix", "orders_monthly_growth"}
+
+
+def test_no_single_partition_window_fleet_wide(spark, sf_dir):
+    """No registered query may compute a window over Exchange
+    SinglePartition (one task over the whole input — the canonical
+    100 TB bottleneck) unless its window input is a tiny bounded
+    domain. Locks the round-4 distwindow rewrites of corpus_shard_pack,
+    customer_pareto and orders_rfm against regression."""
+    from oxidsql_spark.plans import has_single_partition_window
+
+    offenders = []
+    for name, qq in sorted(load_all().items()):
+        if name in _TINY_DOMAIN_WINDOWS:
+            continue
+        if has_single_partition_window(qq.fn(spark, sf_dir)):
+            offenders.append(name)
+    assert not offenders, f"single-partition windows: {offenders}"
+
+
 def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
     """The session enables runtime bloom-filter join reduction (off by
     default in Spark): with broadcast disabled and the size gate lowered

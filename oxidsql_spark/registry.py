@@ -42,68 +42,60 @@ _LOADED = False
 
 # Static, committed front-of-registry list.  The external correctness
 # harness checks a bounded prefix of queries() per round, so ordering is
-# test-coverage prioritization.  Policy (fixed at authoring time, never
-# derived from runtime files, so a fresh clone orders identically):
-# names listed here interleave 7:1 with the remaining queries in module
-# registration order — a checked prefix therefore always mixes
-# not-yet-exercised queries with a sample of long-stable ones, so
-# stable queries keep being re-verified instead of rotating out.
-# When adding a NEW query, append its name here (it has no verification
-# history anywhere yet). At the START of a round, retire names whose
-# verification has since landed (drop them back into the stable pool)
-# and keep/promote any that are still unverified — then re-check the
-# window invariants (tests/test_registry.py locks them).
+# test-coverage prioritization.  Policy:
+#   * _PRIORITY holds queries with no driver-green verification yet —
+#     brand-new queries and ones whose implementation was rewritten this
+#     round.  When adding a NEW query, append its name here.  At the
+#     START of a round, retire names whose verification has since landed.
+#   * The remaining (stable) pool interleaves 7:1 behind the priority
+#     names, ordered STALEST-FIRST: by latest driver-green round
+#     ascending (from the committed CORRECTNESS_r*.json files — part of
+#     the clone, so a fresh checkout orders identically), registration
+#     order as tie-break.  Each round the checked prefix therefore
+#     re-verifies the least-recently-verified stable queries, and the
+#     whole pool cycles through the window every ~3 rounds instead of
+#     the same fixed sample being re-checked forever.
+# tests/test_registry.py locks the window invariants, including that
+# every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # streaming/events batch twins
-    "events_hourly",
-    "events_sliding",
-    "events_sessionize",
-    "events_user_stats",
-    "events_gapfill",
-    "events_json_props",
-    "events_props_map",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_click_purchase",
-    # tpch_ext shapes
-    "tpch_q2_mincost",
-    "tpch_q4_exists",
-    "tpch_q9_profit",
-    "tpch_q12_ship",
-    "tpch_q16_suppcnt",
-    "tpch_q21_waiting",
-    "tpch_q22_antibal",
-    # udtf / text
-    "udtf_chunk_documents",
-    "text_chunks_builtin",
-    # reworked this round (array columns stringified; UDAF rounding)
-    "list_agg",
-    "vector_quantize",
-    "udaf_acctbal_sumsq",
-    # new this round (corpus_ext)
-    "decontaminate_ngram",
-    "sample_stratified",
-    "train_test_split",
-    "text_repetition_ratio",
-    "tfidf_top_terms",
-    "quality_funnel",
-    "events_anomaly",
-    "source_mix",
-    "tpch_q11_importance",
-    "tpch_q20_dominant",
-    "hll_partial_union",
-    "events_variant_agg",
-    "agg_filter_clause",
-    "setop_bag_all",
-    "text_winnow_fingerprint",
-    "dedup_chunk_exact",
-    "corpus_mix_sample",
-    "mm_resize_batch",
-    "text_lm_score",
-    "events_wau",
-    "orders_monthly_growth",
-    "events_type_transitions",
+    # added mid-round-3 after the r3 window froze — never driver-checked
+    "orders_rfm",
+    "customer_pareto",
+    "events_dow_hour",
+    "events_interarrival",
+    # rewritten in round 4 (two-phase distributed windows / cheaper
+    # broadcast-cap guard) — re-verify under the driver
+    "corpus_shard_pack",
+    "dedup_embedding_cosine",
 )
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """Latest round each query was driver-green, parsed from the
+    committed CORRECTNESS_r*.json files at the repo root.  Missing or
+    unparsable files degrade to {} (pure registration order)."""
+    import json
+    import re
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, v in data.items():
+            if (
+                isinstance(v, dict)
+                and v.get("rows_match")
+                and v.get("schema_match")
+                and v.get("hash_match")
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def load_all() -> dict[str, Query]:
@@ -126,7 +118,12 @@ def load_all() -> dict[str, Query]:
 
         front = [n for n in _PRIORITY if n in QUERIES]
         in_front = set(front)
-        rest = [n for n in QUERIES if n not in in_front]
+        reg_index = {n: i for i, n in enumerate(QUERIES)}
+        green = _latest_green_rounds()
+        rest = sorted(
+            (n for n in QUERIES if n not in in_front),
+            key=lambda n: (green.get(n, 0), reg_index[n]),
+        )
         ordered: list[str] = []
         fi = ri = 0
         while fi < len(front) or ri < len(rest):

@@ -3,9 +3,37 @@ external harness's checked prefix keeps its composition guarantees."""
 
 from __future__ import annotations
 
-from oxidsql_spark.registry import _PRIORITY, load_all
+from oxidsql_spark.registry import _PRIORITY, _latest_green_rounds, load_all
 
 WINDOW = 50  # the external harness checks this many queries() entries
+
+
+def test_every_unverified_query_is_prioritized():
+    """Round-3 regression guard: a query registered without a single
+    driver-green row in any committed CORRECTNESS_r*.json MUST sit in
+    _PRIORITY, or it can fall outside the checked window and ship with
+    only in-repo verification (this happened to 4 queries in round 3)."""
+    green = _latest_green_rounds()
+    unverified = [n for n in load_all() if n not in green]
+    missing = [n for n in unverified if n not in _PRIORITY]
+    assert not missing, f"never-driver-verified queries not in _PRIORITY: {missing}"
+
+
+def test_stable_pool_rotates_stalest_first():
+    """The stable queries inside the checked window must be at most as
+    recently verified as every stable query excluded from it — i.e. the
+    window targets the least-recently-verified queries, so no stable
+    query's verification goes stale indefinitely."""
+    green = _latest_green_rounds()
+    if not green:
+        return  # fresh tree without correctness files: nothing to rotate on
+    names = list(load_all())
+    stable_in = [n for n in names[:WINDOW] if n not in set(_PRIORITY)]
+    stable_out = [n for n in names[WINDOW:] if n not in set(_PRIORITY)]
+    if stable_in and stable_out:
+        assert max(green.get(n, 0) for n in stable_in) <= min(
+            green.get(n, 0) for n in stable_out
+        ), "a stale stable query is excluded from the window while a fresher one is in"
 
 
 def test_priority_names_exist_and_unique():

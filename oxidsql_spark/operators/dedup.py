@@ -82,7 +82,7 @@ _JACCARD_ORACLE = f"""
     """
 
 
-@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+@register("dedup_ngram_jaccard", bench=True, oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via prefix filtering
     (the AllPairs/SSJoin similarity-join algorithm).
@@ -418,12 +418,21 @@ def embedding_cosine_pairs(
     would OOM the driver long before the O(n²) output mattered, so the
     operator routes to the LSH-bucketed candidate path (exact cosine
     verify on bucket candidates only — approximate recall, linear cost),
-    the same strategy similarity.ann_lsh_bucketed uses for search."""
+    the same strategy similarity.ann_lsh_bucketed uses for search.
+
+    The regime probe is `limit(cap+1).count()` over a 1-column
+    projection, not a full `count()`: CollectLimit stops the scan after
+    cap+1 rows and the projection never touches the vector column, so
+    the guard costs O(cap) rows regardless of corpus size (a full count
+    at 100 TB would be a whole extra scan just to pick a code path)."""
     import numpy as np
     import pandas as pd
 
-    n_rows = e.count()
-    if n_rows > broadcast_row_cap:
+    over_cap = (
+        e.select(F.lit(1).alias("one")).limit(broadcast_row_cap + 1).count()
+        > broadcast_row_cap
+    )
+    if over_cap:
         return _embedding_cosine_lsh_path(e, threshold)
     full = e.toPandas()  # the broadcastable side (one row per vector)
     ids_f = full["vec_id"].to_numpy()

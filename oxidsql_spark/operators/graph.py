@@ -56,7 +56,7 @@ _ORACLE = f"""
 """
 
 
-@register("dedup_clusters", oracle=_ORACLE)
+@register("dedup_clusters", bench=True, oracle=_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the exact Jaccard
     pair graph; cluster_id = smallest doc_id in the component (singleton

@@ -361,6 +361,11 @@ class OxidSparkDatabase:
         materialized rows."""
         if name in self._tables:
             raise AnalyzerError(f"table '{name}' already exists")
+        if name in self._views:
+            # mirror of the view-side "is a table" check: a table named
+            # like a view would be silently shadowed at query time by
+            # sql()'s per-query view re-resolution
+            raise AnalyzerError(f"'{name}' is a view")
         df = self.sql(select_sql)
         inverse = {
             "bigint": "bigint",
@@ -387,6 +392,11 @@ class OxidSparkDatabase:
         name, cols_src = m.group(1).lower(), m.group(2)
         if name in self._tables:
             raise AnalyzerError(f"table '{name}' already exists")
+        if name in self._views:
+            # mirror of the view-side "is a table" check: a table named
+            # like a view would be silently shadowed at query time by
+            # sql()'s per-query view re-resolution
+            raise AnalyzerError(f"'{name}' is a view")
         specs: list[ColumnSpec] = []
         for col_src in _split_top_level(cols_src):
             cm = _COL_RE.match(col_src)

@@ -353,7 +353,12 @@ class OnlineTableStats:
         of the surviving table. A value deleted while duplicates remain
         keeps its register alive (its counter stays positive) — exactly
         the property max-register HLLs cannot provide. The sample drops
-        deleted rows by anti-join (one job over the ≤1024-row sample)."""
+        deleted rows by a NULL-SAFE anti-join (one job over the
+        ≤1024-row sample): plain column equality would never match rows
+        carrying a NULL, so deleted NULL-bearing rows would linger in
+        the sample and skew selectivity estimates."""
+        from functools import reduce
+
         self._flush()
         n = self._fold_counts(deleted, sign=-1)
         if n == 0:
@@ -365,7 +370,11 @@ class OnlineTableStats:
                 [(p, *t) for p, t in self._sample],
                 ("__prio__ long, " + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in self.schema.fields)),
             )
-            kept = sample_df.join(deleted, cols, "left_anti").collect()
+            cond = reduce(
+                lambda a, b: a & b,
+                [sample_df[c].eqNullSafe(deleted[c]) for c in cols],
+            )
+            kept = sample_df.join(deleted, cond, "left_anti").collect()
             self._sample = sorted(
                 ((r["__prio__"], tuple(r[c] for c in cols)) for r in kept),
                 key=lambda t: t[0],

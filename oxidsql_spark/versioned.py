@@ -91,11 +91,18 @@ class VersionedTable:
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all but the newest `keep_last` committed snapshots plus
-        any uncommitted (crashed) directories. Returns removed versions."""
+        any uncommitted (crashed) directories. Returns removed versions.
+        ``keep_last`` must be >= 1 — keep_last=0 would delete every
+        committed snapshot (total table loss)."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError(
+                f"vacuum(keep_last={keep_last}): must keep at least the "
+                "newest version — keep_last=0 would delete the entire table"
+            )
         committed = self.versions()
-        removed = committed[:-keep_last] if keep_last else committed
+        removed = committed[:-keep_last]
         for v in removed:
             shutil.rmtree(self._vdir(v))
         for name in os.listdir(self.path):
@@ -270,11 +277,20 @@ class PartitionedVersionedTable:
         model): keep the newest ``keep_last`` versions' manifests, drop
         older manifests, then delete any partition generation dir none
         of the survivors point at. Time travel within the window stays
-        intact; returns the removed relative paths."""
+        intact; returns the removed relative paths.
+
+        ``keep_last`` must be >= 1: a zero/negative window would compute
+        an empty keep set and delete every manifest plus all generation
+        data — total table loss from a plausible-looking argument."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError(
+                f"vacuum(keep_last={keep_last}): must keep at least the "
+                "newest version — keep_last=0 would delete the entire table"
+            )
         vs = self.versions()
-        keep_vs = vs[-keep_last:] if keep_last else []
+        keep_vs = vs[-keep_last:]
         live = {rel for v in keep_vs for rel in self._manifest(v).values()}
         removed: list[str] = []
         for v in vs:

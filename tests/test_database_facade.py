@@ -252,6 +252,24 @@ def test_create_view_tracks_base_table(spark):
         db.query("DROP VIEW big_v")
 
 
+def test_create_table_rejects_view_name(spark):
+    """Mirror of the view-side 'is a table' check: a table named like an
+    existing view would be silently shadowed at query time by the
+    per-query view re-resolution."""
+    import pytest as _pytest
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE base_tv (id INT)")
+    db.query("INSERT INTO base_tv VALUES (1)")
+    db.query("CREATE VIEW v_tv AS SELECT id FROM base_tv")
+    with _pytest.raises(AnalyzerError):
+        db.query("CREATE TABLE v_tv (x INT)")
+    with _pytest.raises(AnalyzerError):
+        db.query("CREATE TABLE v_tv AS SELECT 1 AS x")
+    # the view still resolves to its definition
+    assert db.query("SELECT id FROM v_tv").collect()[0].id == 1
+
+
 def test_alter_table_add_column(spark, tmp_path):
     """ALTER TABLE ADD COLUMN: existing rows read NULL, inserts carry the
     new arity, the durable backend records a schema-evolved snapshot."""

@@ -202,6 +202,27 @@ def test_online_stats_delete_subtracts_without_rescan(spark):
     db.query("DROP TABLE t_cdel") if hasattr(db, "_drop") else None
 
 
+def test_delete_evicts_null_rows_from_sample(spark):
+    """Sample eviction on DELETE must be null-safe: with plain equality
+    the anti-join never matches rows carrying a NULL, so deleted
+    NULL-bearing rows would linger in the sample and skew estimates."""
+    from oxidsql_spark.database import OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t_nulldel (id INT, name VARCHAR(20))")
+    db.query(
+        "INSERT INTO t_nulldel SELECT CAST(id AS INT), "
+        "CASE WHEN id % 2 = 0 THEN NULL ELSE 'x' END FROM range(40)"
+    )
+    st = db.stats("t_nulldel")
+    assert any(t[1] is None for _, t in st._sample)  # NULLs sampled
+    db.query("DELETE FROM t_nulldel WHERE name IS NULL")
+    st = db.stats("t_nulldel")
+    assert st.rowcount == 20
+    assert all(t[1] is not None for _, t in st._sample), "NULL rows lingered"
+    assert st._sample, "eviction overshot: surviving rows were dropped too"
+
+
 def test_online_stats_update_adjusts_without_rescan(spark):
     """Facade UPDATE pairs a subtract (pre-image) with an add
     (post-image) on the counting sketches — no rebuild, rowcount

@@ -50,6 +50,26 @@ def test_versioned_lifecycle(spark, sf_dir, tmp_path):
     assert _rows(vt.read()) == _rows(nation)  # latest still readable
 
 
+def test_vacuum_rejects_empty_retention(spark, sf_dir, tmp_path):
+    """vacuum(keep_last=0) would compute an empty keep set and delete the
+    entire table — both backends must refuse it outright."""
+    import pytest
+
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    vt = VersionedTable(spark, str(tmp_path / "guard_vt"))
+    vt.write(table(spark, sf_dir, "region"))
+    with pytest.raises(ValueError):
+        vt.vacuum(keep_last=0)
+    assert vt.versions() == [1]  # nothing was deleted
+
+    pvt = PartitionedVersionedTable(spark, str(tmp_path / "guard_pvt"), "n_regionkey")
+    pvt.write_full(table(spark, sf_dir, "nation"))
+    with pytest.raises(ValueError):
+        pvt.vacuum(keep_last=0)
+    assert pvt.read().count() == 25
+
+
 def test_uncommitted_snapshot_invisible(spark, sf_dir, tmp_path):
     vt = VersionedTable(spark, str(tmp_path / "crash_vt"))
     vt.write(table(spark, sf_dir, "region"))

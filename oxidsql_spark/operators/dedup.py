@@ -82,6 +82,30 @@ _JACCARD_ORACLE = f"""
     """
 
 
+def _shingle_rows(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle) word-3-gram rows.
+
+    Shingles as ROWS (posexplode + window leads), not arrays: Spark's
+    higher-order array functions evaluate interpreted (outside codegen)
+    and Catalyst re-inlines the tokenizer into every lambda reference —
+    the row formulation stays entirely inside whole-stage codegen.
+    Shared by the Jaccard and containment similarity joins."""
+    tok_rows = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", k).over(wp) for k in range(1, _JACCARD_N)]
+    return (
+        tok_rows.select(
+            "doc_id", F.concat_ws(" ", *grams).alias("shingle"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+
+
 @register("dedup_ngram_jaccard", bench=True, oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs via prefix filtering
@@ -98,25 +122,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     with array_intersect on the full shingle sets. Hot shingles never
     generate candidates because they sort to the ends of the prefixes —
     this is what makes exact near-dup viable at corpus scale."""
-    # Shingles as ROWS (posexplode + window leads), not arrays: Spark's
-    # higher-order array functions evaluate interpreted (outside codegen)
-    # and Catalyst re-inlines the tokenizer into every lambda reference —
-    # the row formulation stays entirely inside whole-stage codegen.
     d = table(spark, sf_dir, "documents")
-    tok_rows = d.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
-    )
-    wp = W.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("tok")] + [F.lead("tok", k).over(wp) for k in range(1, _JACCARD_N)]
-    ex = (
-        tok_rows.select(
-            "doc_id", F.concat_ws(" ", *grams).alias("shingle"),
-            grams[-1].isNotNull().alias("complete"),
-        )
-        .filter("complete")
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    ex = _shingle_rows(d)
     n_tab = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ex = ex.join(n_tab, "doc_id")
 
@@ -160,6 +167,93 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         verified.filter(jac >= _JACCARD_T)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# Containment threshold: |A∩B| / |A| — asymmetric, so a small document
+# quoted inside a large one is caught even when Jaccard is tiny.
+_CONT_T = 0.7
+
+_CONTAIN_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_JACCARD_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             count(*) AS inter, any_value(a.n_sh) AS n_a
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT contained_id, container_id,
+           round(CAST(inter AS DOUBLE) / n_a, 4) AS containment
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / n_a >= {_CONT_T}
+    """
+
+
+@register("dedup_containment", oracle=_CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: |A∩B| / |A| >= t emits
+    (contained_id, container_id) — the quote/subset-detection primitive
+    Jaccard misses (a paragraph pasted into a book scores near-zero
+    Jaccard but containment ≈ 1).  The training-data use is boilerplate
+    and quotation removal where the smaller side duplicates.
+
+    Prefix filter, containment form: c(a,b) >= t forces
+    |a∩b| >= ceil(t·n_a), so removing a's last ceil(t·n_a)-1 shingles
+    (in the global document-frequency order, rarest first) still leaves
+    a shared shingle — candidates come from joining only A-side prefixes
+    (the rarest ~(1-t) fraction of each doc's shingles) against the full
+    inverted index; exact verification runs on candidates only.  Unlike
+    the Jaccard join there is no length-ratio bound (containment is the
+    point when sizes differ), so the B side is unpruned — hot shingles
+    are still never in an A-prefix, which keeps bucket fan-out bounded
+    by prefix df, and the banded-MinHash path remains the 100 TB default
+    when even that is too wide."""
+    d = table(spark, sf_dir, "documents")
+    ex = _shingle_rows(d)
+    n_tab = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = ex.join(n_tab, "doc_id")
+
+    df_tab = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    rk = W.partitionBy("doc_id").orderBy("sdf", "shingle")
+    # keep a's first n_a - ceil(t*n_a) + 1 rarest shingles
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(_CONT_T) * F.col("n_sh")) + 1
+    a_prefix = (
+        ex.join(df_tab, "shingle")
+        .withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") <= prefix_len)
+        .select(F.col("doc_id").alias("contained_id"), "shingle")
+    )
+    cand = (
+        a_prefix.join(
+            ex.select(F.col("doc_id").alias("container_id"), "shingle"), "shingle"
+        )
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    ea = ex.select(
+        F.col("doc_id").alias("contained_id"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    eb = ex.select(F.col("doc_id").alias("container_id"), "shingle")
+    verified = (
+        cand.join(ea, "contained_id")
+        .join(eb, ["container_id", "shingle"])
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("inter"), F.any_value("n_a").alias("n_a"))
+    )
+    c = F.col("inter").cast("double") / F.col("n_a")
+    return verified.filter(c >= _CONT_T).select(
+        "contained_id", "container_id", F.round(c, 4).alias("containment")
     )
 
 

@@ -67,6 +67,9 @@ _PRIORITY: tuple[str, ...] = (
     # broadcast-cap guard) — re-verify under the driver
     "corpus_shard_pack",
     "dedup_embedding_cosine",
+    # new in round 4
+    "dedup_containment",
+    "events_path_topk",
 )
 
 

@@ -806,3 +806,54 @@ def events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("active_day").cast("string").alias("day"))
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "events_path_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= 5 GROUP BY user_id)
+    SELECT path, count(*) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path LIMIT 20
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k onboarding paths (sequence mining): each user's first 5
+    event types joined into a '>' path, counted across users, top 20 by
+    frequency with a path tie-break so the cut is deterministic.
+
+    Scale shape: one shuffle on user_id for the ranking window, the
+    per-user path built from a sorted ≤5-element struct array (the
+    `transform` lambda runs over 5 elements — constant work; ordering
+    comes from the collected rank, so collect_list's arrival order
+    never matters), then a path-keyed partial-aggregated count and
+    TakeOrderedAndProject for the top 20 — no global sort."""
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (
+        e.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= 5)
+    )
+    paths = first5.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

@@ -194,3 +194,105 @@ def test_stream_dow_hour_counts_equal_batch(spark, sf_dir, stream_dir):
     got = {(r.dow, r.hod): r.n_events for r in stream.collect()}
     want = {(r.dow, r.hod): r.n_events for r in events_dow_hour(spark, sf_dir).collect()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def chunked_stream_dir(spark, tmp_path_factory):
+    """The events table split into 4 time-ordered parquet files with
+    ascending mtimes: maxFilesPerTrigger=1 then yields 4 micro-batches,
+    so the watermark ADVANCES between batches and state eviction
+    actually runs (a single-file source is one batch — eviction would
+    never be observable)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from oxidsql_spark.sources import table
+
+    d = tmp_path_factory.mktemp("events_stream_chunks")
+    # test-only global ntile over 10k rows — not a registered query
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "_b", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        tmp_out = str(d / f"_tmp{i}")
+        ev.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = str(d / f"chunk-{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp_out)
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    return str(d)
+
+
+def _state_rows(progresses):
+    """(max, final) total state-store rows across a query's progress
+    updates, considering only progresses that ran a stateful operator."""
+    totals = [
+        sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    return (max(totals), totals[-1]) if totals else (0, 0)
+
+
+def test_stream_join_state_evicted_by_watermark(spark, sf_dir, chunked_stream_dir):
+    """SCALE.md's 100 TB claim, tested not argued: the stream-stream
+    interval join's state store must EVICT rows as the watermark
+    advances — final state far below the total click+purchase input.
+    A watermark/config regression that unbounds state fails this."""
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import stream_click_purchase
+
+    q = (
+        stream_click_purchase(spark, chunked_stream_dir)
+        .writeStream.format("memory")
+        .queryName("ssj_state_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = q.recentProgress
+    q.stop()
+    relevant = (
+        table(spark, sf_dir, "events")
+        .filter("event_type IN ('click', 'purchase')")
+        .count()
+    )
+    max_rows, final_rows = _state_rows(progresses)
+    assert final_rows > 0, "join ran with no state operator metrics"
+    # without eviction state converges to ~100% of input; with the 2 h
+    # watermark over a ~30-day stream in 4 batches it holds roughly the
+    # last batch's tail (~25%)
+    assert final_rows < 0.5 * relevant, (
+        f"state store holds {final_rows} of {relevant} input rows — "
+        "watermark eviction is not running"
+    )
+
+
+def test_stream_user_spend_state_bounded_by_keys(spark, sf_dir, chunked_stream_dir):
+    """applyInPandasWithState keeps exactly one state row per user —
+    state scales with key cardinality, never with events ingested."""
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import stream_user_spend
+
+    q = (
+        stream_user_spend(spark, chunked_stream_dir)
+        .writeStream.format("memory")
+        .queryName("spend_state_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = q.recentProgress
+    q.stop()
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    max_rows, final_rows = _state_rows(progresses)
+    assert final_rows == n_users, (max_rows, final_rows, n_users)
+    assert max_rows == n_users  # never exceeded key cardinality either

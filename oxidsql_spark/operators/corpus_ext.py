@@ -450,3 +450,32 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+             AS dup_rate
+    FROM documents GROUP BY source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: per-source exact-duplicate rate — the
+    first diagnostic a training-data pipeline prints (a crawl source
+    with 40% dupes gets down-weighted or re-deduped before mixing).
+    COUNT(DISTINCT md5) expands to Spark's two-exchange exact plan over
+    16-byte fingerprints; document bodies never shuffle."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fp).alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count_distinct(fp).cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+    )

@@ -1227,3 +1227,45 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = seq.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n"))
     share = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("prev"))
     return pairs.select("prev", "cur", "n", F.round(share, 4).alias("p_transition"))
+
+
+@register(
+    "orders_price_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      FROM orders)
+    SELECT bucket,
+           bucket * 25000 AS lo,
+           (bucket + 1) * 25000 AS hi,
+           count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM orders), 6) AS share
+    FROM b GROUP BY bucket
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width price histogram (25k buckets): the profiling query
+    behind every numeric-column dashboard and the optimizer's histogram
+    statistics. Bucketing is a pure projection (no pre-pass for min/max
+    since the domain floor is 0); one partial-aggregated shuffle keyed
+    by ~dozens of buckets; the denominator joins as a broadcast 1-row
+    aggregate rather than a collected literal."""
+    o = table(spark, sf_dir, "orders")
+    b = o.select(
+        F.floor(F.col("o_totalprice") / 25000).cast("bigint").alias("bucket")
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (F.col("bucket") * 25000).alias("lo"),
+            ((F.col("bucket") + 1) * 25000).alias("hi"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
+        )
+    )

@@ -329,3 +329,61 @@ def ann_ivf_prepared(
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
     )
+
+
+@register(
+    "embeddings_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT u.i - 1 AS dim,
+             CAST(round(CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT dim,
+           count(*) AS n,
+           round(CAST(sum(q) AS DOUBLE) / 1000000 / count(*), 6) AS mean_v,
+           round(sqrt((CAST(sum(q * q) AS DOUBLE)
+                       - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE) / count(*))
+                      / count(*)) / 1000000, 6) AS std_v,
+           round(CAST(min(q) AS DOUBLE) / 1000000, 6) AS min_v,
+           round(CAST(max(q) AS DOUBLE) / 1000000, 6) AS max_v
+    FROM ex GROUP BY dim
+    """,
+)
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (mean/std/min/max) — the
+    normalization pass every embedding pipeline runs before indexing or
+    training (whitening, scaling, detecting dead dimensions).
+
+    Float sums are partial-agg merge-order dependent, so each value is
+    quantized JVM-side to integer micro-units (round(v·1e6), the same
+    half-away-from-zero in Spark and DuckDB on the identical double) and
+    the moments accumulate as exact integers — sumsq in decimal(38,0)
+    headroom like events_anomaly, so the result is bit-identical at any
+    parallelism. posexplode fans out rows map-side; the single shuffle
+    carries one partial per (dim, partition): dims × partitions rows,
+    independent of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "val")).select(
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000).cast("bigint").alias("q"),
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum((F.col("q").cast("decimal(38,0)") * F.col("q"))).alias("ss"),
+        F.min("q").alias("mn"),
+        F.max("q").alias("mx"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    return agg.select(
+        "dim",
+        "n",
+        F.round(s / 1_000_000 / n, 6).alias("mean_v"),
+        F.round(F.sqrt((ss - s * s / n) / n) / 1_000_000, 6).alias("std_v"),
+        F.round(F.col("mn").cast("double") / 1_000_000, 6).alias("min_v"),
+        F.round(F.col("mx").cast("double") / 1_000_000, 6).alias("max_v"),
+    )

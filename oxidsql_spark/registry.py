@@ -70,6 +70,9 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 4
     "dedup_containment",
     "events_path_topk",
+    "embeddings_dim_stats",
+    "dup_rate_by_source",
+    "orders_price_histogram",
 )
 
 

@@ -94,6 +94,11 @@ def compact(
     tmp = path.rstrip("/") + ".__compact__"
     old = path.rstrip("/") + ".__old__"
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    # a leftover .__old__ from a crashed earlier compact would make the
+    # rename below fail forever; the live data is (still) under `path`,
+    # so the leftover copy is safe to clear
+    if os.path.exists(old):
+        shutil.rmtree(old)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

@@ -115,6 +115,25 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert sorted(got.columns) == sorted(li.columns)
 
 
+def test_compact_recovers_from_crashed_leftover(spark, sf_dir, tmp_path):
+    """A `.__old__` directory left by a compact that crashed between its
+    two renames must not wedge every future compact (the rename to an
+    existing dir would fail) — the live data under `path` wins and the
+    stale copy is cleared."""
+    import os
+
+    from oxidsql_spark import sinks
+    from oxidsql_spark.sources import table
+
+    path = str(tmp_path / "wedged")
+    table(spark, sf_dir, "region").write.parquet(path)
+    os.makedirs(path + ".__old__/junk")  # simulated crash debris
+    n = sinks.compact(spark, path)
+    assert n >= 1
+    assert not os.path.exists(path + ".__old__")
+    assert spark.read.parquet(path).count() == 5
+
+
 def test_write_sorted_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
     """Sorted layout must yield (near-)disjoint per-file min/max ranges on
     the sort key — the property parquet scans use to skip data."""

@@ -753,3 +753,51 @@ def dedup_minhash_incremental(
         .filter(F.col("est_jaccard") >= _JACCARD_T)
         .select("new_id", "corpus_id", "est_jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental containment: persisted shingle inverted index
+# ---------------------------------------------------------------------------
+
+
+def build_shingle_index(spark: SparkSession, docs: DataFrame, out_path: str) -> None:
+    """Persist the corpus's distinct (doc_id, shingle, n_sh) rows — the
+    write-once inverted index for incremental CONTAINMENT detection
+    (completing the family: exact → fingerprint table, MinHash → band
+    table, IVF → cell index). Each new crawl batch probes this instead
+    of re-shingling the corpus."""
+    ex = _shingle_rows(docs)
+    n_tab = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex.join(n_tab, "doc_id").write.mode("overwrite").parquet(out_path)
+
+
+def dedup_containment_incremental(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = _CONT_T,
+) -> DataFrame:
+    """Containment of NEW docs inside the persisted corpus: shingle only
+    the batch, broadcast its (new_id, shingle) rows onto the corpus
+    index scan, count shared shingles per (new, corpus) pair, and keep
+    pairs with |new ∩ corpus| / |new| >= threshold. Cost scales with
+    the batch (one pass over the index, no corpus re-shingle, corpus
+    text never read) — the quote/boilerplate gate a rolling crawl runs
+    before admitting documents."""
+    nb = _shingle_rows(new_docs)
+    n_tab = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = nb.join(n_tab, "doc_id").select(
+        F.col("doc_id").alias("new_id"), "shingle", "n_a"
+    )
+    corpus = spark.read.parquet(index_path).select(
+        F.col("doc_id").alias("corpus_id"), "shingle"
+    )
+    inter = (
+        corpus.join(F.broadcast(nb), "shingle")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"), F.any_value("n_a").alias("n_a"))
+    )
+    c = F.col("inter").cast("double") / F.col("n_a")
+    return inter.filter(c >= threshold).select(
+        "new_id", "corpus_id", F.round(c, 4).alias("containment")
+    )

@@ -253,3 +253,49 @@ def test_incremental_minhash_recalls_cross_pairs(spark, sf_dir, tmp_path):
             want.add((r.b_id, r.a_id))
     assert want, "fixture must contain cross near-dup pairs"
     assert want <= got  # full recall of exact cross pairs
+
+
+def test_incremental_containment_matches_direct(spark, sf_dir, tmp_path):
+    """Probing a new batch against the persisted shingle index must find
+    exactly the (new-in-corpus) containment pairs the self-contained
+    operator finds across the same split — corpus text never re-read."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        _CONT_T,
+        _shingle_rows,
+        build_shingle_index,
+        dedup_containment_incremental,
+    )
+    from oxidsql_spark.sources import table
+
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 5 != 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    ipath = str(tmp_path / "shingle_idx")
+    build_shingle_index(spark, corpus, ipath)
+    got = {
+        (r.new_id, r.corpus_id, r.containment)
+        for r in dedup_containment_incremental(spark, batch, ipath).collect()
+    }
+
+    # reference: direct exact containment across the split
+    eb = _shingle_rows(batch)
+    n_tab = eb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+    eb = eb.join(n_tab, "doc_id").select(
+        F.col("doc_id").alias("new_id"), "shingle", "n_a"
+    )
+    ec = _shingle_rows(corpus).select(F.col("doc_id").alias("corpus_id"), "shingle")
+    ref = (
+        eb.join(ec, "shingle")
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("inter"), F.any_value("n_a").alias("n_a"))
+    )
+    c = F.col("inter").cast("double") / F.col("n_a")
+    want = {
+        (r.new_id, r.corpus_id, r.containment)
+        for r in ref.filter(c >= _CONT_T)
+        .select("new_id", "corpus_id", F.round(c, 4).alias("containment"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

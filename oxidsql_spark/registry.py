@@ -64,9 +64,12 @@ _PRIORITY: tuple[str, ...] = (
     "events_dow_hour",
     "events_interarrival",
     # rewritten in round 4 (two-phase distributed windows / cheaper
-    # broadcast-cap guard) — re-verify under the driver
+    # broadcast-cap guard / array-index AllPairs join) — re-verify
+    # under the driver
     "corpus_shard_pack",
     "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
     # new in round 4
     "dedup_containment",
     "events_path_topk",

@@ -387,3 +387,137 @@ def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mn").cast("double") / 1_000_000, 6).alias("min_v"),
         F.round(F.col("mx").cast("double") / 1_000_000, 6).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) — the codebook trainer the IVF operators consume
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # clusters
+_KM_ITERS = 2  # Lloyd update iterations (assign→update, twice), then a
+#                final assignment under the converged-so-far centroids
+_KM_SCALE = 1000  # quantization: x -> floor(x * 1000) as bigint
+_KM_DIM = 64  # embeddings are fixed 64-dim (oracle unrolls over this)
+
+
+def _km_oracle() -> str:
+    """DuckDB re-derivation of the quantized Lloyd iterations, unrolled.
+
+    Why it can match bit-for-bit: every arithmetic step is integer.
+    Vectors quantize to floor(x·1000) (float→double widening is exact
+    and the double multiply/floor are IEEE-identical in both engines);
+    distances are integer sums of squares (associative — partial-agg
+    merge order can't change them); centroid updates floor-divide
+    integer sums by integer counts. The only doubles are the division
+    inside the centroid floor, where |sum/count| < 2^31 keeps the
+    double quotient within 1 ulp — much closer than the 1/count gap to
+    the nearest integer — so floor(double) == exact floor in both
+    engines."""
+    k, scale, dim = _KM_K, _KM_SCALE, _KM_DIM
+
+    def assign(cents: str) -> str:
+        return f"""(
+      SELECT vec_id, c AS cluster FROM (
+        SELECT e.vec_id, c.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY sum((e.x - c.m) * (e.x - c.m)), c.c) AS rk
+        FROM ex e JOIN {cents} c ON e.dim = c.dim
+        GROUP BY e.vec_id, c.c) WHERE rk = 1)"""
+
+    def update(asg: str) -> str:
+        return f"""(
+      SELECT a.cluster AS c, e.dim,
+             CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*)) AS BIGINT) AS m
+      FROM {asg} a JOIN ex e USING (vec_id) GROUP BY a.cluster, e.dim)"""
+
+    sql = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            e -> CAST(floor(e * {scale}) AS BIGINT)) AS qv
+      FROM embeddings),
+    ex AS (SELECT vec_id, CAST(u.i AS INTEGER) AS dim,
+                  qv[CAST(u.i AS INTEGER)] AS x
+           FROM q, range(1, {dim + 1}) AS u(i)),
+    c0 AS (SELECT vec_id AS c, dim, x AS m FROM ex WHERE vec_id < {k}),
+    a1 AS {assign("c0")},
+    c1 AS {update("a1")},
+    a2 AS {assign("c1")},
+    c2 AS {update("a2")},
+    a3 AS {assign("c2")}
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster_id FROM a3
+    """
+    return sql
+
+
+@register("embeddings_kmeans", oracle=_km_oracle())
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd) over the embedding corpus — the
+    trainer for the coarse codebook `ann_ivf_coarse`'s docstring
+    stubs with fixed centroids, and the standard corpus-curation
+    clustering step (topic balancing, diversity sampling).
+
+    Scale shape per iteration (the MLlib KMeans plan, expressed in
+    DataFrame ops): centroids live in the plan as broadcast literals
+    (K·dim ints — bytes, not data); the assignment pass is per-row map
+    work with zero shuffle; the update is one posexplode +
+    (cluster, dim)-keyed partial aggregation whose shuffle carries
+    K·dim rows *per partition*, independent of corpus size; the K·dim
+    sums collect to the driver (the distwindow offset pattern). Driver
+    round-trips = ITERS, never proportional to data.
+
+    Cross-engine exactness: vectors quantize to floor(x·1000) integers;
+    distances are integer sums of squares (associative, so partial-agg
+    merge order is irrelevant — the float-sum hazard every other
+    embedding op here dodges the same way); centroid updates are
+    integer floor-divisions. Ties in the argmin break to the lowest
+    cluster id, matching the oracle's (dist, c) sort. Empty clusters
+    drop out of the aggregation identically in both engines.
+    zip_with/aggregate evaluate interpreted (acceptable: per-row cost,
+    no shuffle; the alternative — 512 unrolled codegen terms — buys
+    nothing at K=8)."""
+    k, iters, scale = _KM_K, _KM_ITERS, _KM_SCALE
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, e -> "
+            f"CAST(floor(CAST(e AS DOUBLE) * {scale}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+    def dist_to(cent: list[int]) -> F.Column:
+        lit = F.array(*[F.lit(int(v)) for v in cent])
+        return F.aggregate(
+            F.zip_with("qv", lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(cents: dict[int, list[int]]) -> F.Column:
+        cs = sorted(cents)
+        dists = F.array(*[dist_to(cents[c]) for c in cs])
+        pos = F.array_position(dists, F.array_min(dists))
+        return F.element_at(F.array(*[F.lit(c) for c in cs]), pos.cast("int"))
+
+    # init: the first K vectors' quantized coordinates (deterministic)
+    cents: dict[int, list[int]] = {
+        r["vec_id"]: list(r["qv"])
+        for r in e.filter(F.col("vec_id") < k).collect()
+    }
+    for _ in range(iters):
+        assigned = e.select("vec_id", "qv", assign(cents).alias("cluster"))
+        sums = (
+            assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents: dict[int, list[int]] = {}
+        for r in sums:
+            new_cents.setdefault(r["cluster"], [0] * _KM_DIM)[r["dim"]] = (
+                r["s"] // r["n"]  # Python floor division == floor(double) here
+            )
+        cents = new_cents
+    return e.select(
+        "vec_id", assign(cents).cast("bigint").alias("cluster_id")
+    )

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_clusters",
     # new in round 4
+    "embeddings_kmeans",
     "dedup_containment",
     "events_path_topk",
     "embeddings_dim_stats",

@@ -1,0 +1,218 @@
+"""Round-4 analytics extensions: market-basket pair affinity, exact
+cross-column correlation matrix, order→ship latency distribution, and
+ranking-distribution window functions.
+
+Reference scope note: OxidSQL's physical algebra has no aggregation or
+window operators at all (src/execution/plan.rs:29-68; GROUP BY is a
+TODO, README.md:51) — these are north-star extensions, built on the
+same decimal-exact-moment discipline as `relational_ext.stats_moments`
+so distributed results are bit-stable across partitionings and hash-
+match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import dbl, money, table
+
+
+@register(
+    "basket_pair_affinity",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM items a
+    JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the top co-purchased part pairs.
+
+    Spark-first plan: ONE shuffle. Instead of the oracle's self-join
+    (which shuffles the item list twice and re-joins it), group items
+    per order into a sorted array and generate the C(k,2) pairs with
+    codegen higher-order functions. Per-order item count is bounded
+    (TPC-H: <= 7 lines/order), so the explode fan-out is O(k²) with
+    tiny k — at 100 TB the pair stream is ~20× lineitem, all map-side;
+    the only shuffles are the orderkey grouping and the tiny pair agg.
+    A pathological mega-basket would need a per-order item cap; TPC-H
+    order shapes don't."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = items.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "parts",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                        lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+                    ),
+                )
+            )
+        ).alias("pair")
+    ).select("pair.part_a", "pair.part_b")
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(l_quantity      AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS se,
+             CAST(sum(CAST(l_discount      AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS see,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqe,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sed
+      FROM lineitem
+    )
+    SELECT x, y, round((sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)), 6) AS corr
+    FROM (
+      SELECT 'l_quantity' AS x, 'l_extendedprice' AS y, n, sq AS sx, se AS sy, sqq AS sxx, see AS syy, sqe AS sxy FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount', n, sq, sd, sqq, sdd, sqd FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount', n, se, sd, see, sdd, sed FROM m
+    )
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns, from decimal-exact moment sums in ONE grouped pass.
+
+    Spark's built-in `corr` accumulates doubles in partition order and
+    is not bit-reproducible across partitionings; exact Σx/Σx²/Σxy are
+    associative decimals, so the same plan at 1000 executors hashes the
+    same. One scan produces all 9 sums (map-side partials, single-row
+    shuffle); the 3×3 matrix is unpivoted driver-free from that row."""
+    li = table(spark, sf_dir, "lineitem")
+    q, e, d = money("l_quantity"), money("l_extendedprice"), money("l_discount")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.sum(q)).alias("sq"),
+        dbl(F.sum(e)).alias("se"),
+        dbl(F.sum(d)).alias("sd"),
+        dbl(F.sum(q * q)).alias("sqq"),
+        dbl(F.sum(e * e)).alias("see"),
+        dbl(F.sum(d * d)).alias("sdd"),
+        dbl(F.sum(q * e)).alias("sqe"),
+        dbl(F.sum(q * d)).alias("sqd"),
+        dbl(F.sum(e * d)).alias("sed"),
+    )
+    pairs = m.select(
+        F.expr(
+            "stack(3, "
+            "'l_quantity', 'l_extendedprice', sq, se, sqq, see, sqe, "
+            "'l_quantity', 'l_discount', sq, sd, sqq, sdd, sqd, "
+            "'l_extendedprice', 'l_discount', se, sd, see, sdd, sed"
+            ") AS (x, y, sx, sy, sxx, syy, sxy)"
+        ),
+        "n",
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    return pairs.select(
+        "x",
+        "y",
+        F.round((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).alias(
+            "corr"
+        ),
+    )
+
+
+@register(
+    "ship_latency",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           min(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS min_days,
+           max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_days,
+           round(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.5), 4) AS p50_days,
+           round(quantile_cont(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0.9), 4) AS p90_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency distribution per priority class — the
+    operational-SLA query shape (join two fact tables, aggregate a
+    derived duration).
+
+    Scale: the orderkey equi-join is the one unavoidable fact-fact
+    shuffle (AQE handles skew); only the 3 needed columns of each side
+    are read (pruned ReadSchema). Exact percentiles sort per tiny group
+    post-aggregation at test scale; the 100 TB dashboard path is
+    approx_percentile over the same latency column."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_orderpriority", lat.alias("days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+            F.round(F.percentile("days", F.lit(0.5)), 4).alias("p50_days"),
+            F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+        )
+    )
+
+
+@register(
+    "window_dist_funcs",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist()   OVER w, 6) AS cd,
+           ntile(4) OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+    """,
+)
+def window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-distribution window functions: percent_rank / cume_dist
+    (tie-aware, so ordering by the value alone is deterministic) plus a
+    partitioned ntile with a key tie-break (ntile assigns peers
+    arbitrarily without one).
+
+    Scale: both specs share the c_mktsegment partition key, so Catalyst
+    plans ONE exchange and evaluates the frames streaming per
+    partition; nothing here is a global window (contrast
+    distwindow.global_ntile, used when there is no partition key)."""
+    wv = W.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    wk = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(wv), 6).alias("pr"),
+        F.round(F.cume_dist().over(wv), 6).alias("cd"),
+        F.ntile(4).over(wk).alias("quartile"),
+    )

@@ -77,6 +77,10 @@ _PRIORITY: tuple[str, ...] = (
     "embeddings_dim_stats",
     "dup_rate_by_source",
     "orders_price_histogram",
+    "basket_pair_affinity",
+    "lineitem_corr_matrix",
+    "ship_latency",
+    "window_dist_funcs",
 )
 
 
@@ -113,6 +117,7 @@ def load_all() -> dict[str, Query]:
     global _LOADED
     if not _LOADED:
         from .operators import (  # noqa: F401
+            analytics_ext,
             corpus_ext,
             dedup,
             graph,

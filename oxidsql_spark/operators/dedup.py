@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..cachescope import scoped_persist
 from ..functions import tokens, word_ngrams
 from ..registry import register
 from ..sources import table
@@ -141,7 +142,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(_JACCARD_T) * F.col("n_sh")) + 1
     ).cast("int")
-    docs_arr = (
+    docs_arr = scoped_persist(
         ex.join(df_tab, "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("sdf", "shingle"))).alias("ordered"))
@@ -151,7 +152,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ordered").alias("n_sh"),
         )
         .withColumn("prefix", F.slice("sset", 1, prefix_len))
-        .persist()
     )
     pre = docs_arr.select("doc_id", "n_sh", F.explode("prefix").alias("shingle"))
     a, b = pre.alias("a"), pre.alias("b")
@@ -250,7 +250,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_len = (
         F.col("n_sh") - F.ceil(F.lit(_CONT_T) * F.col("n_sh")) + 1
     ).cast("int")
-    docs_arr = (
+    docs_arr = scoped_persist(
         ex.join(df_tab, "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("sdf", "shingle"))).alias("ordered"))
@@ -260,7 +260,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ordered").alias("n_sh"),
         )
         .withColumn("prefix", F.slice("sset", 1, prefix_len))
-        .persist()
     )
     a_prefix = docs_arr.select(
         F.col("doc_id").alias("contained_id"), F.explode("prefix").alias("shingle")

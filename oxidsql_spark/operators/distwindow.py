@@ -28,6 +28,14 @@ execution, so the partitioned frame is persisted before the first job —
 the totals pass and the main pass must see the *same* partition ids.
 Cached partitions recompute from the materialized shuffle output, not a
 fresh sampling, so ids stay stable for the frame's lifetime.
+
+Cache lifecycle: the persisted frame is registered with
+``cachescope.scoped_persist`` — the caller that owns the query lifecycle
+calls ``cachescope.release_scoped_caches()`` after the final action on
+the returned DataFrame (bench.py does this per timed query).  The frame
+must outlive the returned DataFrame's executions: releasing it and then
+re-executing the result would re-sample range boundaries under collected
+offsets, so released results are to be treated as consumed.
 """
 
 from __future__ import annotations
@@ -40,6 +48,8 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType, IntegerType, StructField, StructType
 
+from ..cachescope import scoped_persist
+
 _PID = "__dw_pid"
 _LOC = "__dw_loc"
 _OFF = "__dw_off"
@@ -50,10 +60,8 @@ OrderCols = Sequence[Union[str, Column]]
 def _range_partitioned(df: DataFrame, order_cols: OrderCols, nparts: Optional[int]) -> DataFrame:
     n = nparts or df.sparkSession.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    return (
-        df.repartitionByRange(n, *cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
+    return scoped_persist(
+        df.repartitionByRange(n, *cols).withColumn(_PID, F.spark_partition_id())
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cachescope import scoped_persist
 from ..registry import register
 from ..sources import table
 from .dedup import _JACCARD_N, _JACCARD_T, dedup_ngram_jaccard  # noqa: F401
@@ -74,7 +75,7 @@ def propagate_min_labels(
     pair graph; raises (never returns silently-wrong labels) if the
     graph's diameter exceeds the iteration bound."""
     edges = pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
-    edges = edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")).cache()
+    edges = scoped_persist(edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")))
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels
@@ -85,15 +86,13 @@ def propagate_min_labels(
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
+        new_labels = scoped_persist(
+            labels.join(neighbor_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                     "cluster_id"
                 ),
             )
-            .cache()
         )
         changed = (
             new_labels.alias("n")

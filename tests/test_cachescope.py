@@ -1,0 +1,77 @@
+"""Cache-lifecycle hygiene: operator-internal persists are scope-tracked
+and fully released after the consuming action.
+
+Round-4 verdict item: `persist()` calls inside dedup / graph /
+distwindow operator bodies were never unpersisted, so a long-lived
+session accumulated storage blocks until LRU eviction.  These tests lock
+the fix: every registered query that persists an intermediate leaves the
+executor storage exactly as it found it once the caller releases the
+scope — and identical-plan re-runs silently reuse the warm cache instead
+of re-persisting (the source of the bench log's `CacheManager: Asked to
+cache already cached data` spam).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidsql_spark.cachescope import (
+    release_scoped_caches,
+    scoped_cache_count,
+    scoped_persist,
+)
+from oxidsql_spark.registry import load_all
+
+# Every registered query whose implementation persists an intermediate
+# (dedup's AllPairs array index, graph's edge list + label generations,
+# distwindow's range-partitioned frames).  Grep-derived; if a new
+# operator adds a persist it must go through cachescope, and adding it
+# here keeps the leak lock complete.
+CACHE_USING_QUERIES = [
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_cluster_stats",
+    "corpus_shard_pack",
+    "customer_pareto",
+    "orders_rfm",
+]
+
+
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.mark.parametrize("name", CACHE_USING_QUERIES)
+def test_query_releases_all_storage(spark, sf_dir, name):
+    release_scoped_caches()  # clean slate from earlier tests
+    baseline = _n_persistent_rdds(spark)
+    q = load_all()[name]
+    assert q.fn(spark, sf_dir).count() >= 0  # the consuming action
+    assert scoped_cache_count() > 0, f"{name} no longer persists via cachescope?"
+    release_scoped_caches()
+    assert scoped_cache_count() == 0
+    assert _n_persistent_rdds(spark) == baseline, f"{name} leaked cached blocks"
+
+
+def test_identical_plan_rerun_reuses_cache(spark, sf_dir):
+    """A second run of the same query while its caches are alive must NOT
+    create duplicate cache entries (the CacheManager-warning scenario):
+    scoped_persist detects the already-cached plan and reuses it."""
+    release_scoped_caches()
+    q = load_all()["dedup_ngram_jaccard"]
+    q.fn(spark, sf_dir).count()
+    first = scoped_cache_count()
+    assert first > 0
+    q.fn(spark, sf_dir).count()
+    assert scoped_cache_count() == first  # no re-persist of the same plan
+    release_scoped_caches()
+
+
+def test_release_is_idempotent_and_complete(spark):
+    df = scoped_persist(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    df.count()
+    assert scoped_cache_count() == 1
+    assert release_scoped_caches() == 1
+    assert release_scoped_caches() == 0
+    assert df.storageLevel.useMemory is False  # actually unpersisted

@@ -606,6 +606,50 @@ def embedding_cosine_pairs(
     return out.select("a_id", "b_id", F.round("cos_sim_raw", 4).alias("cos_sim"))
 
 
+def _cos_lsh_oracle() -> str:
+    """DuckDB re-derivation of the full LSH-fallback pipeline: the
+    hyperplanes are fixed constants (similarity._hyperplanes), so the
+    signatures, hamming-1 probe buckets, candidate pairs, and exact
+    cosine verification are all SQL-expressible.  Recall < 1 relative to
+    the exact all-pairs operator, but the output is a deterministic
+    function of the data — same oracle strategy as ann_lsh_bucketed."""
+    from .similarity import _LSH_PLANES, _hyperplanes, _plane_sql
+
+    planes = _hyperplanes(64)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_sql(p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    probe_list = ", ".join(["sig"] + [f"xor(sig, {1 << i})" for i in range(_LSH_PLANES)])
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sigs AS (SELECT vec_id, v, {sig_terms} AS sig FROM e),
+    probes AS (SELECT vec_id AS b_id, unnest([{probe_list}]) AS sig FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, p.b_id
+      FROM sigs a JOIN probes p ON a.sig = p.sig AND a.vec_id < p.b_id)
+    SELECT c.a_id, c.b_id,
+           round(list_cosine_similarity(sa.v, sb.v), 4) AS cos_sim
+    FROM cand c
+    JOIN sigs sa ON sa.vec_id = c.a_id
+    JOIN sigs sb ON sb.vec_id = c.b_id
+    WHERE list_cosine_similarity(sa.v, sb.v) >= {_COS_T}
+    """
+
+
+@register("embedding_cosine_lsh", oracle=_cos_lsh_oracle())
+def embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The over-broadcast-cap fallback of ``embedding_cosine_pairs``,
+    registered directly so its behavior has a driver-checked row (the
+    guarded operator only exercises this path above 1M vectors, which
+    the test corpus never reaches).  Recall < 1 vs the exact GEMM by
+    design; the oracle re-derives the identical LSH pipeline, so what IS
+    produced is verified exactly — precision 1 by construction (every
+    emitted pair passed the exact cosine filter)."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _embedding_cosine_lsh_path(e, _COS_T)
+
+
 def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
     """Above-broadcast-cap route: random-hyperplane LSH buckets generate
     candidates (same-bucket or hamming-1 bucket), exact cosine verifies.

@@ -58,29 +58,12 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # added mid-round-3 after the r3 window froze — never driver-checked
-    "orders_rfm",
-    "customer_pareto",
-    "events_dow_hour",
-    "events_interarrival",
-    # rewritten in round 4 (two-phase distributed windows / cheaper
-    # broadcast-cap guard / array-index AllPairs join) — re-verify
-    # under the driver
-    "corpus_shard_pack",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    # new in round 4
-    "embeddings_kmeans",
-    "dedup_containment",
-    "events_path_topk",
-    "embeddings_dim_stats",
-    "dup_rate_by_source",
-    "orders_price_histogram",
-    "basket_pair_affinity",
-    "lineitem_corr_matrix",
-    "ship_latency",
-    "window_dist_funcs",
+    # round-5 start: all 18 round-4 priority names went driver-green in
+    # CORRECTNESS_r04.json and are retired to the stable rotation, per
+    # the policy above — the window's remaining ~44 slots go to the
+    # stalest stable queries (most of the pool's latest green is r1-r2).
+    # New in round 5 — never driver-checked:
+    "embedding_cosine_lsh",
 )
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources import dbl, money, table
+from ..sources import dbl, dec2, table
 
 
 @register(
@@ -112,7 +112,10 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     same. One scan produces all 9 sums (map-side partials, single-row
     shuffle); the 3×3 matrix is unpivoted driver-free from that row."""
     li = table(spark, sf_dir, "lineitem")
-    q, e, d = money("l_quantity"), money("l_extendedprice"), money("l_discount")
+    # dec2, not money: quantity is a count, not a money amount — it's
+    # included here because TPC-H quantities are small integers, exactly
+    # representable at 2 decimals, so the same exact-moment trick applies.
+    q, e, d = dec2("l_quantity"), dec2("l_extendedprice"), dec2("l_discount")
     m = li.agg(
         F.count(F.lit(1)).alias("n"),
         dbl(F.sum(q)).alias("sq"),
@@ -170,7 +173,10 @@ def ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile over the same latency column."""
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    # bigint, matching the oracle's date_diff type exactly — the repo
+    # convention is explicit width alignment, not reliance on the
+    # harness's lenient integer-width comparison.
+    lat = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).cast("bigint")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("o_orderpriority", lat.alias("days"))

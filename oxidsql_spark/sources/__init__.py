@@ -88,9 +88,18 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def money(col: str) -> F.Column:
-    """Exact 2-decimal money semantics for aggregation."""
+def dec2(col: str) -> F.Column:
+    """Exact DECIMAL(18,2) cast for any numeric column whose values are
+    exactly representable at 2 decimals (money columns, but equally
+    small-integer counts like l_quantity): aggregate arithmetic becomes
+    associative, so results are partial-agg-order independent and hash
+    cross-engine."""
     return F.col(col).cast("decimal(18,2)")
+
+
+def money(col: str) -> F.Column:
+    """Exact 2-decimal money semantics for aggregation (see dec2)."""
+    return dec2(col)
 
 
 def dbl(c: F.Column) -> F.Column:

@@ -6,8 +6,10 @@ Scale design (the whole point of these at 100 TB):
   shuffle keyed by the hash, trivially balanced.
 * Near-dup never compares all pairs. Candidates come from an inverted
   index (shared shingle) or LSH band buckets; exact verification runs
-  only on candidates. All joins are key-joins Catalyst can shuffle-hash;
-  hot shingles are the skew risk and are df-capped in the LSH path.
+  only on candidates. All joins are key-joins Catalyst can shuffle-hash.
+  Hot shingles are the skew risk; the prefix filter keeps them out of
+  candidate buckets and the MinHash min-aggregation is frequency-blind —
+  both measured on an adversarial corpus in tests/test_dedup_skew.py.
 * Signatures (minhash arrays, simhash bits) are built with built-in
   xxhash64/bit expressions — JVM codegen, no Python.
 """
@@ -107,42 +109,20 @@ def _shingle_rows(d: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard", bench=True, oracle=_JACCARD_ORACLE)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs via prefix filtering
-    (the AllPairs/SSJoin similarity-join algorithm).
-
-    A naive inverted-index self-join explodes quadratically on hot
-    shingles (a phrase shared by k docs yields k² candidate rows). The
-    prefix filter bounds that: order each doc's shingles by global
-    document frequency (rarest first); Jaccard(a,b) >= t forces
-    |a∩b| >= ceil(t·n) for BOTH docs, so any qualifying pair must share
-    a shingle inside both docs' first (n - ceil(t·n) + 1) shingles.
-    Candidates come from self-joining only those prefixes (rare
-    shingles → tiny buckets); each candidate is then verified exactly
-    with array_intersect on the full shingle sets. Hot shingles never
-    generate candidates because they sort to the ends of the prefixes —
-    this is what makes exact near-dup viable at corpus scale.
-
-    Physical shape (AllPairs index as per-doc ordered arrays): one
-    groupBy builds each doc's df-ordered shingle array; the prefix is a
-    ``slice`` of it and the verify step is ``array_intersect`` against
-    the persisted array table — no re-derivation of the shingle rows
-    per branch and no per-(pair, shingle) row explosion during
-    verification.  ~8 shuffles total vs ~13 for the row-form plan
-    (2-3x faster at sf0.1); the persisted array table IS the AllPairs
-    index the literature materializes — sized by corpus text, evicted
-    LRU, and shared by the candidate and verify passes.
-    sort_array on struct(sdf, shingle) gives the same deterministic
-    rarity order as a (sdf, shingle) window sort: shingles are distinct
-    within a doc, so the struct order is total."""
-    d = table(spark, sf_dir, "documents")
-    ex = _shingle_rows(d)
+def _allpairs_index(docs: DataFrame, threshold: float) -> DataFrame:
+    """The persisted AllPairs index: per doc, its df-ordered shingle
+    array (`sset`), its size (`n_sh`), and the prefix slice (`prefix` =
+    the first n - ceil(t·n) + 1 rarest shingles).  Shared by the
+    candidate and verify passes of both the Jaccard and containment
+    joins.  sort_array on struct(sdf, shingle) gives the same
+    deterministic rarity order as a (sdf, shingle) window sort: shingles
+    are distinct within a doc, so the struct order is total."""
+    ex = _shingle_rows(docs)
     df_tab = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(_JACCARD_T) * F.col("n_sh")) + 1
+        F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     ).cast("int")
-    docs_arr = scoped_persist(
+    return scoped_persist(
         ex.join(df_tab, "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("sdf", "shingle"))).alias("ordered"))
@@ -153,21 +133,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("prefix", F.slice("sset", 1, prefix_len))
     )
+
+
+def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
+    """Prefix-filtered candidate pairs (a_id, b_id) from an AllPairs
+    index — the quadratic-risk step, exposed separately so the
+    adversarial-skew test can count candidates directly."""
     pre = docs_arr.select("doc_id", "n_sh", F.explode("prefix").alias("shingle"))
     a, b = pre.alias("a"), pre.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             # length filter: jac >= t bounds the size ratio to [t, 1/t]
-            & (F.col("b.n_sh") >= _JACCARD_T * F.col("a.n_sh"))
-            & (F.col("a.n_sh") >= _JACCARD_T * F.col("b.n_sh")),
+            & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
+            & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.first(F.lit(1)).alias("_one"))
         .drop("_one")
     )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
+    """Exact n-gram Jaccard pairs over an arbitrary documents DataFrame
+    (doc_id, text) — candidate generation + exact verification against
+    the shared AllPairs index."""
+    docs_arr = _allpairs_index(docs, threshold)
+    cand = jaccard_candidates(docs_arr, threshold)
     # exact verify on candidates only: intersect the full shingle sets
     sa = docs_arr.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
     sb = docs_arr.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))
@@ -184,9 +178,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
-        verified.filter(jac >= _JACCARD_T)
+        verified.filter(jac >= threshold)
         .select("a_id", "b_id", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register("dedup_ngram_jaccard", bench=True, oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via prefix filtering
+    (the AllPairs/SSJoin similarity-join algorithm).
+
+    A naive inverted-index self-join explodes quadratically on hot
+    shingles (a phrase shared by k docs yields k² candidate rows). The
+    prefix filter bounds that: order each doc's shingles by global
+    document frequency (rarest first); Jaccard(a,b) >= t forces
+    |a∩b| >= ceil(t·n) for BOTH docs, so any qualifying pair must share
+    a shingle inside both docs' first (n - ceil(t·n) + 1) shingles.
+    Candidates come from self-joining only those prefixes (rare
+    shingles → tiny buckets); each candidate is then verified exactly
+    with array_intersect on the full shingle sets. Hot shingles never
+    generate candidates because they sort to the ends of the prefixes —
+    this is what makes exact near-dup viable at corpus scale
+    (tests/test_dedup_skew.py measures it on an adversarial corpus:
+    a boilerplate phrase in 50% of docs contributes ZERO candidates).
+
+    Physical shape (AllPairs index as per-doc ordered arrays): one
+    groupBy builds each doc's df-ordered shingle array; the prefix is a
+    ``slice`` of it and the verify step is ``array_intersect`` against
+    the persisted array table — no re-derivation of the shingle rows
+    per branch and no per-(pair, shingle) row explosion during
+    verification.  ~8 shuffles total vs ~13 for the row-form plan
+    (2-3x faster at sf0.1); the persisted array table IS the AllPairs
+    index the literature materializes — scope-tracked (cachescope) and
+    shared by the candidate and verify passes."""
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), _JACCARD_T)
 
 
 # Containment threshold: |A∩B| / |A| — asymmetric, so a small document
@@ -244,23 +269,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect`` verification — no per-branch shingle re-derive,
     no per-(pair, shingle) verify explosion."""
     d = table(spark, sf_dir, "documents")
-    ex = _shingle_rows(d)
-    df_tab = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
     # keep a's first n_a - ceil(t*n_a) + 1 rarest shingles
-    prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(_CONT_T) * F.col("n_sh")) + 1
-    ).cast("int")
-    docs_arr = scoped_persist(
-        ex.join(df_tab, "shingle")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("sdf", "shingle"))).alias("ordered"))
-        .select(
-            "doc_id",
-            F.col("ordered.shingle").alias("sset"),
-            F.size("ordered").alias("n_sh"),
-        )
-        .withColumn("prefix", F.slice("sset", 1, prefix_len))
-    )
+    docs_arr = _allpairs_index(d, _CONT_T)
     a_prefix = docs_arr.select(
         F.col("doc_id").alias("contained_id"), F.explode("prefix").alias("shingle")
     )
@@ -308,7 +318,6 @@ _MH_PRIME = (1 << 31) - 1
 # Deterministic permutation parameters (fixed constants → reproducible).
 _MH_A = [((2 * i + 1) * 0x9E3779B9) % _MH_PRIME or 1 for i in range(_MH_K)]
 _MH_B = [((i * i + 7) * 0xC2B2AE3D) % _MH_PRIME for i in range(_MH_K)]
-_MAX_SHINGLE_DF = 1000  # cap document frequency of a shingle (skew guard)
 
 
 def minhash_signatures(docs: DataFrame, n: int = _JACCARD_N) -> DataFrame:
@@ -332,21 +341,17 @@ def minhash_signatures(docs: DataFrame, n: int = _JACCARD_N) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup: band signatures into buckets, join within
-    buckets, then verify candidates with exact Jaccard — so the output
-    equals the exact operator's pairs that LSH recalled. Deterministic
-    (fixed permutation constants, no RNG), and at this band config the
-    LSH recalls every >=T pair of the test corpus, so the exact-Jaccard
-    SQL is a true oracle (recall additionally asserted in
-    tests/test_dedup_similarity.py)."""
-    d = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(d)
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (a_id, b_id) — the quadratic-risk
+    step of the MinHash path, exposed separately so the adversarial-skew
+    test can count candidates.  A hot shingle cannot flood this: the
+    signature build is a min-aggregation (a shared phrase shifts a few
+    signature positions, it does not put all its docs in one bucket), so
+    bucket sizes track true near-dup cliques, not shingle frequency."""
+    sig = minhash_signatures(docs)
     rows_per_band = _MH_K // _MH_BANDS
     bands = sig.select(
         "doc_id",
-        "n_sh",
         F.posexplode(
             F.array(
                 *[
@@ -358,7 +363,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -368,6 +373,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
+
+
+@register("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup: band signatures into buckets, join within
+    buckets, then verify candidates with exact Jaccard — so the output
+    equals the exact operator's pairs that LSH recalled. Deterministic
+    (fixed permutation constants, no RNG), and at this band config the
+    LSH recalls every >=T pair of the test corpus, so the exact-Jaccard
+    SQL is a true oracle (recall additionally asserted in
+    tests/test_dedup_similarity.py)."""
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_candidates(d)
     # Exact verification on candidates only.
     sh = d.select("doc_id", word_ngrams(tokens(F.col("text")), _JACCARD_N).alias("shingles"))
     va = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))

@@ -46,13 +46,20 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
-from pyspark.sql.types import DecimalType, IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DecimalType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from ..cachescope import scoped_persist
 
 _PID = "__dw_pid"
 _LOC = "__dw_loc"
 _OFF = "__dw_off"
+_PRI = "__dw_prior_nn"  # any non-NULL measure in an earlier partition?
 
 OrderCols = Sequence[Union[str, Column]]
 
@@ -65,19 +72,28 @@ def _range_partitioned(df: DataFrame, order_cols: OrderCols, nparts: Optional[in
     )
 
 
-def _prefix_offsets(parted: DataFrame, measure: Column):
-    """Collect one (pid, total) row per partition, prefix-sum on the
-    driver.  Returns (offsets_df ready to broadcast, grand_total)."""
-    totals_df = parted.groupBy(_PID).agg(measure.alias("_tot"))
+def _prefix_offsets(parted: DataFrame, measure: Column, nn_count: Column):
+    """Collect one (pid, total, non-null count) row per partition,
+    prefix-sum on the driver.  Returns (offsets_df ready to broadcast,
+    grand_total).  Each offset row carries whether any EARLIER partition
+    held a non-NULL measure — needed to reproduce SQL running-sum NULL
+    semantics when a partition's local prefix is still all-NULL but the
+    global prefix is not."""
+    totals_df = parted.groupBy(_PID).agg(measure.alias("_tot"), nn_count.alias("_nn"))
     ttype = totals_df.schema["_tot"].dataType
     zero = Decimal(0) if isinstance(ttype, DecimalType) else 0
     rows = sorted(totals_df.collect(), key=lambda r: r[_PID])
-    offs, running = [], zero
+    offs, running, prior_nn = [], zero, 0
     for r in rows:
-        offs.append((r[_PID], running))
+        offs.append((r[_PID], running, prior_nn > 0))
         running = running + (r["_tot"] if r["_tot"] is not None else zero)
+        prior_nn += r["_nn"]
     schema = StructType(
-        [StructField(_PID, IntegerType(), False), StructField(_OFF, ttype, False)]
+        [
+            StructField(_PID, IntegerType(), False),
+            StructField(_OFF, ttype, False),
+            StructField(_PRI, BooleanType(), False),
+        ]
     )
     off_df = parted.sparkSession.createDataFrame(offs, schema)
     return off_df, running
@@ -93,19 +109,39 @@ def global_cumsum(
     """``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)``
     without a single-partition exchange.  Returns ``(df + out_col,
     grand_total)`` — the total falls out of the prefix pass for free, so
-    callers never need a second full aggregation job."""
+    callers never need a second full aggregation job.
+
+    Ordering contract (same as the SQL window, made explicit): for
+    row-level reproducibility ``order_cols`` must be a total order
+    (include a unique tie-break) — with duplicate keys, rows inside a
+    tie group receive SOME valid prefix order, and which row gets which
+    intermediate value is not deterministic.  What IS deterministic with
+    ties: the multiset of values per group, and the group-boundary
+    running total (ties never split across range partitions — equal
+    keys compare equal against every range boundary — so each group's
+    max(out_col) is the exact prefix sum through that group).
+    tests/test_distwindow.py locks both."""
     parted = _range_partitioned(df, order_cols, nparts)
-    off_df, total = _prefix_offsets(parted, F.sum(F.col(value_col)))
+    off_df, total = _prefix_offsets(
+        parted, F.sum(F.col(value_col)), F.count(F.col(value_col))
+    )
+    ttype = off_df.schema[_OFF].dataType
     w = (
         W.partitionBy(_PID)
         .orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_cols])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # SQL running sum is NULL only while the GLOBAL prefix has no
+    # non-NULL value; a partition-local all-NULL prefix after a non-NULL
+    # earlier partition must surface the offset alone.
+    cum = F.when(
+        F.col(_LOC).isNull() & ~F.col(_PRI), F.lit(None).cast(ttype)
+    ).otherwise(F.col(_OFF) + F.coalesce(F.col(_LOC), F.lit(0).cast(ttype)))
     out = (
         parted.withColumn(_LOC, F.sum(F.col(value_col)).over(w))
         .join(F.broadcast(off_df), _PID)
-        .withColumn(out_col, F.col(_OFF) + F.col(_LOC))
-        .drop(_PID, _LOC, _OFF)
+        .withColumn(out_col, cum)
+        .drop(_PID, _LOC, _OFF, _PRI)
     )
     return out, total
 
@@ -121,7 +157,9 @@ def global_row_number(
     ``order_cols`` must be a total order (include a unique tie-break) or
     the numbering is non-deterministic — same contract as the window."""
     parted = _range_partitioned(df, order_cols, nparts)
-    off_df, n_rows = _prefix_offsets(parted, F.count(F.lit(1)).cast("bigint"))
+    off_df, n_rows = _prefix_offsets(
+        parted, F.count(F.lit(1)).cast("bigint"), F.count(F.lit(1))
+    )
     w = W.partitionBy(_PID).orderBy(
         *[F.col(c) if isinstance(c, str) else c for c in order_cols]
     )
@@ -129,7 +167,7 @@ def global_row_number(
         parted.withColumn(_LOC, F.row_number().over(w).cast("bigint"))
         .join(F.broadcast(off_df), _PID)
         .withColumn(out_col, F.col(_OFF) + F.col(_LOC))
-        .drop(_PID, _LOC, _OFF)
+        .drop(_PID, _LOC, _OFF, _PRI)
     )
     return out, int(n_rows)
 

@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque BINARY payloads with
 typed metadata, plus decode / feature-extract / frame-sample plumbing.
 
-The container has no image/audio libraries, so the decode itself is a
-STUB: `decode_image_stub` raises NotImplementedError unless the
-deterministic fake decoder is requested. What is REAL and tested is the
-Spark-side plumbing that matters at 100 TB:
+The container has no image/audio libraries, but the decode step is no
+longer a pure stub: `decode_image` is a dependency-free header decoder
+for BMP and the Netpbm family (P2/P3/P5/P6) — real formats, validated
+strictly (magic + exact payload-size checks) so a text blob can never
+false-positive.  Payloads in an unrecognized format fall back to the
+deterministic fake decoder (or raise NotImplementedError when the fake
+is disabled) — a real deployment plugs PIL/ffmpeg into exactly that
+seam.  What is equally REAL and tested is the Spark-side plumbing that
+matters at 100 TB:
   * binary payload column + metadata in one row (schema design),
   * Arrow-batched mapInPandas with a bounded batch size (payloads are
     big — spark.sql.execution.arrow.maxRecordsPerBatch caps memory),
@@ -12,7 +17,10 @@ Spark-side plumbing that matters at 100 TB:
 
 The testdata has no binary table, so payloads are derived in-flight from
 `documents.text` (cast to UTF-8 bytes) — an opaque blob as far as every
-operator here is concerned.
+operator here is concerned; the registered queries' oracles therefore
+mirror the fake decoder's arithmetic (text is never valid BMP/Netpbm),
+while tests/test_multimodal_codec.py drives real image bytes through the
+same mapInPandas path end-to-end.
 """
 
 from __future__ import annotations
@@ -59,12 +67,81 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pnm_header(payload: bytes):
+    """Parse a Netpbm header (P2/P3/P5/P6): magic, then width, height,
+    maxval as ASCII ints separated by whitespace (with # comments), then
+    ONE whitespace byte before the raster.  Returns (fmt, width, height,
+    maxval, raster_start) or None."""
+    fmt = payload[:2]
+    if fmt not in (b"P2", b"P3", b"P5", b"P6"):
+        return None
+    i, n, vals = 2, len(payload), []
+    while i < n and len(vals) < 3:
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < n and payload[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            vals.append(int(payload[i:j]))
+            i = j
+        else:
+            return None
+    if len(vals) < 3 or i >= n or not payload[i : i + 1].isspace():
+        return None
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        return None
+    return fmt.decode("ascii"), w, h, maxval, i + 1
+
+
+def decode_image(payload: bytes):
+    """Dependency-free image decode for BMP and Netpbm payloads; returns
+    {width, height, n_frames} or None for unrecognized bytes.
+
+    Validation is deliberately strict — BMP requires the header's file
+    size field to equal the actual payload length, Netpbm requires the
+    raster to hold exactly width*height*channels samples — so arbitrary
+    text/binary blobs (the synthetic corpus payloads) can never
+    false-positive into a 'decoded image'."""
+    n = len(payload)
+    if n >= 26 and payload[:2] == b"BM" and int.from_bytes(payload[2:6], "little") == n:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        if w > 0 and h != 0:  # negative height = top-down row order
+            return {"width": w, "height": abs(h), "n_frames": 1}
+    hdr = _pnm_header(payload)
+    if hdr is not None:
+        fmt, w, h, maxval, start = hdr
+        channels = 3 if fmt in ("P3", "P6") else 1
+        if fmt in ("P5", "P6"):
+            bytes_per = 1 if maxval < 256 else 2
+            if n - start == w * h * channels * bytes_per:
+                return {"width": w, "height": h, "n_frames": 1}
+        else:  # ASCII rasters: exact sample count, all within maxval
+            samples = payload[start:].split()
+            if len(samples) == w * h * channels and all(
+                s.isdigit() and int(s) <= maxval for s in samples
+            ):
+                return {"width": w, "height": h, "n_frames": 1}
+    return None
+
+
 def decode_image_stub(payload: bytes) -> dict:
-    """Decode stub. A real deployment plugs PIL/ffmpeg in here; this
-    container has neither, so we either raise or produce a deterministic
-    fake derived from the bytes (so plumbing stays testable)."""
+    """Decode with the dependency-free codec; unrecognized formats fall
+    back to a deterministic fake derived from the bytes (so the
+    plumbing stays testable on the synthetic text-payload corpus), or
+    raise when the fake is disabled.  A real deployment swaps the
+    fallback for PIL/ffmpeg — nothing else in the pipeline changes."""
+    real = decode_image(payload)
+    if real is not None:
+        return real
     if not FAKE_DECODE:
-        raise NotImplementedError("no image codec available in this environment")
+        raise NotImplementedError("no codec for this image format in this environment")
     n = len(payload)
     first = payload[0] if n else 0
     return {

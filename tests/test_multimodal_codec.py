@@ -1,0 +1,103 @@
+"""The dependency-free image codec: real BMP/Netpbm bytes decode
+end-to-end through the Arrow mapInPandas path with the fake decoder
+DISABLED — the NotImplementedError seam is unreachable for supported
+formats — while arbitrary text can never false-positive.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidsql_spark.operators import multimodal
+from oxidsql_spark.operators.multimodal import decode_image, decode_image_stub
+
+
+def _bmp(w: int, h: int) -> bytes:
+    raster = bytes(((w * 3 + 3) // 4 * 4) * abs(h))  # row-padded BGR
+    total = 54 + len(raster)
+    return (
+        b"BM"
+        + total.to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 24
+        + raster
+    )
+
+
+FIXTURES = [
+    (_bmp(17, 9), 17, 9),
+    (_bmp(5, -4), 5, 4),  # top-down BMP: negative height
+    (b"P6\n# a comment\n4 3\n255\n" + bytes(4 * 3 * 3), 4, 3),
+    (b"P6 2 2 65535 " + bytes(2 * 2 * 3 * 2), 2, 2),  # 16-bit maxval
+    (b"P5 4 3 255 " + bytes(4 * 3), 4, 3),
+    (b"P3 2 2 9 0 1 2 3 4 5 6 7 8 9 0 1", 2, 2),
+    (b"P2 3 1 7 0 3 7", 3, 1),
+]
+
+
+@pytest.mark.parametrize("payload,w,h", FIXTURES)
+def test_decode_image_formats(payload, w, h):
+    got = decode_image(payload)
+    assert got == {"width": w, "height": h, "n_frames": 1}
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"BMP files start with BM but this is text",  # fsize mismatch
+        b"P6 is a binary netpbm format",  # non-digit header token
+        b"P3 2 2 9 0 1 2 3",  # too few ASCII samples
+        b"P5 4 3 255 " + bytes(11),  # raster one byte short
+        b"P5 4 3 255 " + bytes(13),  # raster one byte long
+        "ordinary document text".encode(),
+    ],
+)
+def test_decode_image_rejects_non_images(payload):
+    assert decode_image(payload) is None
+
+
+def test_stub_uses_real_codec_without_fake(monkeypatch):
+    """With the fake decoder disabled, supported formats still decode —
+    the NotImplementedError path is unreachable for the fixtures — and
+    unknown formats raise (the documented plug-a-real-codec seam)."""
+    monkeypatch.setattr(multimodal, "FAKE_DECODE", False)
+    for payload, w, h in FIXTURES:
+        assert decode_image_stub(payload) == {"width": w, "height": h, "n_frames": 1}
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"ordinary document text")
+
+
+def test_real_images_through_mapinpandas(spark, monkeypatch):
+    """End-to-end: real image payloads cross the Arrow boundary and
+    decode in batches with NO fake fallback — the exact plumbing
+    mm_decode_features runs, on real bytes."""
+    monkeypatch.setattr(multimodal, "FAKE_DECODE", False)
+    import pandas as pd
+
+    rows = [(i, payload) for i, (payload, _, _) in enumerate(FIXTURES)]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    def decode_batches(batches):
+        for pdf in batches:
+            feats = [decode_image_stub(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [f["width"] for f in feats],
+                    "height": [f["height"] for f in feats],
+                    "n_frames": [f["n_frames"] for f in feats],
+                }
+            )
+
+    out = df.mapInPandas(
+        decode_batches, "doc_id bigint, width int, height int, n_frames int"
+    )
+    got = {r["doc_id"]: (r["width"], r["height"]) for r in out.collect()}
+    assert got == {i: (w, h) for i, (_, w, h) in enumerate(FIXTURES)}

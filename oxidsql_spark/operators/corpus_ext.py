@@ -479,3 +479,82 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "source_term_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT source,
+             unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS term
+      FROM documents),
+    st AS (SELECT source, term, count(*) AS n_st FROM tok GROUP BY 1, 2),
+    s AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+    t AS (SELECT term, sum(n_st) AS n_t FROM st GROUP BY 1),
+    tot AS (SELECT sum(n_st) AS n FROM st),
+    oe AS (
+      SELECT st.source,
+             CAST(n_st AS DOUBLE) AS o,
+             CAST(n_s AS DOUBLE) * CAST(n_t AS DOUBLE) / CAST(n AS DOUBLE) AS e
+      FROM st JOIN s USING (source) JOIN t USING (term), tot),
+    contrib AS (
+      SELECT source, CAST(round((o - e) * (o - e) / e * 1000000) AS BIGINT) AS q
+      FROM oe)
+    SELECT source,
+           count(*) AS n_terms,
+           round(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / 1000000, 4) AS chi2_drift
+    FROM contrib GROUP BY source
+    """,
+)
+def source_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term-distribution drift vs. the whole corpus — the
+    distribution-monitoring pass a training-data pipeline runs when a
+    crawl source changes character (spam influx, language shift,
+    template churn).  Statistic: the observed-pair chi-square sum
+    Σ (O−E)²/E over (source, term) pairs, where E = n_s·n_t/N is the
+    independence expectation; a source whose term mix matches the
+    corpus scores near 0.
+
+    Scale: tokenize map-side, ONE (source, term) shuffle; per-source
+    and per-term marginals reuse that aggregate (rows bounded by
+    distinct pairs, never token volume); the corpus total joins as a
+    broadcast single row.  Cross-engine exactness: each pair's
+    contribution is a fixed chain of IEEE double ops on exact integer
+    counts (no transcendentals), quantized to micro-units and summed as
+    bigint — associative, partial-agg-order free, same discipline as
+    embeddings_dim_stats."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t = st.groupBy("term").agg(F.sum("n_st").alias("n_t"))
+    tot = st.agg(F.sum("n_st").alias("n"))
+    oe = (
+        st.join(s, "source")
+        .join(t, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_st").cast("double").alias("o"),
+            (
+                F.col("n_s").cast("double")
+                * F.col("n_t").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+        )
+    )
+    q = F.round(
+        (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e") * 1_000_000
+    ).cast("bigint")
+    return (
+        oe.select("source", q.alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("q").cast("double") / 1_000_000, 4).alias("chi2_drift"),
+        )
+    )

@@ -400,19 +400,22 @@ _KM_SCALE = 1000  # quantization: x -> floor(x * 1000) as bigint
 _KM_DIM = 64  # embeddings are fixed 64-dim (oracle unrolls over this)
 
 
-def _km_oracle() -> str:
-    """DuckDB re-derivation of the quantized Lloyd iterations, unrolled.
+def _km_ctes() -> str:
+    """The shared CTE chain for the quantized Lloyd oracle: quantized
+    exploded coordinates `ex`, centroid generations c0→c2, assignments
+    a1→a3 (a3 = final assignment under the round-2 centroids).  Used by
+    the kmeans oracle and composed further by the IVF-on-kmeans oracle.
 
-    Why it can match bit-for-bit: every arithmetic step is integer.
-    Vectors quantize to floor(x·1000) (float→double widening is exact
-    and the double multiply/floor are IEEE-identical in both engines);
-    distances are integer sums of squares (associative — partial-agg
-    merge order can't change them); centroid updates floor-divide
-    integer sums by integer counts. The only doubles are the division
-    inside the centroid floor, where |sum/count| < 2^31 keeps the
-    double quotient within 1 ulp — much closer than the 1/count gap to
-    the nearest integer — so floor(double) == exact floor in both
-    engines."""
+    Why it can match Spark bit-for-bit: every arithmetic step is
+    integer.  Vectors quantize to floor(x·1000) (float→double widening
+    is exact and the double multiply/floor are IEEE-identical in both
+    engines); distances are integer sums of squares (associative —
+    partial-agg merge order can't change them); centroid updates
+    floor-divide integer sums by integer counts. The only doubles are
+    the division inside the centroid floor, where |sum/count| < 2^31
+    keeps the double quotient within 1 ulp — much closer than the
+    1/count gap to the nearest integer — so floor(double) == exact
+    floor in both engines."""
     k, scale, dim = _KM_K, _KM_SCALE, _KM_DIM
 
     def assign(cents: str) -> str:
@@ -430,8 +433,7 @@ def _km_oracle() -> str:
              CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*)) AS BIGINT) AS m
       FROM {asg} a JOIN ex e USING (vec_id) GROUP BY a.cluster, e.dim)"""
 
-    sql = f"""
-    WITH q AS (
+    return f"""q AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             e -> CAST(floor(e * {scale}) AS BIGINT)) AS qv
@@ -444,10 +446,16 @@ def _km_oracle() -> str:
     c1 AS {update("a1")},
     a2 AS {assign("c1")},
     c2 AS {update("a2")},
-    a3 AS {assign("c2")}
+    a3 AS {assign("c2")}"""
+
+
+def _km_oracle() -> str:
+    """DuckDB re-derivation of the quantized Lloyd iterations (see
+    _km_ctes for the exactness argument)."""
+    return f"""
+    WITH {_km_ctes()}
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster_id FROM a3
     """
-    return sql
 
 
 @register("embeddings_kmeans", oracle=_km_oracle())
@@ -476,36 +484,56 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     zip_with/aggregate evaluate interpreted (acceptable: per-row cost,
     no shuffle; the alternative — 512 unrolled codegen terms — buys
     nothing at K=8)."""
-    k, iters, scale = _KM_K, _KM_ITERS, _KM_SCALE
-    e = table(spark, sf_dir, "embeddings").select(
+    e = _km_quantized(spark, sf_dir)
+    cents = _km_train(e)
+    return e.select(
+        "vec_id", _km_assign(cents).cast("bigint").alias("cluster_id")
+    )
+
+
+def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qv): embedding quantized to floor(x·scale) bigints —
+    the integer domain every k-means step runs in."""
+    return table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
             f"transform(embedding, e -> "
-            f"CAST(floor(CAST(e AS DOUBLE) * {scale}) AS BIGINT))"
+            f"CAST(floor(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
         ).alias("qv"),
     )
 
-    def dist_to(cent: list[int]) -> F.Column:
-        lit = F.array(*[F.lit(int(v)) for v in cent])
-        return F.aggregate(
-            F.zip_with("qv", lit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + v,
-        )
 
-    def assign(cents: dict[int, list[int]]) -> F.Column:
-        cs = sorted(cents)
-        dists = F.array(*[dist_to(cents[c]) for c in cs])
-        pos = F.array_position(dists, F.array_min(dists))
-        return F.element_at(F.array(*[F.lit(c) for c in cs]), pos.cast("int"))
+def _km_dist_to(cent: list[int]) -> F.Column:
+    """Integer squared distance from the row's qv to a centroid literal."""
+    lit = F.array(*[F.lit(int(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with("qv", lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
-    # init: the first K vectors' quantized coordinates (deterministic)
+
+def _km_assign(cents: dict[int, list[int]]) -> F.Column:
+    """Nearest-centroid id; ties break to the lowest cluster id (the
+    oracle's (dist, c) sort)."""
+    cs = sorted(cents)
+    dists = F.array(*[_km_dist_to(cents[c]) for c in cs])
+    pos = F.array_position(dists, F.array_min(dists))
+    return F.element_at(F.array(*[F.lit(c) for c in cs]), pos.cast("int"))
+
+
+def _km_train(
+    e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+) -> dict[int, list[int]]:
+    """Lloyd iterations over (vec_id, qv); returns the final centroids.
+    Init = the first K vectors' quantized coordinates (deterministic);
+    each iteration is a zero-shuffle assignment + one K·dim-row partial
+    aggregation; driver traffic = iters × K·dim rows."""
     cents: dict[int, list[int]] = {
-        r["vec_id"]: list(r["qv"])
-        for r in e.filter(F.col("vec_id") < k).collect()
+        r["vec_id"]: list(r["qv"]) for r in e.filter(F.col("vec_id") < k).collect()
     }
     for _ in range(iters):
-        assigned = e.select("vec_id", "qv", assign(cents).alias("cluster"))
+        assigned = e.select("vec_id", "qv", _km_assign(cents).alias("cluster"))
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -518,6 +546,94 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 r["s"] // r["n"]  # Python floor division == floor(double) here
             )
         cents = new_cents
-    return e.select(
-        "vec_id", assign(cents).cast("bigint").alias("cluster_id")
+    return cents
+
+
+def _ivf_km_oracle() -> str:
+    """IVF-on-trained-codebook oracle: the _km_ctes chain yields the
+    final centroids (c2) and cell assignment (a3) integer-exactly; the
+    probe ranking is the same integer distance; only the final rerank is
+    float cosine on the raw vectors (the proven list_cosine_similarity
+    equivalence)."""
+    return f"""
+    WITH {_km_ctes()},
+    qd AS (
+      SELECT e.vec_id, c.c, sum((e.x - c.m) * (e.x - c.m)) AS d
+      FROM ex e JOIN c2 c ON e.dim = c.dim
+      WHERE e.vec_id < {_N_QUERIES}
+      GROUP BY e.vec_id, c.c),
+    probes AS (
+      SELECT vec_id AS q_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+        FROM qd) WHERE rk <= {_IVF_PROBE}),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (
+      SELECT p.q_id, a.vec_id,
+             list_cosine_similarity(qv.v, cv.v) AS sim
+      FROM a3 a
+      JOIN probes p ON a.cluster = p.cell
+      JOIN ev qv ON qv.vec_id = p.q_id
+      JOIN ev cv ON cv.vec_id = a.vec_id
+      WHERE p.q_id <> a.vec_id)
+    SELECT q_id, vec_id, round(sim, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}
+    """
+
+
+@register("ann_ivf_kmeans", oracle=_ivf_km_oracle())
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the TRAINED k-means codebook — the step
+    ann_ivf_coarse stubs with fixed centroids, now end-to-end: train
+    (2 quantized Lloyd iterations, `_km_train`), assign every vector to
+    its cell, probe the query's {_IVF_PROBE} nearest cells, exact-cosine
+    rerank the survivors.
+
+    Scale shape: training is the kmeans plan (broadcast-literal
+    centroids, K·dim-row update shuffle); assignment is zero-shuffle map
+    work; probes are a ~{_N_QUERIES}·{_IVF_PROBE}-row broadcast; the one
+    data-sized join is candidate-id → vector (key join).  On a 100 TB
+    corpus the assignment is written partitioned by cell
+    (build_ivf_index's layout) so probes prune to cell partitions.
+    Everything up to the rerank is integer-exact, so the DuckDB oracle
+    reproduces cell membership bit-for-bit."""
+    e = _km_quantized(spark, sf_dir)
+    cents = _km_train(e)
+    assigned = e.select("vec_id", _km_assign(cents).alias("cell"))
+    probe_structs = F.array(
+        *[
+            F.struct(_km_dist_to(cents[c]).alias("d"), F.lit(c).alias("cell"))
+            for c in sorted(cents)
+        ]
+    )
+    probes = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.slice(F.sort_array(probe_structs), 1, _IVF_PROBE)).alias("pc"),
+        )
+        .select("q_id", F.col("pc.cell").alias("cell"))
+    )
+    ev = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    qv = ev.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .join(ev, "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .withColumn("sim", vec_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
     )

@@ -64,6 +64,8 @@ _PRIORITY: tuple[str, ...] = (
     # stalest stable queries (most of the pool's latest green is r1-r2).
     # New in round 5 — never driver-checked:
     "embedding_cosine_lsh",
+    "source_term_drift",
+    "ann_ivf_kmeans",
 )
 
 

@@ -35,6 +35,7 @@ CACHE_USING_QUERIES = [
     "corpus_shard_pack",
     "customer_pareto",
     "orders_rfm",
+    "source_term_drift",
 ]
 
 

@@ -178,6 +178,19 @@ def test_embedding_cosine_guard_routes_above_cap(spark, sf_dir):
     assert got  # and the banded buckets do recall some true pairs
 
 
+def test_registered_lsh_query_equals_guarded_route(spark, sf_dir):
+    """The registered `embedding_cosine_lsh` (driver-oracled) and the
+    over-cap route inside `embedding_cosine_pairs` are the same code
+    path — their outputs must be identical, so the driver row vouches
+    for the guard's fallback too."""
+    from oxidsql_spark.operators.dedup import embedding_cosine_lsh, embedding_cosine_pairs
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = sorted(map(tuple, embedding_cosine_lsh(spark, sf_dir).collect()))
+    b = sorted(map(tuple, embedding_cosine_pairs(spark, e, broadcast_row_cap=10).collect()))
+    assert a == b and a
+
+
 def test_prepared_pair_table_clusters_match_direct(spark, sf_dir, tmp_path):
     """The persisted pair-graph path must produce exactly the clusters
     the direct path computes (write-once reuse, SCALE.md)."""

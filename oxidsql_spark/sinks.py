@@ -12,6 +12,9 @@ wrapped with the layouts that matter at 100 TB:
 * ``write_bucketed`` — pre-shuffled bucket layout on the join/agg key;
   two tables bucketed the same way join with ZERO exchange (the
   bucketing IS the shuffle, paid once at write time);
+* ``write_sorted`` / ``write_zordered`` — range-clustered and Morton-
+  clustered file layouts so parquet min/max statistics skip files on
+  one / several predicate columns;
 * ``show`` / ``to_rows`` — the Print twin.
 """
 
@@ -121,3 +124,63 @@ def write_sorted(
     n = n_files or df.rdd.getNumPartitions()
     out = df.repartitionByRange(n, *sort_cols)
     out.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *z_cols: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional data-skipping layout: Z-order (Morton)
+    clustering on up to 3 columns.
+
+    ``write_sorted`` makes ONE column's file min/max ranges disjoint;
+    a predicate on any other column still touches every file.  Z-order
+    trades a little per-column locality for locality in ALL z_cols:
+    each column is scaled to a 16-bit rank (min/max from one 1-row
+    aggregate), the ranks' bits are interleaved into a single Morton
+    key — pure codegen shift/mask arithmetic — and files are
+    range-partitioned and sorted by that key.  Every z column's
+    per-file span then shrinks to roughly range/files^(1/k), so scans
+    filtering on ANY of the columns skip most files on parquet
+    min/max statistics (measured in tests/test_sinks_formats.py).
+
+    Cost at 100 TB: one 1-row min/max aggregate + one range shuffle —
+    identical shape to write_sorted; the interleave adds no shuffle.
+    The reference has no layout control at all (heap pages,
+    src/storage/heap.rs); this is the Spark-native equivalent of
+    Delta/Iceberg OPTIMIZE ZORDER BY."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(z_cols) <= 3:
+        raise ValueError("write_zordered supports 1-3 z columns")
+    k = len(z_cols)
+    bits = 16
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(z_cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(z_cols)],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    ranks = []
+    for i, c in enumerate(z_cols):
+        mn, mx = stats[f"mn_{i}"], stats[f"mx_{i}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        r = F.floor((F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * top)
+        ranks.append(F.coalesce(F.least(r, F.lit(top)), F.lit(0)).cast("long"))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for j, r in enumerate(ranks):
+            z = z + F.shiftleft(
+                F.shiftright(r, b).bitwiseAND(F.lit(1)), b * k + j
+            )
+    zk = "__zorder_key"
+    n = n_files or df.rdd.getNumPartitions()
+    out = (
+        df.withColumn(zk, z)
+        .repartitionByRange(n, F.col(zk))
+        .sortWithinPartitions(zk)
+        .drop(zk)
+    )
+    out.write.mode(mode).parquet(path)

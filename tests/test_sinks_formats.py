@@ -163,3 +163,44 @@ def test_write_sorted_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
         assert hi1 <= lo2 or abs(hi1 - lo2) < 1e-9
     # round-trip intact
     assert spark.read.parquet(path).count() == o.count()
+
+
+def test_write_zordered_multi_dim_skipping(spark, sf_dir, tmp_path):
+    """Z-order must give BOTH z columns narrow per-file value spans
+    (multi-dimensional skipping), where a plain write gives ~full-range
+    spans on both and a single-key sort leaves the second column
+    unprunable.  Span = mean over files of (file_max - file_min) /
+    global_range, the parquet-stats skipping proxy."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+
+    def mean_span(path, col):
+        df = spark.read.parquet(path)
+        lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
+        per_file = (
+            df.groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return per_file / (hi - lo)
+
+    sinks.write_zordered(li, str(tmp_path / "z"), "l_partkey", "l_suppkey", n_files=16)
+    sinks.write_sorted(li, str(tmp_path / "s"), "l_partkey", n_files=16)
+    sinks.write_parquet(li.repartition(16), str(tmp_path / "p"), n_files=16)
+
+    z_pk, z_sk = mean_span(str(tmp_path / "z"), "l_partkey"), mean_span(
+        str(tmp_path / "z"), "l_suppkey"
+    )
+    s_pk, s_sk = mean_span(str(tmp_path / "s"), "l_partkey"), mean_span(
+        str(tmp_path / "s"), "l_suppkey"
+    )
+    p_pk = mean_span(str(tmp_path / "p"), "l_partkey")
+
+    assert p_pk > 0.8  # plain: every file spans ~the whole key range
+    assert s_pk < 0.15 and s_sk > 0.8  # sorted: first key tight, second unpruned
+    assert z_pk < 0.6 and z_sk < 0.6  # z-order: BOTH dimensions skippable
+    # row content identical to the source (layout-only transformation)
+    assert (
+        spark.read.parquet(str(tmp_path / "z")).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+        == li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+    )

@@ -44,6 +44,20 @@ class TableSample:
         self.sample = df.sample(fraction=fraction, seed=seed).limit(sample_size).cache()
         self.sample_count = self.sample.count()
 
+    def close(self) -> None:
+        """Release the cached sample blocks.  The sample is bounded
+        (≤ ~SAMPLE_SIZE rows), but a session that profiles many tables
+        should still return the storage — same lifecycle discipline as
+        cachescope (a TableSample owns its cache, so it exposes its own
+        release instead of the scope ledger)."""
+        self.sample.unpersist(blocking=True)
+
+    def __enter__(self) -> "TableSample":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     def estimate_selectivity(self, predicate: Column | str) -> float:
         """matching/total over the sample (bottomup.rs:121-161)."""
         if self.sample_count == 0:

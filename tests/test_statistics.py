@@ -273,3 +273,14 @@ def test_stats_checkpoint_survives_reopen_without_rescan(spark, tmp_path):
         assert st.estimate_cardinality("id < 75") > 0
     finally:
         OnlineTableStats.rebuild = orig_rebuild
+
+
+def test_table_sample_close_releases_cache(spark, sf_dir):
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.statistics import TableSample
+
+    n0 = spark.sparkContext._jsc.getPersistentRDDs().size()
+    with TableSample(table(spark, sf_dir, "customer")) as ts:
+        assert ts.sample_count > 0
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0 + 1
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0

@@ -523,17 +523,25 @@ def _km_assign(cents: dict[int, list[int]]) -> F.Column:
 
 
 def _km_train(
-    e: DataFrame, k: int = _KM_K, iters: int = _KM_ITERS
+    e: DataFrame,
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    init: dict[int, list[int]] | None = None,
+    dim: int = _KM_DIM,
 ) -> dict[int, list[int]]:
-    """Lloyd iterations over (vec_id, qv); returns the final centroids.
-    Init = the first K vectors' quantized coordinates (deterministic);
-    each iteration is a zero-shuffle assignment + one K·dim-row partial
-    aggregation; driver traffic = iters × K·dim rows."""
-    cents: dict[int, list[int]] = {
-        r["vec_id"]: list(r["qv"]) for r in e.filter(F.col("vec_id") < k).collect()
-    }
+    """Lloyd iterations over a frame with a `qv` column; returns the
+    final centroids.  Default init = the first K vec_ids' quantized
+    coordinates (deterministic); callers without a dense vec_id pass
+    explicit `init` centroids.  Each iteration is a zero-shuffle
+    assignment + one K·dim-row partial aggregation; driver traffic =
+    iters × K·dim rows."""
+    if init is None:
+        init = {
+            r["vec_id"]: list(r["qv"]) for r in e.filter(F.col("vec_id") < k).collect()
+        }
+    cents = init
     for _ in range(iters):
-        assigned = e.select("vec_id", "qv", _km_assign(cents).alias("cluster"))
+        assigned = e.select("qv", _km_assign(cents).alias("cluster"))
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -542,7 +550,7 @@ def _km_train(
         )
         new_cents: dict[int, list[int]] = {}
         for r in sums:
-            new_cents.setdefault(r["cluster"], [0] * _KM_DIM)[r["dim"]] = (
+            new_cents.setdefault(r["cluster"], [0] * dim)[r["dim"]] = (
                 r["s"] // r["n"]  # Python floor division == floor(double) here
             )
         cents = new_cents

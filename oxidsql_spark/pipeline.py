@@ -89,3 +89,109 @@ def build_training_corpus(
     if out_dir:
         corpus.write.mode("overwrite").partitionBy("lang_pred").parquet(out_dir)
     return corpus
+
+
+# ---------------------------------------------------------------------------
+# Chunk vector index — the RAG-style retrieval capstone: chunk → embed →
+# train codebook → write cell-partitioned index → partition-pruned query.
+# ---------------------------------------------------------------------------
+
+CVI_DIM = 8  # chunk-embedding dimensions (deterministic md5-derived stub)
+CVI_K = 8  # codebook size
+CVI_SCALE = 1000  # k-means quantization (similarity._KM_SCALE discipline)
+CVI_PROBE = 2  # cells probed per query
+
+
+def _chunk_embedding_col():
+    """Deterministic CVI_DIM-dim embedding of the `chunk` column from its
+    md5 bytes — the stand-in for a real encoder (pure codegen, engine-
+    neutral; swap in a Pandas-UDF model call and nothing else changes)."""
+    md5 = F.md5(F.col("chunk").cast("binary"))
+    return F.array(
+        *[
+            (
+                F.conv(F.substring(md5, 1 + 2 * j, 2), 16, 10).cast("double") / 255.0
+                - 0.5
+            )
+            for j in range(CVI_DIM)
+        ]
+    )
+
+
+def _embed_text_py(text: str) -> list[float]:
+    """Driver-side twin of _chunk_embedding_col for query strings."""
+    import hashlib
+
+    h = hashlib.md5(text.encode("utf-8")).hexdigest()
+    return [int(h[2 * j : 2 * j + 2], 16) / 255.0 - 0.5 for j in range(CVI_DIM)]
+
+
+def build_chunk_vector_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Build the retrieval index: chunk every document
+    (text_chunks_builtin's codegen chunker), embed each chunk, train a
+    CVI_K-cell k-means codebook (similarity._km_train — quantized
+    integer Lloyd, driver traffic = iters × K·dim rows), and write the
+    (doc_id, chunk_idx, chunk, v) rows PARTITIONED BY cell, plus the
+    centroid table next to it.  Write-once artifact: every query batch
+    afterwards reads only its probed cells' partitions — the same
+    layout discipline as similarity.build_ivf_index, applied to the
+    text-retrieval pipeline."""
+    from .operators.similarity import _km_assign, _km_train
+    from .operators.udtf_ops import text_chunks_builtin
+
+    chunks = text_chunks_builtin(spark, sf_dir).withColumn(
+        "v", _chunk_embedding_col()
+    )
+    qv = F.expr(
+        f"transform(v, e -> CAST(floor(e * {CVI_SCALE}) AS BIGINT))"
+    )
+    e = chunks.withColumn("qv", qv)
+    init_rows = (
+        e.orderBy("doc_id", "chunk_idx").select("qv").limit(CVI_K).collect()
+    )
+    init = {i: list(r["qv"]) for i, r in enumerate(init_rows)}
+    cents = _km_train(e.select("qv"), k=CVI_K, init=init, dim=CVI_DIM)
+    assigned = e.withColumn("cell", _km_assign(cents)).select(
+        "doc_id", "chunk_idx", "chunk", "v", "cell"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    cent_rows = [(c, [int(x) for x in cents[c]]) for c in sorted(cents)]
+    spark.createDataFrame(cent_rows, "cell int, centroid array<bigint>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(out_path + "_centroids")
+
+
+def query_chunk_index(
+    spark: SparkSession,
+    index_path: str,
+    query_text: str,
+    top_k: int = 5,
+    n_probe: int = CVI_PROBE,
+) -> DataFrame:
+    """Retrieve the top-k chunks for a query string from a prebuilt
+    index: embed the query driver-side (tiny), rank cells by integer
+    distance to the persisted centroids (a CVI_K-row read), and scan
+    ONLY the probed cells — `cell IN (...)` is a partition filter, so
+    the 100 TB index touches n_probe/CVI_K of its files.  Exact cosine
+    ranks the survivors with a deterministic tie-break."""
+    from .functions import vec_dot, vec_norm
+
+    qv_f = _embed_text_py(query_text)
+    qv_q = [int(__import__("math").floor(x * CVI_SCALE)) for x in qv_f]
+    cents = {
+        r["cell"]: list(r["centroid"])
+        for r in spark.read.parquet(index_path + "_centroids").collect()
+    }
+    ranked = sorted(
+        cents, key=lambda c: (sum((a - b) ** 2 for a, b in zip(qv_q, cents[c])), c)
+    )
+    cells = ranked[:n_probe]
+    qlit = F.array(*[F.lit(float(x)) for x in qv_f])
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    sim = vec_dot(qlit, F.col("v")) / (vec_norm(qlit) * vec_norm(F.col("v")))
+    return (
+        idx.withColumn("cos_sim", F.round(sim, 6))
+        .orderBy(F.desc("cos_sim"), "doc_id", "chunk_idx")
+        .limit(top_k)
+        .select("doc_id", "chunk_idx", "chunk", "cos_sim")
+    )

@@ -85,3 +85,40 @@ def test_pipeline_repetition_and_decontamination_gates(spark, sf_dir):
     assert all(rep[d] <= 0.3 for d in kept)
     dirty = {r.doc_id for r in decontaminate_ngram(spark, sf_dir).collect()}
     assert not (kept & dirty)
+
+
+def test_chunk_vector_index_build_and_query(spark, sf_dir, tmp_path):
+    """RAG-capstone: build the cell-partitioned chunk index, then query
+    with a known chunk's own text — it must come back as top-1 with
+    cosine 1, through a PARTITION-PRUNED scan (cell IN pushed to the
+    directory level, n_probe of CVI_K cells touched)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.pipeline import (
+        CVI_K,
+        CVI_PROBE,
+        build_chunk_vector_index,
+        query_chunk_index,
+    )
+
+    path = str(tmp_path / "chunk_index")
+    build_chunk_vector_index(spark, sf_dir, path)
+
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert 1 < len(cell_dirs) <= CVI_K  # layout is cell-partitioned
+
+    probe = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_id") == 42)
+        .filter(F.col("chunk_idx") == 0)
+        .select("chunk")
+        .collect()[0]["chunk"]
+    )
+    got = query_chunk_index(spark, path, probe, top_k=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan  # pruned, not post-filtered
+    rows = got.collect()
+    assert (rows[0]["doc_id"], rows[0]["chunk_idx"]) == (42, 0)
+    assert rows[0]["cos_sim"] == 1.0

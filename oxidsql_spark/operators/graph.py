@@ -13,7 +13,7 @@ driver except the 1-row convergence check.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..cachescope import scoped_persist
@@ -80,29 +80,35 @@ def propagate_min_labels(
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels
     converged = False
-    for _ in range(max_iters):  # diameter bound; near-dup graphs converge in 2-4
+    for i in range(max_iters):  # diameter bound; near-dup graphs converge in 2-4
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = scoped_persist(
-            labels.join(neighbor_min, "doc_id", "left").select(
+        # The convergence probe rides the SAME job that materializes the
+        # new generation (df.observe) — no extra old-vs-new join and no
+        # second action per iteration.
+        obs = Observation(f"cc_changed_{i}")
+        stepped = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
                 "doc_id",
+                F.col("cluster_id").alias("__old"),
                 F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
                     "cluster_id"
                 ),
             )
+            .observe(
+                obs,
+                F.sum((F.col("cluster_id") != F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        # `changed` materialized new_labels' cache; the superseded
-        # generation's cache is dead weight from here on.
+        new_labels = scoped_persist(stepped.select("doc_id", "cluster_id"))
+        new_labels.count()  # materialize the cache; fires the observation
+        changed = obs.get["changed"] or 0
         if labels is not first_labels:
             labels.unpersist()
         labels = new_labels

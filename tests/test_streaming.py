@@ -296,3 +296,73 @@ def test_stream_user_spend_state_bounded_by_keys(spark, sf_dir, chunked_stream_d
     max_rows, final_rows = _state_rows(progresses)
     assert final_rows == n_users, (max_rows, final_rows, n_users)
     assert max_rows == n_users  # never exceeded key cardinality either
+
+
+def test_late_rows_dropped_by_watermark(spark, tmp_path):
+    """Late-data semantics, asserted directly on a 3-batch replay:
+
+    batch 0 (older half-day) → watermark still unset, nothing evicted;
+    batch 1 (newer half-day) → watermark advances, finalized windows
+    emit + evict; batch 2 (ONE event re-stamped into an hour batch 0
+    covered, now far below the watermark) → the row must be DROPPED
+    (numRowsDroppedByWatermark == 1), its window must NOT re-emit, and
+    every window emits exactly once (the append contract).
+
+    Empirically pinned Spark subtlety (worth locking): the late-event
+    filter uses the PREVIOUS batch's watermark and only protects
+    already-evicted windows — a late row whose window is still live
+    simply merges into it.  Hence the 3-batch shape: eviction must run
+    before the late row arrives for the drop to be observable."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import _hourly_agg, _stream_source
+
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    ev = table(spark, SF_DIR, "events")
+    t0 = ev.agg(F.max("ts")).collect()[0][0]
+
+    def write_one(df, name, mtime):
+        tmp_out = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        dst = str(d / name)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp_out)
+        os.utime(dst, (mtime, mtime))
+
+    day = ev.filter(F.col("ts") >= F.lit(t0) - F.expr("INTERVAL 1 DAY"))
+    first = day.filter(F.col("ts") < F.lit(t0) - F.expr("INTERVAL 12 HOURS"))
+    second = day.filter(F.col("ts") >= F.lit(t0) - F.expr("INTERVAL 12 HOURS"))
+    late = (
+        ev.limit(1)
+        .withColumn("ts", F.lit(t0) - F.expr("INTERVAL 23 HOURS"))
+        .select(*ev.columns)
+    )
+    write_one(first, "chunk-1.parquet", 1_000_000_000)
+    write_one(second, "chunk-2.parquet", 1_000_000_060)
+    write_one(late, "chunk-3.parquet", 1_000_000_120)
+
+    sdf = _hourly_agg(_stream_source(spark, str(d)))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("late_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = list(q.recentProgress)
+    q.stop()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1, f"late row not dropped (dropped={dropped})"
+    emitted = [(r.hour_start, r.event_type) for r in spark.table("late_mem").collect()]
+    assert len(emitted) == len(set(emitted)), "append re-emitted a finalized window"

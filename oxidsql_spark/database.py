@@ -103,6 +103,11 @@ _CREATE_VIEW_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_CREATE_FUNC_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?FUNCTION\s+(\w+)\s*(\(.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_FUNC_RE = re.compile(r"^\s*DROP\s+FUNCTION\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.+?)\s*;?\s*$", re.IGNORECASE
 )
@@ -160,6 +165,7 @@ class OxidSparkDatabase:
         self._view_base: dict[str, DataFrame] = {}
         self._row_buf: dict[str, list[tuple]] = {}
         self._views: dict[str, str] = {}  # view name -> defining SELECT
+        self._functions: dict[str, str] = {}  # SQL UDF name -> signature+body
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
             for name in sorted(os.listdir(storage_dir)):
@@ -285,6 +291,36 @@ class OxidSparkDatabase:
             self.spark.catalog.dropTempView(vname)
             del self._views[vname]
             return None
+        fm = _CREATE_FUNC_RE.match(s)
+        if fm:
+            # SQL-defined UDFs (Spark 4 `CREATE FUNCTION ... RETURN expr`,
+            # scalar or RETURNS TABLE) — the reference left scalar
+            # functions as a TODO (README.md:51); here the definition is
+            # declarative SQL Catalyst inlines into the calling plan, so
+            # a UDF call costs the same as writing the expression out.
+            # Registered session-scoped (TEMPORARY): the facade owns the
+            # catalog, no metastore required.
+            fname = fm.group(1).lower()
+            if fname in self._tables or fname in self._views:
+                raise AnalyzerError(f"'{fname}' is a table or view")
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {fname} {fm.group(2)}"
+            )
+            self._functions[fname] = fm.group(2).strip().rstrip(";")
+            return None
+        df_ = _DROP_FUNC_RE.match(s)
+        if df_:
+            fname = df_.group(1).lower()
+            if fname not in self._functions:
+                raise AnalyzerError(f"unknown function '{fname}'")
+            self.spark.sql(f"DROP TEMPORARY FUNCTION {fname}")
+            del self._functions[fname]
+            return None
+        if re.match(r"^\s*SHOW\s+FUNCTIONS\s*;?\s*$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(n, d) for n, d in sorted(self._functions.items())],
+                "function_name string, definition string",
+            )
         am = _ALTER_ADD_RE.match(s)
         if am:
             return self._alter_add_column(am.group(1).lower(), am.group(2))

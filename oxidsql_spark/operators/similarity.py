@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import as_double_vec, cosine_sim, vec_dot, vec_norm
+from ..functions import as_double_vec, cosine_sim, vec_dot, vec_dot_unrolled, vec_norm
 from ..registry import register
 from ..sources import table
 
@@ -90,7 +90,13 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 
 
 def lsh_signature(v: F.Column, dim: int) -> F.Column:
-    """Sign-bit signature of v against the fixed hyperplanes (int)."""
+    """Sign-bit signature of v against the fixed hyperplanes (int).
+
+    Stays on the zip_with fold deliberately: unrolling the 12×dim dot
+    products into element_at chains was measured SLOWER (the ~770-term
+    expression falls out of whole-stage codegen entirely), so consumers
+    that evaluate signatures in several plan branches persist the
+    signature frame instead (see dedup._embedding_cosine_lsh_path)."""
     planes = _hyperplanes(dim)
     sig = F.lit(0)
     for i, p in enumerate(planes):

@@ -289,3 +289,37 @@ def test_alter_table_add_column(spark, tmp_path):
     db2 = OxidSparkDatabase(spark, storage_dir=d)
     desc = {r.col_name: r.data_type for r in db2.query("DESCRIBE t_alter").collect()}
     assert desc == {"id": "INT", "note": "VARCHAR(20)"}
+
+
+def test_sql_udf_create_use_drop(db):
+    """SQL-defined functions (CREATE FUNCTION ... RETURN expr) — the
+    reference's scalar-function TODO (README.md:51), declaratively:
+    Catalyst inlines the body, scalar and table-valued forms both work,
+    and the facade tracks the registry for SHOW/DROP."""
+    db.query("CREATE TABLE fx (a INTEGER, b INTEGER)")
+    for a, b in [(1, 10), (2, 20), (3, 30)]:
+        db.query(f"INSERT INTO fx VALUES ({a}, {b})")
+    db.query("CREATE FUNCTION add_pct(x INTEGER, pct INTEGER) RETURNS DOUBLE "
+             "RETURN x * (1.0 + pct / 100.0)")
+    rows = db.query("SELECT a, add_pct(b, 50) AS boosted FROM fx ORDER BY a").collect()
+    assert [(r.a, r.boosted) for r in rows] == [(1, 15.0), (2, 30.0), (3, 45.0)]
+
+    # OR REPLACE redefines in place
+    db.query("CREATE OR REPLACE FUNCTION add_pct(x INTEGER, pct INTEGER) "
+             "RETURNS DOUBLE RETURN x * (pct / 100.0)")
+    rows = db.query("SELECT add_pct(b, 50) AS v FROM fx ORDER BY a").collect()
+    assert [r.v for r in rows] == [5.0, 10.0, 15.0]
+
+    # table-valued SQL UDF
+    db.query("CREATE FUNCTION fx_big(thresh INTEGER) RETURNS TABLE (a INTEGER) "
+             "RETURN SELECT a FROM fx WHERE b > thresh")
+    assert [r.a for r in db.query("SELECT * FROM fx_big(15) ORDER BY a").collect()] == [2, 3]
+
+    shown = {r.function_name for r in db.query("SHOW FUNCTIONS").collect()}
+    assert {"add_pct", "fx_big"} <= shown
+    db.query("DROP FUNCTION add_pct")
+    assert "add_pct" not in {
+        r.function_name for r in db.query("SHOW FUNCTIONS").collect()
+    }
+    with pytest.raises(AnalyzerError):
+        db.query("DROP FUNCTION add_pct")

@@ -162,17 +162,22 @@ def test_propagation_guard_raises_on_deep_chain(spark):
 
 def test_embedding_cosine_guard_routes_above_cap(spark, sf_dir):
     """Above the broadcast row cap the operator must NOT collect the
-    table to the driver: it routes to the LSH-bucketed candidate path
-    (pure joins — no Arrow/pandas eval in the plan), whose exact-verified
-    output is a subset of the exact pair set."""
+    table to the driver: it routes to the LSH-bucketed candidate path —
+    distinguishable from the exact GEMM by its bucket join + probe
+    explode (the GEMM plan is a single scan into one mapInPandas with a
+    driver-broadcast matrix and NO joins).  The routed output's
+    exact-verified pairs are a subset of the exact pair set."""
     from oxidsql_spark.operators.dedup import dedup_embedding_cosine, embedding_cosine_pairs
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     routed = embedding_cosine_pairs(spark, e, broadcast_row_cap=10)
     plan = routed._jdf.queryExecution().executedPlan().toString()
-    assert "InPandas" not in plan and "ArrowEval" not in plan
+    assert "Generate explode" in plan  # the hamming-1 probe fan-out
+    assert plan.count("Join") >= 3  # bucket join + two verify joins
 
-    exact = {(r.a_id, r.b_id) for r in dedup_embedding_cosine(spark, sf_dir).collect()}
+    exact_df = dedup_embedding_cosine(spark, sf_dir)
+    assert "Join" not in exact_df._jdf.queryExecution().executedPlan().toString()
+    exact = {(r.a_id, r.b_id) for r in exact_df.collect()}
     got = {(r.a_id, r.b_id) for r in routed.collect()}
     assert got <= exact  # exact verify on candidates: zero false positives
     assert got  # and the banded buckets do recall some true pairs

@@ -563,3 +563,122 @@ def source_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("q").cast("double") / 1_000_000, 4).alias("chi2_drift"),
         )
     )
+
+
+_TEMP_ALPHA = 0.3  # mixing temperature: rate ∝ share^alpha
+_TEMP_BUDGET_FRAC = 0.5  # token budget = 50% of the corpus
+
+
+@register(
+    "source_temperature_mix",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, source,
+             len(CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS n_tok,
+             CAST(concat('0x', substr(md5(concat('tmix:', CAST(doc_id AS VARCHAR))), 1, 4)) AS INTEGER) % 10000 AS bucket
+      FROM documents),
+    s AS (SELECT source, count(*) AS n_docs, sum(n_tok) AS n_tok_s FROM dt GROUP BY source),
+    tot AS (SELECT sum(n_tok_s) AS n FROM s),
+    w AS (
+      SELECT source, n_docs, n_tok_s,
+             CAST(round(pow(CAST(n_tok_s AS DOUBLE) / CAST(n AS DOUBLE), {_TEMP_ALPHA}) * 1000000000) AS BIGINT) AS wq,
+             n
+      FROM s, tot),
+    wsum AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w),
+    rates AS (
+      SELECT source, n_docs, n_tok_s,
+             CAST(floor(least(1.0,
+               (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE))
+               * (CAST(n AS DOUBLE) * {_TEMP_BUDGET_FRAC})
+               / CAST(n_tok_s AS DOUBLE)) * 10000) AS INTEGER) AS rate_bp
+      FROM w, wsum)
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.n_tok_s AS BIGINT) AS n_tokens,
+           r.rate_bp,
+           CAST(sum(CASE WHEN dt.bucket < r.rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN dt.bucket < r.rate_bp THEN dt.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM dt JOIN rates r USING (source)
+    GROUP BY r.source, r.n_docs, r.n_tok_s, r.rate_bp
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the T5/Pile resampling rule):
+    source keep-rate ∝ (token share)^α, scaled to a corpus-wide token
+    budget and capped at 1 — α < 1 up-weights small/rare sources and
+    tames the head, the standard knob for balancing a crawl-dominated
+    corpus.  Emits the per-source plan + realized counts under
+    deterministic md5-bucket sampling (reproducible across engines,
+    reruns, and repartitionings — no RNG state).
+
+    Scale: one tokenize pass builds (doc, n_tok, bucket); marginals are
+    a 20-row aggregate; rates join back as a broadcast.  Cross-engine
+    exactness around the one transcendental (pow): each source's weight
+    quantizes to integer nano-units BEFORE the normalizing sum, so the
+    sum is associative; every division chain is then a fixed IEEE
+    sequence on identical operands, and the final rate is floored to
+    integer basis points before the bucket comparison."""
+    d = table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))), 1, 4
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 10000
+        ).alias("bucket"),
+    )
+    s = dt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tok_s")
+    )
+    tot = s.agg(F.sum("n_tok_s").alias("n"))
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "wq",
+        F.round(
+            F.pow(F.col("n_tok_s").cast("double") / F.col("n").cast("double"), _TEMP_ALPHA)
+            * 1_000_000_000
+        ).cast("bigint"),
+    )
+    wsum = w.agg(F.sum("wq").alias("wsum"))
+    rates = w.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        "n_tok_s",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.col("wq").cast("double") / F.col("wsum").cast("double"))
+                * (F.col("n").cast("double") * _TEMP_BUDGET_FRAC)
+                / F.col("n_tok_s").cast("double"),
+            )
+            * 10000
+        )
+        .cast("int")
+        .alias("rate_bp"),
+    )
+    kept = F.col("bucket") < F.col("rate_bp")
+    return (
+        dt.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "n_tok_s", "rate_bp")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(F.lit(0)).cast("long")).alias(
+                "kept_tokens"
+            ),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tok_s").cast("long").alias("n_tokens"),
+            "rate_bp",
+            "n_kept",
+            "kept_tokens",
+        )
+    )

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_cosine_lsh",
     "source_term_drift",
     "ann_ivf_kmeans",
+    "source_temperature_mix",
 )
 
 

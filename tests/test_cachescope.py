@@ -36,6 +36,7 @@ CACHE_USING_QUERIES = [
     "customer_pareto",
     "orders_rfm",
     "source_term_drift",
+    "embedding_cosine_lsh",
 ]
 
 

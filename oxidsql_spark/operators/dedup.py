@@ -85,19 +85,20 @@ _JACCARD_ORACLE = f"""
     """
 
 
-def _shingle_rows(d: DataFrame) -> DataFrame:
-    """Distinct (doc_id, shingle) word-3-gram rows.
+def _shingle_rows(d: DataFrame, n: int = _JACCARD_N) -> DataFrame:
+    """Distinct (doc_id, shingle) word-n-gram rows.
 
     Shingles as ROWS (posexplode + window leads), not arrays: Spark's
     higher-order array functions evaluate interpreted (outside codegen)
     and Catalyst re-inlines the tokenizer into every lambda reference —
     the row formulation stays entirely inside whole-stage codegen.
-    Shared by the Jaccard and containment similarity joins."""
+    Shared by the Jaccard/containment similarity joins and the
+    decontamination scan."""
     tok_rows = d.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
     wp = W.partitionBy("doc_id").orderBy("pos")
-    grams = [F.col("tok")] + [F.lead("tok", k).over(wp) for k in range(1, _JACCARD_N)]
+    grams = [F.col("tok")] + [F.lead("tok", k).over(wp) for k in range(1, n)]
     return (
         tok_rows.select(
             "doc_id", F.concat_ws(" ", *grams).alias("shingle"),

@@ -322,21 +322,22 @@ _MH_B = [((i * i + 7) * 0xC2B2AE3D) % _MH_PRIME for i in range(_MH_K)]
 
 
 def minhash_signatures(docs: DataFrame, n: int = _JACCARD_N) -> DataFrame:
-    """(doc_id, sig array<long>, n_sh) — one aggregation pass.
+    """(doc_id, sig array<long>, n_sh) — one aggregation pass over the
+    codegen row-form shingles.
 
     Base hash = xxhash64(shingle) (JVM built-in); permutation i is
     (a_i*h + b_i) mod p computed via pmod arithmetic in codegen. The
     signature build is groupBy(doc_id).agg(min...) — map-side partials
-    make it one balanced shuffle regardless of corpus size."""
-    sh = docs.select("doc_id", word_ngrams(tokens(F.col("text")), n).alias("shingles"))
-    ex = sh.select(
-        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
-    ).withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME)))
+    make the final shuffle balanced regardless of corpus size; n_sh is
+    just count(*) since the row frame is already per-doc distinct."""
+    ex = _shingle_rows(docs, n).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MH_PRIME))
+    )
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(_MH_A[i]) + F.lit(_MH_B[i]), F.lit(_MH_PRIME))).alias(f"m{i}")
         for i in range(_MH_K)
     ]
-    sig = ex.groupBy("doc_id").agg(F.any_value("n_sh").alias("n_sh"), *mins)
+    sig = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"), *mins)
     return sig.select(
         "doc_id", "n_sh", F.array(*[f"m{i}" for i in range(_MH_K)]).alias("sig")
     )
@@ -387,8 +388,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py)."""
     d = table(spark, sf_dir, "documents")
     cand = minhash_candidates(d)
-    # Exact verification on candidates only.
-    sh = d.select("doc_id", word_ngrams(tokens(F.col("text")), _JACCARD_N).alias("shingles"))
+    # Exact verification on candidates only; shingle sets collected from
+    # the same codegen row frame the signatures use (rows are already
+    # per-doc distinct, so collect_list IS the distinct shingle set).
+    sh = (
+        _shingle_rows(d)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
     va = sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     vb = sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
     verified = (

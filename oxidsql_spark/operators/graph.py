@@ -74,8 +74,21 @@ def propagate_min_labels(
     """Connected components by min-label propagation over an undirected
     pair graph; raises (never returns silently-wrong labels) if the
     graph's diameter exceeds the iteration bound."""
-    edges = pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
-    edges = scoped_persist(edges.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")))
+    # Undirect the pair graph with a row-local explode, NOT a union of
+    # the frame with its own reversal: a union duplicates the (possibly
+    # very expensive) pairs subplan into both branches and executes it
+    # twice — measured 2× the whole Jaccard pipeline on the first
+    # materialization.  The explode reads the pairs once.
+    edges = scoped_persist(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
+                    F.struct(F.col("b_id").alias("u"), F.col("a_id").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+    )
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import tokens, word_ngrams
+from ..functions import tokens
 from ..registry import register
 from ..sources import table
 

@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..cachescope import scoped_persist
-from ..functions import tokens, word_ngrams
+from ..functions import tokens
 from ..registry import register
 from ..sources import table
 

@@ -967,3 +967,90 @@ def dedup_containment_incremental(
     return inter.filter(c >= threshold).select(
         "new_id", "corpus_id", F.round(c, 4).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pre-filtered incremental dedup (the shuffle-avoidance fast path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 5  # hash probes per key
+
+
+def build_fingerprint_bloom(
+    spark: SparkSession, fp_df: DataFrame, n_bits: int = 1 << 23
+) -> DataFrame:
+    """Distributed Bloom filter over a fingerprint column (`fp`),
+    returned as ONE row holding the bit array as array<long> words.
+
+    Built the only way that scales: each fingerprint maps to K bit
+    positions (xxhash64 with K salt columns — JVM codegen), positions
+    aggregate into 64-bit words via bit_or with map-side partial
+    combine, so the shuffle carries at most n_bits/64 rows REGARDLESS
+    of corpus size (8M bits → 128k word rows), and only the assembled
+    word array reaches the driver.  Spark's own injected runtime bloom
+    filters use the same partial-OR shape; this is the persisted,
+    reusable twin for incremental dedup."""
+    pos = fp_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(n_bits))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    # shiftleft's bit count must be an expression here (it varies per
+    # row), which only the SQL form accepts — the DataFrame function
+    # insists on a Python int.
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("long").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))"
+            ).alias("m")
+        )
+        .collect()
+    )
+    arr = [0] * (n_bits // 64)
+    for r in words:
+        arr[r["w"]] = r["m"]
+    return spark.createDataFrame(
+        [(arr, n_bits)], "bloom array<bigint>, n_bits int"
+    )
+
+
+def _bloom_maybe(fp_col: str, n_bits: int) -> F.Column:
+    """True iff all K probed bits of the named fingerprint column are
+    set in the joined `bloom` array column.  SQL-expression form: the
+    per-probe shift amount is itself an expression (see the builder)."""
+    conds = []
+    for i in range(_BLOOM_K):
+        p = f"pmod(xxhash64({fp_col}, {i}), {n_bits}L)"
+        conds.append(
+            f"(element_at(bloom, cast({p} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast(pmod({p}, 64) as int))) != 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def dedup_incremental_bloom(
+    spark: SparkSession, new_docs: DataFrame, fp_path: str, bloom_df: DataFrame
+) -> DataFrame:
+    """Incremental dedup with a Bloom pre-filter: rows whose fingerprint
+    the filter rejects are DEFINITELY new (no false negatives) and skip
+    the anti-join shuffle entirely; only the maybe-duplicate slice —
+    fp-rate + true-dup fraction of the batch — joins the corpus
+    fingerprint table.  Result is row-identical to
+    `dedup_incremental_prepared` (equivalence-tested); at a 1% false-
+    positive rate on a mostly-novel crawl batch this removes ~99% of
+    the join's left side."""
+    n_bits = bloom_df.collect()[0]["n_bits"]
+    hashed = new_docs.withColumn(
+        "fp", F.md5(F.col("text").cast("binary"))
+    ).crossJoin(F.broadcast(bloom_df.select("bloom")))
+    maybe = hashed.filter(_bloom_maybe("fp", n_bits))
+    definite_new = hashed.filter(~_bloom_maybe("fp", n_bits)).drop("fp", "bloom")
+    corpus_fp = spark.read.parquet(fp_path).select("fp")
+    survivors = maybe.join(corpus_fp, "fp", "left_anti").drop("fp", "bloom")
+    return definite_new.unionByName(survivors)

@@ -317,3 +317,41 @@ def test_incremental_containment_matches_direct(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bloom_incremental_equals_exact(spark, sf_dir, tmp_path):
+    """Bloom-pre-filtered incremental dedup must keep EXACTLY the rows
+    the exact anti-join keeps (no false negatives by construction; false
+    positives are caught by the residual anti-join), and every corpus
+    fingerprint must probe 'maybe' (the no-false-negative property,
+    asserted directly)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        _bloom_maybe,
+        build_fingerprint_bloom,
+        build_fingerprint_table,
+        dedup_incremental_bloom,
+        dedup_incremental_prepared,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    fp_path = str(tmp_path / "fps")
+    build_fingerprint_table(spark, corpus, fp_path)
+    fp_df = spark.read.parquet(fp_path).select("fp")
+    bloom = build_fingerprint_bloom(spark, fp_df, n_bits=1 << 18)
+
+    # no false negatives: every corpus fingerprint probes positive
+    n_bits = bloom.collect()[0]["n_bits"]
+    probed = fp_df.crossJoin(F.broadcast(bloom.select("bloom")))
+    assert probed.filter(~_bloom_maybe("fp", n_bits)).count() == 0
+
+    got = sorted(
+        map(tuple, dedup_incremental_bloom(spark, batch, fp_path, bloom).collect())
+    )
+    want = sorted(
+        map(tuple, dedup_incremental_prepared(spark, batch, fp_path).collect())
+    )
+    assert got == want and got

@@ -108,6 +108,8 @@ _CREATE_FUNC_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_FUNC_RE = re.compile(r"^\s*DROP\s+FUNCTION\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE)
+_SHOW_VERSIONS_RE = re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.+?)\s*;?\s*$", re.IGNORECASE
 )
@@ -355,7 +357,36 @@ class OxidSparkDatabase:
             return self._update(s)
         if _DROP_RE.match(s):
             return self._drop(s)
+        sv = _SHOW_VERSIONS_RE.match(s)
+        if sv:
+            name = sv.group(1).lower()
+            if not self.storage_dir or name not in self._tables:
+                raise AnalyzerError(f"'{name}' is not a durable versioned table")
+            return self.spark.createDataFrame(
+                [(v,) for v in self._vt(name).versions()], "version int"
+            )
+        if _VERSION_AS_OF_RE.search(s):
+            return self._sql_time_travel(s)
         return self.sql(s)
+
+    def _sql_time_travel(self, s: str) -> DataFrame:
+        """SQL time travel: `... FROM t VERSION AS OF n ...` reads the
+        durable snapshot n of a versioned table (Delta/Iceberg's syntax,
+        backed by versioned.VersionedTable).  Each reference rewrites to
+        a registered snapshot view; a snapshot read costs one parquet
+        scan of that version's directory — no log replay."""
+        def repl(m: "re.Match[str]") -> str:
+            name, ver = m.group(1).lower(), int(m.group(2))
+            if not self.storage_dir or name not in self._tables:
+                raise AnalyzerError(f"'{name}' is not a durable versioned table")
+            vt = self._vt(name)
+            if ver not in vt.versions():
+                raise AnalyzerError(f"table '{name}' has no version {ver}")
+            view = f"{name}__v{ver}"
+            vt.read(ver).createOrReplaceTempView(view)
+            return view
+
+        return self.sql(_VERSION_AS_OF_RE.sub(repl, s))
 
     def sql(self, q: str) -> DataFrame:
         """SELECT path — handed to Catalyst (parser/analyzer/optimizer all

@@ -323,3 +323,42 @@ def test_sql_udf_create_use_drop(db):
     }
     with pytest.raises(AnalyzerError):
         db.query("DROP FUNCTION add_pct")
+
+
+def test_sql_time_travel_version_as_of(spark, tmp_path):
+    """`SELECT ... FROM t VERSION AS OF n` (Delta/Iceberg syntax) reads
+    the durable snapshot n; SHOW VERSIONS lists them; unknown versions
+    and non-durable tables raise."""
+    from oxidsql_spark.database import OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE tt (id INTEGER, v VARCHAR(10))")
+    db.query("INSERT INTO tt VALUES (1, 'one')")
+    db.query("INSERT INTO tt VALUES (2, 'two')")
+    db.query("UPDATE tt SET v = 'TWO' WHERE id = 2")
+
+    versions = [r.version for r in db.query("SHOW VERSIONS tt").collect()]
+    assert len(versions) >= 3 and versions == sorted(versions)
+    # versions[0] is the CREATE commit (empty); [1] holds the first row
+    v_first, v_last = versions[1], versions[-1]
+
+    first = db.query(f"SELECT id, v FROM tt VERSION AS OF {v_first} ORDER BY id").collect()
+    assert [(r.id, r.v) for r in first] == [(1, "one")]
+    last = db.query(f"SELECT id, v FROM tt VERSION AS OF {v_last} ORDER BY id").collect()
+    assert [(r.id, r.v) for r in last] == [(1, "one"), (2, "TWO")]
+    # current state equals the newest snapshot
+    cur = db.query("SELECT id, v FROM tt ORDER BY id").collect()
+    assert [tuple(r) for r in cur] == [tuple(r) for r in last]
+    # two versions joined in ONE statement (audit-diff shape)
+    diff = db.query(
+        f"SELECT a.id FROM tt VERSION AS OF {v_last} a "
+        f"LEFT ANTI JOIN tt VERSION AS OF {v_first} b ON a.id = b.id"
+    ).collect()
+    assert [r.id for r in diff] == [2]
+
+    with pytest.raises(AnalyzerError):
+        db.query("SELECT * FROM tt VERSION AS OF 99")
+    db2 = OxidSparkDatabase(spark)  # in-memory: no durable versions
+    db2.query("CREATE TABLE m (id INTEGER)")
+    with pytest.raises(AnalyzerError):
+        db2.query("SELECT * FROM m VERSION AS OF 0")

@@ -174,10 +174,12 @@ def query_chunk_index(
     ONLY the probed cells — `cell IN (...)` is a partition filter, so
     the 100 TB index touches n_probe/CVI_K of its files.  Exact cosine
     ranks the survivors with a deterministic tie-break."""
+    import math
+
     from .functions import vec_dot, vec_norm
 
     qv_f = _embed_text_py(query_text)
-    qv_q = [int(__import__("math").floor(x * CVI_SCALE)) for x in qv_f]
+    qv_q = [int(math.floor(x * CVI_SCALE)) for x in qv_f]
     cents = {
         r["cell"]: list(r["centroid"])
         for r in spark.read.parquet(index_path + "_centroids").collect()

@@ -1269,3 +1269,55 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("share"),
         )
     )
+
+
+@register(
+    "orders_backlog_daily",
+    oracle="""
+    WITH lastr AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS rd
+      FROM lineitem GROUP BY l_orderkey),
+    deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT rd, -1 FROM lastr),
+    daily AS (SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d)
+    SELECT CAST(d AS VARCHAR) AS day, net,
+           CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog — the interval-overlap-counting pattern
+    (how many orders are in flight each day) done the O(n) way: each
+    order contributes +1 at its order date and -1 at its last ship
+    date; the backlog is the running sum of the per-day net.  The naive
+    formulation is a day×order interval join (quadratic); the delta
+    trick turns it into two aggregations plus one running total.
+
+    The running total runs through distwindow.global_cumsum (two-phase,
+    range-partitioned) — no Exchange SinglePartition even though the
+    date domain is modest, so the same plan holds when the key is
+    (day, region) × years of history."""
+    from .distwindow import global_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    opens = o.select(F.to_date("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    closes = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("d"))
+        .select("d", F.lit(-1).alias("delta"))
+    )
+    daily = (
+        opens.unionByName(closes)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("long").alias("net"))
+    )
+    out, _ = global_cumsum(daily, "net", ["d"], "open_orders")
+    return out.select(
+        F.col("d").cast("string").alias("day"),
+        "net",
+        F.col("open_orders").cast("long").alias("open_orders"),
+    )

@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_term_drift",
     "ann_ivf_kmeans",
     "source_temperature_mix",
+    "orders_backlog_daily",
 )
 
 

@@ -37,6 +37,7 @@ CACHE_USING_QUERIES = [
     "orders_rfm",
     "source_term_drift",
     "embedding_cosine_lsh",
+    "orders_backlog_daily",
 ]
 
 

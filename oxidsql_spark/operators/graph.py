@@ -183,3 +183,120 @@ def dedup_clusters_prepared(
     every corpus append viable."""
     pairs = spark.read.parquet(pairs_path).select("a_id", "b_id")
     return propagate_min_labels(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank (quantized) over the part co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 2
+_PR_SCALE = 1_000_000  # ranks in integer micro-units
+
+
+def _copurchase_edges_sql() -> str:
+    """DuckDB CTEs for the weighted co-purchase graph: nodes = parts,
+    edge weight = number of orders containing both parts."""
+    return """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs),
+    wsum AS (SELECT u, sum(w) AS ws FROM edges GROUP BY u)
+    """
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled quantized PageRank: ranks live in integer micro-units,
+    every neighbor contribution is an integer floor-division
+    (r·w) // ws, and the damping update is integer arithmetic — so the
+    partial-agg merge order can't shift a single bit and the SQL
+    re-derivation matches Spark exactly (the embeddings_kmeans oracle
+    discipline, applied to graph centrality)."""
+    s = _PR_SCALE
+
+    def step(prev: str, out: str) -> str:
+        return f"""
+    c_{out} AS (
+      SELECT e.v AS node, sum(({prev}.r * e.w) // ws.ws) AS c
+      FROM edges e
+      JOIN {prev} ON {prev}.node = e.u
+      JOIN wsum ws ON ws.u = e.u
+      GROUP BY e.v),
+    {out} AS (
+      SELECT n.node, CAST({s} * 15 // 100 + 85 * coalesce(c_{out}.c, 0) // 100 AS BIGINT) AS r
+      FROM (SELECT DISTINCT u AS node FROM edges) n
+      LEFT JOIN c_{out} ON c_{out}.node = n.node)"""
+
+    return f"""
+    WITH {_copurchase_edges_sql()},
+    r0 AS (SELECT DISTINCT u AS node, CAST({s} AS BIGINT) AS r FROM edges),
+    {step("r0", "r1")},
+    {step("r1", "r2")}
+    SELECT node AS part_id, r AS rank_micro,
+           round(CAST(r AS DOUBLE) / {s}, 6) AS pagerank
+    FROM r2
+    """
+
+
+@register("part_pagerank", oracle=_pagerank_oracle())
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph — the graph-
+    centrality twin of `dedup_clusters`' connected components: which
+    products sit at the center of the co-purchase network (assortment /
+    recommendation seeding).  Damping 0.85, {_PR_ITERS} iterations.
+
+    Scale shape per iteration: one edge-keyed join against the rank
+    table + one aggregation — the same bounded-key shuffles as label
+    propagation; edge and weight tables build once (scope-persisted)
+    from a single co-purchase aggregation whose fan-out is C(k,2) per
+    order with k ≤ ~7.  Cross-engine exactness: ranks are integer
+    micro-units, contributions integer floor-divisions, damping integer
+    arithmetic — associative, partial-agg-order-free."""
+    from ..cachescope import scoped_persist
+
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = scoped_persist(
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v"), F.col("w")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v", "e.w")
+    )
+    wsum = edges.groupBy("u").agg(F.sum("w").alias("ws"))
+    ew = edges.join(wsum, "u")
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    s = _PR_SCALE
+    ranks = nodes.withColumn("r", F.lit(s).cast("bigint"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ew.join(ranks, ew.u == ranks.node)
+            .select(F.col("v").alias("node"), F.expr("(r * w) div ws").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(f"CAST({s} * 15 div 100 + 85 * coalesce(c, 0) div 100 AS BIGINT)").alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("part_id"),
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r").cast("double") / s, 6).alias("pagerank"),
+    )

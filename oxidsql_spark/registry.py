@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_kmeans",
     "source_temperature_mix",
     "orders_backlog_daily",
+    "part_pagerank",
 )
 
 

@@ -38,6 +38,7 @@ CACHE_USING_QUERIES = [
     "source_term_drift",
     "embedding_cosine_lsh",
     "orders_backlog_daily",
+    "part_pagerank",
 ]
 
 

@@ -1321,3 +1321,56 @@ def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net",
         F.col("open_orders").cast("long").alias("open_orders"),
     )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT r, row_number() OVER (ORDER BY r, o_custkey) AS rn FROM rev),
+    agg AS (
+      SELECT count(*) AS n,
+             sum(r) AS tot,
+             sum(r * rn) AS weighted
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS DOUBLE) AS total_rev,
+           round(CAST(2 * weighted AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+    FROM agg
+    """,
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: the Gini coefficient of per-customer
+    revenue (0 = perfectly even, →1 = one whale), the one-number
+    companion to `customer_pareto`'s curve.
+
+    G = 2·Σ(rank·rev) / (n·Σrev) − (n+1)/n over revenue-ascending ranks.
+    The global rank comes from distwindow.global_row_number (two-phase,
+    range-partitioned — no single-partition window even though this is
+    the textbook 'sort everything once' statistic), and rank·revenue
+    products are exact DECIMAL·INT sums, so the one float division at
+    the end sees identical operands in both engines."""
+    from .distwindow import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.sum(money("o_totalprice")).alias("r"))
+    ranked, n = global_row_number(rev, ["r", "o_custkey"], "rn")
+    agg = ranked.agg(
+        F.sum("r").alias("tot"),
+        F.sum(F.col("r") * F.col("rn")).alias("weighted"),
+    )
+    nd = float(n)
+    return agg.select(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.col("tot").cast("double").alias("total_rev"),
+        F.round(
+            (F.lit(2) * F.col("weighted")).cast("double")
+            / (F.lit(nd) * F.col("tot").cast("double"))
+            - F.lit((nd + 1.0) / nd),
+            6,
+        ).alias("gini"),
+    )

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_temperature_mix",
     "orders_backlog_daily",
     "part_pagerank",
+    "customer_revenue_gini",
 )
 
 

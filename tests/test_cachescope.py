@@ -39,6 +39,7 @@ CACHE_USING_QUERIES = [
     "embedding_cosine_lsh",
     "orders_backlog_daily",
     "part_pagerank",
+    "customer_revenue_gini",
 ]
 
 

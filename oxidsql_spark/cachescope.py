@@ -33,6 +33,13 @@ The reference engine's analogue is its buffer-manager pin/unpin
 discipline (/root/reference/src/storage/buffer_manager.rs) — here the
 "pages" are whole cached plans and Spark manages the bytes; only the
 ownership question needs solving, and this module is the owner ledger.
+
+Threading: the ledger is a plain module list — correct for the
+sequential query-at-a-time lifecycles every harness here uses (driver,
+bench, tests, REPL).  Concurrent query submission from multiple threads
+would need a per-thread or lock-guarded scope; releasing from one
+thread while another's query still reads a tracked cache is the same
+hazard as any cross-thread unpersist.
 """
 
 from __future__ import annotations

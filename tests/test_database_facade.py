@@ -362,3 +362,9 @@ def test_sql_time_travel_version_as_of(spark, tmp_path):
     db2.query("CREATE TABLE m (id INTEGER)")
     with pytest.raises(AnalyzerError):
         db2.query("SELECT * FROM m VERSION AS OF 0")
+
+
+def test_sql_udf_name_collision_guard(db):
+    """A SQL UDF may not shadow an existing table or view."""
+    with pytest.raises(AnalyzerError, match="table or view"):
+        db.query("CREATE FUNCTION people(x INTEGER) RETURNS INTEGER RETURN x")

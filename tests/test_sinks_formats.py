@@ -204,3 +204,17 @@ def test_write_zordered_multi_dim_skipping(spark, sf_dir, tmp_path):
         spark.read.parquet(str(tmp_path / "z")).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
         == li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
     )
+
+
+def test_write_zordered_arity_and_degenerate(spark, sf_dir, tmp_path):
+    """Guards: 1 column degrades gracefully to a sorted-like layout,
+    >3 columns is an explicit error (interleave bits would underflow),
+    constant columns don't divide by zero."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    with pytest.raises(ValueError):
+        sinks.write_zordered(li, str(tmp_path / "bad"), "a", "b", "c", "d")
+    sinks.write_zordered(li, str(tmp_path / "one"), "l_partkey", n_files=4)
+    assert spark.read.parquet(str(tmp_path / "one")).count() == li.count()
+    const = li.withColumn("k", F.lit(7))
+    sinks.write_zordered(const, str(tmp_path / "const"), "k", "l_partkey", n_files=4)
+    assert spark.read.parquet(str(tmp_path / "const")).count() == li.count()

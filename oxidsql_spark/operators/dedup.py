@@ -974,22 +974,35 @@ def dedup_containment_incremental(
 # ---------------------------------------------------------------------------
 
 _BLOOM_K = 5  # hash probes per key
+_BLOOM_BITS_PER_KEY = 10  # ~1% FPR at K=5 (bits/key ≈ -1.44·log2(p))
 
 
-def build_fingerprint_bloom(
-    spark: SparkSession, fp_df: DataFrame, n_bits: int = 1 << 23
-) -> DataFrame:
-    """Distributed Bloom filter over a fingerprint column (`fp`),
-    returned as ONE row holding the bit array as array<long> words.
+def bloom_size_bits(n_keys: int, bits_per_key: int = _BLOOM_BITS_PER_KEY) -> int:
+    """Sizing rule for the distributed filter: bits_per_key·n_keys
+    rounded up to a power of two (pmod on a pow2 keeps positions
+    uniform and the word space dense).  10 bits/key with K=5 probes
+    gives ~1% false positives — at 10⁹ corpus fingerprints that is
+    2³⁴ bits = 2²⁸ word rows (~4 GB as a TABLE, distributed), which is
+    exactly why the filter must stay a word table and never a
+    driver-assembled array."""
+    n = max(1 << 16, n_keys * bits_per_key)
+    return 1 << (n - 1).bit_length()
+
+
+def bloom_word_table(fp_df: DataFrame, n_bits: int) -> DataFrame:
+    """Distributed Bloom filter over a fingerprint column (`fp`) as a
+    WORD TABLE: (w bigint, m bigint, n_bits bigint) — word index, 64-bit
+    word value, and the (constant, RLE-free in parquet) filter size.
+    Only populated words appear; an absent word is all-zero.
 
     Built the only way that scales: each fingerprint maps to K bit
     positions (xxhash64 with K salt columns — JVM codegen), positions
     aggregate into 64-bit words via bit_or with map-side partial
-    combine, so the shuffle carries at most n_bits/64 rows REGARDLESS
-    of corpus size (8M bits → 128k word rows), and only the assembled
-    word array reaches the driver.  Spark's own injected runtime bloom
-    filters use the same partial-OR shape; this is the persisted,
-    reusable twin for incremental dedup."""
+    combine, so the shuffle carries at most n_bits/64 rows regardless
+    of corpus size, and NOTHING reaches the driver — the filter lives
+    and is probed as a distributed relation (the previous round's
+    driver-side array assembly capped the filter at broadcast size,
+    orders of magnitude below what a billion-key corpus needs)."""
     pos = fp_df.select(
         F.explode(
             F.array(
@@ -1003,54 +1016,136 @@ def build_fingerprint_bloom(
     # shiftleft's bit count must be an expression here (it varies per
     # row), which only the SQL form accepts — the DataFrame function
     # insists on a Python int.
-    words = (
+    return (
         pos.groupBy((F.col("p") / 64).cast("long").alias("w"))
-        .agg(
-            F.expr(
-                "bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))"
-            ).alias("m")
-        )
-        .collect()
-    )
-    arr = [0] * (n_bits // 64)
-    for r in words:
-        arr[r["w"]] = r["m"]
-    return spark.createDataFrame(
-        [(arr, n_bits)], "bloom array<bigint>, n_bits int"
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pmod(p, 64) as int)))").alias("m"))
+        .withColumn("n_bits", F.lit(n_bits).cast("bigint"))
     )
 
 
-def _bloom_maybe(fp_col: str, n_bits: int) -> F.Column:
-    """True iff all K probed bits of the named fingerprint column are
-    set in the joined `bloom` array column.  SQL-expression form: the
-    per-probe shift amount is itself an expression (see the builder)."""
-    conds = []
-    for i in range(_BLOOM_K):
-        p = f"pmod(xxhash64({fp_col}, {i}), {n_bits}L)"
-        conds.append(
-            f"(element_at(bloom, cast({p} div 64 as int) + 1)"
-            f" & shiftleft(1L, cast(pmod({p}, 64) as int))) != 0"
-        )
-    return F.expr(" AND ".join(conds))
+def build_fingerprint_bloom(
+    spark: SparkSession, fp_df: DataFrame, out_path: str, n_bits: int = 1 << 23
+) -> None:
+    """Persist the distributed Bloom word table next to the fingerprint
+    table (the write-once artifact for the incremental-dedup fast path;
+    see ``bloom_word_table`` for the build shape and ``bloom_size_bits``
+    for sizing).  Self-describing: n_bits rides along as a constant
+    column, so probes need no side-channel metadata."""
+    bloom_word_table(fp_df, n_bits).write.mode("overwrite").parquet(out_path)
+
+
+def bloom_probe(fps: DataFrame, words: DataFrame, n_bits: int) -> DataFrame:
+    """(fp, bloom_maybe) for every distinct fingerprint in `fps`:
+    bloom_maybe is true iff ALL K probed bits are set.
+
+    Pure join algebra — no broadcast of the filter, no driver
+    materialization: each fingerprint explodes into K (word-index,
+    bit-mask) probe rows, probes left-join the word table on the word
+    index (absent word ⇒ bit unset), and a fingerprint is 'maybe' iff
+    its matched-probe count equals K.  Both join sides are bounded
+    (K·|batch| probes vs ≤ n_bits/64 words), the join key is uniform
+    by construction, and AQE picks broadcast/shuffle-hash per actual
+    sizes — the shape survives any corpus scale the word table does."""
+    probes = fps.select("fp").select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(
+                        f"named_struct("
+                        f"'w', pmod(xxhash64(fp, {i}), {n_bits}L) div 64, "
+                        f"'mask', shiftleft(1L, cast(pmod(pmod(xxhash64(fp, {i}), {n_bits}L), 64) as int)))"
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("pr"),
+    ).select("fp", "pr.w", "pr.mask")
+    hit = F.when(
+        F.col("m").isNotNull() & (F.col("m").bitwiseAND(F.col("mask")) != 0), 1
+    ).otherwise(0)
+    return (
+        probes.join(words.select("w", "m"), "w", "left")
+        .groupBy("fp")
+        .agg((F.sum(hit) == F.lit(_BLOOM_K)).alias("bloom_maybe"))
+    )
 
 
 def dedup_incremental_bloom(
-    spark: SparkSession, new_docs: DataFrame, fp_path: str, bloom_df: DataFrame
+    spark: SparkSession, new_docs: DataFrame, fp_path: str, bloom_words: DataFrame
 ) -> DataFrame:
-    """Incremental dedup with a Bloom pre-filter: rows whose fingerprint
-    the filter rejects are DEFINITELY new (no false negatives) and skip
-    the anti-join shuffle entirely; only the maybe-duplicate slice —
-    fp-rate + true-dup fraction of the batch — joins the corpus
-    fingerprint table.  Result is row-identical to
-    `dedup_incremental_prepared` (equivalence-tested); at a 1% false-
-    positive rate on a mostly-novel crawl batch this removes ~99% of
-    the join's left side."""
-    n_bits = bloom_df.collect()[0]["n_bits"]
-    hashed = new_docs.withColumn(
-        "fp", F.md5(F.col("text").cast("binary"))
-    ).crossJoin(F.broadcast(bloom_df.select("bloom")))
-    maybe = hashed.filter(_bloom_maybe("fp", n_bits))
-    definite_new = hashed.filter(~_bloom_maybe("fp", n_bits)).drop("fp", "bloom")
+    """Incremental dedup with a distributed Bloom pre-filter: rows whose
+    fingerprint the filter rejects are DEFINITELY new (no false
+    negatives) and skip the anti-join against the full corpus
+    fingerprint table; only the maybe-duplicate slice — fp-rate +
+    true-dup fraction of the batch — pays that join.  Result is
+    row-identical to `dedup_incremental_prepared` (equivalence-tested);
+    at a 1% false-positive rate on a mostly-novel crawl batch this
+    removes ~99% of the join's left side.
+
+    `bloom_words` is the word-table relation (from ``bloom_word_table``
+    or a ``build_fingerprint_bloom`` read) — the filter is probed with
+    a K-probe join, never collected or broadcast as an array, so the
+    same code runs at 2²³ bits and at the 2³⁴ bits a billion-key
+    corpus needs.  The only driver read is the 1-row n_bits lookup."""
+    n_bits = int(bloom_words.select("n_bits").first()["n_bits"])
+    # hash once, persist: both the maybe- and definite-branches read
+    # `hashed`, and without the scope-tracked persist the batch would be
+    # scanned (and md5'd) twice
+    hashed = scoped_persist(
+        new_docs.withColumn("fp", F.md5(F.col("text").cast("binary")))
+    )
+    flags = bloom_probe(hashed, bloom_words, n_bits)
+    flagged = hashed.join(flags, "fp", "left").withColumn(
+        "bloom_maybe", F.coalesce("bloom_maybe", F.lit(False))
+    )
+    maybe = flagged.filter(F.col("bloom_maybe")).drop("bloom_maybe")
+    definite_new = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe", "fp")
     corpus_fp = spark.read.parquet(fp_path).select("fp")
-    survivors = maybe.join(corpus_fp, "fp", "left_anti").drop("fp", "bloom")
+    survivors = maybe.join(corpus_fp, "fp", "left_anti").drop("fp")
     return definite_new.unionByName(survivors)
+
+
+@register(
+    "dedup_incremental_bloom",
+    oracle="""
+    SELECT n.doc_id, n.source
+    FROM documents n
+    WHERE n.source IN ('src15', 'src16', 'src17', 'src18', 'src19')
+      AND NOT EXISTS (
+        SELECT 1 FROM documents o
+        WHERE o.source NOT IN ('src15', 'src16', 'src17', 'src18', 'src19')
+          AND md5(o.text) = md5(n.text)
+      )
+    ORDER BY n.doc_id
+    """,
+)
+def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end run of the distributed Bloom fast path:
+    build the corpus word table, K-probe the new batch against it as a
+    join, anti-join only the maybe slice, and union the definite-new
+    slice back in.  The Bloom filter is pure pre-filtering, so the
+    result — and hence the oracle — is exactly `dedup_incremental`'s
+    NOT EXISTS semantics; what this query locks is that the join-based
+    probe path (the 100 TB shape, zero driver materialization) keeps
+    the no-false-negative contract on real data."""
+    batch_srcs = ("src15", "src16", "src17", "src18", "src19")
+    d = table(spark, sf_dir, "documents")
+    new_batch = d.filter(F.col("source").isin(*batch_srcs))
+    corpus_fp = scoped_persist(
+        d.filter(~F.col("source").isin(*batch_srcs)).select(F.md5("text").alias("fp"))
+    )
+    n_bits = 1 << 20
+    words = scoped_persist(bloom_word_table(corpus_fp, n_bits))
+    hashed = scoped_persist(new_batch.withColumn("fp", F.md5("text")))
+    flags = bloom_probe(hashed, words, n_bits)
+    flagged = hashed.join(flags, "fp", "left").withColumn(
+        "bloom_maybe", F.coalesce("bloom_maybe", F.lit(False))
+    )
+    maybe = flagged.filter(F.col("bloom_maybe")).join(corpus_fp, "fp", "left_anti")
+    definite = flagged.filter(~F.col("bloom_maybe"))
+    return (
+        maybe.unionByName(definite)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

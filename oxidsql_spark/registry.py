@@ -58,18 +58,17 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-5 start: all 18 round-4 priority names went driver-green in
-    # CORRECTNESS_r04.json and are retired to the stable rotation, per
-    # the policy above — the window's remaining ~44 slots go to the
-    # stalest stable queries (most of the pool's latest green is r1-r2).
-    # New in round 5 — never driver-checked:
-    "embedding_cosine_lsh",
-    "source_term_drift",
-    "ann_ivf_kmeans",
-    "source_temperature_mix",
-    "orders_backlog_daily",
+    # round-6 start: all 7 round-5 priority names went driver-green in
+    # CORRECTNESS_r05.json and are retired to the stable rotation, per
+    # the policy above — the window's remaining ~45+ slots go to the
+    # stalest stable queries (the 11 queries whose latest green is r2
+    # sort first and rotate through this window).
+    # New in round 6 — never driver-checked:
+    "dedup_incremental_bloom",
+    "zorder_layout_scan",
+    # rewritten in round 6 (convergence-driven iteration; result
+    # unchanged but the implementation is new — re-verify):
     "part_pagerank",
-    "customer_revenue_gini",
 )
 
 
@@ -110,6 +109,7 @@ def load_all() -> dict[str, Query]:
             corpus_ext,
             dedup,
             graph,
+            layout_ops,
             multimodal,
             relational,
             relational_ext,

@@ -40,6 +40,7 @@ CACHE_USING_QUERIES = [
     "orders_backlog_daily",
     "part_pagerank",
     "customer_revenue_gini",
+    "dedup_incremental_bloom",
 ]
 
 

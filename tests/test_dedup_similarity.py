@@ -324,11 +324,16 @@ def test_bloom_incremental_equals_exact(spark, sf_dir, tmp_path):
     the exact anti-join keeps (no false negatives by construction; false
     positives are caught by the residual anti-join), and every corpus
     fingerprint must probe 'maybe' (the no-false-negative property,
-    asserted directly)."""
+    asserted directly).  Runs at n_bits = 2²⁶ — a filter size whose bit
+    array (8 MB dense, 2²⁰ word rows) the old driver-assembly path had
+    to build in a Python list; the distributed word table carries only
+    the populated words and nothing data-sized touches the driver (the
+    probe is a join; the single driver read is the 1-row n_bits
+    lookup)."""
     from pyspark.sql import functions as F
 
     from oxidsql_spark.operators.dedup import (
-        _bloom_maybe,
+        bloom_probe,
         build_fingerprint_bloom,
         build_fingerprint_table,
         dedup_incremental_bloom,
@@ -339,19 +344,52 @@ def test_bloom_incremental_equals_exact(spark, sf_dir, tmp_path):
     corpus = d.filter(F.col("doc_id") % 3 != 0)
     batch = d.filter(F.col("doc_id") % 3 == 0)
     fp_path = str(tmp_path / "fps")
+    bloom_path = str(tmp_path / "bloom")
     build_fingerprint_table(spark, corpus, fp_path)
     fp_df = spark.read.parquet(fp_path).select("fp")
-    bloom = build_fingerprint_bloom(spark, fp_df, n_bits=1 << 18)
+    build_fingerprint_bloom(spark, fp_df, bloom_path, n_bits=1 << 26)
+    words = spark.read.parquet(bloom_path)
+    n_bits = int(words.select("n_bits").first()["n_bits"])
+    assert n_bits == 1 << 26
 
     # no false negatives: every corpus fingerprint probes positive
-    n_bits = bloom.collect()[0]["n_bits"]
-    probed = fp_df.crossJoin(F.broadcast(bloom.select("bloom")))
-    assert probed.filter(~_bloom_maybe("fp", n_bits)).count() == 0
+    flags = bloom_probe(fp_df, words, n_bits)
+    assert flags.filter(~F.col("bloom_maybe")).count() == 0
 
     got = sorted(
-        map(tuple, dedup_incremental_bloom(spark, batch, fp_path, bloom).collect())
+        map(tuple, dedup_incremental_bloom(spark, batch, fp_path, words).collect())
     )
     want = sorted(
         map(tuple, dedup_incremental_prepared(spark, batch, fp_path).collect())
     )
     assert got == want and got
+
+
+def test_bloom_rejects_novel_and_sizing(spark, sf_dir, tmp_path):
+    """The filter must actually filter: fingerprints absent from the
+    corpus should overwhelmingly probe negative (FPR well under the
+    ~1% design point at 10 bits/key), and bloom_size_bits implements
+    the documented power-of-two bits-per-key rule."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        bloom_probe,
+        bloom_size_bits,
+        bloom_word_table,
+    )
+
+    assert bloom_size_bits(1) == 1 << 16  # floor
+    assert bloom_size_bits(1_000_000) == 1 << 24  # 10⁷ bits → next pow2
+    assert bloom_size_bits(10**9) == 1 << 34  # the 100 TB case
+
+    d = table(spark, sf_dir, "documents")
+    corpus_fp = d.select(F.md5("text").alias("fp"))
+    n_corpus = corpus_fp.count()
+    n_bits = bloom_size_bits(n_corpus)
+    words = bloom_word_table(corpus_fp, n_bits)
+    # novel keys: salted hashes that are not in the corpus
+    novel = d.select(F.md5(F.concat_ws("#", F.lit("novel"), "text")).alias("fp"))
+    flags = bloom_probe(novel, words, n_bits)
+    n_novel = flags.count()
+    fp_hits = flags.filter(F.col("bloom_maybe")).count()
+    assert fp_hits / n_novel < 0.05  # design point ~1%; generous bound

@@ -60,25 +60,66 @@ def _plan_already_cached(df: DataFrame) -> bool:
         return False
 
 
-def scoped_persist(df: DataFrame) -> DataFrame:
+def scoped_persist(df: DataFrame, reuse_ok: bool = True) -> DataFrame:
     """Persist ``df`` and register it for ``release_scoped_caches``.
 
     If an identical plan is already cached (same query re-run while its
     caches are still alive), returns ``df`` untouched: execution will hit
     the existing cache via plan matching, and no duplicate entry or
-    CacheManager warning is produced."""
-    if _plan_already_cached(df):
+    CacheManager warning is produced.
+
+    Pass ``reuse_ok=False`` for plans carrying a ``df.observe``
+    CollectMetrics node: CacheManager substitution on an already-cached
+    identical plan could satisfy the action without executing the
+    metrics node, leaving ``Observation.get`` blocked forever.  Such
+    plans always persist fresh (iterative loops make each generation's
+    plan distinct anyway, so the only cost is a redundant-persist
+    warning in the re-run-while-warm corner the check exists for)."""
+    if reuse_ok and _plan_already_cached(df):
         return df
     df.persist()
     _SCOPED.append(df)
     return df
 
 
+_SCOPED_CP: list[DataFrame] = []
+
+
+def scoped_local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` with scope-tracked storage: truncates
+    the plan's lineage (THE fix for iterative operators whose each
+    generation references the previous one more than once — the
+    logical tree otherwise doubles per iteration, and at ~16 iterations
+    plan analysis/stringification OOMs the driver) and registers the
+    checkpoint RDD for ``release_scoped_caches``.
+
+    Stronger consumed-after-release contract than ``scoped_persist``:
+    localCheckpoint is non-reliable — once released, the frame CANNOT
+    be recomputed (its lineage is gone), so re-executing a returned
+    checkpointed result after release raises instead of silently
+    recomputing."""
+    cp = df.localCheckpoint(eager=True)
+    _SCOPED_CP.append(cp)
+    return cp
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a checkpointed generation's storage immediately (for
+    superseded iterations inside a loop); safe double-free — release
+    later is a no-op on already-unpersisted RDDs."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def release_scoped_caches(blocking: bool = True) -> int:
-    """Unpersist every scope-tracked DataFrame; returns how many were
-    released.  Unpersisting an already-unpersisted frame is a Spark
-    no-op, so operators that free intermediates early (graph's
-    superseded label generations) stay correct."""
+    """Unpersist every scope-tracked DataFrame and checkpoint RDD;
+    returns how many were released.  Unpersisting an already-
+    unpersisted frame is a Spark no-op, so operators that free
+    intermediates early (graph's superseded label generations) stay
+    correct."""
     n = 0
     while _SCOPED:
         df = _SCOPED.pop()
@@ -87,9 +128,13 @@ def release_scoped_caches(blocking: bool = True) -> int:
             n += 1
         except Exception:
             pass
+    while _SCOPED_CP:
+        free_local_checkpoint(_SCOPED_CP.pop())
+        n += 1
     return n
 
 
 def scoped_cache_count() -> int:
-    """How many persists the scope currently tracks (test hook)."""
-    return len(_SCOPED)
+    """How many persists/checkpoints the scope currently tracks (test
+    hook)."""
+    return len(_SCOPED) + len(_SCOPED_CP)

@@ -282,6 +282,8 @@ class OxidSparkDatabase:
             vname = vm.group(1).lower()
             if vname in self._tables:
                 raise AnalyzerError(f"'{vname}' is a table")
+            if vname in self._functions:
+                raise AnalyzerError(f"'{vname}' is a function")
             self.sql(vm.group(2))  # validate now: analysis errors surface here
             self._views[vname] = vm.group(2)
             return None
@@ -373,8 +375,14 @@ class OxidSparkDatabase:
         """SQL time travel: `... FROM t VERSION AS OF n ...` reads the
         durable snapshot n of a versioned table (Delta/Iceberg's syntax,
         backed by versioned.VersionedTable).  Each reference rewrites to
-        a registered snapshot view; a snapshot read costs one parquet
-        scan of that version's directory — no log replay."""
+        a reserved-prefix snapshot view (never clobbers a user name);
+        the views are dropped as soon as the statement is analyzed —
+        Spark resolves the plan eagerly at sql() time, so the returned
+        DataFrame keeps its parquet scan after the drop.  The rewrite
+        skips single-quoted string literals, so a literal containing the
+        phrase 'VERSION AS OF' is left untouched."""
+        created: list[str] = []
+
         def repl(m: "re.Match[str]") -> str:
             name, ver = m.group(1).lower(), int(m.group(2))
             if not self.storage_dir or name not in self._tables:
@@ -382,11 +390,22 @@ class OxidSparkDatabase:
             vt = self._vt(name)
             if ver not in vt.versions():
                 raise AnalyzerError(f"table '{name}' has no version {ver}")
-            view = f"{name}__v{ver}"
+            view = f"__oxid_tt_{name}_v{ver}"
             vt.read(ver).createOrReplaceTempView(view)
+            created.append(view)
             return view
 
-        return self.sql(_VERSION_AS_OF_RE.sub(repl, s))
+        # odd-indexed split parts are quoted literals — pass them through
+        parts = re.split(r"('(?:[^']|'')*')", s)
+        rewritten = "".join(
+            p if i % 2 else _VERSION_AS_OF_RE.sub(repl, p)
+            for i, p in enumerate(parts)
+        )
+        try:
+            return self.sql(rewritten)
+        finally:
+            for v in created:
+                self.spark.catalog.dropTempView(v)
 
     def sql(self, q: str) -> DataFrame:
         """SELECT path — handed to Catalyst (parser/analyzer/optimizer all
@@ -433,6 +452,10 @@ class OxidSparkDatabase:
             # like a view would be silently shadowed at query time by
             # sql()'s per-query view re-resolution
             raise AnalyzerError(f"'{name}' is a view")
+        if name in self._functions:
+            # reverse of the CREATE FUNCTION guard: a table named like a
+            # SQL UDF would shadow calls to it in later statements
+            raise AnalyzerError(f"'{name}' is a function")
         df = self.sql(select_sql)
         inverse = {
             "bigint": "bigint",
@@ -464,6 +487,10 @@ class OxidSparkDatabase:
             # like a view would be silently shadowed at query time by
             # sql()'s per-query view re-resolution
             raise AnalyzerError(f"'{name}' is a view")
+        if name in self._functions:
+            # reverse of the CREATE FUNCTION guard: a table named like a
+            # SQL UDF would shadow calls to it in later statements
+            raise AnalyzerError(f"'{name}' is a function")
         specs: list[ColumnSpec] = []
         for col_src in _split_top_level(cols_src):
             cm = _COL_RE.match(col_src)

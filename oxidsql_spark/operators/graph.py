@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..cachescope import scoped_persist
+from ..cachescope import free_local_checkpoint, scoped_local_checkpoint, scoped_persist
 from ..registry import register
 from ..sources import table
 from .dedup import _JACCARD_N, _JACCARD_T, dedup_ngram_jaccard  # noqa: F401
@@ -119,11 +119,17 @@ def propagate_min_labels(
                 ),
             )
         )
-        new_labels = scoped_persist(stepped.select("doc_id", "cluster_id"))
-        new_labels.count()  # materialize the cache; fires the observation
+        # Checkpoint, not persist: each generation's plan references the
+        # previous one TWICE (via neighbor_min and via the join), so the
+        # logical tree doubles per iteration — lineage truncation keeps
+        # plan analysis O(1) per step all the way to the iteration
+        # bound.  Eager, so the same job fires the observation (and the
+        # CollectMetrics node can never be skipped by cached-plan
+        # substitution — a checkpoint is always a fresh execution).
+        new_labels = scoped_local_checkpoint(stepped.select("doc_id", "cluster_id"))
         changed = obs.get["changed"] or 0
         if labels is not first_labels:
-            labels.unpersist()
+            free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             converged = True
@@ -189,22 +195,25 @@ def dedup_clusters_prepared(
 # Weighted PageRank (quantized) over the part co-purchase graph
 # ---------------------------------------------------------------------------
 
-_PR_ITERS = 2
+_PR_MAX_ITERS = 16  # oracle unroll depth = the iteration cap
 _PR_SCALE = 1_000_000  # ranks in integer micro-units
 
 
 def _copurchase_edges_sql() -> str:
     """DuckDB CTEs for the weighted co-purchase graph: nodes = parts,
-    edge weight = number of orders containing both parts."""
+    edge weight = number of orders containing both parts.  MATERIALIZED
+    hints matter: the unrolled PageRank references `edges`/`wsum` in
+    every step, and without them DuckDB re-inlines the co-purchase
+    self-join per step (measured 3.5× slower at 16 steps)."""
     return """
-    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    pairs AS (
+    items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2),
-    edges AS (SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs),
-    wsum AS (SELECT u, sum(w) AS ws FROM edges GROUP BY u)
+    edges AS MATERIALIZED (SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs),
+    wsum AS MATERIALIZED (SELECT u, sum(w) AS ws FROM edges GROUP BY u)
     """
 
 
@@ -214,7 +223,15 @@ def _pagerank_oracle() -> str:
     (r·w) // ws, and the damping update is integer arithmetic — so the
     partial-agg merge order can't shift a single bit and the SQL
     re-derivation matches Spark exactly (the embeddings_kmeans oracle
-    discipline, applied to graph centrality)."""
+    discipline, applied to graph centrality).
+
+    Unrolled to _PR_MAX_ITERS steps — the Spark side's iteration CAP.
+    The Spark loop may stop earlier, but only on an EXACT integer fixed
+    point (rank vector identical to the previous iteration's), and the
+    update is a deterministic function of the rank vector, so every
+    further unrolled oracle step maps the fixed point to itself:
+    r_cap == r_converged bit-for-bit, whatever iteration convergence
+    lands on."""
     s = _PR_SCALE
 
     def step(prev: str, out: str) -> str:
@@ -230,14 +247,16 @@ def _pagerank_oracle() -> str:
       FROM (SELECT DISTINCT u AS node FROM edges) n
       LEFT JOIN c_{out} ON c_{out}.node = n.node)"""
 
+    steps = ",\n".join(
+        step(f"r{i}", f"r{i + 1}") for i in range(_PR_MAX_ITERS)
+    )
     return f"""
     WITH {_copurchase_edges_sql()},
     r0 AS (SELECT DISTINCT u AS node, CAST({s} AS BIGINT) AS r FROM edges),
-    {step("r0", "r1")},
-    {step("r1", "r2")}
+    {steps}
     SELECT node AS part_id, r AS rank_micro,
            round(CAST(r AS DOUBLE) / {s}, 6) AS pagerank
-    FROM r2
+    FROM r{_PR_MAX_ITERS}
     """
 
 
@@ -246,13 +265,23 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the part co-purchase graph — the graph-
     centrality twin of `dedup_clusters`' connected components: which
     products sit at the center of the co-purchase network (assortment /
-    recommendation seeding).  Damping 0.85, {_PR_ITERS} iterations.
+    recommendation seeding).  Damping 0.85, CONVERGENCE-DRIVEN: iterate
+    until the integer rank vector reaches an exact fixed point (zero
+    micro-unit change — the observe-ridden probe from
+    propagate_min_labels), capped at _PR_MAX_ITERS, which is also the
+    oracle's unroll depth.  The exact-fixed-point exit (never an ε > 0
+    one) is what keeps early exit ORACLE-SAFE: a fixed point is mapped
+    to itself by every further unrolled oracle step, so the cap-depth
+    oracle equals the converged Spark result bit-for-bit.  The realized
+    iteration count is published as ``part_pagerank.last_iters``
+    (convergence asserted in tests/test_dedup_similarity.py).
 
     Scale shape per iteration: one edge-keyed join against the rank
     table + one aggregation — the same bounded-key shuffles as label
     propagation; edge and weight tables build once (scope-persisted)
     from a single co-purchase aggregation whose fan-out is C(k,2) per
-    order with k ≤ ~7.  Cross-engine exactness: ranks are integer
+    order with k ≤ ~7; superseded rank generations unpersist as soon as
+    the next lands.  Cross-engine exactness: ranks are integer
     micro-units, contributions integer floor-divisions, damping integer
     arithmetic — associative, partial-agg-order-free."""
     from ..cachescope import scoped_persist
@@ -280,21 +309,49 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("e.u", "e.v", "e.w")
     )
     wsum = edges.groupBy("u").agg(F.sum("w").alias("ws"))
-    ew = edges.join(wsum, "u")
+    ew = scoped_persist(edges.join(wsum, "u"))
     nodes = edges.select(F.col("u").alias("node")).distinct()
     s = _PR_SCALE
-    ranks = nodes.withColumn("r", F.lit(s).cast("bigint"))
-    for _ in range(_PR_ITERS):
+    ranks = scoped_persist(nodes.withColumn("r", F.lit(s).cast("bigint")))
+    first_ranks = ranks
+    part_pagerank.last_iters = _PR_MAX_ITERS
+    for i in range(_PR_MAX_ITERS):
         contrib = (
             ew.join(ranks, ew.u == ranks.node)
             .select(F.col("v").alias("node"), F.expr("(r * w) div ws").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
-            "node",
-            F.expr(f"CAST({s} * 15 div 100 + 85 * coalesce(c, 0) div 100 AS BIGINT)").alias("r"),
+        obs = Observation(f"pr_changed_{i}")
+        stepped = (
+            ranks.withColumnRenamed("r", "__old")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                F.col("__old"),
+                F.expr(
+                    f"CAST({s} * 15 div 100 + 85 * coalesce(c, 0) div 100 AS BIGINT)"
+                ).alias("r"),
+            )
+            .observe(
+                obs,
+                F.sum((F.col("r") != F.col("__old")).cast("long")).alias("changed"),
+            )
         )
+        # Checkpoint, not persist: the generation references `ranks`
+        # twice (contrib + the delta join), so without lineage
+        # truncation the plan tree doubles per iteration and the 16-step
+        # loop OOMs the driver on plan analysis alone (measured).  Eager
+        # checkpoint = one fresh job per iteration that also fires the
+        # observation.
+        new_ranks = scoped_local_checkpoint(stepped.select("node", "r"))
+        changed = obs.get["changed"] or 0
+        if ranks is not first_ranks:
+            free_local_checkpoint(ranks)
+        ranks = new_ranks
+        if changed == 0:  # exact integer fixed point — oracle-safe exit
+            part_pagerank.last_iters = i + 1
+            break
     return ranks.select(
         F.col("node").alias("part_id"),
         F.col("r").alias("rank_micro"),

@@ -131,17 +131,10 @@ def decode_image(payload: bytes):
     return None
 
 
-def decode_image_stub(payload: bytes) -> dict:
-    """Decode with the dependency-free codec; unrecognized formats fall
-    back to a deterministic fake derived from the bytes (so the
-    plumbing stays testable on the synthetic text-payload corpus), or
-    raise when the fake is disabled.  A real deployment swaps the
-    fallback for PIL/ffmpeg — nothing else in the pipeline changes."""
-    real = decode_image(payload)
-    if real is not None:
-        return real
-    if not FAKE_DECODE:
-        raise NotImplementedError("no codec for this image format in this environment")
+def fake_decode_features(payload: bytes) -> dict:
+    """Deterministic fake 'decode': pure arithmetic on the payload bytes.
+    Exists so the Arrow/mapInPandas plumbing is exercisable — and
+    DuckDB-oracle-expressible — on a corpus with no real image bytes."""
     n = len(payload)
     first = payload[0] if n else 0
     return {
@@ -149,6 +142,20 @@ def decode_image_stub(payload: bytes) -> dict:
         "height": 32 + (first % 64),
         "n_frames": 1 + (n % 8),
     }
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Decode with the dependency-free codec; unrecognized formats fall
+    back to the deterministic fake (so the plumbing stays testable on
+    the synthetic text-payload corpus), or raise when the fake is
+    disabled.  A real deployment swaps the fallback for PIL/ffmpeg —
+    nothing else in the pipeline changes."""
+    real = decode_image(payload)
+    if real is not None:
+        return real
+    if not FAKE_DECODE:
+        raise NotImplementedError("no codec for this image format in this environment")
+    return fake_decode_features(payload)
 
 
 _DECODE_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, n_frames int"
@@ -170,12 +177,16 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fake decoder is deterministic arithmetic on the payload bytes, so
     the oracle can mirror it exactly — the point under test is the REAL
     plumbing: binary columns crossing the Arrow boundary in batches, a
-    per-batch Python decode loop, a typed output schema. Swap
-    decode_image_stub for a real codec and nothing else changes."""
+    per-batch Python decode loop, a typed output schema.  The fake is
+    called EXPLICITLY (not via decode_image_stub's real-codec-first
+    dispatch): a corpus payload that happened to be a valid ASCII
+    Netpbm image would otherwise real-decode and diverge from the
+    arithmetic oracle.  The real codec path is driven end-to-end with
+    real bytes in tests/test_multimodal_codec.py."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(bytes(b)) for b in pdf["payload"]]
+            feats = [fake_decode_features(bytes(b)) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

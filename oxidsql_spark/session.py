@@ -50,4 +50,17 @@ def get_spark(app_name: str = "oxidsql-spark", cpus: int | str | None = None) ->
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Iterative operators (graph.py) release their localCheckpoint
+    # generations deliberately; Spark logs an expected "lineage has been
+    # truncated" WARN per release — informational here (the scope
+    # contract already declares released results consumed), so keep it
+    # out of bench/driver logs.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # cosmetic only; any log4j API drift must not block sessions
     return spark

@@ -368,3 +368,54 @@ def test_sql_udf_name_collision_guard(db):
     """A SQL UDF may not shadow an existing table or view."""
     with pytest.raises(AnalyzerError, match="table or view"):
         db.query("CREATE FUNCTION people(x INTEGER) RETURNS INTEGER RETURN x")
+
+
+def test_time_travel_views_reserved_and_dropped(spark, tmp_path):
+    """Snapshot views use a reserved prefix, never clobber a user view
+    named like `t__v1`, and are dropped once the statement is analyzed;
+    the phrase VERSION AS OF inside a string literal is data, not
+    syntax."""
+    import pytest
+
+    from oxidsql_spark.database import AnalyzerError, OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE tt (id INTEGER)")
+    db.query("INSERT INTO tt VALUES (7)")
+    ver = [r.version for r in db.query("SHOW VERSIONS tt").collect()][-1]
+
+    # a user view whose name matches the OLD snapshot-view naming scheme
+    db.query(f"CREATE VIEW tt__v{ver} AS SELECT 42 AS marker")
+    got = db.query(f"SELECT id FROM tt VERSION AS OF {ver}").collect()
+    assert [r.id for r in got] == [7]
+    # the user view is untouched by the time-travel rewrite
+    assert [r.marker for r in db.query(f"SELECT * FROM tt__v{ver}").collect()] == [42]
+    # no reserved-prefix snapshot views linger after the statement
+    lingering = [
+        v.name for v in spark.catalog.listTables() if v.name.startswith("__oxid_tt_")
+    ]
+    assert lingering == []
+
+    # literal containing the phrase is untouched (previously raised)
+    row = db.query("SELECT 'read tt VERSION AS OF 99 later' AS s").collect()
+    assert row[0].s == "read tt VERSION AS OF 99 later"
+    # ... while real out-of-range references still raise
+    with pytest.raises(AnalyzerError):
+        db.query("SELECT * FROM tt VERSION AS OF 99")
+
+
+def test_create_table_view_cannot_shadow_function(db):
+    """Reverse collision guard: CREATE TABLE / CTAS / CREATE VIEW reject
+    a name already bound to a SQL UDF."""
+    import pytest
+
+    from oxidsql_spark.database import AnalyzerError
+
+    db.query("CREATE FUNCTION twice(x INTEGER) RETURNS INTEGER RETURN x * 2")
+    with pytest.raises(AnalyzerError, match="function"):
+        db.query("CREATE TABLE twice (id INTEGER)")
+    with pytest.raises(AnalyzerError, match="function"):
+        db.query("CREATE TABLE twice AS SELECT 1 AS a")
+    with pytest.raises(AnalyzerError, match="function"):
+        db.query("CREATE VIEW twice AS SELECT 1 AS a")
+    db.query("DROP FUNCTION twice")

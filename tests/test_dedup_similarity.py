@@ -393,3 +393,17 @@ def test_bloom_rejects_novel_and_sizing(spark, sf_dir, tmp_path):
     n_novel = flags.count()
     fp_hits = flags.filter(F.col("bloom_maybe")).count()
     assert fp_hits / n_novel < 0.05  # design point ~1%; generous bound
+
+
+def test_pagerank_convergence_driven(spark, sf_dir):
+    """part_pagerank iterates until an exact integer fixed point (or the
+    oracle-depth cap) — not a fixed small unroll.  last_iters publishes
+    the realized count; it must exceed the old 2-step unroll and stay
+    within the cap that keeps the unrolled oracle exact."""
+    from oxidsql_spark.cachescope import release_scoped_caches
+    from oxidsql_spark.operators.graph import _PR_MAX_ITERS, part_pagerank
+
+    df = part_pagerank(spark, sf_dir)
+    assert df.count() > 0
+    release_scoped_caches()
+    assert 2 < part_pagerank.last_iters <= _PR_MAX_ITERS

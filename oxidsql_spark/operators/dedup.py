@@ -663,7 +663,7 @@ def _cos_lsh_oracle() -> str:
     """
 
 
-@register("embedding_cosine_lsh", oracle=_cos_lsh_oracle())
+@register("embedding_cosine_lsh", oracle=_cos_lsh_oracle(), bench=True)
 def embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The over-broadcast-cap fallback of ``embedding_cosine_pairs``,
     registered directly so its behavior has a driver-checked row (the

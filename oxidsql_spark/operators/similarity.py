@@ -638,7 +638,7 @@ def _ivf_km_oracle() -> str:
     """
 
 
-@register("ann_ivf_kmeans", oracle=_ivf_km_oracle())
+@register("ann_ivf_kmeans", oracle=_ivf_km_oracle(), bench=True)
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over the TRAINED k-means codebook — the step
     ann_ivf_coarse stubs with fixed centroids, now end-to-end: train

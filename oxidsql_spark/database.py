@@ -434,9 +434,50 @@ class OxidSparkDatabase:
             ("read_schemas", "; ".join(s.read_schemas) or "none"),
             ("topk", str(s.has_topk).lower()),
             ("python_evals", str(s.python_evals)),
-            ("physical_plan", formatted_plan(df)),
         ]
+        rows += self._estimate_rows(df, select_sql)
+        rows.append(("physical_plan", formatted_plan(df)))
         return self.spark.createDataFrame(rows, "item string, detail string")
+
+    _SIMPLE_SELECT_RE = re.compile(
+        r"^\s*SELECT\b[^;]*?\bFROM\s+(\w+)"
+        r"(?:\s+WHERE\s+(.*?))?"
+        r"(?:\s+(?:GROUP|ORDER|LIMIT|HAVING)\b.*)?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _estimate_rows(self, df: DataFrame, select_sql: str) -> list[tuple[str, str]]:
+        """EXPLAIN's cardinality rows for a single-table SELECT over a
+        facade table: the ONLINE sample-based estimate (the reference's
+        planner input — predicate executed against the maintained
+        reservoir sample with the bottomup.rs:159-161 floor rule,
+        fresh after every INSERT with no ANALYZE) displayed NEXT TO
+        Catalyst's own optimized-plan statistics, so the two planners'
+        views of the same scan are directly comparable.  Non-simple
+        statements (joins, subqueries) get only the Catalyst row —
+        the sample estimator is a per-table structure, as in the
+        reference."""
+        out: list[tuple[str, str]] = []
+        m = self._SIMPLE_SELECT_RE.match(select_sql)
+        if m and m.group(1).lower() in self._stats:
+            name, pred = m.group(1).lower(), m.group(2) or "true"
+            try:
+                est = self._stats[name].estimate_cardinality(pred)
+                out.append(("estimated_rows", str(est)))
+            except Exception:
+                pass  # non-deterministic/invalid predicate: skip the row
+        try:
+            jstats = df._jdf.queryExecution().optimizedPlan().stats()
+            rc = jstats.rowCount()
+            catalyst = (
+                str(rc.get())
+                if rc.isDefined()
+                else f"unknown (sizeInBytes={jstats.sizeInBytes()})"
+            )
+        except Exception:
+            catalyst = "unavailable"
+        out.append(("catalyst_rows", catalyst))
+        return out
 
     def _create_table_as(self, name: str, select_sql: str) -> None:
         """CREATE TABLE AS SELECT: schema inferred from the query result

@@ -857,3 +857,142 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState capability twin (streaming.statefulproc)
+# ---------------------------------------------------------------------------
+
+_TWS_SPEND_OUT = "user_id bigint, n_events bigint, total_cents bigint, n_types int"
+
+
+def stream_user_spend_tws(spark: SparkSession, source_dir: str) -> DataFrame:
+    """`stream_user_spend` re-expressed against the transformWithState
+    capability surface (streaming.statefulproc): TYPED state variables —
+    two ValueStates plus a MapState of per-event-type counts, something
+    the flat tuple-state of applyInPandasWithState can't express
+    directly — with the adapter handling (de)serialization.  Exact
+    integer cents; emits the running totals every micro-batch the user
+    appears in (update mode).  State: one row per user, sharded by
+    user_id."""
+    import pandas as pd
+
+    from .statefulproc import StatefulProcessor, transform_with_state
+
+    class SpendProc(StatefulProcessor):
+        def init(self, handle):
+            self.cents = handle.get_value_state("cents")
+            self.n = handle.get_value_state("n")
+            self.by_type = handle.get_map_state("by_type")
+
+        def handleInputRows(self, key, rows):
+            cents = self.cents.get() or 0
+            n = self.n.get() or 0
+            for pdf in rows:
+                cents += int((pdf["value"] * 100).round().sum())
+                n += len(pdf)
+                for et, cnt in pdf["event_type"].value_counts().items():
+                    self.by_type.update_value(
+                        et, self.by_type.get_value(et, 0) + int(cnt)
+                    )
+            self.cents.update(cents)
+            self.n.update(n)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "n_types": [len(self.by_type.get())],
+                }
+            )
+
+    return transform_with_state(
+        _stream_source(spark, source_dir),
+        ["user_id"],
+        SpendProc,
+        _TWS_SPEND_OUT,
+        output_mode="update",
+        time_mode="none",
+    )
+
+
+_TWS_SESS_GAP_MS = 30 * 60 * 1000
+_TWS_SESS_OUT = (
+    "user_id bigint, session_start bigint, session_end bigint, n_events bigint"
+)
+
+
+def stream_user_sessions_tws(
+    spark: SparkSession, source_dir: str, gap_ms: int = _TWS_SESS_GAP_MS
+) -> DataFrame:
+    """Idle-gap sessionization driven by EVENT-TIME TIMERS — the part of
+    the transformWithState contract session_window can't show: a
+    session row is emitted ONLY when the key's timer fires (watermark
+    passes last_event + gap), and firing EVICTS the key's state
+    (handle.clear_all), so state holds exactly the open sessions.
+    Sessions that close within one micro-batch (an in-batch gap) emit
+    immediately.  Session bounds are epoch millis (UTC) for exact
+    comparison with the batch twin."""
+    import pandas as pd
+
+    from .statefulproc import StatefulProcessor, transform_with_state
+
+    def _empty():
+        return pd.DataFrame(
+            {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        ).astype({"user_id": "int64", "session_start": "int64",
+                  "session_end": "int64", "n_events": "int64"})
+
+    class SessionProc(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.start = handle.get_value_state("start")
+            self.last = handle.get_value_state("last")
+            self.n = handle.get_value_state("n")
+
+        def _emit(self, key):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [self.start.get()],
+                    "session_end": [self.last.get()],
+                    "n_events": [self.n.get()],
+                }
+            )
+
+        def handleInputRows(self, key, rows):
+            closed = []
+            start, last, n = self.start.get(), self.last.get(), self.n.get() or 0
+            ts_all = []
+            for pdf in rows:
+                ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+            for t in sorted(ts_all):
+                if last is not None and t - last > gap_ms:
+                    self.start.update(start)
+                    self.last.update(last)
+                    self.n.update(n)
+                    closed.append(self._emit(key))
+                    start, n = t, 0
+                if start is None:
+                    start = t
+                last = t
+                n += 1
+            self.start.update(start)
+            self.last.update(last)
+            self.n.update(n)
+            self.h.register_timer(last + gap_ms)
+            yield pd.concat(closed) if closed else _empty()
+
+        def handleExpiredTimer(self, key):
+            out = self._emit(key)
+            self.h.clear_all()  # eviction: the timer closes the session
+            yield out
+
+    return transform_with_state(
+        _stream_source(spark, source_dir),
+        ["user_id"],
+        SessionProc,
+        _TWS_SESS_OUT,
+        output_mode="append",
+        time_mode="eventTime",
+    )

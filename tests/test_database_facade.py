@@ -419,3 +419,26 @@ def test_create_table_view_cannot_shadow_function(db):
     with pytest.raises(AnalyzerError, match="function"):
         db.query("CREATE VIEW twice AS SELECT 1 AS a")
     db.query("DROP FUNCTION twice")
+
+
+def test_explain_surfaces_estimator_beside_catalyst(db):
+    """EXPLAIN on a filtered single-table SELECT shows BOTH cardinality
+    views: the facade's online sample-based estimate (the reference's
+    planner input, bottomup.rs:111-168) and Catalyst's optimized-plan
+    statistics."""
+    db.query("CREATE TABLE ex_est (id INTEGER, grp INTEGER)")
+    for i in range(40):
+        db.query(f"INSERT INTO ex_est VALUES ({i}, {i % 4})")
+    rows = {r.item: r.detail for r in db.query("EXPLAIN SELECT id FROM ex_est WHERE grp = 0").collect()}
+    assert "estimated_rows" in rows and "catalyst_rows" in rows
+    # 40 rows fit entirely in the sample: estimate is exact (10 match)
+    assert int(rows["estimated_rows"]) == 10
+    # joins/subqueries still get the Catalyst row, no sample row
+    rows2 = {
+        r.item: r.detail
+        for r in db.query(
+            "EXPLAIN SELECT a.id FROM ex_est a JOIN ex_est b ON a.id = b.id"
+        ).collect()
+    }
+    assert "catalyst_rows" in rows2 and "estimated_rows" not in rows2
+    db.query("DROP TABLE ex_est")

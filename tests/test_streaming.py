@@ -366,3 +366,130 @@ def test_late_rows_dropped_by_watermark(spark, tmp_path):
     assert dropped == 1, f"late row not dropped (dropped={dropped})"
     emitted = [(r.hour_start, r.event_type) for r in spark.table("late_mem").collect()]
     assert len(emitted) == len(set(emitted)), "append re-emitted a finalized window"
+
+
+def test_tws_spend_equals_batch(spark, sf_dir, stream_dir):
+    """transformWithState twin (statefulproc): the converged per-user
+    state — two ValueStates + a MapState of per-type counts — must
+    equal the batch aggregate exactly (stream==batch for the capability
+    surface that replaces the env-blocked native op)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import stream_user_spend_tws
+
+    q = (
+        stream_user_spend_tws(spark, stream_dir)
+        .writeStream.format("memory")
+        .queryName("tws_spend_mem")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_cents, r.n_types)
+        for r in spark.table("tws_spend_mem")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_cents", "n_types")).alias("s"))
+        .select("user_id", "s.n_events", "s.total_cents", "s.n_types")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents, r.nt)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_tws_sessions_timers_evict_state(spark, sf_dir, chunked_stream_dir):
+    """Event-time timers + eviction through the transformWithState
+    surface: session rows are emitted when the watermark passes
+    last_event + gap (or on an in-batch gap), every emitted session
+    matches the batch sessionization EXACTLY, and firing timers evicts
+    state (final state rows well below the peak)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import (
+        _TWS_SESS_GAP_MS,
+        stream_user_sessions_tws,
+    )
+
+    q = (
+        stream_user_sessions_tws(spark, chunked_stream_dir)
+        .writeStream.format("memory")
+        .queryName("tws_sess_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = q.recentProgress
+    q.stop()
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("tws_sess_mem").collect()
+    }
+    assert len(emitted) > 10, "timers produced almost no sessions"
+
+    # batch twin: lag-gap sessionization on epoch millis
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis(F.col("ts").cast("timestamp")).alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms")
+    sess = (
+        ev.withColumn(
+            "brk",
+            (F.col("ms") - F.lag("ms").over(w) > _TWS_SESS_GAP_MS).cast("long"),
+        )
+        .withColumn("sid", F.sum(F.coalesce("brk", F.lit(0))).over(w))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ms").alias("s"), F.max("ms").alias("e"), F.count(F.lit(1)).alias("n"))
+    )
+    batch = {(r.user_id, r.s, r.e, r.n) for r in sess.collect()}
+    assert emitted <= batch, f"{len(emitted - batch)} emitted sessions not in batch set"
+
+    max_rows, final_rows = _state_rows(progresses)
+    assert final_rows < max_rows, "timer firings never evicted state"
+
+
+def test_tws_typed_state_validation():
+    """Typed slots reject wrong types and non-JSON values at update time
+    (driver-side unit semantics, no Spark needed)."""
+    import pytest
+
+    from oxidsql_spark.streaming.statefulproc import (
+        ListState,
+        MapState,
+        StatefulProcessorHandle,
+        ValueState,
+    )
+
+    h = StatefulProcessorHandle({})
+    v = h.get_value_state("v")
+    assert not v.exists()
+    v.update(42)
+    assert v.exists() and v.get() == 42
+    with pytest.raises(TypeError):
+        v.update(object())
+    ls = h.get_list_state("l")
+    ls.append_value(1)
+    ls.append_value(2)
+    assert ls.get() == [1, 2]
+    with pytest.raises(TypeError):
+        ls.put("not-a-list")
+    m = h.get_map_state("m")
+    m.update_value("a", 5)
+    assert m.get_value("a") == 5 and m.get_value("zz", -1) == -1
+    m.remove_key("a")
+    assert m.get() == {}
+    h.clear_all()
+    assert not v.exists() and h._cleared

@@ -314,18 +314,25 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _PR_SCALE
     ranks = scoped_persist(nodes.withColumn("r", F.lit(s).cast("bigint")))
     first_ranks = ranks
-    part_pagerank.last_iters = _PR_MAX_ITERS
-    for i in range(_PR_MAX_ITERS):
+    # Checkpointed generations are LogicalRDDs with NO size statistics,
+    # so Catalyst falls back to sort-merge — sorting the full edge table
+    # EVERY iteration (measured: the whole loop's cost).  The rank table
+    # is node-count-sized; broadcast it explicitly while it fits (a
+    # billion-node graph drops the hint and shuffle-joins, same code
+    # path) — n_nodes is already on the driver from the edges build.
+    n_nodes = nodes.count()
+    hint = F.broadcast if n_nodes <= 10_000_000 else (lambda df: df)
+
+    def step(prev: DataFrame) -> DataFrame:
         contrib = (
-            ew.join(ranks, ew.u == ranks.node)
+            ew.join(hint(prev), ew.u == prev.node)
             .select(F.col("v").alias("node"), F.expr("(r * w) div ws").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        obs = Observation(f"pr_changed_{i}")
-        stepped = (
-            ranks.withColumnRenamed("r", "__old")
-            .join(contrib, "node", "left")
+        return (
+            prev.withColumnRenamed("r", "__old")
+            .join(hint(contrib), "node", "left")
             .select(
                 "node",
                 F.col("__old"),
@@ -333,25 +340,39 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CAST({s} * 15 div 100 + 85 * coalesce(c, 0) div 100 AS BIGINT)"
                 ).alias("r"),
             )
-            .observe(
+        )
+
+    part_pagerank.last_iters = _PR_MAX_ITERS
+    # AQE off for the loop: every iteration has the same tiny fixed-shape
+    # plan, and AQE's per-shuffle re-optimization is pure latency here —
+    # measured 0.86 → 0.53 s/iteration at sf0.1 together with the
+    # broadcast hint.  Restored in the finally (harness lifecycles are
+    # single-threaded query-at-a-time, see cachescope's module note).
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for i in range(_PR_MAX_ITERS):
+            obs = Observation(f"pr_changed_{i}")
+            stepped = step(ranks).observe(
                 obs,
                 F.sum((F.col("r") != F.col("__old")).cast("long")).alias("changed"),
             )
-        )
-        # Checkpoint, not persist: the generation references `ranks`
-        # twice (contrib + the delta join), so without lineage
-        # truncation the plan tree doubles per iteration and the 16-step
-        # loop OOMs the driver on plan analysis alone (measured).  Eager
-        # checkpoint = one fresh job per iteration that also fires the
-        # observation.
-        new_ranks = scoped_local_checkpoint(stepped.select("node", "r"))
-        changed = obs.get["changed"] or 0
-        if ranks is not first_ranks:
-            free_local_checkpoint(ranks)
-        ranks = new_ranks
-        if changed == 0:  # exact integer fixed point — oracle-safe exit
-            part_pagerank.last_iters = i + 1
-            break
+            # Checkpoint, not persist: the generation references `ranks`
+            # twice (contrib + the delta join), so without lineage
+            # truncation the plan tree doubles per iteration and the
+            # 16-step loop OOMs the driver on plan analysis alone
+            # (measured).  Eager checkpoint = one fresh job per
+            # iteration that also fires the observation.
+            new_ranks = scoped_local_checkpoint(stepped.select("node", "r"))
+            changed = obs.get["changed"] or 0
+            if ranks is not first_ranks:
+                free_local_checkpoint(ranks)
+            ranks = new_ranks
+            if changed == 0:  # exact integer fixed point — oracle-safe exit
+                part_pagerank.last_iters = i + 1
+                break
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
     return ranks.select(
         F.col("node").alias("part_id"),
         F.col("r").alias("rank_micro"),

@@ -356,3 +356,81 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (statistics.count_min_sketch driven end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def _cms_oracle() -> str:
+    """DuckDB re-derivation of the count-min pipeline: the bucket hash
+    is the portable md5-hex4 (corpus_ext._duck_hex4), so sketch counts
+    and the min-over-rows estimates are integer-exact across engines."""
+    from ..statistics import _CMS_D, _CMS_W
+    from .corpus_ext import _duck_hex4
+
+    def bucket(expr: str, i: int) -> str:
+        h = f"md5({expr} || '#{i}')"
+        return f"({_duck_hex4(h)} % {_CMS_W})"
+
+    sketch_rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS i, {bucket('term', i)} AS b, count(*) AS cnt "
+        f"FROM term_rows GROUP BY 2"
+        for i in range(_CMS_D)
+    )
+    est_joins = "\n    ".join(
+        f"JOIN sketch s{i} ON s{i}.i = {i} AND s{i}.b = {bucket('e.term', i)}"
+        for i in range(_CMS_D)
+    )
+    least = ", ".join(f"s{i}.cnt" for i in range(_CMS_D))
+    return f"""
+    WITH term_rows AS MATERIALIZED (
+      SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS term
+      FROM documents),
+    exact AS (
+      SELECT term, count(*) AS exact_n FROM term_rows
+      GROUP BY term ORDER BY exact_n DESC, term LIMIT 20),
+    sketch AS MATERIALIZED (
+      {sketch_rows})
+    SELECT e.term, CAST(e.exact_n AS BIGINT) AS exact_n,
+           CAST(least({least}) AS BIGINT) AS cms_est
+    FROM exact e
+    {est_joins}
+    ORDER BY exact_n DESC, term
+    """
+
+
+@register("terms_cms_heavy_hitters", oracle=_cms_oracle())
+def terms_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with count-min estimates beside exact counts: the
+    corpus's top-20 terms with the frequency the SKETCH would report —
+    the operator that lets a 100 TB pipeline keep per-source/per-day
+    term-frequency profiles at d·w rows per profile instead of one row
+    per distinct term, mergeable by addition (statistics.
+    count_min_sketch; the frequency twin of the reference's CountingHLL
+    family, counting_hyperloglog.rs:76-180).  The count-min guarantee
+    (est >= exact, overcount only via collisions) is asserted over ALL
+    terms in tests/test_statistics.py; this query locks the estimates'
+    exact values cross-engine.  One pass builds the bounded sketch, one
+    the exact counts; the term rows are scope-persisted so documents is
+    scanned once."""
+    from ..cachescope import scoped_persist
+    from ..statistics import cms_estimate, count_min_sketch
+
+    d = table(spark, sf_dir, "documents")
+    terms = scoped_persist(d.select(F.explode(tokens(F.col("text"))).alias("term")))
+    exact_top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "term")
+        .limit(20)
+    )
+    sketch = count_min_sketch(terms, "term")
+    est = cms_estimate(sketch, exact_top, "term")
+    return (
+        exact_top.join(est, "term")
+        .select("term", "exact_n", F.col("cms_est").cast("bigint").alias("cms_est"))
+        .orderBy(F.col("exact_n").desc(), "term")
+    )

@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     # New in round 6 — never driver-checked:
     "dedup_incremental_bloom",
     "zorder_layout_scan",
+    "terms_cms_heavy_hitters",
     # rewritten in round 6 (convergence-driven iteration; result
     # unchanged but the implementation is new — re-verify):
     "part_pagerank",

@@ -448,3 +448,76 @@ def analyze_table(spark: SparkSession, name: str, columns: list[str] | None = No
     (re-run after each ingest batch, SURVEY §7 risk register)."""
     cols = f" FOR COLUMNS {', '.join(columns)}" if columns else ""
     spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS{cols}")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: bounded-shuffle frequency estimation
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3  # hash rows
+_CMS_W = 8192  # buckets per row
+
+
+def _cms_bucket(col: Column, i: int, w: int) -> Column:
+    """Portable bucket hash: first 4 hex chars of md5(value || '#i')
+    mod w — byte-identical in DuckDB via the positional hex parse
+    (operators.corpus_ext._duck_hex4), the established cross-engine
+    hashing pattern (xxhash64 is not DuckDB-expressible)."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(f"#{i}")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % w
+
+
+def count_min_sketch(
+    df: DataFrame, col: str, w: int = _CMS_W, d: int = _CMS_D
+) -> DataFrame:
+    """Count-min sketch over a column as a (i, b, cnt) relation — the
+    FREQUENCY member of the reference's counting-sketch family (its
+    CountingHLL counts distincts, statistics/counting_hyperloglog.rs;
+    this bounds per-item counts), built the distributed way: each value
+    explodes into d (row, bucket) coordinates, and the aggregation's
+    map-side partial combine means the shuffle carries at most d·w rows
+    REGARDLESS of input size — the property that makes per-source /
+    per-day frequency profiles affordable at 100 TB.  Sketches merge by
+    summing cnt on (i, b), so per-shard sketches roll up without
+    touching raw data."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(F.col(col), i, w).alias("b")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p")
+    ).select("p.i", "p.b")
+    return pos.groupBy("i", "b").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, items: DataFrame, col: str, w: int = _CMS_W, d: int = _CMS_D
+) -> DataFrame:
+    """(col, cms_est) for every row of `items`: the count-min upper
+    bound — min over the d probed buckets.  Guarantees est >= true
+    count (never an undercount; overcount only from bucket collisions,
+    expected ~ n_rows/w per hash row).  Pure join algebra: d probe rows
+    per item joined to the sketch on (i, b)."""
+    probes = items.select(
+        col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(F.col(col), i, w).alias("b")
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select(col, "p.i", "p.b")
+    return (
+        probes.join(sketch, ["i", "b"])
+        .groupBy(col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

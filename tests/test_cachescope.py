@@ -41,6 +41,7 @@ CACHE_USING_QUERIES = [
     "part_pagerank",
     "customer_revenue_gini",
     "dedup_incremental_bloom",
+    "terms_cms_heavy_hitters",
 ]
 
 
@@ -57,7 +58,10 @@ def test_query_releases_all_storage(spark, sf_dir, name):
     assert scoped_cache_count() > 0, f"{name} no longer persists via cachescope?"
     release_scoped_caches()
     assert scoped_cache_count() == 0
-    assert _n_persistent_rdds(spark) == baseline, f"{name} leaked cached blocks"
+    # <= not ==: Spark's async ContextCleaner may reclaim an UNRELATED
+    # earlier test's blocks between the two measurements; a leak from
+    # THIS query can only push the count above baseline
+    assert _n_persistent_rdds(spark) <= baseline, f"{name} leaked cached blocks"
 
 
 def test_identical_plan_rerun_reuses_cache(spark, sf_dir):

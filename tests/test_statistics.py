@@ -284,3 +284,32 @@ def test_table_sample_close_releases_cache(spark, sf_dir):
         assert ts.sample_count > 0
         assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0 + 1
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == n0
+
+
+def test_count_min_overestimate_guarantee(spark, sf_dir):
+    """The count-min bound, asserted over EVERY distinct term (not just
+    the registered query's top-20): est >= exact always, and the
+    overcount stays within the d-row collision expectation (n/w per
+    row, generously bounded)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.functions import tokens
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.statistics import _CMS_W, cms_estimate, count_min_sketch
+
+    terms = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    n_rows = terms.count()
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    sketch = count_min_sketch(terms, "term")
+    est = cms_estimate(sketch, exact.select("term"), "term")
+    joined = exact.join(est, "term")
+    under = joined.filter(F.col("cms_est") < F.col("exact_n")).count()
+    assert under == 0, f"{under} terms undercounted — count-min bound violated"
+    # generous collision bound: 8x the expected n/w overcount
+    max_over = joined.agg(
+        F.max(F.col("cms_est") - F.col("exact_n")).alias("m")
+    ).first()["m"]
+    assert max_over <= max(8 * n_rows // _CMS_W, 8), (max_over, n_rows)

@@ -93,6 +93,11 @@ def propagate_min_labels(
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels
     converged = False
+    # NOTE: part_pagerank's loop adds a broadcast hint + AQE toggle; here
+    # they were measured NEUTRAL-to-negative (the label table is doc-
+    # count-sized — broadcasting 500k labels per iteration costs what
+    # the join saves, and the loop is 2-4 iterations, not 16), so this
+    # loop stays plain.
     for i in range(max_iters):  # diameter bound; near-dup graphs converge in 2-4
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)

@@ -108,6 +108,44 @@ def compact(
     return n_files
 
 
+def optimize_zordered(
+    spark: SparkSession,
+    path: str,
+    *z_cols: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Table maintenance in one rewrite — the plain-parquet twin of
+    Delta/Iceberg ``OPTIMIZE ... ZORDER BY``: compact a directory's
+    small files to ~target_file_mb AND restore Morton clustering on
+    ``z_cols`` in the same pass (streaming sinks and incremental
+    appends both fragment files and destroy clustering; fixing them
+    separately would scan the data twice).  Returns the new file count.
+
+    Crash-safe swap discipline is ``compact``'s: write to a side
+    directory, two atomic renames, so readers never observe a missing
+    or half-written table."""
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
+    write_zordered(spark.read.parquet(path), tmp, *z_cols, n_files=n_files)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

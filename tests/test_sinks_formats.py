@@ -218,3 +218,39 @@ def test_write_zordered_arity_and_degenerate(spark, sf_dir, tmp_path):
     const = li.withColumn("k", F.lit(7))
     sinks.write_zordered(const, str(tmp_path / "const"), "k", "l_partkey", n_files=4)
     assert spark.read.parquet(str(tmp_path / "const")).count() == li.count()
+
+
+def test_optimize_zordered_compacts_and_reclusters(spark, sf_dir, tmp_path):
+    """One maintenance rewrite fixes BOTH table pathologies: a
+    fragmented (many tiny files), unclustered directory comes out with
+    few files AND restored multi-dimension z-clustering, content
+    byte-identical — the plain-parquet OPTIMIZE ZORDER BY."""
+    import glob
+
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    path = str(tmp_path / "frag")
+    # simulate incremental-append fragmentation: 40 tiny unclustered files
+    sinks.write_parquet(li.repartition(40), path)
+    assert len(glob.glob(f"{path}/*.parquet")) >= 40
+
+    want = li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+    n = sinks.optimize_zordered(spark, path, "l_partkey", "l_suppkey")
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) == n and n < 40
+
+    def mean_span(col):
+        df = spark.read.parquet(path)
+        lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
+        per_file = (
+            df.groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return per_file / (hi - lo)
+
+    # content identical, clustering restored on both z dimensions
+    got = spark.read.parquet(path).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+    assert got == want
+    if n >= 4:  # spans only meaningful with several files
+        assert mean_span("l_partkey") < 0.7 and mean_span("l_suppkey") < 0.7

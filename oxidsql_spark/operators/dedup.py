@@ -1034,6 +1034,41 @@ def build_fingerprint_bloom(
     bloom_word_table(fp_df, n_bits).write.mode("overwrite").parquet(out_path)
 
 
+def merge_fingerprint_bloom(
+    spark: SparkSession, new_fps: DataFrame, bloom_path: str
+) -> None:
+    """Admit a batch into the persisted filter: OR the batch's word rows
+    into the word table and swap the artifact — the maintenance step
+    that completes the incremental-dedup lifecycle (build → probe →
+    admit → merge) without ever rebuilding from the full corpus.
+    Bloom filters are unions of bit sets, so merge ≡ rebuild exactly
+    (asserted word-for-word in tests); cost is one bounded aggregation
+    over old-words ∪ batch-words (≤ n_bits/64 + K·|batch| rows).
+
+    Same crash-safe swap as sinks.compact: the live table is never in a
+    half-written state."""
+    import os
+    import shutil
+
+    words = spark.read.parquet(bloom_path)
+    n_bits = int(words.select("n_bits").first()["n_bits"])
+    merged = (
+        words.select("w", "m")
+        .unionByName(bloom_word_table(new_fps, n_bits).select("w", "m"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(m)").alias("m"))
+        .withColumn("n_bits", F.lit(n_bits).cast("bigint"))
+    )
+    tmp = bloom_path.rstrip("/") + ".__merge__"
+    old = bloom_path.rstrip("/") + ".__old__"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(bloom_path, old)
+    os.rename(tmp, bloom_path)
+    shutil.rmtree(old)
+
+
 def bloom_probe(fps: DataFrame, words: DataFrame, n_bits: int) -> DataFrame:
     """(fp, bloom_maybe) for every distinct fingerprint in `fps`:
     bloom_maybe is true iff ALL K probed bits are set.

@@ -456,3 +456,38 @@ def test_embedding_cosine_lsh_recall_floor(spark, sf_dir):
         # recall lever at production scale is more probes / multiple
         # hash tables (documented in SCALE.md §ANN recall).
         assert recall >= 0.15, f"LSH pair recall {recall:.3f} under floor"
+
+
+def test_bloom_merge_equals_rebuild(spark, sf_dir, tmp_path):
+    """Admitting a batch via merge_fingerprint_bloom must produce the
+    EXACT word table a from-scratch rebuild over corpus ∪ batch gives
+    (bloom filters are unions of bit sets), so incremental admission
+    never drifts from the rebuild path."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        bloom_word_table,
+        build_fingerprint_bloom,
+        merge_fingerprint_bloom,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus_fp = d.filter(F.col("doc_id") % 3 != 0).select(F.md5("text").alias("fp"))
+    batch_fp = d.filter(F.col("doc_id") % 3 == 0).select(F.md5("text").alias("fp"))
+    path = str(tmp_path / "bloom")
+    n_bits = 1 << 20
+    build_fingerprint_bloom(spark, corpus_fp, path, n_bits=n_bits)
+    merge_fingerprint_bloom(spark, batch_fp, path)
+
+    merged = {
+        (r.w, r.m) for r in spark.read.parquet(path).select("w", "m").collect()
+    }
+    rebuilt = {
+        (r.w, r.m)
+        for r in bloom_word_table(corpus_fp.unionByName(batch_fp), n_bits)
+        .select("w", "m")
+        .collect()
+    }
+    assert merged == rebuilt and merged
+    n_bits_read = spark.read.parquet(path).select("n_bits").first()["n_bits"]
+    assert int(n_bits_read) == n_bits

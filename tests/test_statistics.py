@@ -313,3 +313,29 @@ def test_count_min_overestimate_guarantee(spark, sf_dir):
         F.max(F.col("cms_est") - F.col("exact_n")).alias("m")
     ).first()["m"]
     assert max_over <= max(8 * n_rows // _CMS_W, 8), (max_over, n_rows)
+
+
+def test_count_min_sketches_merge_exactly(spark, sf_dir):
+    """Sketch mergeability, the property that makes per-shard frequency
+    profiles roll up without raw data: summing two shards' sketches on
+    (i, b) equals the whole-corpus sketch EXACTLY (counts are exact
+    integers; only estimates are approximate)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.functions import tokens
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.statistics import count_min_sketch
+
+    d = table(spark, sf_dir, "documents")
+    terms = lambda df: df.select(F.explode(tokens(F.col("text"))).alias("term"))
+    half_a = count_min_sketch(terms(d.filter(F.col("doc_id") % 2 == 0)), "term")
+    half_b = count_min_sketch(terms(d.filter(F.col("doc_id") % 2 == 1)), "term")
+    merged = {
+        (r.i, r.b): r.cnt
+        for r in half_a.unionByName(half_b)
+        .groupBy("i", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    whole = {(r.i, r.b): r.cnt for r in count_min_sketch(terms(d), "term").collect()}
+    assert merged == whole and merged

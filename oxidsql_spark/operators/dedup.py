@@ -1024,13 +1024,17 @@ def bloom_word_table(fp_df: DataFrame, n_bits: int) -> DataFrame:
 
 
 def build_fingerprint_bloom(
-    spark: SparkSession, fp_df: DataFrame, out_path: str, n_bits: int = 1 << 23
+    spark: SparkSession, fp_df: DataFrame, out_path: str, n_bits: int | None = None
 ) -> None:
     """Persist the distributed Bloom word table next to the fingerprint
     table (the write-once artifact for the incremental-dedup fast path;
-    see ``bloom_word_table`` for the build shape and ``bloom_size_bits``
-    for sizing).  Self-describing: n_bits rides along as a constant
-    column, so probes need no side-channel metadata."""
+    see ``bloom_word_table`` for the build shape).  Default sizing is
+    ``bloom_size_bits(count)`` — the bits-per-key rule applied to the
+    actual corpus; the count is footer-only on a parquet-backed
+    fingerprint table.  Self-describing: n_bits rides along as a
+    constant column, so probes need no side-channel metadata."""
+    if n_bits is None:
+        n_bits = bloom_size_bits(fp_df.count())
     bloom_word_table(fp_df, n_bits).write.mode("overwrite").parquet(out_path)
 
 

@@ -14,6 +14,7 @@ driver except the 1-row convergence check.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..cachescope import free_local_checkpoint, scoped_local_checkpoint, scoped_persist
@@ -382,4 +383,47 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_id"),
         F.col("r").alias("rank_micro"),
         F.round(F.col("r").cast("double") / s, 6).alias("pagerank"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH clusters AS ({_ORACLE}),
+    ranked AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+             ) AS rk
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id)
+    SELECT cluster_id,
+           CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+           count(*) AS n_docs,
+           max(n_chars) AS max_chars
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention policy over near-dup clusters: keep the BEST document
+    per component (longest text, doc_id as the deterministic
+    tie-break), not the arbitrary smallest id — the selection step a
+    production pipeline runs after clustering (quality-weighted
+    canonical copy).  One window over the cluster-keyed join; at 100 TB
+    the quality column is whatever scorer the funnel produced
+    (text_lm_score, length, source priority) — the plan shape is
+    identical."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    c = dedup_clusters(spark, sf_dir).join(docs, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("cluster_id")
     )

@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_incremental_bloom",
     "zorder_layout_scan",
     "terms_cms_heavy_hitters",
+    "dedup_keep_best",
     # rewritten in round 6 (convergence-driven iteration; result
     # unchanged but the implementation is new — re-verify):
     "part_pagerank",

@@ -42,6 +42,7 @@ CACHE_USING_QUERIES = [
     "customer_revenue_gini",
     "dedup_incremental_bloom",
     "terms_cms_heavy_hitters",
+    "dedup_keep_best",
 ]
 
 

@@ -491,3 +491,17 @@ def test_bloom_merge_equals_rebuild(spark, sf_dir, tmp_path):
     assert merged == rebuilt and merged
     n_bits_read = spark.read.parquet(path).select("n_bits").first()["n_bits"]
     assert int(n_bits_read) == n_bits
+
+
+def test_bloom_build_autosizes(spark, sf_dir, tmp_path):
+    """build_fingerprint_bloom without n_bits applies the bits-per-key
+    rule to the actual corpus count."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import bloom_size_bits, build_fingerprint_bloom
+
+    d = table(spark, sf_dir, "documents").select(F.md5("text").alias("fp"))
+    path = str(tmp_path / "auto")
+    build_fingerprint_bloom(spark, d, path)
+    got = int(spark.read.parquet(path).select("n_bits").first()["n_bits"])
+    assert got == bloom_size_bits(d.count())

@@ -685,3 +685,64 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_tokens",
         )
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id AS key, md5(text) AS fp FROM documents
+      WHERE doc_id % 4 <> 0),
+    new AS (
+      SELECT doc_id AS key,
+             md5(CASE WHEN doc_id % 4 = 2 THEN text || ' v2' ELSE text END) AS fp
+      FROM documents WHERE doc_id % 4 <> 1),
+    j AS (
+      SELECT CASE
+               WHEN o.key IS NULL THEN 'added'
+               WHEN n.key IS NULL THEN 'removed'
+               WHEN o.fp = n.fp THEN 'unchanged'
+               ELSE 'changed'
+             END AS status
+      FROM old o FULL OUTER JOIN new n ON o.key = n.key)
+    SELECT status, count(*) AS n_docs
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot audit between two corpus versions: which documents were
+    added / removed / changed / unchanged — the reconciliation report an
+    incremental pipeline runs after every merge (and the content twin of
+    the facade's `SHOW VERSIONS` time travel: versions say WHEN,
+    this says WHAT).  Key-matched full-outer join on 16-byte content
+    fingerprints — document bodies never shuffle, so the diff costs one
+    fp-keyed join at any corpus size.  The two 'snapshots' are carved
+    deterministically from the test corpus (drop doc_id%4==0 from the
+    old side, drop %4==1 from the new, alter %4==2's text) so the diff
+    exercises all four statuses."""
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("key"), F.md5("text").alias("fp")
+    )
+    new = d.filter(F.col("doc_id") % 4 != 1).select(
+        F.col("doc_id").alias("key"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 4 == 2, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.key") == F.col("n.key"), "full_outer")
+    status = (
+        F.when(F.col("o.key").isNull(), "added")
+        .when(F.col("n.key").isNull(), "removed")
+        .when(F.col("o.fp") == F.col("n.fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("status")
+    )

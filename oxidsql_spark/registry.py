@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_layout_scan",
     "terms_cms_heavy_hitters",
     "dedup_keep_best",
+    "corpus_snapshot_diff",
     # rewritten in round 6 (convergence-driven iteration; result
     # unchanged but the implementation is new — re-verify):
     "part_pagerank",

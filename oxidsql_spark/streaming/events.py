@@ -922,6 +922,27 @@ _TWS_SESS_OUT = (
 )
 
 
+def _fold_sessions(start, last, n, ts_sorted, gap_ms):
+    """Pure in-batch sessionization fold: extend the carried open
+    session (start/last/n, None/None/0 when absent) with an ascending
+    timestamp list; returns (closed_sessions, start, last, n).
+
+    The property that makes it correct under micro-batching — folding a
+    time-ordered stream chunk by chunk, carrying the open-session state,
+    yields exactly the sessions of one whole-stream fold — is
+    hypothesis-tested in tests/test_streaming.py."""
+    closed = []
+    for t in ts_sorted:
+        if last is not None and t - last > gap_ms:
+            closed.append((start, last, n))
+            start, n = None, 0
+        if start is None:
+            start = t
+        last = t
+        n += 1
+    return closed, start, last, n
+
+
 def stream_user_sessions_tws(
     spark: SparkSession, source_dir: str, gap_ms: int = _TWS_SESS_GAP_MS
 ) -> DataFrame:
@@ -961,27 +982,28 @@ def stream_user_sessions_tws(
             )
 
         def handleInputRows(self, key, rows):
-            closed = []
-            start, last, n = self.start.get(), self.last.get(), self.n.get() or 0
             ts_all = []
             for pdf in rows:
                 ts_all.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
-            for t in sorted(ts_all):
-                if last is not None and t - last > gap_ms:
-                    self.start.update(start)
-                    self.last.update(last)
-                    self.n.update(n)
-                    closed.append(self._emit(key))
-                    start, n = t, 0
-                if start is None:
-                    start = t
-                last = t
-                n += 1
+            closed, start, last, n = _fold_sessions(
+                self.start.get(), self.last.get(), self.n.get() or 0,
+                sorted(ts_all), gap_ms,
+            )
             self.start.update(start)
             self.last.update(last)
             self.n.update(n)
             self.h.register_timer(last + gap_ms)
-            yield pd.concat(closed) if closed else _empty()
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start": [c[0] for c in closed],
+                        "session_end": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+            else:
+                yield _empty()
 
         def handleExpiredTimer(self, key):
             out = self._emit(key)

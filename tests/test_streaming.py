@@ -493,3 +493,39 @@ def test_tws_typed_state_validation():
     assert m.get() == {}
     h.clear_all()
     assert not v.exists() and h._cleared
+
+
+def test_session_fold_chunking_invariant():
+    """The micro-batch correctness property of the TWS sessionizer,
+    model-tested without Spark: folding a time-ordered stream chunk by
+    chunk while carrying the open-session state yields EXACTLY the
+    sessions of one whole-stream fold, for any chunk boundaries and any
+    gap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oxidsql_spark.streaming.events import _fold_sessions
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        ts=st.lists(st.integers(min_value=0, max_value=10_000), min_size=0, max_size=60),
+        cuts=st.lists(st.integers(min_value=0, max_value=60), max_size=5),
+        gap=st.integers(min_value=1, max_value=2_000),
+    )
+    def run(ts, cuts, gap):
+        ts = sorted(ts)
+        whole_closed, ws, wl, wn = _fold_sessions(None, None, 0, ts, gap)
+
+        bounds = sorted({c for c in cuts if c < len(ts)})
+        chunks, prev = [], 0
+        for b in bounds + [len(ts)]:
+            chunks.append(ts[prev:b])
+            prev = b
+        closed, start, last, n = [], None, None, 0
+        for ch in chunks:
+            c, start, last, n = _fold_sessions(start, last, n, ch, gap)
+            closed.extend(c)
+        assert closed == whole_closed
+        assert (start, last, n) == (ws, wl, wn)
+
+    run()

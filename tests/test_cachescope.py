@@ -86,3 +86,21 @@ def test_release_is_idempotent_and_complete(spark):
     assert release_scoped_caches() == 1
     assert release_scoped_caches() == 0
     assert df.storageLevel.useMemory is False  # actually unpersisted
+
+
+def test_scoped_persist_reuse_ok_flag(spark):
+    """reuse_ok=False must persist (and track) even when an identical
+    plan is already cached — the guard for plans carrying an observe/
+    CollectMetrics node, where silent cached-plan substitution could
+    skip the metrics execution."""
+    release_scoped_caches()
+    df = spark.range(100).selectExpr("id * 3 AS x")
+    scoped_persist(df)
+    n1 = scoped_cache_count()
+    same_plan = spark.range(100).selectExpr("id * 3 AS x")
+    df.count()  # materialize so the plan is in the CacheManager
+    assert scoped_persist(same_plan) is same_plan
+    assert scoped_cache_count() == n1  # reuse path: silent no-op
+    scoped_persist(same_plan, reuse_ok=False)
+    assert scoped_cache_count() == n1 + 1  # guard path: tracked persist
+    release_scoped_caches()

@@ -1,0 +1,120 @@
+"""Scale-headroom stress: synthesize ~sf1 inputs (K copies of the sf0.1
+tables with key offsets on the fact/document ids) and time a cross-
+section of headline queries against both scales.
+
+The point is evidence for the 100 TB design claims: a plan that is
+pushed-down, partial-aggregated, broadcast-where-small and free of
+driver-side data work should scale ~linearly in rows on a fixed-core
+box.  Results are recorded in SCALE.md.
+
+Usage: python tools/stress_scale.py [K] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from oxidsql_spark.cachescope import release_scoped_caches
+from oxidsql_spark.registry import load_all
+from oxidsql_spark.session import get_spark
+from oxidsql_spark.sources import TABLES, table
+
+SRC = "/root/testdata/sf0.1"
+
+# fact-side id columns to offset per copy so keys stay unique; dimension
+# FKs (custkey/partkey/suppkey/regionkey…) are left in range, so joins
+# still resolve — the synthesized corpus is "K× more facts per dim",
+# which is exactly how real warehouses grow
+_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+STRESS_QUERIES = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "events_hourly",
+    "text_top_terms",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "terms_cms_heavy_hitters",
+]
+
+
+def synthesize(spark, k: int, out_dir: str, salt_docs: bool = False) -> None:
+    """salt_docs=False: verbatim copies — a DUPLICATE-SATURATED corpus
+    (every doc has k-1 exact dups), the adversarial case for pair-
+    enumerating dedup whose OUTPUT grows ~k² per original pair.
+    salt_docs=True: every token is prefixed with the copy index, making
+    copies' shingle sets disjoint — pair count grows linearly, so dedup
+    wall-clock isolates PLAN scaling from output growth."""
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.exists(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+        base = table(spark, SRC, t)
+        if t not in _OFFSETS:
+            base.write.mode("overwrite").parquet(dst)
+            continue
+        span_cols = _OFFSETS[t]
+        spans = base.agg(
+            *[(F.max(c) + 1).alias(c) for c in span_cols]
+        ).collect()[0]
+        copies = None
+        for i in range(k):
+            c = base
+            for col in span_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(int(spans[col]) * i))
+            if salt_docs and t == "documents" and i > 0:
+                c = c.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"c{i}$1")
+                )
+            copies = c if copies is None else copies.unionByName(c)
+        copies.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/oxidsql_stress"
+    salt = "--salt" in sys.argv
+    spark = get_spark("oxidsql-stress")
+    queries = load_all()
+    print(f"synthesizing {k}x sf0.1 into {out_dir} (salt_docs={salt}) ...")
+    t0 = time.time()
+    synthesize(spark, k, out_dir, salt_docs=salt)
+    print(f"synthesized in {time.time() - t0:.0f}s")
+    for name in STRESS_QUERIES:
+        row = {}
+        for label, d in [("sf0.1", SRC), (f"{k}x", out_dir)]:
+            t0 = time.time()
+            try:
+                queries[name].fn(spark, d).count()
+                row[label] = round(time.time() - t0, 2)
+            except Exception as ex:  # noqa: BLE001 — survey run
+                row[label] = f"ERR {str(ex)[:60]}"
+            release_scoped_caches()
+        base, big = row["sf0.1"], row[f"{k}x"]
+        ratio = (
+            round(big / base, 1)
+            if isinstance(base, float) and isinstance(big, float) and base > 0
+            else "-"
+        )
+        print(f"{name:28s} sf0.1={base:>8} {k}x={big:>8} ratio={ratio}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

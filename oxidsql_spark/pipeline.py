@@ -197,3 +197,46 @@ def query_chunk_index(
         .limit(top_k)
         .select("doc_id", "chunk_idx", "chunk", "cos_sim")
     )
+
+
+def admit_corpus_batch(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    fp_path: str,
+    bloom_path: str,
+    min_tokens: int = 10,
+) -> DataFrame:
+    """Incremental corpus admission — the rolling-crawl companion to
+    ``build_training_corpus``'s batch rebuild, composing the write-once
+    artifacts end-to-end:
+
+    1. Bloom-prefiltered exact dedup against the persisted fingerprint
+       table (``dedup_incremental_bloom``: definitely-new rows skip the
+       anti-join; only the maybe slice pays it);
+    2. cheap per-row quality gate (token floor) on the survivors;
+    3. ARTIFACT MAINTENANCE: the admitted docs' fingerprints append to
+       the fingerprint table (partition layout preserved) and their
+       words OR into the Bloom filter (``merge_fingerprint_bloom``) —
+       so the NEXT batch probes up-to-date artifacts and a re-submitted
+       duplicate of an admitted doc is rejected.
+
+    Returns the admitted batch (scope-persisted: it must materialize
+    BEFORE the artifacts change underneath its own lazy plan — the
+    admission read and the admission write touch the same table).
+    Cost scales with the batch, never the corpus."""
+    from .cachescope import scoped_persist
+    from .functions import tokens
+    from .operators.dedup import dedup_incremental_bloom, merge_fingerprint_bloom
+
+    words = spark.read.parquet(bloom_path)
+    fresh = dedup_incremental_bloom(spark, new_docs, fp_path, words).filter(
+        F.size(tokens(F.col("text"))) >= min_tokens
+    )
+    admitted = scoped_persist(fresh)
+    admitted.count()  # pin rows before the artifacts move
+    fps = admitted.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).withColumn("fp_prefix", F.substring("fp", 1, 1))
+    fps.write.mode("append").partitionBy("fp_prefix").parquet(fp_path)
+    merge_fingerprint_bloom(spark, fps.select("fp"), bloom_path)
+    return admitted

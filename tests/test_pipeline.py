@@ -122,3 +122,75 @@ def test_chunk_vector_index_build_and_query(spark, sf_dir, tmp_path):
     rows = got.collect()
     assert (rows[0]["doc_id"], rows[0]["chunk_idx"]) == (42, 0)
     assert rows[0]["cos_sim"] == 1.0
+
+
+def test_admit_corpus_batch_incremental(spark, sf_dir, tmp_path):
+    """The rolling-admission loop: batch 2 must be deduped against the
+    corpus AND against what batch 1 just admitted (artifact maintenance
+    works), the quality floor drops short docs, and the merged Bloom
+    keeps the no-false-negative property over the grown fingerprint
+    table."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.cachescope import release_scoped_caches
+    from oxidsql_spark.operators.dedup import (
+        bloom_probe,
+        build_fingerprint_bloom,
+        build_fingerprint_table,
+    )
+    from oxidsql_spark.pipeline import admit_corpus_batch
+    from oxidsql_spark.sources import table
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 4 == 0)
+    batch1 = d.filter(F.col("doc_id") % 4 == 1)
+    # batch2 = its own docs + re-submissions of corpus docs AND batch1 docs
+    batch2 = (
+        d.filter(F.col("doc_id") % 4 == 2)
+        .unionByName(corpus.limit(20))
+        .unionByName(batch1.limit(20))
+    )
+    fp_path = str(tmp_path / "fps")
+    bloom_path = str(tmp_path / "bloom")
+    build_fingerprint_table(spark, corpus, fp_path)
+    build_fingerprint_bloom(
+        spark, spark.read.parquet(fp_path).select("fp"), bloom_path, n_bits=1 << 20
+    )
+
+    a1 = admit_corpus_batch(spark, batch1, fp_path, bloom_path, min_tokens=1)
+    got1 = {r.doc_id for r in a1.select("doc_id").collect()}
+    release_scoped_caches()
+    want1 = {
+        r.doc_id
+        for r in batch1.join(
+            corpus.select(F.md5("text").alias("f")),
+            F.md5(batch1["text"]) == F.col("f"),
+            "left_anti",
+        ).collect()
+    }
+    assert got1 == want1 and got1
+
+    a2 = admit_corpus_batch(spark, batch2, fp_path, bloom_path, min_tokens=1)
+    got2 = {r.doc_id for r in a2.select("doc_id").collect()}
+    release_scoped_caches()
+    # no re-submitted corpus or batch1 doc may be re-admitted
+    resubmitted = {r.doc_id for r in corpus.limit(20).collect()} | {
+        r.doc_id for r in batch1.limit(20).collect()
+    }
+    assert not (got2 & resubmitted)
+    assert got2  # the genuinely new slice was admitted
+
+    # quality floor: a short-doc batch is rejected entirely
+    shorts = spark.createDataFrame(
+        [(990001, "tiny", "src0", 4)], "doc_id long, text string, source string, n_chars int"
+    )
+    a3 = admit_corpus_batch(spark, shorts, fp_path, bloom_path, min_tokens=10)
+    assert a3.count() == 0
+    release_scoped_caches()
+
+    # merged bloom keeps no-false-negatives over the grown fp table
+    words = spark.read.parquet(bloom_path)
+    n_bits = int(words.select("n_bits").first()["n_bits"])
+    all_fps = spark.read.parquet(fp_path).select("fp")
+    flags = bloom_probe(all_fps, words, n_bits)
+    assert flags.filter(~F.col("bloom_maybe")).count() == 0

@@ -731,16 +731,36 @@ class OxidSparkDatabase:
         cond = where if where else "true"
         from pyspark.sql import functions as F  # local to keep header lean
 
-        updated = df.select(
-            *[
-                F.when(F.expr(cond), F.expr(assignments[c.name]).cast(c.spark_type))
-                .otherwise(F.col(c.name))
-                .alias(c.name)
-                if c.name in assignments
-                else F.col(c.name)
-                for c in specs
-            ]
-        )
+        def apply_sets(rows: DataFrame) -> DataFrame:
+            return rows.select(
+                *[
+                    F.expr(assignments[c.name]).cast(c.spark_type).alias(c.name)
+                    if c.name in assignments
+                    else F.col(c.name)
+                    for c in specs
+                ]
+            )
+
+        if re.search(r"\(\s*select\b", cond, re.IGNORECASE):
+            # Subquery predicate (IN / EXISTS, possibly correlated):
+            # Catalyst only resolves subquery expressions under Filter,
+            # not inside a projection's CASE WHEN — rewrite as matched ∪
+            # untouched (each row lands in exactly one branch; tables
+            # are unordered, so the union is semantics-preserving)
+            matched = df.filter(f"coalesce(({cond}), false)")
+            untouched = df.filter(f"NOT coalesce(({cond}), false)")
+            updated = apply_sets(matched).unionByName(untouched)
+        else:
+            updated = df.select(
+                *[
+                    F.when(F.expr(cond), F.expr(assignments[c.name]).cast(c.spark_type))
+                    .otherwise(F.col(c.name))
+                    .alias(c.name)
+                    if c.name in assignments
+                    else F.col(c.name)
+                    for c in specs
+                ]
+            )
         # stats: UPDATE = subtract the touched slice's pre-image counts,
         # add its post-image counts (heap.rs:296-345's update path pairs
         # a delete-side and an insert-side sketch adjustment) — touches

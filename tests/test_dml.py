@@ -54,3 +54,31 @@ def test_drop_table(db):
     db.query("CREATE TABLE t (x INT)")
     db.query("INSERT INTO t VALUES (7)")
     assert db.query("SELECT x FROM t").collect()[0].x == 7
+
+
+def test_delete_update_with_subquery_predicates(db):
+    """DELETE/UPDATE predicates may reference other tables via IN /
+    EXISTS subqueries (Catalyst resolves subquery expressions inside the
+    rewrite's filter) — the cross-table mutation shape the reference's
+    AND-only WHERE grammar could never express."""
+    db.query("CREATE TABLE facts (id INTEGER, v INTEGER)")
+    for i in range(6):
+        db.query(f"INSERT INTO facts VALUES ({i}, {i * 10})")
+    db.query("CREATE TABLE bad_ids (id INTEGER)")
+    for i in (1, 3):
+        db.query(f"INSERT INTO bad_ids VALUES ({i})")
+
+    db.query("DELETE FROM facts WHERE id IN (SELECT id FROM bad_ids)")
+    assert sorted(r.id for r in db.query("SELECT id FROM facts").collect()) == [0, 2, 4, 5]
+    db.query("DELETE FROM facts WHERE EXISTS (SELECT 1 FROM bad_ids b WHERE b.id = facts.id + 1)")
+    assert sorted(r.id for r in db.query("SELECT id FROM facts").collect()) == [4, 5]
+    db.query("INSERT INTO facts VALUES (0, 0)")
+    db.query("INSERT INTO facts VALUES (2, 20)")
+
+    db.query(
+        "UPDATE facts SET v = -1 WHERE EXISTS (SELECT 1 FROM bad_ids b WHERE b.id = facts.id - 1)"
+    )
+    got = {r.id: r.v for r in db.query("SELECT id, v FROM facts").collect()}
+    assert got == {0: 0, 2: -1, 4: -1, 5: 50}
+    db.query("DROP TABLE facts")
+    db.query("DROP TABLE bad_ids")

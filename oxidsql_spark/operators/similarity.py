@@ -573,13 +573,22 @@ def _km_train(
     iters: int = _KM_ITERS,
     init: dict[int, list[int]] | None = None,
     dim: int = _KM_DIM,
+    converge: bool = False,
 ) -> dict[int, list[int]]:
     """Lloyd iterations over a frame with a `qv` column; returns the
     final centroids.  Default init = the first K vec_ids' quantized
     coordinates (deterministic); callers without a dense vec_id pass
     explicit `init` centroids.  Each iteration is a zero-shuffle
     assignment + one K·dim-row partial aggregation; driver traffic =
-    iters × K·dim rows."""
+    iters × K·dim rows.
+
+    ``converge=True`` makes `iters` a CAP and stops at the exact
+    integer fixed point (centroid dict unchanged between iterations —
+    then assignments, and hence every further update, are identical;
+    the same oracle-safe exit rule as part_pagerank's).  The registered
+    codebook queries keep the fixed 2-step unroll their DuckDB oracles
+    re-derive; convergence mode is for production training, where the
+    realized count is published as ``_km_train.last_iters``."""
     if init is None:
         init = {
             r["vec_id"]: list(r["qv"]) for r in e.filter(F.col("vec_id") < k).collect()
@@ -587,7 +596,8 @@ def _km_train(
     cents = init
     if "vec_id" not in e.columns:  # batch assignment wants an id column;
         e = e.withColumn("vec_id", F.monotonically_increasing_id())  # unused downstream
-    for _ in range(iters):
+    _km_train.last_iters = iters
+    for i in range(iters):
         assigned = _km_assigned_batch(e, cents, keep_qv=True)
         sums = (
             assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
@@ -600,6 +610,9 @@ def _km_train(
             new_cents.setdefault(r["cluster"], [0] * dim)[r["dim"]] = (
                 r["s"] // r["n"]  # Python floor division == floor(double) here
             )
+        if converge and new_cents == cents:  # exact fixed point
+            _km_train.last_iters = i + 1
+            return cents
         cents = new_cents
     return cents
 

@@ -505,3 +505,22 @@ def test_bloom_build_autosizes(spark, sf_dir, tmp_path):
     build_fingerprint_bloom(spark, d, path)
     got = int(spark.read.parquet(path).select("n_bits").first()["n_bits"])
     assert got == bloom_size_bits(d.count())
+
+
+def test_kmeans_convergence_mode(spark, sf_dir):
+    """converge=True runs Lloyd to an exact integer fixed point (capped):
+    the returned centroids must be a FIXED POINT — one more update step
+    leaves them unchanged — and the realized iteration count exceeds the
+    registered queries' fixed 2-step unroll."""
+    from oxidsql_spark.operators.similarity import (
+        _km_quantized,
+        _km_train,
+    )
+
+    e = _km_quantized(spark, sf_dir)
+    cents = _km_train(e, iters=25, converge=True)
+    realized = _km_train.last_iters
+    assert 2 < realized <= 25
+    # fixed-point check: one further step from the converged centroids
+    again = _km_train(e, iters=1, init=cents)
+    assert again == cents

@@ -150,7 +150,12 @@ def build_chunk_vector_index(spark: SparkSession, sf_dir: str, out_path: str) ->
         e.orderBy("doc_id", "chunk_idx").select("qv").limit(CVI_K).collect()
     )
     init = {i: list(r["qv"]) for i, r in enumerate(init_rows)}
-    cents = _km_train(e.select("qv"), k=CVI_K, init=init, dim=CVI_DIM)
+    # production training runs to the exact integer fixed point (capped);
+    # the index is self-contained — queries read the PERSISTED centroids,
+    # so convergence depth never has to match an external oracle
+    cents = _km_train(
+        e.select("qv"), k=CVI_K, init=init, dim=CVI_DIM, iters=15, converge=True
+    )
     assigned = e.withColumn("cell", _km_assign(cents)).select(
         "doc_id", "chunk_idx", "chunk", "v", "cell"
     )

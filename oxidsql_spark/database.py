@@ -82,7 +82,8 @@ _COL_RE = re.compile(
 )
 _CREATE_RE = re.compile(r"^\s*CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL)
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+VALUES\s*\((.*)\)\s*;?\s*$", re.IGNORECASE | re.DOTALL
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*VALUES\s*(\(.*\))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _INSERT_SELECT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
@@ -606,21 +607,47 @@ class OxidSparkDatabase:
     # -- INSERT INTO … VALUES -------------------------------------------
 
     def _insert(self, stmt: str) -> None:
+        """INSERT INTO t [(col, ...)] VALUES (...), (...), ... — the
+        reference's positional single-row insert (analyzer/mod.rs:
+        217-237 contracts preserved: per-row arity check, checked
+        casts, VARCHAR(n) caps) widened with standard SQL surface: a
+        column list (unnamed columns backfill NULL) and multi-row
+        VALUES (one commit / one buffered batch for the whole
+        statement, not one per row)."""
         m = _INSERT_RE.match(stmt)
-        name, values_src = m.group(1).lower(), m.group(2)
+        name, cols_src, values_src = m.group(1).lower(), m.group(2), m.group(3)
         if name not in self._tables:
             raise AnalyzerError(f"unknown table '{name}'")
         specs = self._tables[name]
-        literals = _split_top_level(values_src)
-        # arity check — analyzer/mod.rs:217-222
-        if len(literals) != len(specs):
-            raise AnalyzerError(
-                f"INSERT has {len(literals)} values but table '{name}' has {len(specs)} columns"
-            )
-        row = [self._convert(lit, spec) for lit, spec in zip(literals, specs)]
+        by_name = {c.name: c for c in specs}
+        if cols_src is not None:
+            targets = [c.strip().lower() for c in cols_src.split(",") if c.strip()]
+            unknown = [c for c in targets if c not in by_name]
+            if unknown:
+                raise AnalyzerError(f"unknown column(s) in INSERT list: {unknown}")
+            if len(set(targets)) != len(targets):
+                raise AnalyzerError("duplicate column in INSERT list")
+        else:
+            targets = [c.name for c in specs]
+        rows: list[tuple] = []
+        for row_src in _split_top_level(values_src):
+            row_src = row_src.strip()
+            if not (row_src.startswith("(") and row_src.endswith(")")):
+                raise AnalyzerError(f"cannot parse VALUES row: {row_src!r}")
+            literals = _split_top_level(row_src[1:-1])
+            # arity check — analyzer/mod.rs:217-222, per row
+            if len(literals) != len(targets):
+                raise AnalyzerError(
+                    f"INSERT row has {len(literals)} values but the target "
+                    f"list has {len(targets)} columns"
+                )
+            vals = {
+                t: self._convert(lit, by_name[t]) for lit, t in zip(literals, targets)
+            }
+            rows.append(tuple(vals.get(c.name) for c in specs))
         schema = T.StructType([T.StructField(c.name, c.spark_type, True) for c in specs])
         if self.storage_dir:
-            new = self.spark.createDataFrame([tuple(row)], schema)
+            new = self.spark.createDataFrame(rows, schema)
             self._commit(name, self.spark.table(name).union(new))
         else:
             # buffered path: the view is always base ∪ one local batch of
@@ -628,13 +655,13 @@ class OxidSparkDatabase:
             # how many single-row inserts arrive (the old shape built an
             # N-deep union chain whose analysis cost grew per statement)
             buf = self._row_buf.setdefault(name, [])
-            buf.append(tuple(row))
+            buf.extend(rows)
             base = self._view_base[name]
             batch = self.spark.createDataFrame(buf, schema)
             base.union(batch).createOrReplaceTempView(name)
-        # online stats: the inserted row is driver-known — buffered
+        # online stats: the inserted rows are driver-known — buffered
         # accumulation, zero extra jobs here (heap.rs:245-292 twin)
-        self._stats[name].add_rows([tuple(row)])
+        self._stats[name].add_rows(rows)
         self._save_stats(name)
         return None
 

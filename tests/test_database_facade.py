@@ -442,3 +442,37 @@ def test_explain_surfaces_estimator_beside_catalyst(db):
     }
     assert "catalyst_rows" in rows2 and "estimated_rows" not in rows2
     db.query("DROP TABLE ex_est")
+
+
+def test_insert_multi_row_and_column_list(db):
+    """Standard-SQL INSERT surface beyond the reference's positional
+    single-row grammar: multi-row VALUES commit as one batch, a column
+    list backfills unnamed columns with NULL, and the reference's
+    per-row arity / unknown-column analyzer errors still fire."""
+    import pytest
+
+    from oxidsql_spark.database import AnalyzerError
+
+    db.query("CREATE TABLE ins (id INTEGER, name VARCHAR(10), score BIGINT)")
+    db.query("INSERT INTO ins VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)")
+    assert [tuple(r) for r in db.query("SELECT * FROM ins ORDER BY id").collect()] == [
+        (1, "a", 10),
+        (2, "b", 20),
+        (3, "c", 30),
+    ]
+    db.query("INSERT INTO ins (score, id) VALUES (99, 4), (100, 5)")
+    got = [tuple(r) for r in db.query("SELECT * FROM ins ORDER BY id").collect()]
+    assert got[3] == (4, None, 99) and got[4] == (5, None, 100)
+
+    with pytest.raises(AnalyzerError, match="arity|values but"):
+        db.query("INSERT INTO ins VALUES (1, 'x', 2), (3, 'y')")
+    with pytest.raises(AnalyzerError, match="unknown column"):
+        db.query("INSERT INTO ins (id, nope) VALUES (9, 9)")
+    with pytest.raises(AnalyzerError, match="duplicate column"):
+        db.query("INSERT INTO ins (id, id) VALUES (9, 9)")
+    # VARCHAR cap still enforced through the column-list path
+    with pytest.raises(AnalyzerError, match="VARCHAR"):
+        db.query("INSERT INTO ins (id, name) VALUES (9, 'way-too-long-name')")
+    # stats tracked all five committed rows
+    assert db.stats("ins").rowcount == 5
+    db.query("DROP TABLE ins")

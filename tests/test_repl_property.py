@@ -36,7 +36,7 @@ INSERT INTO people VALUES (3);
     out = proc.stdout
     assert out.count("ok") >= 3  # create + 2 inserts
     assert "Elon" in out and "Marty" not in out.split("Elon")[1]  # filter worked
-    assert "error: INSERT has 1 values" in out  # arity error surfaced
+    assert "error: INSERT row has 1 values" in out  # arity error surfaced
     assert proc.returncode == 0
 
 

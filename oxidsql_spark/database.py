@@ -86,7 +86,8 @@ _INSERT_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_SELECT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", re.IGNORECASE | re.DOTALL
+    r"^\s*INSERT\s+INTO\s+(\w+)\s*(?:\(([^()]*)\))?\s*(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
 )
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(\w+)(?:\s+WHERE\s+(.*?))?\s*;?\s*$", re.IGNORECASE | re.DOTALL
@@ -666,25 +667,43 @@ class OxidSparkDatabase:
         return None
 
     def _insert_select(self, stmt: str) -> None:
-        """INSERT INTO t SELECT … (a reference TODO; the set-oriented
-        twin of VALUES). Arity-checked like the reference's analyzer,
-        then each column cast to the declared type (VARCHAR(n) caps
-        enforced via the same overflow-checked conversion discipline)."""
+        """INSERT INTO t [(cols)] SELECT … (a reference TODO; the
+        set-oriented twin of VALUES). Arity-checked like the reference's
+        analyzer against the TARGET list, then each column cast to the
+        declared type (VARCHAR(n) caps enforced via the same
+        overflow-checked conversion discipline); with a column list,
+        unnamed columns backfill NULL — same contract as the VALUES
+        form."""
         m = _INSERT_SELECT_RE.match(stmt)
-        name, select_src = m.group(1).lower(), m.group(2)
+        name, cols_src, select_src = m.group(1).lower(), m.group(2), m.group(3)
         if name not in self._tables:
             raise AnalyzerError(f"unknown table '{name}'")
         specs = self._tables[name]
+        by_name = {c.name: c for c in specs}
+        if cols_src is not None:
+            targets = [c.strip().lower() for c in cols_src.split(",") if c.strip()]
+            unknown = [c for c in targets if c not in by_name]
+            if unknown:
+                raise AnalyzerError(f"unknown column(s) in INSERT list: {unknown}")
+            if len(set(targets)) != len(targets):
+                raise AnalyzerError("duplicate column in INSERT list")
+        else:
+            targets = [c.name for c in specs]
         src = self.spark.sql(select_src)
-        if len(src.columns) != len(specs):
+        if len(src.columns) != len(targets):
             raise AnalyzerError(
-                f"INSERT SELECT has {len(src.columns)} columns but table "
-                f"'{name}' has {len(specs)}"
+                f"INSERT SELECT has {len(src.columns)} columns but the target "
+                f"list has {len(targets)}"
             )
+        src_for = dict(zip(targets, src.columns))
         cast = src.select(
             *[
-                F.col(src.columns[i]).cast(spec.spark_type).alias(spec.name)
-                for i, spec in enumerate(specs)
+                (
+                    F.col(src_for[spec.name]).cast(spec.spark_type)
+                    if spec.name in src_for
+                    else F.lit(None).cast(spec.spark_type)
+                ).alias(spec.name)
+                for spec in specs
             ]
         )
         capped = [s for s in specs if s.type_name == "varchar" and s.length is not None]

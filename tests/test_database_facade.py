@@ -476,3 +476,33 @@ def test_insert_multi_row_and_column_list(db):
     # stats tracked all five committed rows
     assert db.stats("ins").rowcount == 5
     db.query("DROP TABLE ins")
+
+
+def test_insert_select_with_column_list(db):
+    """INSERT INTO t (cols) SELECT — the set-oriented twin of the
+    column-list VALUES form: source columns map positionally onto the
+    target list, unnamed columns backfill NULL, target-list arity is
+    checked."""
+    import pytest
+
+    from oxidsql_spark.database import AnalyzerError
+
+    db.query("CREATE TABLE isel (id INTEGER, name VARCHAR(10), score BIGINT)")
+    db.query("INSERT INTO isel (score, id) SELECT 7 AS a, 70 AS b UNION ALL SELECT 8, 80")
+    got = sorted(tuple(r) for r in db.query("SELECT * FROM isel").collect())
+    assert got == [(70, None, 7), (80, None, 8)]
+    with pytest.raises(AnalyzerError, match="target"):
+        db.query("INSERT INTO isel (id) SELECT 1 AS a, 2 AS b")
+    with pytest.raises(AnalyzerError, match="unknown column"):
+        db.query("INSERT INTO isel (nope) SELECT 1")
+    db.query("DROP TABLE isel")
+
+
+def test_insert_values_with_quoted_delimiters(db):
+    """String literals containing commas/parens must survive the VALUES
+    splitter (quote-aware top-level split)."""
+    db.query("CREATE TABLE q (id INTEGER, s VARCHAR(30))")
+    db.query("INSERT INTO q VALUES (1, 'a, b (c)'), (2, 'x''y, (z')")
+    got = {r.id: r.s for r in db.query("SELECT * FROM q").collect()}
+    assert got == {1: "a, b (c)", 2: "x'y, (z"}
+    db.query("DROP TABLE q")

@@ -529,3 +529,85 @@ def test_session_fold_chunking_invariant():
         assert (start, last, n) == (ws, wl, wn)
 
     run()
+
+
+def test_tws_state_recovers_across_restart(spark, sf_dir, chunked_stream_dir, tmp_path):
+    """Fault tolerance of the transformWithState twin: stop the query
+    after half the stream, restart from the CHECKPOINT with the rest of
+    the files, and the recovered per-key state must continue the totals
+    — post-restart emissions for returning users equal the batch
+    aggregate over the WHOLE stream, which is impossible unless state
+    (not just offsets) survived the restart.  foreachBatch sink:
+    the memory sink cannot recover from a checkpoint."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import stream_user_spend_tws
+
+    src = tmp_path / "restart_stream"
+    src.mkdir()
+    chunks = sorted(glob.glob(f"{chunked_stream_dir}/chunk-*.parquet"))
+    assert len(chunks) == 4
+    for c in chunks[:2]:
+        shutil.copy(c, src)
+    cp = str(tmp_path / "cp")
+
+    collected: list = []
+
+    def sink(df, _epoch):
+        collected.extend(df.collect())
+
+    def run_once():
+        q = (
+            stream_user_spend_tws(spark, str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first_run_rows = len(collected)
+    assert first_run_rows > 0
+    for c in chunks[2:]:
+        shutil.copy(c, src)
+    second: list = []
+
+    def sink2(df, _epoch):
+        second.extend(df.collect())
+
+    q = (
+        stream_user_spend_tws(spark, str(src))
+        .writeStream.foreachBatch(sink2)
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert second, "restart produced no batches"
+
+    # converged totals for users emitted after the restart
+    got = {}
+    for r in second:
+        cur = got.get(r.user_id)
+        if cur is None or r.n_events > cur[0]:
+            got[r.user_id] = (r.n_events, r.total_cents)
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    mismatches = {u: (got[u], want[u]) for u in got if got[u] != want[u]}
+    assert not mismatches, f"state lost across restart: {list(mismatches.items())[:3]}"
+    assert got, "no returning users emitted post-restart"

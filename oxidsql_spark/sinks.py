@@ -66,6 +66,18 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC — the second columnar format warehouses standardize on
+    (predicate pushdown + column pruning work the same as parquet's;
+    Spark's ORC reader is vectorized).  Interop surface for corpora
+    produced by Hive/Trino-side pipelines."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -254,3 +254,19 @@ def test_optimize_zordered_compacts_and_reclusters(spark, sf_dir, tmp_path):
     assert got == want
     if n >= 4:  # spans only meaningful with several files
         assert mean_span("l_partkey") < 0.7 and mean_span("l_suppkey") < 0.7
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC: content roundtrip is exact and filters/columns reach the
+    ORC scan (PushedFilters + pruned schema) just like parquet."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    p = str(tmp_path / "orc")
+    sinks.write_orc(li, p)
+    back = sinks.read_orc(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, li.collect()))
+    q = back.filter(F.col("l_partkey") == 7).select("l_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_partkey" in plan.split("PushedFilters")[1][:120]
+    assert "l_quantity" not in plan.split("ReadSchema")[1][:200]

@@ -228,7 +228,15 @@ def admit_corpus_batch(
     Returns the admitted batch (scope-persisted: it must materialize
     BEFORE the artifacts change underneath its own lazy plan — the
     admission read and the admission write touch the same table).
-    Cost scales with the batch, never the corpus."""
+    Cost scales with the batch, never the corpus.
+
+    Cluster caveat: the persisted batch spills to disk locally, but an
+    EXECUTOR LOSS after the artifact append would recompute the
+    admitted plan against the already-appended fingerprints (its own
+    rows would anti-join away).  A production deployment therefore
+    writes the admitted batch to its destination FIRST and appends the
+    artifacts from that written copy — same statement ordering as
+    here, with the returned frame replaced by a durable read."""
     from .cachescope import scoped_persist
     from .functions import tokens
     from .operators.dedup import dedup_incremental_bloom, merge_fingerprint_bloom

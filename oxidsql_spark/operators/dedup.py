@@ -1084,8 +1084,16 @@ def bloom_probe(fps: DataFrame, words: DataFrame, n_bits: int) -> DataFrame:
     its matched-probe count equals K.  Both join sides are bounded
     (K·|batch| probes vs ≤ n_bits/64 words), the join key is uniform
     by construction, and AQE picks broadcast/shuffle-hash per actual
-    sizes — the shape survives any corpus scale the word table does."""
-    probes = fps.select("fp").select(
+    sizes — the shape survives any corpus scale the word table does.
+
+    Fingerprints are distinct-ed BEFORE exploding probes: a fingerprint
+    appearing m>1 times in `fps` would otherwise contribute K·m hit
+    rows and fail the sum(hit)==K test even with every bit set — a
+    false negative on exactly the rows (batch-internal duplicates of a
+    corpus doc) the filter exists to catch.  Callers left-join the
+    (fp, bloom_maybe) result back onto their rows, which fans the flag
+    out to duplicates correctly."""
+    probes = fps.select("fp").distinct().select(
         "fp",
         F.explode(
             F.array(

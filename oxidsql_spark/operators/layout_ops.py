@@ -56,8 +56,11 @@ def zorder_layout_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"
     )
+    # per-process discriminator: two concurrent harness runs on the same
+    # scale factor must not race on the overwrite-then-read of one path
     out = os.path.join(
-        "/tmp", f"oxidsql_zorder_{os.path.basename(os.path.normpath(sf_dir))}"
+        "/tmp",
+        f"oxidsql_zorder_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
     )
     write_zordered(li, out, "l_partkey", "l_suppkey", n_files=16)
     z = spark.read.parquet(out)

@@ -502,7 +502,10 @@ def cms_estimate(
     bound — min over the d probed buckets.  Guarantees est >= true
     count (never an undercount; overcount only from bucket collisions,
     expected ~ n_rows/w per hash row).  Pure join algebra: d probe rows
-    per item joined to the sketch on (i, b)."""
+    per item LEFT-joined to the sketch on (i, b) — an absent sketch row
+    means that bucket counted nothing, so it contributes 0 to the min
+    and an item the sketch never saw reports cms_est = 0 instead of
+    silently vanishing from the output."""
     probes = items.select(
         col,
         F.explode(
@@ -517,7 +520,7 @@ def cms_estimate(
         ).alias("p"),
     ).select(col, "p.i", "p.b")
     return (
-        probes.join(sketch, ["i", "b"])
+        probes.join(sketch, ["i", "b"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

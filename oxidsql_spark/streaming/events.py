@@ -992,6 +992,11 @@ def stream_user_sessions_tws(
             self.start.update(start)
             self.last.update(last)
             self.n.update(n)
+            # native timer pattern: retire the previous batch's deadline
+            # before arming the new one — timers persist as a LIST, so a
+            # stale last+gap from an earlier batch would fire mid-session
+            for t in self.h.list_timers():
+                self.h.delete_timer(t)
             self.h.register_timer(last + gap_ms)
             if closed:
                 yield pd.DataFrame(

@@ -13,13 +13,19 @@ thing that changes when the native op becomes available:
   ``handleInputRows(key, rows)``, ``handleExpiredTimer(key)``;
 * typed per-key state variables — ``ValueState`` / ``ListState`` /
   ``MapState`` obtained from the handle, stored under named slots;
-* timers — ``handle.registerTimer(ts_or_duration)``: event-time timers
-  fire when the watermark passes the registered timestamp,
-  processing-time timers when the wall-clock duration elapses
-  (mapped onto GroupState's timeout conf — one armed timer per key,
-  which is also the native op's practical per-key pattern);
+* timers — ``handle.register_timer(expiry_ms)`` /
+  ``delete_timer(expiry_ms)`` / ``list_timers()``, the native timer
+  surface: a key may hold MULTIPLE registered timers (absolute epoch
+  millis in both modes, as in the native API); they persist in the
+  state row until fired or deleted.  GroupState exposes only one
+  timeout slot, so the adapter arms the EARLIEST deadline and, when it
+  fires, drains every expired timer (one ``handleExpiredTimer`` call
+  per timer, in deadline order) before re-arming the next —
+  event-time timers fire when the watermark passes the deadline,
+  processing-time timers when the wall clock does;
 * eviction — ``handle.clearAll()`` removes the key's state row
-  entirely; state also evicts when every variable is cleared.
+  entirely (including its timers); state also evicts when every
+  variable is cleared.
 
 Scale shape is inherited from the underlying state store: one state row
 per key, sharded across executors by the grouping key, with the
@@ -111,14 +117,18 @@ class MapState(_TypedState):
         self._store.get(self._name, {}).pop(str(k), None)
 
 
+# reserved store slot for the key's registered timer deadlines — rides
+# in the same serialized state row, so timers persist across
+# micro-batches and checkpoint restarts exactly like state variables
+_TIMERS_KEY = "__timers__"
+
+
 class StatefulProcessorHandle:
     """Per-invocation handle: typed state accessors + timer/eviction
     controls, backed by the deserialized store dict."""
 
     def __init__(self, store: dict):
         self._store = store
-        self._timer: int | None = None
-        self._cleared = False
 
     def get_value_state(self, name: str) -> ValueState:
         return ValueState(self._store, name)
@@ -129,17 +139,42 @@ class StatefulProcessorHandle:
     def get_map_state(self, name: str) -> MapState:
         return MapState(self._store, name)
 
-    def register_timer(self, when_ms: int) -> None:
-        """Arm the key's timer.  Event-time mode: absolute epoch millis —
-        fires when the WATERMARK passes it.  Processing-time mode:
-        duration millis from now.  One armed timer per key; re-register
-        on every invocation to keep it alive (GroupState semantics)."""
-        self._timer = int(when_ms)
+    def register_timer(self, expiry_ms: int) -> None:
+        """Register a timer at an ABSOLUTE epoch-millis deadline (native
+        ``registerTimer`` semantics, both time modes).  A key may hold
+        any number of timers; each fires once — event-time timers when
+        the watermark passes the deadline, processing-time timers when
+        the wall clock does.  Registering an already-registered deadline
+        is a no-op (native: one timer per (key, timestamp))."""
+        ts = self._store.setdefault(_TIMERS_KEY, [])
+        w = int(expiry_ms)
+        if w not in ts:
+            ts.append(w)
+            ts.sort()
+
+    def delete_timer(self, expiry_ms: int) -> None:
+        """Delete a registered timer by its deadline (native
+        ``deleteTimer``); unknown deadlines are a no-op."""
+        ts = self._store.get(_TIMERS_KEY, [])
+        try:
+            ts.remove(int(expiry_ms))
+        except ValueError:
+            return
+        if not ts:
+            self._store.pop(_TIMERS_KEY, None)
+
+    def list_timers(self) -> list[int]:
+        """The key's registered deadlines, ascending (native
+        ``listTimers``)."""
+        return list(self._store.get(_TIMERS_KEY, []))
 
     def clear_all(self) -> None:
-        """Evict the key's entire state row."""
+        """Evict the key's entire state row, timers included.  State
+        written AFTER this call in the same invocation is kept — the
+        row is removed only if the store is still empty when the
+        invocation ends (native semantics: clearing then repopulating
+        leaves live state)."""
         self._store.clear()
-        self._cleared = True
 
 
 class StatefulProcessor:
@@ -172,7 +207,16 @@ def transform_with_state(
 
     ``time_mode``: 'eventTime' (timers vs the watermark — requires an
     upstream withWatermark), 'processingTime' (wall clock), or 'none'
-    (no timers)."""
+    (no timers).  Timer deadlines are absolute epoch millis in both
+    modes (native ``registerTimer`` semantics).
+
+    ``handleExpiredTimer`` is called once per expired timer, in deadline
+    order; processors that accept a second positional argument receive
+    the expired deadline (the native ``expiredTimerInfo``), while the
+    single-argument form stays supported for existing code."""
+    import inspect
+    import time
+
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     timeout_conf = {
@@ -186,27 +230,50 @@ def transform_with_state(
         handle = StatefulProcessorHandle(store)
         proc = processor_factory()
         proc.init(handle)
+        # does handleExpiredTimer take (key) or (key, expired_ts)?
+        wants_ts = len(inspect.signature(proc.handleExpiredTimer).parameters) >= 2
+        now_ms = (
+            state.getCurrentWatermarkMs()
+            if time_mode == "eventTime"
+            else int(time.time() * 1000)
+        )
+        out = []
         try:
             if state.hasTimedOut:
-                out = list(proc.handleExpiredTimer(key))
+                # drain every timer whose deadline has passed — GroupState
+                # armed only the earliest, but by fire time several may be
+                # due; each gets its own handleExpiredTimer call, and the
+                # processor may delete/register timers or clear state
+                # between calls.  The fallback to the earliest timer covers
+                # the clamped-past-deadline arm (deadline <= watermark at
+                # registration), where the fire threshold can sit below
+                # the stored deadline.
+                timers = handle.list_timers()
+                expired = [t for t in timers if t <= now_ms] or timers[:1]
+                for t in expired:
+                    handle.delete_timer(t)
+                    args = (key, t) if wants_ts else (key,)
+                    out.extend(proc.handleExpiredTimer(*args))
             else:
                 out = list(proc.handleInputRows(key, pdfs))
         finally:
             proc.close()
-        if handle._cleared or not store:
+        # removal is decided solely on final emptiness: clear_all followed
+        # by new writes keeps the row (native semantics), and timers ride
+        # in the store so a pending timer keeps its row alive
+        if not store:
             if state.exists:
                 state.remove()
         else:
             state.update((json.dumps(store, sort_keys=True),))
-            if handle._timer is not None:
-                if time_mode == "eventTime":
-                    # GroupState rejects a timeout at/below the current
-                    # watermark; clamp so a timer that should already
-                    # have fired fires at the next watermark advance
-                    wm = state.getCurrentWatermarkMs()
-                    state.setTimeoutTimestamp(max(handle._timer, wm + 1))
-                elif time_mode == "processingTime":
-                    state.setTimeoutDuration(handle._timer)
+            timers = handle.list_timers()
+            if timers and time_mode == "eventTime":
+                # GroupState rejects a timeout at/below the current
+                # watermark; clamp so a timer that should already have
+                # fired fires at the next watermark advance
+                state.setTimeoutTimestamp(max(timers[0], now_ms + 1))
+            elif timers and time_mode == "processingTime":
+                state.setTimeoutDuration(max(timers[0] - now_ms, 1))
         yield from out
 
     return df.groupBy(*group_cols).applyInPandasWithState(

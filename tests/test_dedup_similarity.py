@@ -365,6 +365,52 @@ def test_bloom_incremental_equals_exact(spark, sf_dir, tmp_path):
     assert got == want and got
 
 
+def test_bloom_probe_duplicate_fps_no_false_negative(spark, sf_dir, tmp_path):
+    """A fingerprint appearing MULTIPLE times in the probed batch (a
+    batch-internal duplicate of a corpus doc — exactly what a dedup
+    filter exists to catch) must still probe 'maybe'.  Regression lock:
+    the probe once exploded K hit rows per input ROW instead of per
+    distinct fingerprint, so m copies produced K·m hits, failed the
+    sum(hit)==K test, and the duplicate was classified 'definitely new'
+    — a false negative that sf0.001 data never exercised (it has no
+    duplicated fps) but sf0.1 does."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import (
+        bloom_probe,
+        bloom_word_table,
+        build_fingerprint_table,
+        dedup_incremental_bloom,
+        dedup_incremental_prepared,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    fp_path = str(tmp_path / "fps")
+    build_fingerprint_table(spark, corpus, fp_path)
+    n_bits = 1 << 20
+    words = bloom_word_table(spark.read.parquet(fp_path).select("fp"), n_bits)
+
+    # probe a frame where every corpus fingerprint appears 3 times
+    tripled = corpus.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+    tripled = tripled.unionByName(tripled).unionByName(tripled)
+    flags = bloom_probe(tripled, words, n_bits)
+    assert flags.filter(~F.col("bloom_maybe")).count() == 0
+
+    # end-to-end: a batch that CONTAINS duplicated corpus docs must
+    # match the exact anti-join row-for-row (duplicates all removed)
+    dup_batch = corpus.limit(20).unionByName(corpus.limit(20)).unionByName(
+        d.filter(F.col("doc_id") % 3 == 0).limit(30)
+    )
+    got = sorted(
+        map(tuple, dedup_incremental_bloom(spark, dup_batch, fp_path, words).collect())
+    )
+    want = sorted(
+        map(tuple, dedup_incremental_prepared(spark, dup_batch, fp_path).collect())
+    )
+    assert got == want
+
+
 def test_bloom_rejects_novel_and_sizing(spark, sf_dir, tmp_path):
     """The filter must actually filter: fingerprints absent from the
     corpus should overwhelmingly probe negative (FPR well under the

@@ -314,6 +314,18 @@ def test_count_min_overestimate_guarantee(spark, sf_dir):
     ).first()["m"]
     assert max_over <= max(8 * n_rows // _CMS_W, 8), (max_over, n_rows)
 
+    # unseen items are REPORTED (est 0 or a small collision count), not
+    # dropped: the probe left-joins the sketch with absent buckets as 0,
+    # so every input item appears in the output exactly once
+    novel = spark.range(50).select(
+        F.concat(F.lit("___cms_unseen_"), F.col("id").cast("string")).alias("term")
+    )
+    novel_est = cms_estimate(sketch, novel, "term")
+    assert novel_est.count() == 50
+    # min over d=4 independently-hashed buckets collides to >0 rarely;
+    # the bulk of genuinely-unseen items must report 0
+    assert novel_est.filter(F.col("cms_est") == 0).count() >= 45
+
 
 def test_count_min_sketches_merge_exactly(spark, sf_dir):
     """Sketch mergeability, the property that makes per-shard frequency

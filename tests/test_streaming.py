@@ -461,6 +461,93 @@ def test_tws_sessions_timers_evict_state(spark, sf_dir, chunked_stream_dir):
     assert final_rows < max_rows, "timer firings never evicted state"
 
 
+def test_tws_multiple_timers_fire_per_deadline(spark, sf_dir, chunked_stream_dir):
+    """Timer-LIST parity with the native transformWithState: a key
+    registers TWO timers; each fires exactly once, in deadline order,
+    and handleExpiredTimer receives the expired deadline as its second
+    argument (the native expiredTimerInfo).  When the watermark jumps
+    past several deadlines in one batch — the common case with a
+    30-day stream in 4 chunks — the adapter must drain them all, one
+    handler call per timer."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import _stream_source
+    from oxidsql_spark.streaming.statefulproc import (
+        StatefulProcessor,
+        transform_with_state,
+    )
+
+    D1, D2 = 60_000, 120_000
+
+    def _empty():
+        return pd.DataFrame({"user_id": [], "fired": []}).astype("int64")
+
+    class TwoTimerProc(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.t0 = handle.get_value_state("t0")
+
+        def handleInputRows(self, key, rows):
+            mins = [
+                int(pdf["ts"].astype("int64").min()) // 1_000_000
+                for pdf in rows
+                if len(pdf)
+            ]
+            # arm once, on the key's first appearance; timers persist as
+            # a list in the state row across later batches
+            if mins and not self.t0.exists():
+                t0 = min(mins)
+                self.t0.update(t0)
+                self.h.register_timer(t0 + D1)
+                self.h.register_timer(t0 + D2)
+                assert self.h.list_timers() == [t0 + D1, t0 + D2]
+            yield _empty()
+
+        def handleExpiredTimer(self, key, fired):
+            yield pd.DataFrame({"user_id": [key[0]], "fired": [fired]})
+
+    q = (
+        transform_with_state(
+            _stream_source(spark, chunked_stream_dir),
+            ["user_id"],
+            TwoTimerProc,
+            "user_id bigint, fired bigint",
+            output_mode="append",
+            time_mode="eventTime",
+        )
+        .writeStream.format("memory")
+        .queryName("tws_multitimer_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    fired = [(r.user_id, r.fired) for r in spark.table("tws_multitimer_mem").collect()]
+    assert len(fired) == len(set(fired)), "a timer fired more than once"
+
+    t0s = {
+        r.user_id: r.t0
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg((F.unix_millis(F.min("ts").cast("timestamp"))).alias("t0"))
+        .collect()
+    }
+    expected = {(u, t0 + d) for u, t0 in t0s.items() for d in (D1, D2)}
+    assert set(fired) <= expected, "fired deadline not among registered timers"
+
+    by_user = {}
+    for u, f in fired:
+        by_user.setdefault(u, set()).add(f - t0s[u])
+    # drain order: the second deadline never fires without the first
+    assert all(D1 in ds for ds in by_user.values() if D2 in ds)
+    # both deadlines passed long before stream end for nearly every
+    # user (30-day span, 2 h watermark) — demand broad double-firing
+    both = sum(1 for ds in by_user.values() if ds == {D1, D2})
+    assert both >= 0.5 * len(t0s), (both, len(t0s))
+
+
 def test_tws_typed_state_validation():
     """Typed slots reject wrong types and non-JSON values at update time
     (driver-side unit semantics, no Spark needed)."""
@@ -492,7 +579,28 @@ def test_tws_typed_state_validation():
     m.remove_key("a")
     assert m.get() == {}
     h.clear_all()
-    assert not v.exists() and h._cleared
+    assert not v.exists()
+
+    # timer lists (native registerTimer/deleteTimer/listTimers parity):
+    # multiple deadlines per key, ascending, dedup'd, deletable
+    h.register_timer(500)
+    h.register_timer(100)
+    h.register_timer(300)
+    h.register_timer(100)  # duplicate deadline — no-op
+    assert h.list_timers() == [100, 300, 500]
+    h.delete_timer(300)
+    h.delete_timer(999)  # unknown — no-op
+    assert h.list_timers() == [100, 500]
+    h.clear_all()
+    assert h.list_timers() == []
+
+    # clear-then-repopulate keeps the new state: removal is decided on
+    # final store emptiness, not on whether clear_all was ever called
+    v2 = h.get_value_state("v2")
+    h.clear_all()
+    v2.update(7)
+    assert h._store, "state written after clear_all must survive"
+    assert v2.get() == 7
 
 
 def test_session_fold_chunking_invariant():

@@ -1049,12 +1049,17 @@ def merge_fingerprint_bloom(
     (asserted word-for-word in tests); cost is one bounded aggregation
     over old-words ∪ batch-words (≤ n_bits/64 + K·|batch| rows).
 
-    Same crash-safe swap as sinks.compact: the live table is never in a
-    half-written state."""
-    import os
-    import shutil
+    Commit is the manifest-snapshot protocol (``versioned.
+    SnapshotArtifact``): the merged word table lands in the next ``_v``
+    snapshot dir and that write job's ``_SUCCESS`` marker is the commit
+    — one object PUT, safe on object stores where a directory rename is
+    copy+delete; the previous filter stays fully readable through any
+    crash.  Read the live filter back with
+    ``versioned.read_artifact(spark, bloom_path)``."""
+    from ..versioned import SnapshotArtifact
 
-    words = spark.read.parquet(bloom_path)
+    art = SnapshotArtifact(spark, bloom_path)
+    words = art.read()
     n_bits = int(words.select("n_bits").first()["n_bits"])
     merged = (
         words.select("w", "m")
@@ -1063,14 +1068,8 @@ def merge_fingerprint_bloom(
         .agg(F.expr("bit_or(m)").alias("m"))
         .withColumn("n_bits", F.lit(n_bits).cast("bigint"))
     )
-    tmp = bloom_path.rstrip("/") + ".__merge__"
-    old = bloom_path.rstrip("/") + ".__old__"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(bloom_path, old)
-    os.rename(tmp, bloom_path)
-    shutil.rmtree(old)
+    merged.write.mode("errorifexists").parquet(art.next_dir())
+    art.finalize()
 
 
 def bloom_probe(fps: DataFrame, words: DataFrame, n_bits: int) -> DataFrame:

@@ -240,8 +240,11 @@ def admit_corpus_batch(
     from .cachescope import scoped_persist
     from .functions import tokens
     from .operators.dedup import dedup_incremental_bloom, merge_fingerprint_bloom
+    from .versioned import read_artifact
 
-    words = spark.read.parquet(bloom_path)
+    # resolver, not a plain read: after the first merge the filter lives
+    # in SnapshotArtifact's manifest-committed snapshot dirs
+    words = read_artifact(spark, bloom_path)
     fresh = dedup_incremental_bloom(spark, new_docs, fp_path, words).filter(
         F.size(tokens(F.col("text"))) >= min_tokens
     )

@@ -89,34 +89,22 @@ def compact(
     costs a task launch and a footer read per scan. Returns the new file
     count.
 
-    Rewrite-and-swap: write to `<path>.__compact__`, rename the live
-    directory ASIDE (`<path>.__old__`), rename the new one into place,
-    then delete the old copy. Both renames are single POSIX ops, so a
-    crash at any point leaves the data intact under `path`, `.__old__`,
-    or both — never a window with no directory at `path` (the previous
-    rmtree-then-rename shape had exactly that window)."""
+    Commit is the manifest-snapshot protocol (``versioned.SnapshotArtifact``),
+    not a directory rename: the rewrite lands in the next ``_v`` snapshot
+    dir, whose ``_SUCCESS`` marker (one object PUT) makes it live —
+    object-store-safe, where rename is copy+delete with a visible
+    half-state.  The superseded copy is removed only post-commit, so a
+    crash at ANY point leaves the previous content fully readable via
+    ``versioned.read_artifact`` (which is also how compacted directories
+    must be read back)."""
     import math
-    import os
-    import shutil
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".__compact__"
-    old = path.rstrip("/") + ".__old__"
-    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    # a leftover .__old__ from a crashed earlier compact would make the
-    # rename below fail forever; the live data is (still) under `path`,
-    # so the leftover copy is safe to clear
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    from .versioned import SnapshotArtifact
+
+    art = SnapshotArtifact(spark, path)
+    n_files = max(1, math.ceil(art.data_bytes() / (target_file_mb * 1024 * 1024)))
+    art.read().repartition(n_files).write.mode("errorifexists").parquet(art.next_dir())
+    art.finalize()
     return n_files
 
 
@@ -133,28 +121,19 @@ def optimize_zordered(
     appends both fragment files and destroy clustering; fixing them
     separately would scan the data twice).  Returns the new file count.
 
-    Crash-safe swap discipline is ``compact``'s: write to a side
-    directory, two atomic renames, so readers never observe a missing
-    or half-written table."""
+    Commit discipline is ``compact``'s: the rewrite lands in the next
+    ``SnapshotArtifact`` snapshot dir and the ``_SUCCESS`` marker is the
+    commit — no renames, so the artifact is never missing or
+    half-written on object storage either; read it back with
+    ``versioned.read_artifact``."""
     import math
-    import os
-    import shutil
 
-    total_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + ".__compact__"
-    old = path.rstrip("/") + ".__old__"
-    write_zordered(spark.read.parquet(path), tmp, *z_cols, n_files=n_files)
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    from .versioned import SnapshotArtifact
+
+    art = SnapshotArtifact(spark, path)
+    n_files = max(1, math.ceil(art.data_bytes() / (target_file_mb * 1024 * 1024)))
+    write_zordered(art.read(), art.next_dir(), *z_cols, n_files=n_files, mode="errorifexists")
+    art.finalize()
     return n_files
 
 

@@ -121,6 +121,104 @@ class VersionedTable:
         return self.spark.read.parquet(self._vdir(v))
 
 
+class SnapshotArtifact:
+    """Object-store-safe commit wrapper for single-relation maintenance
+    artifacts (Bloom word tables, compacted / z-ordered directories).
+
+    ``path`` holds either the initial plain parquet files (the
+    write-once build — already safe: a fresh-path write with no readers)
+    or committed snapshot dirs ``_v0000000N/`` (after the first
+    maintenance rewrite).  A rewrite NEVER renames or deletes live data
+    to commit: the new snapshot is written into the next ``_v`` dir, and
+    the parquet job's ``_SUCCESS`` marker (written last) IS the commit —
+    one object PUT, atomic on object stores where a directory rename is
+    copy+delete with a visible half-state.  Readers resolve the newest
+    committed snapshot and fall back to the plain layout; superseded
+    copies are removed only in the post-commit retention step
+    (``finalize``), which a crash can skip harmlessly — the next
+    maintenance run cleans up.  Underscore-prefixed snapshot dirs are
+    invisible to Spark's file listing, so a plain-layout artifact with a
+    crashed (uncommitted) snapshot beside it still reads exactly its old
+    content."""
+
+    # legacy rename-swap suffixes a pre-manifest crash may have left
+    _LEGACY_SUFFIXES = (".__old__", ".__compact__", ".__merge__")
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self._vt = VersionedTable(spark, path)
+
+    def read(self) -> DataFrame:
+        """Current content: newest committed snapshot, else plain files."""
+        v = self._vt.latest_version()
+        if v is not None:
+            return self._vt.read(v)
+        return self.spark.read.parquet(self.path)
+
+    def data_dir(self) -> str:
+        """Directory holding the current content's files (flat)."""
+        v = self._vt.latest_version()
+        return self._vt._vdir(v) if v is not None else self.path
+
+    def data_bytes(self) -> int:
+        """Size of the CURRENT content only — never counts superseded
+        plain files or other snapshots."""
+        d = self.data_dir()
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    def next_dir(self) -> str:
+        """Where the rewrite writes its output (mode ``errorifexists``);
+        the write job committing ``_SUCCESS`` there makes it live.
+        Numbered past every EXISTING ``_v`` dir, committed or not, so a
+        crashed (uncommitted) rewrite never blocks the next one — its
+        debris is swept by ``finalize``'s vacuum.  Single maintenance
+        writer per artifact is assumed (concurrent writers would race
+        on the version number — serialize maintenance externally)."""
+        existing = [
+            int(m.group(1))
+            for name in os.listdir(self.path)
+            if (m := _VERSION_RE.match(name))
+        ]
+        return self._vt._vdir(max(existing, default=0) + 1)
+
+    def finalize(self, keep_last: int = 2) -> None:
+        """Post-commit retention: retire the migrated plain files (now
+        invisible to readers), drop snapshots beyond ``keep_last`` plus
+        uncommitted (crashed) dirs, and clear legacy rename-swap debris.
+        Pure cleanup — the commit already happened; crashing anywhere in
+        here leaves a readable artifact and a re-runnable cleanup."""
+        import shutil
+
+        if self._vt.latest_version() is None:
+            return
+        for name in os.listdir(self.path):
+            if _VERSION_RE.match(name):
+                continue
+            p = os.path.join(self.path, name)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+        self._vt.vacuum(keep_last=keep_last)
+        base = self.path.rstrip("/")
+        for suf in self._LEGACY_SUFFIXES:
+            if os.path.isdir(base + suf):
+                shutil.rmtree(base + suf)
+
+
+def read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    """Read a maintenance artifact regardless of layout: the newest
+    committed snapshot if the path has been rewritten through
+    ``SnapshotArtifact``, else the plain parquet files of the initial
+    build."""
+    return SnapshotArtifact(spark, path).read()
+
+
 class PartitionedVersionedTable:
     """Partition-scoped snapshots for FACT tables: a mutation rewrites
     only the partitions it touches; every other partition's files are

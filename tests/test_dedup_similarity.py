@@ -525,8 +525,10 @@ def test_bloom_merge_equals_rebuild(spark, sf_dir, tmp_path):
     build_fingerprint_bloom(spark, corpus_fp, path, n_bits=n_bits)
     merge_fingerprint_bloom(spark, batch_fp, path)
 
+    from oxidsql_spark.versioned import read_artifact
+
     merged = {
-        (r.w, r.m) for r in spark.read.parquet(path).select("w", "m").collect()
+        (r.w, r.m) for r in read_artifact(spark, path).select("w", "m").collect()
     }
     rebuilt = {
         (r.w, r.m)
@@ -535,7 +537,7 @@ def test_bloom_merge_equals_rebuild(spark, sf_dir, tmp_path):
         .collect()
     }
     assert merged == rebuilt and merged
-    n_bits_read = spark.read.parquet(path).select("n_bits").first()["n_bits"]
+    n_bits_read = read_artifact(spark, path).select("n_bits").first()["n_bits"]
     assert int(n_bits_read) == n_bits
 
 

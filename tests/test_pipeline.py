@@ -189,7 +189,10 @@ def test_admit_corpus_batch_incremental(spark, sf_dir, tmp_path):
     release_scoped_caches()
 
     # merged bloom keeps no-false-negatives over the grown fp table
-    words = spark.read.parquet(bloom_path)
+    # (read through the resolver — merges commit manifest snapshots)
+    from oxidsql_spark.versioned import read_artifact
+
+    words = read_artifact(spark, bloom_path)
     n_bits = int(words.select("n_bits").first()["n_bits"])
     all_fps = spark.read.parquet(fp_path).select("fp")
     flags = bloom_probe(all_fps, words, n_bits)

@@ -108,30 +108,93 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     before = len(glob.glob(f"{path}/*.parquet"))
     assert before >= 64
     n = sinks.compact(spark, path, target_file_mb=128)
-    after = len(glob.glob(f"{path}/*.parquet"))
+    from oxidsql_spark.versioned import SnapshotArtifact
+
+    art = SnapshotArtifact(spark, path)
+    after = len(glob.glob(f"{art.data_dir()}/*.parquet"))
     assert after == n < before
-    got = spark.read.parquet(path)
+    got = art.read()
     assert got.count() == li.count()
     assert sorted(got.columns) == sorted(li.columns)
 
 
 def test_compact_recovers_from_crashed_leftover(spark, sf_dir, tmp_path):
-    """A `.__old__` directory left by a compact that crashed between its
-    two renames must not wedge every future compact (the rename to an
-    existing dir would fail) — the live data under `path` wins and the
-    stale copy is cleared."""
+    """Debris from crashed maintenance — a legacy `.__old__` sibling
+    from the old rename-swap scheme AND an uncommitted snapshot dir
+    (no _SUCCESS) — must neither wedge a future compact nor leak into
+    reads; the committed content wins and the debris is swept."""
     import os
 
     from oxidsql_spark import sinks
     from oxidsql_spark.sources import table
+    from oxidsql_spark.versioned import read_artifact
 
     path = str(tmp_path / "wedged")
     table(spark, sf_dir, "region").write.parquet(path)
-    os.makedirs(path + ".__old__/junk")  # simulated crash debris
+    os.makedirs(path + ".__old__/junk")  # legacy rename-swap debris
+    os.makedirs(path + "/_v00000001/junk")  # crashed uncommitted rewrite
     n = sinks.compact(spark, path)
     assert n >= 1
     assert not os.path.exists(path + ".__old__")
-    assert spark.read.parquet(path).count() == 5
+    assert not os.path.exists(path + "/_v00000001")
+    assert read_artifact(spark, path).count() == 5
+
+
+def test_maintenance_commit_is_crash_safe_without_renames(spark, sf_dir, tmp_path):
+    """The object-store contract of the maintenance family
+    (compact / optimize_zordered / merge_fingerprint_bloom): commit is
+    the _SUCCESS marker of a NEW snapshot dir — no rename anywhere — so
+    at EVERY crash point the artifact reads back complete:
+
+    1. crash mid-rewrite (snapshot written, no _SUCCESS) → readers see
+       exactly the old content; the debris doesn't block the next run;
+    2. crash after commit, before retention cleanup → readers see
+       exactly the new content (stale copy still on disk is invisible);
+    3. the next maintenance run sweeps all debris and stays correct."""
+    import glob
+    import os
+
+    import pytest
+
+    from oxidsql_spark import sinks
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.versioned import SnapshotArtifact, read_artifact
+
+    path = str(tmp_path / "crashy")
+    nat = table(spark, sf_dir, "nation")
+    nat.repartition(8).write.parquet(path)
+    want = sorted(map(tuple, nat.collect()))
+
+    # (1) mid-rewrite crash: full parquet content but NO _SUCCESS marker
+    art = SnapshotArtifact(spark, path)
+    debris = art.next_dir()
+    nat.limit(3).write.parquet(debris)
+    os.remove(os.path.join(debris, "_SUCCESS"))
+    assert sorted(map(tuple, read_artifact(spark, path).collect())) == want
+
+    # (2) commit lands, retention cleanup crashes before running
+    real_finalize = SnapshotArtifact.finalize
+
+    def exploding_finalize(self, keep_last=2):
+        raise RuntimeError("injected crash between commit and cleanup")
+
+    SnapshotArtifact.finalize = exploding_finalize
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            sinks.compact(spark, path, target_file_mb=128)
+    finally:
+        SnapshotArtifact.finalize = real_finalize
+    # the commit already happened: new content is live, old files still
+    # on disk are invisible to the resolver
+    assert SnapshotArtifact(spark, path)._vt.latest_version() is not None
+    assert sorted(map(tuple, read_artifact(spark, path).collect())) == want
+    assert glob.glob(f"{path}/*.parquet"), "stale plain files should still exist"
+
+    # (3) next run sweeps everything and the content never changed
+    sinks.compact(spark, path, target_file_mb=128)
+    assert sorted(map(tuple, read_artifact(spark, path).collect())) == want
+    assert not glob.glob(f"{path}/*.parquet")
+    assert not os.path.exists(debris)
 
 
 def test_write_sorted_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
@@ -235,11 +298,14 @@ def test_optimize_zordered_compacts_and_reclusters(spark, sf_dir, tmp_path):
 
     want = li.orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
     n = sinks.optimize_zordered(spark, path, "l_partkey", "l_suppkey")
-    files = glob.glob(f"{path}/*.parquet")
+    from oxidsql_spark.versioned import SnapshotArtifact
+
+    art = SnapshotArtifact(spark, path)
+    files = glob.glob(f"{art.data_dir()}/*.parquet")
     assert len(files) == n and n < 40
 
     def mean_span(col):
-        df = spark.read.parquet(path)
+        df = art.read()
         lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
         per_file = (
             df.groupBy(F.input_file_name())
@@ -250,7 +316,7 @@ def test_optimize_zordered_compacts_and_reclusters(spark, sf_dir, tmp_path):
         return per_file / (hi - lo)
 
     # content identical, clustering restored on both z dimensions
-    got = spark.read.parquet(path).orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
+    got = art.read().orderBy("l_partkey", "l_suppkey", "l_quantity").collect()
     assert got == want
     if n >= 4:  # spans only meaningful with several files
         assert mean_span("l_partkey") < 0.7 and mean_span("l_suppkey") < 0.7

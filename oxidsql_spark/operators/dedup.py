@@ -885,14 +885,18 @@ def build_minhash_table(spark: SparkSession, docs: DataFrame, out_path: str) -> 
 
 
 def dedup_minhash_incremental(
-    spark: SparkSession, new_docs: DataFrame, table_path: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table_path: str,
+    threshold: float = _JACCARD_T,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the persisted corpus:
     the batch's band buckets join the corpus's (band-partitioned scan,
     batch side broadcastable), then candidates are scored by signature
     agreement — estimated Jaccard = matching positions / K — with no
     access to corpus text at all. Cost scales with the batch, not the
-    corpus."""
+    corpus.  ``threshold=0.0`` returns every bucket candidate (used by
+    the registered query's exact-verify wrapper)."""
     nb = band_rows(minhash_signatures(new_docs)).select(
         F.col("doc_id").alias("new_id"),
         F.col("sig").alias("sig_n"),
@@ -916,7 +920,7 @@ def dedup_minhash_incremental(
     est = agree.cast("double") / _MH_K
     return (
         cand.withColumn("est_jaccard", F.round(est, 4))
-        .filter(F.col("est_jaccard") >= _JACCARD_T)
+        .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", "est_jaccard")
     )
 
@@ -966,6 +970,128 @@ def dedup_containment_incremental(
     c = F.col("inter").cast("double") / F.col("n_a")
     return inter.filter(c >= threshold).select(
         "new_id", "corpus_id", F.round(c, 4).alias("containment")
+    )
+
+
+# -- driver-checked end-to-end runs of the incremental artifact probes ------
+
+_BATCH_SRCS = ("src15", "src16", "src17", "src18", "src19")
+_BATCH_IN = ", ".join(f"'{s}'" for s in _BATCH_SRCS)
+
+# Shared oracle prelude: per-doc distinct shingle sets with the source
+# column carried, so the batch/corpus split is expressible in SQL.
+_SRC_SHINGLE_CTE = f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_JACCARD_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, source,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents)
+    ),
+    ex AS (SELECT doc_id, source, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh)
+"""
+
+
+def _artifact_tmp(kind: str, sf_dir: str) -> str:
+    import os
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp", f"oxidsql_{kind}_{base}_{os.getpid()}")
+
+
+@register(
+    "dedup_containment_incremental",
+    oracle=_SRC_SHINGLE_CTE
+    + f""",
+    pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+             count(*) AS inter, any_value(a.n_sh) AS n_a
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+      WHERE a.source IN ({_BATCH_IN}) AND b.source NOT IN ({_BATCH_IN})
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(inter AS DOUBLE) / n_a, 4) AS containment
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / n_a >= {_CONT_T}
+    ORDER BY new_id, corpus_id
+    """,
+)
+def dedup_containment_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end run of the incremental containment
+    probe (previously pytest-equivalence-only): persist the corpus
+    split's shingle inverted index (``build_shingle_index`` — the
+    write-once artifact), then probe it with the batch split's shingles
+    only (``dedup_containment_incremental``: one pass over the index,
+    corpus text never re-read).  The oracle recomputes cross-split
+    containment exactly, so what this locks is that the artifact
+    build→probe path preserves the operator's semantics end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source").isin(*_BATCH_SRCS))
+    corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS))
+    idx = _artifact_tmp("shidx", sf_dir)
+    build_shingle_index(spark, corpus, idx)
+    return dedup_containment_incremental(spark, batch, idx).orderBy(
+        "new_id", "corpus_id"
+    )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=_SRC_SHINGLE_CTE
+    + f""",
+    pairs AS (
+      SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS inter,
+             any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+      FROM ex a JOIN ex b ON a.shingle = b.shingle
+      WHERE a.source IN ({_BATCH_IN}) AND b.source NOT IN ({_BATCH_IN})
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT new_id, corpus_id,
+           round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= {_JACCARD_T}
+    ORDER BY new_id, corpus_id
+    """,
+)
+def dedup_minhash_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end run of the incremental MinHash probe
+    (previously pytest-equivalence-only): persist the corpus split's
+    banded signature table (``build_minhash_table``), probe it with the
+    batch split's band buckets (``dedup_minhash_incremental`` at
+    threshold 0 — every bucket candidate), and verify candidates with
+    EXACT cross-split Jaccard, the same candidates+exact-verify
+    structure ``dedup_minhash_lsh`` locks: the band config recalls every
+    >=T pair of this corpus deterministically, so the exact-Jaccard SQL
+    is a true oracle of the probe path."""
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source").isin(*_BATCH_SRCS))
+    corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS))
+    tab = _artifact_tmp("mhband", sf_dir)
+    build_minhash_table(spark, corpus, tab)
+    cand = dedup_minhash_incremental(spark, batch, tab, threshold=0.0).select(
+        "new_id", "corpus_id"
+    )
+    sh = (
+        _shingle_rows(d)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("shingles"))
+    )
+    va = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("sh_a"))
+    vb = sh.select(F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b"))
+    jac = F.col("inter").cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - F.col("inter")
+    )
+    return (
+        cand.join(va, "new_id")
+        .join(vb, "corpus_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .filter(jac >= _JACCARD_T)
+        .select("new_id", "corpus_id", F.round(jac, 4).alias("jaccard"))
+        .orderBy("new_id", "corpus_id")
     )
 
 

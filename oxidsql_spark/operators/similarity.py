@@ -337,6 +337,26 @@ def ann_ivf_prepared(
     )
 
 
+@register("ann_ivf_prepared", oracle=_ivf_oracle())
+def ann_ivf_prepared_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end run of the persisted-index ANN path
+    (previously pytest-equivalence-only): build the cell-PARTITIONED
+    IVF artifact (``build_ivf_index`` — the write-once layout where a
+    query's probed cells are partition directories), then search it with
+    ``ann_ivf_prepared``, whose scan touches only the probed cells'
+    partitions (partition pruning asserted on the executed plan in
+    tests/test_dedup_similarity.py).  Result is cell-for-cell identical
+    to ``ann_ivf_coarse``, so the same DuckDB oracle locks it."""
+    import os
+
+    out = os.path.join(
+        "/tmp",
+        f"oxidsql_ivf_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    build_ivf_index(spark, sf_dir, out)
+    return ann_ivf_prepared(spark, sf_dir, out)
+
+
 @register(
     "embeddings_dim_stats",
     oracle="""

@@ -58,20 +58,17 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-6 start: all 7 round-5 priority names went driver-green in
-    # CORRECTNESS_r05.json and are retired to the stable rotation, per
-    # the policy above — the window's remaining ~45+ slots go to the
-    # stalest stable queries (the 11 queries whose latest green is r2
-    # sort first and rotate through this window).
-    # New in round 6 — never driver-checked:
-    "dedup_incremental_bloom",
-    "zorder_layout_scan",
-    "terms_cms_heavy_hitters",
-    "dedup_keep_best",
-    "corpus_snapshot_diff",
-    # rewritten in round 6 (convergence-driven iteration; result
-    # unchanged but the implementation is new — re-verify):
-    "part_pagerank",
+    # round-7 start: all 6 round-6 priority names went driver-green in
+    # CORRECTNESS_r06.json and are retired to the stable rotation, per
+    # the policy above — the window's remaining ~47 slots go to the
+    # stalest stable queries (the 15 queries whose latest green is r3 —
+    # the events_* batch family plus dedup_chunk_exact /
+    # text_chunks_builtin — sort first and rotate through this window).
+    # New in round 7 — never driver-checked (the prepared/incremental
+    # artifact-probe paths, previously pytest-equivalence-only):
+    "dedup_containment_incremental",
+    "dedup_minhash_incremental",
+    "ann_ivf_prepared",
 )
 
 

@@ -448,6 +448,65 @@ class OxidSparkDatabase:
         re.IGNORECASE | re.DOTALL,
     )
 
+    _JOIN_SELECT_RE = re.compile(
+        r"^\s*SELECT\b[^;]*?\bFROM\s+(\w+)(?:\s+(?!JOIN\b)(\w+))?"
+        r"\s+JOIN\s+(\w+)(?:\s+(?!ON\b)(\w+))?"
+        r"\s+ON\s+\w+\.\w+\s*=\s*\w+\.\w+"
+        r"(?:\s+WHERE\s+(.*?))?"
+        r"(?:\s+(?:GROUP|ORDER|LIMIT|HAVING)\b.*)?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _estimate_join_rows(self, select_sql: str) -> list[tuple[str, str]]:
+        """EXPLAIN's cardinality rows for a two-table equi-join — the
+        join-selectivity input the reference's planner feeds DPccp
+        (bottomup.rs:101-107): each relation's cardinality is the ONLINE
+        sample estimate with its own WHERE conjuncts applied (floor rule
+        included), the join result is max(left, right) under the
+        reference's key-uniqueness assumption ('bad upper bound', its
+        own comment), and selectivity = result / cross.  Conjuncts must
+        be table-qualified to be attributed; anything else (unqualified
+        or cross-table residuals) withholds the estimate rather than
+        mis-scoping it."""
+        jm = self._JOIN_SELECT_RE.match(select_sql)
+        if not jm:
+            return []
+        t1, t2 = jm.group(1).lower(), jm.group(3).lower()
+        a1 = (jm.group(2) or t1).lower()
+        a2 = (jm.group(4) or t2).lower()
+        if t1 not in self._stats or t2 not in self._stats or a1 == a2:
+            return []
+        names = {a1: t1, a2: t2}
+        preds: dict[str, list[str]] = {a1: [], a2: []}
+        where = jm.group(5)
+        if where:
+            for conj in re.split(r"\s+AND\s+", where.strip(), flags=re.IGNORECASE):
+                qm = re.match(r"^\s*(\w+)\.", conj)
+                alias = qm.group(1).lower() if qm else None
+                if alias not in preds:
+                    return []
+                preds[alias].append(
+                    re.sub(rf"\b{alias}\.", "", conj, flags=re.IGNORECASE)
+                )
+        try:
+            cards = {
+                alias: self._stats[tab].estimate_cardinality(
+                    " AND ".join(preds[alias]) or "true"
+                )
+                for alias, tab in names.items()
+            }
+            est = max(cards[a1], cards[a2])
+            cross = cards[a1] * cards[a2]
+            sel = est / cross if cross else 1.0
+            return [
+                (f"estimated_rows_{a1}", str(cards[a1])),
+                (f"estimated_rows_{a2}", str(cards[a2])),
+                ("estimated_join_rows", str(est)),
+                ("estimated_join_selectivity", f"{sel:.6g}"),
+            ]
+        except Exception:
+            return []  # unparsable/non-deterministic predicate: no rows
+
     def _estimate_rows(self, df: DataFrame, select_sql: str) -> list[tuple[str, str]]:
         """EXPLAIN's cardinality rows for a single-table SELECT over a
         facade table: the ONLINE sample-based estimate (the reference's
@@ -455,10 +514,11 @@ class OxidSparkDatabase:
         reservoir sample with the bottomup.rs:159-161 floor rule,
         fresh after every INSERT with no ANALYZE) displayed NEXT TO
         Catalyst's own optimized-plan statistics, so the two planners'
-        views of the same scan are directly comparable.  Non-simple
-        statements (joins, subqueries) get only the Catalyst row —
-        the sample estimator is a per-table structure, as in the
-        reference."""
+        views of the same scan are directly comparable.  Two-table
+        equi-joins additionally get the reference's join-cardinality
+        form (``_estimate_join_rows``); anything more complex gets only
+        the Catalyst row — the sample estimator is a per-table
+        structure, as in the reference."""
         out: list[tuple[str, str]] = []
         m = self._SIMPLE_SELECT_RE.match(select_sql)
         if m and m.group(1).lower() in self._stats:
@@ -468,6 +528,8 @@ class OxidSparkDatabase:
                 out.append(("estimated_rows", str(est)))
             except Exception:
                 pass  # non-deterministic/invalid predicate: skip the row
+        else:
+            out += self._estimate_join_rows(select_sql)
         try:
             jstats = df._jdf.queryExecution().optimizedPlan().stats()
             rc = jstats.rowCount()

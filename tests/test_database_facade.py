@@ -433,7 +433,7 @@ def test_explain_surfaces_estimator_beside_catalyst(db):
     assert "estimated_rows" in rows and "catalyst_rows" in rows
     # 40 rows fit entirely in the sample: estimate is exact (10 match)
     assert int(rows["estimated_rows"]) == 10
-    # joins/subqueries still get the Catalyst row, no sample row
+    # joins/subqueries still get the Catalyst row, no single-table row
     rows2 = {
         r.item: r.detail
         for r in db.query(
@@ -442,6 +442,59 @@ def test_explain_surfaces_estimator_beside_catalyst(db):
     }
     assert "catalyst_rows" in rows2 and "estimated_rows" not in rows2
     db.query("DROP TABLE ex_est")
+
+
+def test_explain_join_cardinality_estimate(db):
+    """EXPLAIN on a FILTERED two-table equi-join surfaces the
+    reference's join-cardinality form (bottomup.rs:101-107): each
+    relation's sample estimate with its own WHERE conjuncts applied,
+    join rows = max(left, right) under the uniqueness assumption, and
+    selectivity = result / cross — shown beside Catalyst's number."""
+    db.query("CREATE TABLE je_ord (oid INTEGER, cid INTEGER, status VARCHAR(1))")
+    db.query("CREATE TABLE je_cust (cid INTEGER, seg INTEGER)")
+    for i in range(60):
+        db.query(f"INSERT INTO je_ord VALUES ({i}, {i % 20}, '{'AB'[i % 2]}')")
+    for c in range(20):
+        db.query(f"INSERT INTO je_cust VALUES ({c}, {c % 4})")
+    rows = {
+        r.item: r.detail
+        for r in db.query(
+            "EXPLAIN SELECT o.oid FROM je_ord o JOIN je_cust c ON o.cid = c.cid "
+            "WHERE o.status = 'A' AND c.seg = 0"
+        ).collect()
+    }
+    # both tables fit in the sample entirely: per-table estimates exact
+    assert int(rows["estimated_rows_o"]) == 30  # status 'A' half of 60
+    assert int(rows["estimated_rows_c"]) == 5  # seg 0 quarter of 20
+    assert int(rows["estimated_join_rows"]) == 30  # max(30, 5)
+    assert abs(float(rows["estimated_join_selectivity"]) - 30 / 150) < 1e-9
+    assert "catalyst_rows" in rows
+
+    # floor rule: a predicate matching nothing still estimates >= 1
+    rows_none = {
+        r.item: r.detail
+        for r in db.query(
+            "EXPLAIN SELECT o.oid FROM je_ord o JOIN je_cust c ON o.cid = c.cid "
+            "WHERE o.status = 'Z'"
+        ).collect()
+    }
+    assert int(rows_none["estimated_rows_o"]) >= 1  # bottomup.rs:159-161 floor
+    assert int(rows_none["estimated_join_rows"]) >= int(
+        rows_none["estimated_rows_c"]
+    )
+
+    # a conjunct that can't be attributed to one side withholds the
+    # estimate instead of mis-scoping it
+    rows_bad = {
+        r.item: r.detail
+        for r in db.query(
+            "EXPLAIN SELECT o.oid FROM je_ord o JOIN je_cust c ON o.cid = c.cid "
+            "WHERE status = 'A'"
+        ).collect()
+    }
+    assert "estimated_join_rows" not in rows_bad and "catalyst_rows" in rows_bad
+    db.query("DROP TABLE je_ord")
+    db.query("DROP TABLE je_cust")
 
 
 def test_insert_multi_row_and_column_list(db):

@@ -264,23 +264,61 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- persisted IVF index (the production build-once/query-many shape) ----
 
 
-def build_ivf_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+def build_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    vectors: DataFrame | None = None,
+) -> None:
     """Persist the IVF assignment table (vec_id, cell, v, nrm), written
     PARTITIONED BY cell — the on-disk layout where a query's probed
     cells map to partition directories, so the search scans only those
     files. Written once per corpus snapshot, reused by every query
     batch (same write-once discipline as dedup.build_fingerprint_table
-    and graph.build_pair_table)."""
+    and graph.build_pair_table).
+
+    The codebook is persisted WITH the index (``_codebook/``, an
+    underscore dir the partitioned scan ignores) — the frozen-centroid
+    contract incremental admission needs: ``admit_ivf_vectors`` assigns
+    new vectors against exactly the centroids this build used, never a
+    re-derivation from a corpus that has since grown.
+
+    ``vectors`` overrides the corpus frame (default: the full
+    embeddings table) — it must contain vec_id < n_cells, the
+    deterministic centroid seed rows."""
     n_cells = _IVF_CELLS
     e = (
-        table(spark, sf_dir, "embeddings")
-        .select("vec_id", as_double_vec("embedding").alias("v"))
-        .withColumn("nrm", vec_norm(F.col("v")))
+        vectors
+        if vectors is not None
+        else table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ).select("vec_id", as_double_vec("embedding").alias("v")).withColumn(
+        "nrm", vec_norm(F.col("v"))
     )
     cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
     )
-    assigned = (
+    assigned = _ivf_assign(e, cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    cents.write.mode("overwrite").parquet(_codebook_path(out_path))
+
+
+def _codebook_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, "_codebook")
+
+
+def load_ivf_codebook(spark: SparkSession, index_path: str) -> DataFrame:
+    """The index's frozen centroid set: (cell, cv, cnrm)."""
+    return spark.read.parquet(_codebook_path(index_path))
+
+
+def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm, cell): nearest-centroid assignment by cosine —
+    broadcast centroid join + max_by argmax (map-side combinable, no
+    per-vector sort window), the one assignment rule shared by the
+    initial build and incremental admission so admitted ≡ rebuilt."""
+    return (
         e.join(F.broadcast(cents))
         .withColumn("d", vec_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")))
         .groupBy("vec_id")
@@ -292,26 +330,112 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
             ).alias("cell"),
         )
     )
+
+
+def admit_ivf_vectors(
+    spark: SparkSession, new_vecs: DataFrame, index_path: str
+) -> float:
+    """Incremental index admission: assign a batch of NEW vectors
+    (vec_id, embedding) against the index's FROZEN persisted codebook
+    and append them into the cell partitions — no rebuild, no touch of
+    existing rows, cost scales with the batch.  Because the codebook is
+    frozen, an admitted index is row-identical to rebuilding from
+    scratch over the grown corpus with the same centroids
+    (equivalence-tested), and partition-pruned probes keep working —
+    appended files land inside the existing cell=N directories.
+
+    Returns the post-admission cell-occupancy SKEW
+    (max cell count × n_cells / total): the drift signal.  Centroids
+    frozen at build time drift as the corpus distribution moves, and
+    drift shows up as occupancy concentration — when skew exceeds
+    ~_IVF_DRIFT_SKEW, re-train via ``retrain_ivf_index`` (fresh
+    codebook, ``_km_train(converge=True)``).  The occupancy scan is a
+    footer-count aggregation over (cell), ≤ n_cells result rows."""
+    cents = load_ivf_codebook(spark, index_path)
+    e = new_vecs.select("vec_id", as_double_vec("embedding").alias("v")).withColumn(
+        "nrm", vec_norm(F.col("v"))
+    )
+    _ivf_assign(e, cents).write.mode("append").partitionBy("cell").parquet(index_path)
+    occ = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .first()
+    )
+    return float(occ["mx"] * _IVF_CELLS / occ["tot"])
+
+
+_IVF_DRIFT_SKEW = 3.0  # occupancy skew that should trigger a retrain
+
+
+def retrain_ivf_index(
+    spark: SparkSession, index_path: str, out_path: str, k: int = _IVF_CELLS
+) -> int:
+    """Drift response: re-train the codebook TO CONVERGENCE over the
+    current index's vectors (``_km_train(converge=True)`` — quantized
+    Lloyd to an exact integer fixed point, capped) and write a FRESH
+    cell-partitioned index + codebook to ``out_path`` — the write-once
+    discipline again: the old index stays live until the caller swaps
+    paths (or commits through a ``versioned`` manifest).  Returns the
+    realized Lloyd iteration count.
+
+    The retrained codebook is stored dequantized (centroid/scale) in
+    the same (cell, cv, cnrm) schema, so every probe path reads either
+    generation of index identically."""
+    idx = spark.read.parquet(index_path).select("vec_id", "v", "nrm")
+    q = idx.select(
+        "vec_id",
+        F.expr(f"transform(v, e -> CAST(floor(e * {_KM_SCALE}) AS BIGINT))").alias("qv"),
+    )
+    seed = {
+        r["vec_id"]: list(r["qv"])
+        for r in q.orderBy("vec_id").limit(k).collect()
+    }
+    cents = _km_train(q, k=k, iters=25, init=seed, converge=True)
+    iters = _km_train.last_iters
+    assigned = (
+        _km_assigned_batch(q, cents)
+        .join(idx, "vec_id")
+        .select("vec_id", "v", "nrm", F.col("cluster").alias("cell"))
+    )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    rows = [
+        (int(c), [v / _KM_SCALE for v in cents[c]]) for c in sorted(cents)
+    ]
+    cb = spark.createDataFrame(rows, "cell bigint, cv array<double>").withColumn(
+        "cnrm", vec_norm(F.col("cv"))
+    )
+    cb.write.mode("overwrite").parquet(_codebook_path(out_path))
+    return iters
 
 
 def ann_ivf_prepared(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
-    """Search a PREBUILT IVF index: queries re-derive their probed cells
-    against the (broadcast-size) centroid set, then scan only those
-    cells' partitions of the index — partition pruning does the cell
+    """Search a PREBUILT IVF index: queries rank their probed cells
+    against the index's PERSISTED codebook (broadcast-size; the same
+    frozen centroids admission uses — falling back to the first-K
+    derivation for a pre-codebook index), then scan only those cells'
+    partitions of the index — partition pruning does the cell
     restriction, no recomputation of assignments. Result is identical
     to ann_ivf_coarse (equivalence-tested)."""
-    n_cells, n_probe = _IVF_CELLS, _IVF_PROBE
+    import os
+
+    n_probe = _IVF_PROBE
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
         .withColumn("nrm", vec_norm(F.col("v")))
     )
-    cents = e.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-    )
+    if os.path.isdir(_codebook_path(index_path)):
+        cents = load_ivf_codebook(spark, index_path)
+    else:
+        cents = e.filter(F.col("vec_id") < _IVF_CELLS).select(
+            F.col("vec_id").alias("cell"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
         .join(F.broadcast(cents))

@@ -238,6 +238,105 @@ def test_prepared_ivf_index_matches_direct(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
 
 
+def test_ivf_admission_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental IVF admission (admit_ivf_vectors): appending a batch
+    of new vectors assigned against the FROZEN persisted codebook must
+    yield an index ROW-IDENTICAL to rebuilding from scratch over the
+    grown corpus with the same centroids — and the probe over the
+    admitted index must stay partition-pruned and return exactly the
+    rebuilt index's results."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.similarity import (
+        admit_ivf_vectors,
+        ann_ivf_prepared,
+        build_ivf_index,
+        load_ivf_codebook,
+    )
+    from oxidsql_spark.sources import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    split = int(n * 0.7)
+    initial = e.filter(F.col("vec_id") < split)  # contains the seed rows
+    batch = e.filter(F.col("vec_id") >= split)
+
+    grown = str(tmp_path / "ivf_grown")
+    build_ivf_index(spark, sf_dir, grown, vectors=initial)
+    skew = admit_ivf_vectors(spark, batch, grown)
+    assert skew >= 1.0
+
+    rebuilt = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(spark, sf_dir, rebuilt)
+
+    got = {
+        (r.vec_id, r.cell) for r in spark.read.parquet(grown).select("vec_id", "cell").collect()
+    }
+    want = {
+        (r.vec_id, r.cell)
+        for r in spark.read.parquet(rebuilt).select("vec_id", "cell").collect()
+    }
+    assert got == want and len(got) == n
+
+    # codebook unchanged by admission (the frozen-centroid contract)
+    cb_g = sorted(map(tuple, load_ivf_codebook(spark, grown).select("cell").collect()))
+    cb_r = sorted(map(tuple, load_ivf_codebook(spark, rebuilt).select("cell").collect()))
+    assert cb_g == cb_r
+
+    # probe over the admitted index: identical results, still pruned
+    p_grown = ann_ivf_prepared(spark, sf_dir, grown)
+    p_rebuilt = ann_ivf_prepared(spark, sf_dir, rebuilt)
+    assert sorted(map(tuple, p_grown.collect())) == sorted(map(tuple, p_rebuilt.collect()))
+    plan = p_grown._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+
+def test_ivf_drift_retrain_converges(spark, sf_dir, tmp_path):
+    """The drift loop end-to-end: admitting a distribution-shifted batch
+    raises cell-occupancy skew; retrain_ivf_index then trains a fresh
+    codebook TO CONVERGENCE (exact integer fixed point, realized iters
+    published) and writes a complete re-assigned index whose occupancy
+    concentration is no worse than the drifted one's."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.similarity import (
+        _IVF_DRIFT_SKEW,
+        admit_ivf_vectors,
+        build_ivf_index,
+        load_ivf_codebook,
+        retrain_ivf_index,
+    )
+    from oxidsql_spark.sources import table
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    idx = str(tmp_path / "ivf_drift")
+    build_ivf_index(spark, sf_dir, idx)
+
+    # distribution shift: clones of ONE existing vector, offset ids —
+    # they all land in a single cell, concentrating occupancy
+    seed_vec = e.filter(F.col("vec_id") == 30).first()["embedding"]
+    clones = spark.createDataFrame(
+        [(n + i, list(seed_vec)) for i in range(2 * n)],
+        "vec_id long, embedding array<float>",
+    )
+    skew = admit_ivf_vectors(spark, clones, idx)
+    assert skew > _IVF_DRIFT_SKEW, f"shifted batch should trip the trigger ({skew})"
+
+    fresh = str(tmp_path / "ivf_fresh")
+    iters = retrain_ivf_index(spark, idx, fresh)
+    assert iters >= 1
+    rebuilt = spark.read.parquet(fresh)
+    assert rebuilt.count() == 3 * n  # every vector exactly once
+    assert load_ivf_codebook(spark, fresh).count() >= 1
+    # identical clones must share one cell, and the corpus must not
+    # collapse into it — the retrained codebook still separates the
+    # original distribution from the shifted mass
+    clone_cells = rebuilt.filter(F.col("vec_id") >= n).select("cell").distinct().count()
+    assert clone_cells == 1
+    assert rebuilt.select("cell").distinct().count() >= 2
+
+
 def test_incremental_minhash_recalls_cross_pairs(spark, sf_dir, tmp_path):
     """Persisted-signature incremental near-dup: every exact >=T pair
     spanning (new batch x existing corpus) must be recalled, without the

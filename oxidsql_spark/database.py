@@ -457,6 +457,15 @@ class OxidSparkDatabase:
         re.IGNORECASE | re.DOTALL,
     )
 
+    # comma-join form (the reference's own demo shape:
+    # FROM people p, cars c WHERE p.id = c.owner_id AND ...)
+    _COMMA_JOIN_RE = re.compile(
+        r"^\s*SELECT\b[^;]*?\bFROM\s+(\w+)(?:\s+(\w+))?\s*,\s*(\w+)(?:\s+(\w+))?"
+        r"\s+WHERE\s+(.*?)"
+        r"(?:\s+(?:GROUP|ORDER|LIMIT|HAVING)\b.*)?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def _estimate_join_rows(self, select_sql: str) -> list[tuple[str, str]]:
         """EXPLAIN's cardinality rows for a two-table equi-join — the
         join-selectivity input the reference's planner feeds DPccp
@@ -469,7 +478,10 @@ class OxidSparkDatabase:
         or cross-table residuals) withholds the estimate rather than
         mis-scoping it."""
         jm = self._JOIN_SELECT_RE.match(select_sql)
-        if not jm:
+        explicit_join = jm is not None
+        if jm is None:
+            jm = self._COMMA_JOIN_RE.match(select_sql)
+        if jm is None:
             return []
         t1, t2 = jm.group(1).lower(), jm.group(3).lower()
         a1 = (jm.group(2) or t1).lower()
@@ -479,15 +491,24 @@ class OxidSparkDatabase:
         names = {a1: t1, a2: t2}
         preds: dict[str, list[str]] = {a1: [], a2: []}
         where = jm.group(5)
+        cross_equi = 0
         if where:
             for conj in re.split(r"\s+AND\s+", where.strip(), flags=re.IGNORECASE):
+                xm = re.match(r"^\s*(\w+)\.\w+\s*=\s*(\w+)\.\w+\s*$", conj)
+                if xm and {xm.group(1).lower(), xm.group(2).lower()} == set(names):
+                    cross_equi += 1  # the join predicate itself
+                    continue
                 qm = re.match(r"^\s*(\w+)\.", conj)
                 alias = qm.group(1).lower() if qm else None
                 if alias not in preds:
                     return []
-                preds[alias].append(
-                    re.sub(rf"\b{alias}\.", "", conj, flags=re.IGNORECASE)
-                )
+                stripped = re.sub(rf"\b{alias}\.", "", conj, flags=re.IGNORECASE)
+                other = a2 if alias == a1 else a1
+                if re.search(rf"\b{other}\.", stripped, flags=re.IGNORECASE):
+                    return []  # cross-table residual — can't scope it
+                preds[alias].append(stripped)
+        if not explicit_join and cross_equi == 0:
+            return []  # comma form without an equi predicate: a product
         try:
             cards = {
                 alias: self._stats[tab].estimate_cardinality(

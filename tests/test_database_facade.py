@@ -483,6 +483,18 @@ def test_explain_join_cardinality_estimate(db):
         rows_none["estimated_rows_c"]
     )
 
+    # the comma-join form (the reference's demo shape) estimates too,
+    # with the equi conjunct recognized as the join predicate
+    rows_cj = {
+        r.item: r.detail
+        for r in db.query(
+            "EXPLAIN SELECT o.oid FROM je_ord o, je_cust c "
+            "WHERE o.cid = c.cid AND o.status = 'A' AND c.seg = 0"
+        ).collect()
+    }
+    assert int(rows_cj["estimated_join_rows"]) == 30
+    assert int(rows_cj["estimated_rows_c"]) == 5
+
     # a conjunct that can't be attributed to one side withholds the
     # estimate instead of mis-scoping it
     rows_bad = {

@@ -50,6 +50,7 @@ STRESS_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "terms_cms_heavy_hitters",
+    "ann_ivf_kmeans",
 ]
 
 
@@ -87,15 +88,29 @@ def synthesize(spark, k: int, out_dir: str, salt_docs: bool = False) -> None:
 
 
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/oxidsql_stress"
+    """Usage: stress_scale.py [K] [out_dir] [--salt] [--json PATH]
+
+    --json writes (or merges into) a round-artifact JSON: one
+    ``salted`` / ``verbatim`` section per invocation, each holding
+    {query: {base_sec, stress_sec, ratio}} — the trendable form the
+    per-round STRESS_rN.json files carry, same methodology as SCALE.md's
+    round-6 prose tables."""
+    import json
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    k = int(args[0]) if args else 10
+    out_dir = args[1] if len(args) > 1 else "/tmp/oxidsql_stress"
     salt = "--salt" in sys.argv
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
     spark = get_spark("oxidsql-stress")
     queries = load_all()
     print(f"synthesizing {k}x sf0.1 into {out_dir} (salt_docs={salt}) ...")
     t0 = time.time()
     synthesize(spark, k, out_dir, salt_docs=salt)
     print(f"synthesized in {time.time() - t0:.0f}s")
+    results: dict[str, dict] = {}
     for name in STRESS_QUERIES:
         row = {}
         for label, d in [("sf0.1", SRC), (f"{k}x", out_dir)]:
@@ -108,11 +123,24 @@ def main() -> None:
             release_scoped_caches()
         base, big = row["sf0.1"], row[f"{k}x"]
         ratio = (
-            round(big / base, 1)
+            round(big / base, 2)
             if isinstance(base, float) and isinstance(big, float) and base > 0
-            else "-"
+            else None
         )
-        print(f"{name:28s} sf0.1={base:>8} {k}x={big:>8} ratio={ratio}")
+        results[name] = {"base_sec": base, "stress_sec": big, "ratio": ratio}
+        print(f"{name:28s} sf0.1={base:>8} {k}x={big:>8} ratio={ratio or '-'}")
+    if json_path:
+        blob = {}
+        if os.path.exists(json_path):
+            try:
+                with open(json_path) as fh:
+                    blob = json.load(fh)
+            except ValueError:
+                blob = {}
+        blob[("salted" if salt else "verbatim")] = {"k": k, "queries": results}
+        with open(json_path, "w") as fh:
+            json.dump(blob, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     spark.stop()
 
 

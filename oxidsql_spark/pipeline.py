@@ -225,9 +225,11 @@ def admit_corpus_batch(
        so the NEXT batch probes up-to-date artifacts and a re-submitted
        duplicate of an admitted doc is rejected.
 
-    Returns the admitted batch (scope-persisted: it must materialize
+    Returns the admitted batch (scope-CHECKPOINTED: it must materialize
     BEFORE the artifacts change underneath its own lazy plan — the
-    admission read and the admission write touch the same table).
+    admission read and the admission write touch the same table — and a
+    plain cache is not enough, because writing to fp_path invalidates
+    caches whose plans read fp_path).
     Cost scales with the batch, never the corpus.
 
     Cluster caveat: the persisted batch spills to disk locally, but an
@@ -237,7 +239,7 @@ def admit_corpus_batch(
     writes the admitted batch to its destination FIRST and appends the
     artifacts from that written copy — same statement ordering as
     here, with the returned frame replaced by a durable read."""
-    from .cachescope import scoped_persist
+    from .cachescope import scoped_local_checkpoint
     from .functions import tokens
     from .operators.dedup import dedup_incremental_bloom, merge_fingerprint_bloom
     from .versioned import read_artifact
@@ -248,11 +250,21 @@ def admit_corpus_batch(
     fresh = dedup_incremental_bloom(spark, new_docs, fp_path, words).filter(
         F.size(tokens(F.col("text"))) >= min_tokens
     )
-    admitted = scoped_persist(fresh)
-    admitted.count()  # pin rows before the artifacts move
+    # eager localCheckpoint, not persist: the artifact writes below touch
+    # fp_path, and Spark's post-write refreshByPath invalidates any CACHE
+    # whose plan reads that path — a rebuild would then re-execute the
+    # plan against artifacts that have moved underneath it.  Checkpointed
+    # lineage is truncated to materialized partitions, immune to both.
+    admitted = scoped_local_checkpoint(fresh)
     fps = admitted.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     ).withColumn("fp_prefix", F.substring("fp", 1, 1))
-    fps.write.mode("append").partitionBy("fp_prefix").parquet(fp_path)
+    # Bloom merge BEFORE fingerprint append — the crash-ordering that
+    # keeps the filter's no-false-negative contract: a crash between the
+    # two writes then leaves bits set for fps not yet in the table
+    # (harmless false positives, the filter's design budget), never the
+    # reverse (fps present but bits absent → a re-submitted copy probes
+    # 'definitely new' and skips the anti-join entirely).
     merge_fingerprint_bloom(spark, fps.select("fp"), bloom_path)
+    fps.write.mode("append").partitionBy("fp_prefix").parquet(fp_path)
     return admitted

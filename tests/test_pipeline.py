@@ -188,6 +188,33 @@ def test_admit_corpus_batch_incremental(spark, sf_dir, tmp_path):
     assert a3.count() == 0
     release_scoped_caches()
 
+    # crash-ordering invariant: if the bloom merge fails, the
+    # fingerprints must NOT have been appended — fps-present-but-
+    # bits-absent is the one artifact state that breaks the filter's
+    # no-false-negative contract (bits-without-fps only costs false
+    # positives, which the anti-join absorbs)
+    import pytest
+
+    import oxidsql_spark.operators.dedup as dedup_mod
+
+    before = spark.read.parquet(fp_path).count()
+    real_merge = dedup_mod.merge_fingerprint_bloom
+
+    def exploding_merge(*a, **kw):
+        raise RuntimeError("injected crash before artifact append")
+
+    dedup_mod.merge_fingerprint_bloom = exploding_merge
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            admit_corpus_batch(
+                spark, d.filter(F.col("doc_id") % 4 == 3), fp_path, bloom_path,
+                min_tokens=1,
+            )
+    finally:
+        dedup_mod.merge_fingerprint_bloom = real_merge
+        release_scoped_caches()
+    assert spark.read.parquet(fp_path).count() == before
+
     # merged bloom keeps no-false-negatives over the grown fp table
     # (read through the resolver — merges commit manifest snapshots)
     from oxidsql_spark.versioned import read_artifact

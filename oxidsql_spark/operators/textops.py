@@ -267,6 +267,106 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SEQ_LEN = 512  # packing context length (tokens)
+
+
+@register(
+    "seq_pack_stats",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS s
+      FROM (SELECT * FROM sized WHERE n_tokens > 0)
+    ),
+    ex AS (
+      SELECT doc_id, s, s + n_tokens - 1 AS e,
+             s // {_SEQ_LEN} AS first_seq,
+             unnest(generate_series(s // {_SEQ_LEN},
+                                    (s + n_tokens - 1) // {_SEQ_LEN})) AS seq_id
+      FROM pos
+    )
+    SELECT seq_id,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(sum(least(e, (seq_id + 1) * {_SEQ_LEN} - 1)
+                    - greatest(s, seq_id * {_SEQ_LEN}) + 1) AS BIGINT) AS n_tokens
+    FROM ex GROUP BY seq_id ORDER BY seq_id
+    """,
+)
+def seq_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing — the standard pretraining batch
+    prep: the corpus's token stream (docs in deterministic doc_id order,
+    empty docs dropped) is cut into fixed {_SEQ_LEN}-token sequences, and
+    each sequence reports how many documents touch it (n_docs), how many
+    START in it (n_starts — the attention-boundary count a packed-batch
+    loader needs), and its token fill (n_tokens — {_SEQ_LEN} everywhere
+    except the final partial sequence).  The per-sequence doc counts are
+    the cross-contamination profile of packed training batches.
+
+    Scale shape: the only global coordination is the token-offset running
+    sum, which runs through the two-phase ``distwindow.global_cumsum``
+    (range-partition → parallel per-partition cumsum → O(partitions)
+    offset broadcast) — never an Exchange SinglePartition.  Each doc then
+    explodes into only the sequences it spans (spans/doc ≈
+    len/{_SEQ_LEN} + 1), and the per-sequence aggregation partial-combines
+    map-side.  All arithmetic is integer (offsets, div, least/greatest),
+    so the oracle matches at any parallelism.
+
+    The reference has no corpus tooling at all; this extends its
+    aggregation surface (plan.rs HashAggregate intent) the way the other
+    training-data operators do."""
+    from .distwindow import global_cumsum
+
+    L = _SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    sized = d.select("doc_id", toks.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    cum, _total = global_cumsum(sized, "n_tokens", ["doc_id"], "_cum")
+    spans = cum.select(
+        "doc_id",
+        (F.col("_cum") - F.col("n_tokens")).alias("s"),
+        (F.col("_cum") - 1).alias("e"),
+    ).select(
+        "doc_id",
+        "s",
+        "e",
+        F.expr(f"s div {L}").alias("first_seq"),
+        F.expr(f"e div {L}").alias("last_seq"),
+    )
+    ex = spans.select(
+        "s",
+        "e",
+        "first_seq",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    overlap = (
+        F.least(F.col("e"), (F.col("seq_id") + 1) * L - 1)
+        - F.greatest(F.col("s"), F.col("seq_id") * L)
+        + 1
+    )
+    return (
+        ex.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("first_seq") == F.col("seq_id"), 1).otherwise(0)
+            ).alias("n_starts"),
+            F.sum(overlap).alias("n_tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
 # Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03
 # — the standard document-fingerprint scheme MOSS uses). Rolling k-gram
 # polynomial hashes, then the minimum of every w consecutive hashes; the

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_containment_incremental",
     "dedup_minhash_incremental",
     "ann_ivf_prepared",
+    "seq_pack_stats",
 )
 
 

@@ -267,6 +267,77 @@ def corpus_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS term
+      FROM documents),
+    counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    ranked AS (
+      SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+      FROM counts),
+    tot AS (SELECT count(*) AS t FROM tok)
+    SELECT v.vocab_size,
+           CAST(sum(r.cnt) AS BIGINT) AS covered_tokens,
+           round(CAST(sum(r.cnt) AS DOUBLE) / CAST(any_value(t.t) AS DOUBLE), 6)
+             AS coverage
+    FROM (VALUES (100), (1000), (10000)) v(vocab_size)
+    JOIN ranked r ON r.rn <= v.vocab_size
+    CROSS JOIN tot t
+    GROUP BY v.vocab_size ORDER BY v.vocab_size
+    """,
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token occurrences
+    the top-K most frequent terms cover, at K = 100 / 1000 / 10000 — the
+    first question of tokenizer/vocab design (where the OOV tail starts)
+    and a standing corpus-drift monitor.
+
+    Scale shape: term counts partial-combine map-side (the wordcount
+    shuffle — one row per distinct term per partition); the global
+    frequency rank runs through ``distwindow.global_row_number`` (range
+    partition → parallel per-partition numbering → O(partitions) offset
+    broadcast), NEVER a single-partition window — the vocabulary of a
+    100 TB corpus is itself hundreds of millions of rows.  Only the
+    ≤10k-term head is aggregated after ranking; driver traffic is two
+    1-row scalars.  The final rounding happens JVM-side (half-away-from-
+    zero, matching the oracle — Python's round is half-to-even)."""
+    from ..cachescope import scoped_persist
+    from .distwindow import global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    counts = scoped_persist(
+        d.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked, _n_terms = global_row_number(
+        counts, [F.col("cnt").desc(), F.col("term").asc()], "rn"
+    )
+    head = ranked.filter(F.col("rn") <= 10000)
+    covered = head.agg(
+        F.sum(F.when(F.col("rn") <= 100, F.col("cnt"))).alias("c100"),
+        F.sum(F.when(F.col("rn") <= 1000, F.col("cnt"))).alias("c1000"),
+        F.sum("cnt").alias("c10000"),
+    ).first()
+    total = int(counts.agg(F.sum("cnt")).first()[0])
+    base = spark.createDataFrame(
+        [
+            (100, int(covered["c100"])),
+            (1000, int(covered["c1000"])),
+            (10000, int(covered["c10000"])),
+        ],
+        "vocab_size int, covered_tokens bigint",
+    )
+    return base.select(
+        "vocab_size",
+        "covered_tokens",
+        F.round(F.col("covered_tokens") / F.lit(total), 6).alias("coverage"),
+    ).orderBy("vocab_size")
+
+
 _SEQ_LEN = 512  # packing context length (tokens)
 
 

@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",
     "ann_ivf_prepared",
     "seq_pack_stats",
+    "vocab_coverage",
 )
 
 

@@ -43,6 +43,7 @@ CACHE_USING_QUERIES = [
     "dedup_incremental_bloom",
     "terms_cms_heavy_hitters",
     "dedup_keep_best",
+    "vocab_coverage",
 ]
 
 

@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_ivf_prepared",
     "seq_pack_stats",
     "vocab_coverage",
+    "events_inactivity_alerts",
 )
 
 

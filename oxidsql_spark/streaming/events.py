@@ -716,6 +716,150 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INACT_T1_MS = 30 * 60 * 1000  # idle tier
+_INACT_T2_MS = 2 * 3600 * 1000  # churn tier
+
+
+@register(
+    "events_inactivity_alerts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id FROM events),
+    g AS (
+      SELECT user_id, ms,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms
+      FROM ev),
+    t(tier, thr) AS (VALUES (1, {_INACT_T1_MS}), (2, {_INACT_T2_MS}))
+    SELECT g.user_id, g.ms AS last_ms, t.tier, g.ms + t.thr AS deadline
+    FROM g JOIN t ON g.next_ms IS NOT NULL AND g.next_ms - g.ms > t.thr
+    ORDER BY user_id, last_ms, tier
+    """,
+)
+def events_inactivity_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered inactivity alerts, batch form: for every consecutive-event
+    gap of a user exceeding a tier threshold (30 min idle / 2 h churn),
+    one alert row stamped at the moment the tier elapsed
+    (last_event + threshold) — the re-engagement trigger feed.  This is
+    also the exact interior truth the streaming operator
+    (``stream_inactivity_tiers``, event-time TIMER LISTS) must emit, so
+    the two are compared in tests/test_streaming.py.
+
+    One shuffle on user_id shared by the lead window and nothing else;
+    the two-tier fan-out is a 2-row explode, integer millisecond
+    arithmetic in both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    g = e.withColumn("next_ms", F.lead("ms").over(w)).filter(
+        F.col("next_ms").isNotNull()
+    )
+    tiers = F.array(
+        F.struct(F.lit(1).alias("tier"), F.lit(_INACT_T1_MS).alias("thr")),
+        F.struct(F.lit(2).alias("tier"), F.lit(_INACT_T2_MS).alias("thr")),
+    )
+    return (
+        g.select("user_id", "ms", "next_ms", F.explode(tiers).alias("t"))
+        .filter(F.col("next_ms") - F.col("ms") > F.col("t.thr"))
+        .select(
+            "user_id",
+            F.col("ms").alias("last_ms"),
+            F.col("t.tier").alias("tier"),
+            (F.col("ms") + F.col("t.thr")).alias("deadline"),
+        )
+        .orderBy("user_id", "last_ms", "tier")
+    )
+
+
+_INACT_OUT = "user_id bigint, last_ms bigint, tier int, deadline bigint"
+
+
+def stream_inactivity_tiers(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Tiered inactivity alerts as a STREAM — the operator the timer-LIST
+    surface exists for: every key holds TWO armed deadlines at once
+    (last_event + 30 min, last_event + 2 h), re-registered on activity
+    (delete-then-register, the native pattern), fired individually as the
+    watermark passes each — ``handleExpiredTimer`` receives the expired
+    deadline and derives the tier from it.  The churn tier evicts the
+    key's state.  Gaps that close inside one micro-batch (or across two,
+    via the carried last-event state) emit inline, with a fired-tier
+    marker preventing a timer-then-input duplicate for the same gap.
+    Emitted rows are value-identical to ``events_inactivity_alerts``'s
+    interior rows plus (watermark-permitting) each user's tail alerts —
+    asserted in tests/test_streaming.py.
+
+    State per key: two ints + the timer list — bytes; fired tier-2
+    timers delete the row, so state tracks currently-active users, not
+    history."""
+    import pandas as pd
+
+    from .statefulproc import StatefulProcessor, transform_with_state
+
+    def _empty():
+        return pd.DataFrame(
+            {"user_id": [], "last_ms": [], "tier": [], "deadline": []}
+        ).astype({"user_id": "int64", "last_ms": "int64", "tier": "int32",
+                  "deadline": "int64"})
+
+    def _rows(key, alerts):
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(alerts),
+                "last_ms": [a[0] for a in alerts],
+                "tier": pd.array([a[1] for a in alerts], dtype="int32"),
+                "deadline": [a[0] + a[2] for a in alerts],
+            }
+        )
+
+    class InactivityProc(StatefulProcessor):
+        def init(self, handle):
+            self.h = handle
+            self.last = handle.get_value_state("last")
+            self.fired = handle.get_value_state("fired")
+
+        def handleInputRows(self, key, rows):
+            ts = []
+            for pdf in rows:
+                ts.extend((pdf["ts"].astype("int64") // 1_000_000).tolist())
+            ts.sort()
+            prev, fired = self.last.get(), self.fired.get() or 0
+            seq = ([prev] if prev is not None else []) + ts
+            alerts = []
+            for a, b in zip(seq, seq[1:]):
+                skip_below = fired if a == prev else 0
+                for tier, thr in ((1, _INACT_T1_MS), (2, _INACT_T2_MS)):
+                    if b - a > thr and tier > skip_below:
+                        alerts.append((a, tier, thr))
+            self.last.update(seq[-1])
+            self.fired.update(0)
+            for t in self.h.list_timers():
+                self.h.delete_timer(t)
+            self.h.register_timer(seq[-1] + _INACT_T1_MS)
+            self.h.register_timer(seq[-1] + _INACT_T2_MS)
+            yield _rows(key, alerts) if alerts else _empty()
+
+        def handleExpiredTimer(self, key, fired_ts):
+            last = self.last.get()
+            tier = 1 if fired_ts == last + _INACT_T1_MS else 2
+            out = _rows(key, [(last, tier, fired_ts - last)])
+            if tier == 2:
+                self.h.clear_all()  # churned: evict the key entirely
+            else:
+                self.fired.update(tier)
+            yield out
+
+    return transform_with_state(
+        _stream_source(spark, source_dir),
+        ["user_id"],
+        InactivityProc,
+        _INACT_OUT,
+        output_mode="append",
+        time_mode="eventTime",
+    )
+
+
 def stream_anomaly_scored(
     spark: SparkSession, source_dir: str, sf_dir: str
 ) -> DataFrame:

@@ -461,6 +461,65 @@ def test_tws_sessions_timers_evict_state(spark, sf_dir, chunked_stream_dir):
     assert final_rows < max_rows, "timer firings never evicted state"
 
 
+def test_stream_inactivity_tiers_equals_batch(spark, sf_dir, chunked_stream_dir):
+    """The timer-list surface driving a product operator: two armed
+    deadlines per key (idle 30 min / churn 2 h), re-registered on
+    activity, fired individually.  Over a chunked replay the emitted
+    alert set must contain EVERY interior alert of the batch twin
+    (every closed gap emits exactly once — via timer fire or via the
+    carried-state inline path, never both) and nothing beyond the
+    interior alerts plus each user's tail deadlines; churn firings
+    evict state."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.streaming.events import (
+        _INACT_T1_MS,
+        _INACT_T2_MS,
+        events_inactivity_alerts,
+        stream_inactivity_tiers,
+    )
+
+    q = (
+        stream_inactivity_tiers(spark, chunked_stream_dir)
+        .writeStream.format("memory")
+        .queryName("inact_mem")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    progresses = q.recentProgress
+    q.stop()
+    emitted_rows = [
+        (r.user_id, r.last_ms, r.tier, r.deadline)
+        for r in spark.table("inact_mem").collect()
+    ]
+    emitted = set(emitted_rows)
+    assert len(emitted_rows) == len(emitted), "an alert emitted twice"
+
+    interior = {
+        (r.user_id, r.last_ms, r.tier, r.deadline)
+        for r in events_inactivity_alerts(spark, sf_dir).collect()
+    }
+    from oxidsql_spark.sources import table as _table
+
+    tails = {
+        (r.user_id, r.ms, tier, r.ms + thr)
+        for r in _table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.unix_millis(F.col("ts").cast("timestamp"))).alias("ms"))
+        .collect()
+        for tier, thr in ((1, _INACT_T1_MS), (2, _INACT_T2_MS))
+    }
+    missing = interior - emitted
+    assert not missing, f"{len(missing)} interior alerts never emitted"
+    extra = emitted - interior - tails
+    assert not extra, f"{len(extra)} alerts match neither a gap nor a tail"
+    assert emitted & tails, "no tail deadline ever fired"
+
+    max_rows, final_rows = _state_rows(progresses)
+    assert final_rows < max_rows, "churn firings never evicted state"
+
+
 def test_tws_multiple_timers_fire_per_deadline(spark, sf_dir, chunked_stream_dir):
     """Timer-LIST parity with the native transformWithState: a key
     registers TWO timers; each fires exactly once, in deadline order,

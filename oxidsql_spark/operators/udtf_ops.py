@@ -56,11 +56,10 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_chunks_builtin", oracle=_CHUNK_ORACLE)
-def text_chunks_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM-side twin of the UDTF: sequence + transform + explode stays in
-    whole-stage codegen — this is the 100 TB production path."""
-    d = table(spark, sf_dir, "documents")
+def chunk_docs_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) for any frame with doc_id+text — the
+    codegen chunker shared by the registered query and the pipeline's
+    incremental index admission (which chunks only the NEW batch)."""
     n_chunks = F.greatest(
         F.ceil(F.length("text") / F.lit(CHUNK)).cast("int"), F.lit(1)
     )
@@ -75,6 +74,13 @@ def text_chunks_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.explode(chunks).alias("c"))
         .select("doc_id", "c.chunk_idx", "c.chunk")
     )
+
+
+@register("text_chunks_builtin", oracle=_CHUNK_ORACLE)
+def text_chunks_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side twin of the UDTF: sequence + transform + explode stays in
+    whole-stage codegen — this is the 100 TB production path."""
+    return chunk_docs_frame(table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -126,7 +126,12 @@ def _embed_text_py(text: str) -> list[float]:
     return [int(h[2 * j : 2 * j + 2], 16) / 255.0 - 0.5 for j in range(CVI_DIM)]
 
 
-def build_chunk_vector_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+def build_chunk_vector_index(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    docs: DataFrame | None = None,
+) -> None:
     """Build the retrieval index: chunk every document
     (text_chunks_builtin's codegen chunker), embed each chunk, train a
     CVI_K-cell k-means codebook (similarity._km_train — quantized
@@ -137,11 +142,11 @@ def build_chunk_vector_index(spark: SparkSession, sf_dir: str, out_path: str) ->
     layout discipline as similarity.build_ivf_index, applied to the
     text-retrieval pipeline."""
     from .operators.similarity import _km_assign, _km_train
-    from .operators.udtf_ops import text_chunks_builtin
+    from .operators.udtf_ops import chunk_docs_frame
 
-    chunks = text_chunks_builtin(spark, sf_dir).withColumn(
-        "v", _chunk_embedding_col()
-    )
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
+    chunks = chunk_docs_frame(docs).withColumn("v", _chunk_embedding_col())
     qv = F.expr(
         f"transform(v, e -> CAST(floor(e * {CVI_SCALE}) AS BIGINT))"
     )
@@ -164,6 +169,37 @@ def build_chunk_vector_index(spark: SparkSession, sf_dir: str, out_path: str) ->
     spark.createDataFrame(cent_rows, "cell int, centroid array<bigint>").coalesce(
         1
     ).write.mode("overwrite").parquet(out_path + "_centroids")
+
+
+def admit_chunks(spark: SparkSession, new_docs: DataFrame, index_path: str) -> None:
+    """Incremental RAG-index admission — the chunk-index member of the
+    admit family (``admit_corpus_batch`` for the dedup artifacts,
+    ``similarity.admit_ivf_vectors`` for the vector index): chunk and
+    embed ONLY the new batch, assign each chunk against the index's
+    PERSISTED centroids (the frozen codebook — never a re-derivation
+    from the grown corpus), and append into the existing cell
+    partitions.  Cost scales with the batch; because the codebook is
+    frozen, the admitted index is row-identical to rebuilding the whole
+    corpus under the same centroids (equivalence-tested), and
+    ``query_chunk_index``'s partition-pruned probe works unchanged —
+    appended files land inside the cell=N directories it prunes to.
+    Codebook drift management mirrors the IVF path: re-train via
+    ``build_chunk_vector_index`` to a fresh path and swap."""
+    from .operators.similarity import _km_assign
+    from .operators.udtf_ops import chunk_docs_frame
+
+    cents = {
+        int(r["cell"]): list(r["centroid"])
+        for r in spark.read.parquet(index_path + "_centroids").collect()
+    }
+    chunks = chunk_docs_frame(new_docs).withColumn("v", _chunk_embedding_col())
+    e = chunks.withColumn(
+        "qv", F.expr(f"transform(v, e -> CAST(floor(e * {CVI_SCALE}) AS BIGINT))")
+    )
+    assigned = e.withColumn("cell", _km_assign(cents)).select(
+        "doc_id", "chunk_idx", "chunk", "v", "cell"
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
 
 
 def query_chunk_index(

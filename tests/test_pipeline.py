@@ -124,6 +124,69 @@ def test_chunk_vector_index_build_and_query(spark, sf_dir, tmp_path):
     assert rows[0]["cos_sim"] == 1.0
 
 
+def test_admit_chunks_equals_rebuild(spark, sf_dir, tmp_path):
+    """Incremental chunk-index admission: chunking/embedding only the
+    new batch and assigning against the index's FROZEN persisted
+    centroids must yield cell assignments row-identical to processing
+    the whole corpus under the same codebook — and the partition-pruned
+    query still retrieves an admitted chunk exactly."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.similarity import _km_assign
+    from oxidsql_spark.operators.udtf_ops import chunk_docs_frame
+    from oxidsql_spark.pipeline import (
+        CVI_SCALE,
+        _chunk_embedding_col,
+        admit_chunks,
+        build_chunk_vector_index,
+        query_chunk_index,
+    )
+    from oxidsql_spark.sources import table
+
+    d = table(spark, sf_dir, "documents")
+    initial = d.filter(F.col("doc_id") % 5 != 0)
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "cvi_grown")
+    build_chunk_vector_index(spark, sf_dir, path, docs=initial)
+    admit_chunks(spark, batch, path)
+
+    cents = {
+        int(r["cell"]): list(r["centroid"])
+        for r in spark.read.parquet(path + "_centroids").collect()
+    }
+    expected_df = (
+        chunk_docs_frame(d)
+        .withColumn("v", _chunk_embedding_col())
+        .withColumn(
+            "qv",
+            F.expr(f"transform(v, e -> CAST(floor(e * {CVI_SCALE}) AS BIGINT))"),
+        )
+        .withColumn("cell", _km_assign(cents))
+        .select("doc_id", "chunk_idx", "cell")
+    )
+    want = {(r.doc_id, r.chunk_idx, r.cell) for r in expected_df.collect()}
+    got_rows = spark.read.parquet(path).select("doc_id", "chunk_idx", "cell").collect()
+    got = {(r.doc_id, r.chunk_idx, r.cell) for r in got_rows}
+    assert got == want and len(got_rows) == len(want)
+
+    # an admitted chunk is retrievable through the pruned probe
+    probe = (
+        spark.read.parquet(path)
+        .filter((F.col("doc_id") % 5 == 0) & (F.col("chunk_idx") == 0))
+        .orderBy("doc_id")
+        .select("doc_id", "chunk")
+        .collect()[0]
+    )
+    res = query_chunk_index(spark, path, probe["chunk"], top_k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan
+    rows = res.collect()
+    assert rows[0]["cos_sim"] == 1.0
+    # membership, not rank-0: an exact-duplicate chunk elsewhere in the
+    # corpus legitimately ties at cos 1.0 and may outrank by doc_id
+    assert (probe["doc_id"], 0) in {(r["doc_id"], r["chunk_idx"]) for r in rows}
+
+
 def test_admit_corpus_batch_incremental(spark, sf_dir, tmp_path):
     """The rolling-admission loop: batch 2 must be deduped against the
     corpus AND against what batch 1 just admitted (artifact maintenance

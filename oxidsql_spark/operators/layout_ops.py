@@ -27,6 +27,54 @@ from ..sources import table
 
 
 @register(
+    "compact_roundtrip_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def compact_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through small-file compaction under the
+    manifest-snapshot commit protocol (r7: ``sinks.compact`` commits a
+    new ``SnapshotArtifact`` snapshot via its _SUCCESS marker — no
+    renames): shatter orders into 48 small files, compact, read the
+    artifact back through the resolver, and aggregate — integer-exact,
+    so the oracle (reading the original table) proves the
+    rewrite-and-commit path is content-preserving end-to-end under the
+    external harness, the way ``zorder_layout_scan`` locks the z-order
+    rewrite."""
+    from ..sinks import compact
+    from ..versioned import read_artifact
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    out = os.path.join(
+        "/tmp",
+        f"oxidsql_compact_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    o.repartition(48).write.mode("overwrite").parquet(out)
+    compact(spark, out, target_file_mb=128)
+    back = read_artifact(spark, out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("sum_custkey"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "zorder_layout_scan",
     oracle="""
     SELECT l_returnflag,

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "seq_pack_stats",
     "vocab_coverage",
     "events_inactivity_alerts",
+    "compact_roundtrip_scan",
 )
 
 

@@ -29,6 +29,10 @@ SENSITIVE = [
     "source_temperature_mix",
     "embeddings_kmeans",
     "udaf_acctbal_sumsq",
+    # r7: the two-phase distributed window/rank paths — the prefix-offset
+    # hierarchy must be invariant to how ranges split across partitions
+    "seq_pack_stats",
+    "vocab_coverage",
 ]
 
 

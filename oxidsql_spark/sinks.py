@@ -78,6 +78,52 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def write_parquet_bloom(
+    df: DataFrame,
+    path: str,
+    *bloom_cols: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+    fpp: float = 0.01,
+    ndv: int | None = None,
+    extra_options: dict | None = None,
+) -> None:
+    """Parquet with per-column BLOOM FILTER indexes — the row-group
+    skipping layout for point lookups on columns that are high-
+    cardinality and unsorted (ids, hashes, fingerprints), exactly where
+    min/max statistics are useless: every row group's min/max spans the
+    whole key range, but its bloom filter answers 'key definitely not
+    here' and the scan skips the group without reading data pages.
+    The write-side counterpart of the engine's runtime bloom-filter
+    join reduction (session.py), and the same filter mathematics as
+    dedup's distributed word table — stored per row group.
+
+    `fpp` trades filter bytes for skip precision; pass `ndv` (expected
+    distinct keys per row group) when known — otherwise parquet sizes
+    filters from its own accumulating state.  Readers need nothing
+    special: Spark's parquet scan consults the filters for pushed-down
+    equality/IN predicates automatically.
+
+    Operational note (tested): parquet-mr ELIDES the bloom filter for a
+    column chunk that stays fully dictionary-encoded — the dictionary
+    is already an exact row-group membership filter, so nothing is
+    lost.  Filters appear exactly where they matter: once cardinality
+    overflows the dictionary page and encoding falls back to plain.
+    `extra_options` passes any further per-writer parquet keys through
+    (e.g. ``parquet.enable.dictionary#col: false``)."""
+    if n_files:
+        df = df.coalesce(n_files)
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        w = w.option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        if ndv is not None:
+            w = w.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+    for k, v in (extra_options or {}).items():
+        w = w.option(k, str(v))
+    w.parquet(path)
+
+
 def compact(
     spark: SparkSession,
     path: str,

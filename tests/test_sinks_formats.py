@@ -197,6 +197,56 @@ def test_maintenance_commit_is_crash_safe_without_renames(spark, sf_dir, tmp_pat
     assert not os.path.exists(debris)
 
 
+def test_parquet_bloom_filter_layout(spark, sf_dir, tmp_path):
+    """write_parquet_bloom must actually emit filter bytes (same data,
+    bloom-enabled files strictly larger) and stay content-identical; a
+    pushed-down point predicate on the bloom column still reads
+    correctly through Spark's scan (which consults the filters for
+    row-group skipping).  The bloom column is a per-row hash id — the
+    point-lookup shape blooms exist for — with dictionary encoding
+    disabled on it, since at sf0.001 the dictionary would absorb the
+    whole chunk and parquet-mr (correctly) elides the then-redundant
+    filter."""
+    import glob
+    import os
+
+    from oxidsql_spark import sinks
+    from oxidsql_spark.sources import table
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rid", F.md5(F.concat_ws("#", "l_orderkey", "l_linenumber")))
+    )
+    plain, bloomed = str(tmp_path / "pb_plain"), str(tmp_path / "pb_bloom")
+    nodict = {"parquet.enable.dictionary#rid": "false"}
+    sinks.write_parquet_bloom(li, plain, n_files=2, extra_options=nodict)
+    sinks.write_parquet_bloom(
+        li, bloomed, "rid", n_files=2, ndv=10_000, extra_options=nodict
+    )
+
+    size = lambda p: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    assert size(bloomed) > size(plain), "no bloom filter bytes were written"
+
+    back = spark.read.parquet(bloomed)
+    assert back.count() == li.count()
+    key = li.select("rid").first()[0]
+    want = li.filter(F.col("rid") == key).count()
+    q = back.filter(F.col("rid") == key)
+    assert q.count() == want > 0
+    # the equality predicate reaches the scan (bloom consultation
+    # happens below PushedFilters, at row-group selection)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    assert "PushedFilters" in buf.getvalue()
+
+
 def test_write_sorted_rowgroup_stats_disjoint(spark, sf_dir, tmp_path):
     """Sorted layout must yield (near-)disjoint per-file min/max ranges on
     the sort key — the property parquet scans use to skip data."""

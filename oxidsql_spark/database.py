@@ -343,6 +343,9 @@ class OxidSparkDatabase:
             return self.spark.createDataFrame(
                 [(t,) for t in sorted(self._tables)], "table_name string"
             )
+        hm = re.match(r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
+        if hm:
+            return self._describe_history(hm.group(1).lower())
         dm = re.match(r"^\s*DESCRIBE\s+(\w+)\s*;?\s*$", s, re.IGNORECASE)
         if dm:
             name = dm.group(1).lower()
@@ -352,6 +355,11 @@ class OxidSparkDatabase:
                 [(c.name, c.sql_repr()) for c in self._tables[name]],
                 "col_name string, data_type string",
             )
+        am2 = re.match(
+            r"^\s*EXPLAIN\s+ANALYZE\s+(.+)$", s, re.IGNORECASE | re.DOTALL
+        )
+        if am2:
+            return self._explain_analyze(am2.group(1))
         em = re.match(r"^\s*EXPLAIN\s+(.+)$", s, re.IGNORECASE | re.DOTALL)
         if em:
             return self._explain(em.group(1))
@@ -440,6 +448,61 @@ class OxidSparkDatabase:
         rows += self._estimate_rows(df, select_sql)
         rows.append(("physical_plan", formatted_plan(df)))
         return self.spark.createDataFrame(rows, "item string, detail string")
+
+    def _explain_analyze(self, select_sql: str) -> DataFrame:
+        """EXPLAIN ANALYZE <select>: EXECUTE the statement, then report
+        what actually happened — actual row count, wall time, and the
+        FINAL physical plan after AQE's runtime re-optimization
+        (isFinalPlan=true: runtime-chosen join strategies and coalesced
+        partitions, which static EXPLAIN cannot show).  The dynamic
+        companion of `_explain`'s static plan-quality relation — the
+        'run it and show me' surface other engines spell the same way."""
+        import time
+
+        from .plans import explain_summary, formatted_plan
+
+        df = self.sql(select_sql)
+        t0 = time.time()
+        n_rows = df.count()
+        wall_ms = int((time.time() - t0) * 1000)
+        s = explain_summary(df)  # post-execution: AQE final plan
+        rows = [
+            ("actual_rows", str(n_rows)),
+            ("wall_ms", str(wall_ms)),
+            ("joins", ", ".join(s.joins) or "none"),
+            ("exchanges", str(s.n_exchanges)),
+            ("final_plan", formatted_plan(df)),
+        ]
+        return self.spark.createDataFrame(rows, "item string, detail string")
+
+    def _describe_history(self, name: str) -> DataFrame:
+        """DESCRIBE HISTORY t (Delta's spelling) for a durable versioned
+        table: one row per committed snapshot — version, file count,
+        byte size, and commit time (the _SUCCESS marker's mtime, i.e.
+        the moment the snapshot became visible).  The audit surface for
+        the snapshot model SHOW VERSIONS only lists ids for."""
+        import datetime as _dt
+
+        if not self.storage_dir or name not in self._tables:
+            raise AnalyzerError(f"'{name}' is not a durable versioned table")
+        vt = self._vt(name)
+        rows = []
+        for v in vt.versions():
+            vdir = vt._vdir(v)
+            files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+            nbytes = sum(os.path.getsize(os.path.join(vdir, f)) for f in files)
+            ts = os.path.getmtime(os.path.join(vdir, "_SUCCESS"))
+            rows.append(
+                (
+                    v,
+                    len(files),
+                    nbytes,
+                    _dt.datetime.fromtimestamp(ts).isoformat(timespec="seconds"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "version int, n_files int, n_bytes bigint, committed_at string"
+        )
 
     _SIMPLE_SELECT_RE = re.compile(
         r"^\s*SELECT\b[^;]*?\bFROM\s+(\w+)"

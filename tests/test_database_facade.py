@@ -444,6 +444,47 @@ def test_explain_surfaces_estimator_beside_catalyst(db):
     db.query("DROP TABLE ex_est")
 
 
+def test_explain_analyze_runs_and_reports(db):
+    """EXPLAIN ANALYZE executes the statement and reports actuals: row
+    count, wall time, and the post-AQE final plan (isFinalPlan) that a
+    static EXPLAIN cannot show."""
+    db.query("CREATE TABLE ea (id INTEGER, g INTEGER)")
+    for i in range(30):
+        db.query(f"INSERT INTO ea VALUES ({i}, {i % 3})")
+    rows = {
+        r.item: r.detail
+        for r in db.query("EXPLAIN ANALYZE SELECT g FROM ea WHERE g = 1").collect()
+    }
+    assert int(rows["actual_rows"]) == 10
+    assert int(rows["wall_ms"]) >= 0
+    assert "final_plan" in rows and len(rows["final_plan"]) > 50
+    db.query("DROP TABLE ea")
+
+
+def test_describe_history_versions(spark, tmp_path):
+    """DESCRIBE HISTORY lists every committed snapshot with file count,
+    bytes, and the commit (_SUCCESS) timestamp — the audit surface for
+    the snapshot model."""
+    d = str(tmp_path / "hist_db")
+    db = OxidSparkDatabase(spark, storage_dir=d)
+    db.query("CREATE TABLE h (id INTEGER)")
+    db.query("INSERT INTO h VALUES (1)")
+    db.query("INSERT INTO h VALUES (2)")
+    hist = db.query("DESCRIBE HISTORY h").collect()
+    versions = [r.version for r in hist]
+    assert versions == sorted(versions) and len(versions) >= 2
+    for r in hist:
+        assert r.n_files >= 1 and r.n_bytes > 0
+        assert r.committed_at and "T" in r.committed_at
+    # non-durable / unknown tables refuse
+    import pytest
+
+    from oxidsql_spark.database import AnalyzerError
+
+    with pytest.raises(AnalyzerError, match="durable"):
+        db.query("DESCRIBE HISTORY nope")
+
+
 def test_explain_join_cardinality_estimate(db):
     """EXPLAIN on a FILTERED two-table equi-join surfaces the
     reference's join-cardinality form (bottomup.rs:101-107): each

@@ -519,6 +519,40 @@ def stream_user_spend(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def stream_upsert_versioned(
+    spark: SparkSession, source_dir: str, table_path: str, checkpoint_dir: str
+):
+    """CDC landing pattern: the update-mode per-user spend stream upserts
+    into a snapshot-versioned table via ``foreachBatch`` — each
+    micro-batch is one atomic MERGE commit (``VersionedTable.upsert``),
+    so downstream readers only ever see whole batches, and the commit
+    history IS the CDC log (time travel = replay to any batch boundary).
+    This is how streaming aggregates land in a queryable table without a
+    lake-format dependency; effective exactly-once comes from the sink
+    being idempotent per key (a replayed batch re-upserts the same
+    rows) under the checkpoint's batch tracking.
+
+    Returns the started-ready DataStreamWriter (caller .start()s it)."""
+    from ..versioned import VersionedTable
+
+    vt = VersionedTable(spark, table_path)
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        if batch_df.isEmpty():
+            return
+        if vt.latest_version() is None:
+            vt.write(batch_df)
+        else:
+            vt.upsert(batch_df, "user_id")
+
+    return (
+        stream_user_spend(spark, source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, sdf: DataFrame, name: str, timeout: int = 120):
     """Drive a streaming DF to completion against a finite file source and
     return the materialized result table."""

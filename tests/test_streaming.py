@@ -461,6 +461,84 @@ def test_tws_sessions_timers_evict_state(spark, sf_dir, chunked_stream_dir):
     assert final_rows < max_rows, "timer firings never evicted state"
 
 
+def test_stream_upsert_versioned_cdc(spark, sf_dir, chunked_stream_dir, tmp_path):
+    """The CDC landing pattern end-to-end: per-user spend totals stream
+    through foreachBatch into a VersionedTable — one atomic MERGE
+    commit per micro-batch.  The final snapshot must equal the batch
+    aggregate EXACTLY, the commit history must hold one version per
+    non-empty batch (time travel = replay point), and an intermediate
+    version's totals must never exceed the final ones (totals only
+    grow)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import stream_upsert_versioned
+    from oxidsql_spark.versioned import VersionedTable
+
+    tbl = str(tmp_path / "spend_cdc")
+    ckpt = str(tmp_path / "spend_ckpt")
+    q = stream_upsert_versioned(spark, chunked_stream_dir, tbl, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    vt = VersionedTable(spark, tbl)
+    got = {
+        r.user_id: (r.n_events, r.total_cents) for r in vt.read().collect()
+    }
+    want = {
+        r.user_id: (r.n, r.cents)
+        for r in table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    versions = vt.versions()
+    assert len(versions) >= 2, "chunked replay should commit several batches"
+    early = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in vt.read(versions[0]).collect()
+    }
+    for u, (n, c) in early.items():
+        fn, fc = got[u]
+        assert n <= fn and c <= fc, "totals regressed across versions"
+
+
+def test_stream_parquet_file_sink_exactly_once(spark, sf_dir, chunked_stream_dir, tmp_path):
+    """The production file sink: a stream written to parquet with a
+    checkpoint gets the _spark_metadata commit log (readers see only
+    committed files — the exactly-once contract), and a full replay
+    lands every event exactly once."""
+    import os
+
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.streaming.events import _stream_source
+
+    out = str(tmp_path / "events_sink")
+    ckpt = str(tmp_path / "events_sink_ckpt")
+    sdf = _stream_source(spark, chunked_stream_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert "_spark_metadata" in os.listdir(out), "no sink commit log"
+    back = spark.read.parquet(out)
+    n = table(spark, sf_dir, "events").count()
+    assert back.count() == n
+    assert back.select("event_id").distinct().count() == n
+
+
 def test_stream_inactivity_tiers_equals_batch(spark, sf_dir, chunked_stream_dir):
     """The timer-list surface driving a product operator: two armed
     deadlines per key (idle 30 min / churn 2 h), re-registered on

@@ -75,6 +75,63 @@ def compact_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skipping_scan_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS max_orderkey
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1995-12-31 23:59:59.999999'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def skipping_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-driven FILE-level data skipping end-to-end: write orders
+    range-clustered on o_orderdate with a per-file min/max stats
+    manifest (``sinks.write_skipping``), then answer a one-year range
+    query through ``sinks.scan_skipping`` — the planner consults the
+    manifest (one row per file) and reads ONLY overlapping files, the
+    pruning layer Delta/Iceberg keep in their log and the 100 TB design
+    needs above parquet's footer-local statistics (a million footer
+    round trips is itself the bottleneck).  The oracle reads the
+    original table, proving cluster+index+skip+residual-filter is
+    content-exact; tests/test_sinks_formats.py asserts the skip ratio
+    (files_read < files_total) and the stale-manifest guard."""
+    from ..sinks import scan_skipping, write_skipping
+    from datetime import datetime
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    out = os.path.join(
+        "/tmp",
+        f"oxidsql_skip_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    write_skipping(o, out, "o_orderdate", n_files=16)
+    got, stats = scan_skipping(
+        spark,
+        out,
+        "o_orderdate",
+        datetime(1995, 1, 1),
+        datetime(1995, 12, 31, 23, 59, 59, 999999),
+    )
+    return (
+        got.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_custkey").alias("sum_custkey"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
     "zorder_layout_scan",
     oracle="""
     SELECT l_returnflag,

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "vocab_coverage",
     "events_inactivity_alerts",
     "compact_roundtrip_scan",
+    "skipping_scan_orders",
 )
 
 

@@ -183,6 +183,104 @@ def optimize_zordered(
     return n_files
 
 
+def write_stats_manifest(spark: SparkSession, path: str, *stats_cols: str) -> int:
+    """Build (or refresh) a per-FILE min/max statistics manifest for a
+    parquet directory — explicit file-level data skipping, the layer
+    Delta/Iceberg keep in their transaction log and plain parquet lacks:
+    parquet's own min/max live in footers, so a scan still has to OPEN
+    every footer; at 100 TB with millions of files that is millions of
+    round trips before any skipping happens.  The manifest is one tiny
+    table (one row per file: row count, min/max/null-count per tracked
+    column), written under ``<path>/_stats_manifest`` — the underscore
+    prefix keeps plain parquet scans of ``path`` from picking it up.
+
+    Cost: ONE column-pruned aggregate pass over the tracked columns
+    grouped by ``input_file_name()`` — the shuffle carries one row per
+    file, bounded by file count, never by data volume.  Returns the
+    number of files indexed.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+    manifest = (
+        df.withColumn("_file", F.input_file_name()).groupBy("_file").agg(*aggs)
+    )
+    manifest.coalesce(1).write.mode("overwrite").parquet(path + "/_stats_manifest")
+    # count the (tiny) written manifest, not the data, to avoid a second pass
+    return spark.read.parquet(path + "/_stats_manifest").count()
+
+
+def write_skipping(
+    df: DataFrame,
+    path: str,
+    *stats_cols: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Skipping-ready layout in one call: range-cluster + sort the data
+    on ``stats_cols`` (so per-file intervals are near-disjoint — without
+    clustering every file spans the whole range and the manifest prunes
+    nothing), then index it with ``write_stats_manifest``."""
+    write_sorted(df, path, *stats_cols, n_files=n_files, mode=mode)
+    write_stats_manifest(df.sparkSession, path, *stats_cols)
+
+
+def scan_skipping(spark: SparkSession, path: str, col: str, lo, hi):
+    """Range scan with manifest-driven file skipping: consult the
+    ``_stats_manifest`` written by ``write_stats_manifest``, read ONLY
+    the files whose [min, max] interval overlaps ``[lo, hi]``, and apply
+    the residual predicate to the survivors.  Returns
+    ``(DataFrame, {"files_total": n, "files_read": m})``.
+
+    The file-selection collect is O(number of files) driver rows —
+    bounded by cluster geometry (file count), never by data volume; it
+    is exactly the planning step Delta/Iceberg run against their log.
+    Skipping is conservative: a file whose min is NULL (all-NULL column
+    chunk) cannot be ruled out and is kept; NULL values themselves never
+    satisfy a range predicate, so correctness only needs the residual
+    filter.  Stale manifests are detected (file set mismatch) and
+    rejected — at 100 TB manifest+data advance together under one
+    snapshot commit (``versioned.SnapshotArtifact``)."""
+    from pyspark.sql import functions as F
+
+    manifest = spark.read.parquet(path + "/_stats_manifest")
+    rows = manifest.select(
+        "_file", f"min_{col}", f"max_{col}"
+    ).collect()  # O(n_files), bounded by file count
+    listed = {
+        r["_file"].removeprefix("file://").removeprefix("file:") for r in rows
+    }
+    import os as _os
+
+    actual = {
+        _os.path.join(path, f)
+        for f in _os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    }
+    if {_os.path.abspath(p) for p in listed} != {_os.path.abspath(p) for p in actual}:
+        raise ValueError(
+            f"stats manifest at {path}/_stats_manifest is stale "
+            "(file set changed since write_stats_manifest)"
+        )
+    keep = [
+        r["_file"]
+        for r in rows
+        if r[f"min_{col}"] is None
+        or (r[f"max_{col}"] >= lo and r[f"min_{col}"] <= hi)
+    ]
+    if keep:
+        out = spark.read.parquet(*keep)
+    else:
+        out = spark.read.parquet(path).filter(F.lit(False))
+    out = out.filter(F.col(col).between(lo, hi))
+    return out, {"files_total": len(rows), "files_read": len(keep)}
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

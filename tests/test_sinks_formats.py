@@ -386,3 +386,52 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "l_partkey" in plan.split("PushedFilters")[1][:120]
     assert "l_quantity" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_stats_manifest_skipping(spark, sf_dir, tmp_path):
+    """File-level data skipping: the manifest scan must (a) return
+    exactly the full-scan answer, (b) read strictly fewer files than the
+    table holds for a selective range, (c) keep all-NULL-stats files
+    conservatively, and (d) reject a stale manifest."""
+    path = str(tmp_path / "skip_orders")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    sinks.write_skipping(o, path, "o_totalprice", n_files=8)
+
+    lo_all, hi_all = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    lo = lo_all + (hi_all - lo_all) * 0.4
+    hi = lo_all + (hi_all - lo_all) * 0.6
+    got, stats = sinks.scan_skipping(spark, path, "o_totalprice", lo, hi)
+    want = o.filter(F.col("o_totalprice").between(lo, hi))
+    assert _rows(got.select(*want.columns)) == _rows(want)
+    assert stats["files_total"] >= 8
+    assert 0 < stats["files_read"] < stats["files_total"]
+
+    # empty-overlap range: zero files read, empty result, schema intact
+    empty, st2 = sinks.scan_skipping(spark, path, "o_totalprice", hi_all + 1, hi_all + 2)
+    assert st2["files_read"] == 0 and empty.count() == 0
+    assert set(empty.columns) == set(o.columns)
+
+    # stale manifest (file set changed underneath) must be detected
+    o.limit(10).write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="stale"):
+        sinks.scan_skipping(spark, path, "o_totalprice", lo, hi)
+
+
+def test_stats_manifest_null_column_chunk_kept(spark, sf_dir, tmp_path):
+    """A file whose stats column is entirely NULL has NULL min/max; the
+    planner cannot rule it out and must keep it (correctness comes from
+    the residual filter)."""
+    path = str(tmp_path / "skip_nulls")
+    df = spark.range(100).select(
+        F.col("id"), F.when(F.col("id") < 0, F.col("id")).alias("v")
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    spark.range(100, 200).select(
+        F.col("id"), F.col("id").cast("long").alias("v")
+    ).coalesce(1).write.mode("append").parquet(path)
+    sinks.write_stats_manifest(spark, path, "v")
+    got, stats = sinks.scan_skipping(spark, path, "v", 150, 160)
+    assert stats["files_total"] == 2 and stats["files_read"] == 2
+    assert got.count() == 11

@@ -222,3 +222,70 @@ def window_dist_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(wv), 6).alias("cd"),
         F.ntile(4).over(wk).alias("quartile"),
     )
+
+
+@register(
+    "orders_matview_refresh",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                / count(*) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def orders_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view
+    (``matview.AggView``) end-to-end: materialize the orders aggregate
+    from the pre-1996 slice, then fold the 1996+ slice in as two
+    append-only REFRESHES (each touching only delta + group-state rows,
+    never the base) and read the final view.  The oracle aggregates the
+    WHOLE table in one shot, so a hash match proves create→refresh→
+    refresh ≡ full recompute, bit-exact — the invariant that lets a
+    100 TB deployment serve this aggregate without ever rescanning the
+    base (the reference recomputes every query from heap scans;
+    volcano_style.rs has no materialization layer)."""
+    import os
+
+    from ..matview import AggView
+
+    o = table(spark, sf_dir, "orders")
+    path = os.path.join(
+        "/tmp",
+        f"oxidsql_matview_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    view = AggView(
+        spark,
+        path,
+        keys=["o_orderstatus", "o_orderpriority"],
+        measures={"price": dec2("o_totalprice"), "key": F.col("o_orderkey")},
+    )
+    view.create(o.filter(F.col("o_orderdate") < "1996-01-01"))
+    view.refresh(
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+    )
+    view.refresh(o.filter(F.col("o_orderdate") >= "1997-01-01"))
+    v = view.read()
+    return (
+        v.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "cnt",
+            dbl(F.col("sum_price")).alias("sum_price"),
+            F.col("min_key").alias("min_key"),
+            F.col("max_key").alias("max_key"),
+            (dbl(F.col("sum_price")) / F.col("cnt")).cast("double").alias("avg_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )

@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_inactivity_alerts",
     "compact_roundtrip_scan",
     "skipping_scan_orders",
+    "orders_matview_refresh",
 )
 
 

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "compact_roundtrip_scan",
     "skipping_scan_orders",
     "orders_matview_refresh",
+    "events_scd2_type",
 )
 
 
@@ -119,6 +120,7 @@ def load_all() -> dict[str, Query]:
             multimodal,
             relational,
             relational_ext,
+            scd,
             similarity,
             textops,
             tpch_ext,

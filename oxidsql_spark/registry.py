@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "skipping_scan_orders",
     "orders_matview_refresh",
     "events_scd2_type",
+    "ann_pq_adc",
+    "ann_pq_rerank",
 )
 
 

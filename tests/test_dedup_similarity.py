@@ -671,3 +671,26 @@ def test_kmeans_convergence_mode(spark, sf_dir):
     # fixed-point check: one further step from the converged centroids
     again = _km_train(e, iters=1, init=cents)
     assert again == cents
+
+
+def test_ann_pq_recall_floors(spark, sf_dir):
+    """PQ recall vs the exact brute force, two stages: pure ADC ranking
+    over 8x16-code compression is the shortlist stage (modest recall on
+    the adversarially-random synthetic corpus — real embedding corpora
+    cluster, PQ's favorable regime), and the ADC-shortlist + exact
+    rerank is the production top-k.  Both emitted sets are oracle-exact;
+    these floors lock their USEFULNESS against codebook regressions.
+    Measured at sf0.001: ADC 0.29, rerank 0.82."""
+    from oxidsql_spark.operators.similarity import (
+        ann_pq_adc,
+        ann_pq_rerank,
+        ann_topk_bruteforce,
+    )
+
+    exact = {(r.q_id, r.vec_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    adc = {(r.q_id, r.vec_id) for r in ann_pq_adc(spark, sf_dir).collect()}
+    rer = {(r.q_id, r.vec_id) for r in ann_pq_rerank(spark, sf_dir).collect()}
+    assert len(adc & exact) / len(exact) >= 0.15, "pure-ADC recall under floor"
+    assert len(rer & exact) / len(exact) >= 0.70, "PQ+rerank recall under floor"
+    # rerank can only improve on the pure compressed-domain ranking
+    assert len(rer & exact) >= len(adc & exact)

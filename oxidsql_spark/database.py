@@ -112,6 +112,12 @@ _CREATE_FUNC_RE = re.compile(
 _DROP_FUNC_RE = re.compile(r"^\s*DROP\s+FUNCTION\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE)
 _SHOW_VERSIONS_RE = re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$", re.IGNORECASE
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$", re.IGNORECASE
+)
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.+?)\s*;?\s*$", re.IGNORECASE
 )
@@ -369,6 +375,12 @@ class OxidSparkDatabase:
             return self._update(s)
         if _DROP_RE.match(s):
             return self._drop(s)
+        om = _OPTIMIZE_RE.match(s)
+        if om:
+            return self._optimize(om)
+        vm2 = _VACUUM_RE.match(s)
+        if vm2:
+            return self._vacuum(vm2)
         sv = _SHOW_VERSIONS_RE.match(s)
         if sv:
             name = sv.group(1).lower()
@@ -416,6 +428,64 @@ class OxidSparkDatabase:
         finally:
             for v in created:
                 self.spark.catalog.dropTempView(v)
+
+    def _require_versioned(self, name: str):
+        if not self.storage_dir or name not in self._tables:
+            raise AnalyzerError(f"'{name}' is not a durable versioned table")
+        return self._vt(name)
+
+    def _optimize(self, m: "re.Match[str]") -> DataFrame:
+        """OPTIMIZE t [ZORDER BY (c1, c2)] — Delta's maintenance verb
+        over the versioned backend: rewrite the CURRENT snapshot's
+        content compacted to ~128 MB files (and Morton-clustered when
+        ZORDER BY is given) as the NEXT version.  Content is untouched
+        (stats stay valid, time travel keeps the old layout), the
+        _SUCCESS marker is the commit, and concurrent readers of prior
+        versions never see a half-rewrite — the facade twin of
+        ``sinks.optimize_zordered``.  Returns one metrics row."""
+        import math
+
+        from .sinks import write_zordered
+
+        name = m.group(1).lower()
+        vt = self._require_versioned(name)
+        zcols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else []
+        df = vt.read()
+        cur = vt._vdir(vt.latest_version())
+        nbytes = sum(
+            e.stat().st_size
+            for e in os.scandir(cur)
+            if e.name.endswith(".parquet")
+        )
+        n_files = max(1, math.ceil(nbytes / (128 * 1024 * 1024)))
+        next_v = vt.latest_version() + 1
+        out = vt._vdir(next_v)
+        if zcols:
+            write_zordered(df, out, *zcols, n_files=n_files, mode="errorifexists")
+        else:
+            df.repartition(n_files).write.mode("errorifexists").parquet(out)
+        live = vt.read()
+        live.createOrReplaceTempView(name)
+        self._view_base[name] = live
+        self._row_buf[name] = []
+        return self.spark.createDataFrame(
+            [(next_v, n_files, ",".join(zcols))],
+            "version int, n_files int, zorder_by string",
+        )
+
+    def _vacuum(self, m: "re.Match[str]") -> DataFrame:
+        """VACUUM t [RETAIN n VERSIONS] — drop all but the newest n (>=1,
+        default 2) committed snapshots plus any crashed uncommitted
+        directories; returns the removed version numbers.  Time travel
+        to removed versions stops working, exactly like Delta's vacuum
+        horizon."""
+        name = m.group(1).lower()
+        vt = self._require_versioned(name)
+        keep = int(m.group(2)) if m.group(2) else 2
+        removed = vt.vacuum(keep_last=keep)
+        return self.spark.createDataFrame(
+            [(v,) for v in removed], "removed_version int"
+        )
 
     def sql(self, q: str) -> DataFrame:
         """SELECT path — handed to Catalyst (parser/analyzer/optimizer all

@@ -612,3 +612,50 @@ def test_insert_values_with_quoted_delimiters(db):
     got = {r.id: r.s for r in db.query("SELECT * FROM q").collect()}
     assert got == {1: "a, b (c)", 2: "x'y, (z"}
     db.query("DROP TABLE q")
+
+
+def test_optimize_and_vacuum_sql(spark, tmp_path):
+    """OPTIMIZE [ZORDER BY] + VACUUM as facade statements over the
+    versioned backend: content identical after the rewrite, layout
+    committed as a NEW version (old versions still time-travelable
+    until VACUUM drops them), metrics rows returned."""
+    import glob
+
+    d = str(tmp_path / "opt_db")
+    db = OxidSparkDatabase(spark, storage_dir=d)
+    db.query("CREATE TABLE m (a INT, b INT)")
+    db.query("INSERT INTO m SELECT id, id * 3 FROM range(2000)")
+    before = sorted(
+        (r.a, r.b) for r in db.query("SELECT a, b FROM m").collect()
+    )
+    n_vers = len(db.query("SHOW VERSIONS m").collect())
+
+    res = db.query("OPTIMIZE m ZORDER BY (a, b)").collect()[0]
+    assert res.version == n_vers + 1 and res.zorder_by == "a,b"
+    after = sorted((r.a, r.b) for r in db.query("SELECT a, b FROM m").collect())
+    assert after == before
+    # compacted to the metrics row's file count
+    vdir = f"{d}/m/_v{res.version:08d}"
+    assert len(glob.glob(f"{vdir}/*.parquet")) == res.n_files
+
+    # plain OPTIMIZE (no zorder) also commits a version
+    res2 = db.query("OPTIMIZE m").collect()[0]
+    assert res2.version == res.version + 1 and res2.zorder_by == ""
+    assert sorted((r.a, r.b) for r in db.query("SELECT a, b FROM m").collect()) == before
+
+    # the pre-OPTIMIZE snapshot is still time-travelable, then VACUUM drops it
+    assert (
+        db.query(f"SELECT count(*) AS n FROM m VERSION AS OF {n_vers}").collect()[0].n
+        == 2000
+    )
+    removed = sorted(r.removed_version for r in db.query("VACUUM m RETAIN 1 VERSIONS").collect())
+    assert removed and removed[-1] == res.version
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        db.query(f"SELECT count(*) AS n FROM m VERSION AS OF {n_vers}").collect()
+    # the retained newest version still serves
+    assert db.query("SELECT count(*) AS n FROM m").collect()[0].n == 2000
+    # guards: non-durable / unknown table
+    with _pytest.raises(Exception):
+        OxidSparkDatabase(spark).query("OPTIMIZE nosuch")

@@ -694,3 +694,18 @@ def test_ann_pq_recall_floors(spark, sf_dir):
     assert len(rer & exact) / len(exact) >= 0.70, "PQ+rerank recall under floor"
     # rerank can only improve on the pure compressed-domain ranking
     assert len(rer & exact) >= len(adc & exact)
+
+
+def test_pq_fused_trainer_equals_per_subspace(spark, sf_dir):
+    """The fused PQ trainer (one Arrow pass per iteration for all M
+    subspaces) must reproduce the per-subspace `_km_train` codebooks
+    bit-for-bit — the property that keeps the unrolled per-subspace SQL
+    oracle valid."""
+    from oxidsql_spark.operators.similarity import (
+        _km_quantized,
+        pq_train,
+        pq_train_per_subspace,
+    )
+
+    e = _km_quantized(spark, sf_dir)
+    assert pq_train(e) == pq_train_per_subspace(e)

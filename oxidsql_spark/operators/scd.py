@@ -66,6 +66,81 @@ def scd2_build(
     )
 
 
+def scd2_merge_batch(
+    vt,
+    batch: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> None:
+    """Fold one APPENDED change batch into a snapshot-versioned SCD2
+    table (one atomic commit; readers only ever see whole batches).
+
+    Only AFFECTED keys are touched: closed intervals are immutable and
+    pass through; each affected key's OPEN interval re-enters change
+    detection as a seed row (its original ``valid_from``, NULL tiebreak
+    so it sorts before same-timestamp batch rows), unioned with the
+    key's batch rows, and `scd2_build` re-derives that key's tail —
+    so a batch that only re-emits current state changes nothing, and a
+    real change closes the open interval at the change's timestamp.
+
+    Cost per batch: |batch| + (open intervals of affected keys) rows
+    through one `scd2_build` — never the closed history, never
+    unaffected keys.  Precondition (standard CDC contract): per key,
+    batch timestamps are >= the open interval's ``valid_from`` —
+    event-time-ordered feeds per key; cross-key order is free."""
+    cols = [key, *attrs, ts_col, *(tiebreak or [])]
+    batch = batch.select(*cols)
+    if vt.latest_version() is None:
+        vt.write(scd2_build(batch, key, attrs, ts_col, tiebreak=tiebreak))
+        return
+    cur = vt.read()
+    bkeys = batch.select(key).distinct()
+    untouched = cur.join(bkeys, key, "left_anti")
+    affected = cur.join(bkeys, key, "left_semi")
+    closed = affected.filter(~F.col("is_current"))
+    seed = affected.filter("is_current").select(
+        F.col(key), *[F.col(a) for a in attrs], F.col("valid_from").alias(ts_col)
+    )
+    for tb in tiebreak or []:
+        seed = seed.withColumn(tb, F.lit(None).cast(batch.schema[tb].dataType))
+    rebuilt = scd2_build(
+        seed.select(*cols).unionByName(batch), key, attrs, ts_col, tiebreak=tiebreak
+    )
+    vt.write(untouched.unionByName(closed).unionByName(rebuilt))
+
+
+def scd2_apply_stream(
+    spark: SparkSession, source_dir: str, table_path: str, checkpoint_dir: str
+):
+    """Streaming SCD2 maintenance: the events change feed lands in a
+    snapshot-versioned Type-2 history via ``foreachBatch`` — each
+    micro-batch is one atomic `scd2_merge_batch` commit, so the commit
+    history is the dimension's CDC log and time travel replays the
+    history to any batch boundary.  Final state == the one-shot batch
+    `scd2_build` (tested over a watermark-advancing multi-batch replay).
+    Returns the ready DataStreamWriter (caller .start()s it)."""
+    from ..streaming.events import _stream_source
+    from ..versioned import VersionedTable
+
+    vt = VersionedTable(spark, table_path)
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        if batch_df.isEmpty():
+            return
+        scd2_merge_batch(
+            vt, batch_df, "user_id", ["event_type"], "ts", tiebreak=["event_id"]
+        )
+
+    return (
+        _stream_source(spark, source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 @register(
     "events_scd2_type",
     oracle="""

@@ -61,3 +61,39 @@ def test_scd2_single_exchange(spark):
     out = scd2_build(feed, "k", ["attr"], "ts", tiebreak=["seq"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _hist_rows(df):
+    return sorted(
+        ((r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current) for r in df.collect()),
+        key=lambda x: (x[0], x[2]),
+    )
+
+
+def test_scd2_merge_batches_equal_full_build(spark, sf_dir, tmp_path):
+    """Applying the change feed as 3 sequential merge commits must land
+    the exact table the one-shot build derives — batch boundaries are
+    invisible (including a boundary that splits a run of re-emits)."""
+    from oxidsql_spark.operators.scd import scd2_build, scd2_merge_batch
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.versioned import VersionedTable
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + span * 2]
+    vt = VersionedTable(spark, str(tmp_path / "scd2"))
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for b in batches:
+        scd2_merge_batch(vt, b, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
+    want = scd2_build(ev, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
+    assert _hist_rows(vt.read()) == _hist_rows(want)
+    assert vt.versions() == [1, 2, 3]  # one atomic commit per batch
+
+
+# the streaming twin (scd2_apply_stream == one-shot build over a 4-batch
+# replay) lives in tests/test_streaming.py with the chunked_stream_dir fixture

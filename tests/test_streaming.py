@@ -856,3 +856,34 @@ def test_tws_state_recovers_across_restart(spark, sf_dir, chunked_stream_dir, tm
     mismatches = {u: (got[u], want[u]) for u in got if got[u] != want[u]}
     assert not mismatches, f"state lost across restart: {list(mismatches.items())[:3]}"
     assert got, "no returning users emitted post-restart"
+
+
+def test_scd2_stream_equals_batch(spark, sf_dir, chunked_stream_dir, tmp_path):
+    """Streaming SCD2 maintenance over the 4-batch time-ordered replay:
+    the final versioned Type-2 history equals the one-shot batch build
+    (batch boundaries invisible — including boundaries splitting runs of
+    re-emitted state), and the commit log holds one version per
+    non-empty batch (time travel = dimension state at any replay point)."""
+    from oxidsql_spark.operators.scd import scd2_apply_stream, scd2_build
+    from oxidsql_spark.sources import table
+    from oxidsql_spark.versioned import VersionedTable
+
+    tbl = str(tmp_path / "scd2_stream")
+    ckpt = str(tmp_path / "scd2_ckpt")
+    q = scd2_apply_stream(spark, chunked_stream_dir, tbl, ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+
+    vt = VersionedTable(spark, tbl)
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    want = scd2_build(ev, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
+
+    def rows(df):
+        return sorted(
+            ((r.user_id, r.event_type, r.valid_from, r.valid_to, r.is_current)
+             for r in df.collect()),
+            key=lambda x: (x[0], x[2]),
+        )
+
+    assert rows(vt.read()) == rows(want)
+    assert len(vt.versions()) >= 2

@@ -427,3 +427,116 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_TRI_MIN_SUP = 2  # co-purchase support threshold for an edge
+
+
+@register(
+    "part_triangles",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {_TRI_MIN_SUP}),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY node),
+    o AS (  -- orient each edge from lower (degree, id) to higher
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM o e1
+      JOIN o e2 ON e2.s = e1.t
+      JOIN o e3 ON e3.s = e1.s AND e3.t = e2.t),
+    part_tri AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b AS node FROM tri UNION ALL
+        SELECT c AS node FROM tri)
+      GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS part, n_triangles, rnk FROM (
+      SELECT node, n_triangles,
+             row_number() OVER (ORDER BY n_triangles DESC, node) AS rnk
+      FROM part_tri) WHERE rnk <= 20
+    """,
+)
+def part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (parts bought together
+    in >= 2 orders), top-20 parts by triangle participation — the
+    clustering-coefficient primitive for community/affinity mining.
+
+    Scale strategy is the degree-ordered orientation (Schank-Wagner /
+    Cohen's MapReduce form): every edge points from its lower-(degree,
+    id) endpoint to the higher, so each triangle is enumerated EXACTLY
+    once and the wedge join fans out from the LOW-degree side — total
+    wedge volume is O(m^1.5) regardless of hubs (a naive u~v~w join is
+    quadratic in the hottest degree).  Three shuffles (degree, wedge
+    join, closure semi-join), all on node keys; AQE handles residual
+    skew.  The tie-break on ids makes the orientation total, so the
+    DuckDB oracle re-derives the identical triangle set."""
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("v")
+    )
+    e = (
+        items.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("v"))
+        .groupBy(F.col("l_partkey").alias("u"), "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= _TRI_MIN_SUP)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    low_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = ed.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    from ..cachescope import scoped_persist
+
+    o = scoped_persist(o)
+    e2 = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    wedges = o.join(e2, o["t"] == e2["b"]).select(
+        F.col("s").alias("a"), F.col("t").alias("b2"), "c"
+    )
+    closure = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = wedges.join(closure, ["a", "c"])
+    part_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b2").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    from .distwindow import global_row_number
+
+    ranked, _ = global_row_number(
+        part_tri, [F.col("n_triangles").desc(), F.col("node").asc()], "rnk"
+    )
+    return ranked.filter(F.col("rnk") <= 20).select(
+        F.col("node").cast("bigint").alias("part"),
+        "n_triangles",
+        F.col("rnk").cast("int").alias("rnk"),
+    )

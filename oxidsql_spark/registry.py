@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_scd2_type",
     "ann_pq_adc",
     "ann_pq_rerank",
+    "part_triangles",
 )
 
 

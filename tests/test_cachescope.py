@@ -44,6 +44,7 @@ CACHE_USING_QUERIES = [
     "terms_cms_heavy_hitters",
     "dedup_keep_best",
     "vocab_coverage",
+    "part_triangles",
 ]
 
 

@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_adc",
     "ann_pq_rerank",
     "part_triangles",
+    "orders_contract_checks",
 )
 
 
@@ -121,6 +122,7 @@ def load_all() -> dict[str, Query]:
             graph,
             layout_ops,
             multimodal,
+            quality,
             relational,
             relational_ext,
             scd,

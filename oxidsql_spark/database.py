@@ -112,6 +112,16 @@ _CREATE_FUNC_RE = re.compile(
 _DROP_FUNC_RE = re.compile(r"^\s*DROP\s+FUNCTION\s+(\w+)\s*;?\s*$", re.IGNORECASE)
 _VERSION_AS_OF_RE = re.compile(r"\b(\w+)\s+VERSION\s+AS\s+OF\s+(\d+)\b", re.IGNORECASE)
 _SHOW_VERSIONS_RE = re.compile(r"^\s*SHOW\s+VERSIONS\s+(\w+)\s*;?\s*$", re.IGNORECASE)
+_COPY_TO_RE = re.compile(
+    r"^\s*COPY\s+(?:\((.+)\)|(\w+))\s+TO\s+'([^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'"
+    r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$", re.IGNORECASE
 )
@@ -375,6 +385,12 @@ class OxidSparkDatabase:
             return self._update(s)
         if _DROP_RE.match(s):
             return self._drop(s)
+        ct = _COPY_TO_RE.match(s)
+        if ct:
+            return self._copy_to(ct)
+        cf = _COPY_FROM_RE.match(s)
+        if cf:
+            return self._copy_from(cf)
         om = _OPTIMIZE_RE.match(s)
         if om:
             return self._optimize(om)
@@ -428,6 +444,64 @@ class OxidSparkDatabase:
         finally:
             for v in created:
                 self.spark.catalog.dropTempView(v)
+
+    _COPY_FORMATS = {"parquet", "csv", "json", "orc"}
+
+    def _copy_reader_writer(self, fmt: str):
+        fmt = (fmt or "parquet").lower()
+        if fmt not in self._COPY_FORMATS:
+            raise AnalyzerError(
+                f"COPY: unsupported format '{fmt}' (one of {sorted(self._COPY_FORMATS)})"
+            )
+        return fmt
+
+    def _copy_to(self, m: "re.Match[str]") -> DataFrame:
+        """COPY t TO 'path' / COPY (select …) TO 'path' [(FORMAT f)] —
+        DuckDB's export verb over the Spark writer: the result lands as
+        parquet (default), csv (with header), json, or orc.  Returns one
+        metrics row.  The export is a distributed write — one job, no
+        driver materialization (the rows_copied count is a second pass
+        over the SOURCE, acceptable for an interactive verb; pipelines
+        use ``sinks.*`` directly)."""
+        subquery, name, path, fmt = m.groups()
+        fmt = self._copy_reader_writer(fmt)
+        df = self.sql(subquery) if subquery else self.sql(f"SELECT * FROM {name}")
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", True)
+        getattr(w, fmt)(path)
+        return self.spark.createDataFrame(
+            [(df.count(), fmt, path)], "rows_copied long, format string, path string"
+        )
+
+    def _copy_from(self, m: "re.Match[str]") -> DataFrame:
+        """COPY t FROM 'path' [(FORMAT f)] — bulk append into an existing
+        facade table: the file's columns are matched BY NAME and cast to
+        the table's declared types (csv/json read with the table schema —
+        inference would be a full extra pass and type-unstable).  One
+        atomic commit, like any INSERT."""
+        name, path, fmt = m.group(1).lower(), m.group(2), m.group(3)
+        fmt = self._copy_reader_writer(fmt)
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        cur = self.sql(f"SELECT * FROM {name}")
+        r = self.spark.read
+        if fmt in ("csv", "json"):
+            r = r.schema(cur.schema)
+            if fmt == "csv":
+                r = r.option("header", True)
+        incoming = getattr(r, fmt)(path)
+        aligned = incoming.select(
+            *[F.col(f.name).cast(f.dataType) for f in cur.schema.fields]
+        )
+        n = aligned.count()
+        self._commit(name, cur.unionByName(aligned))
+        if name in self._stats:
+            self._stats[name].update(aligned)
+            self._save_stats(name)
+        return self.spark.createDataFrame(
+            [(n, fmt, path)], "rows_loaded long, format string, path string"
+        )
 
     def _require_versioned(self, name: str):
         if not self.storage_dir or name not in self._tables:

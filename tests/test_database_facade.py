@@ -659,3 +659,39 @@ def test_optimize_and_vacuum_sql(spark, tmp_path):
     # guards: non-durable / unknown table
     with _pytest.raises(Exception):
         OxidSparkDatabase(spark).query("OPTIMIZE nosuch")
+
+
+def test_copy_to_and_from(spark, tmp_path):
+    """COPY (export) / COPY FROM (bulk load): round trip through parquet
+    and csv, subquery export, metrics rows, stats maintained on load,
+    unknown-format and unknown-table guards."""
+    import pytest as _pytest
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE src (id INT, name VARCHAR(20))")
+    db.query("INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+
+    p1 = str(tmp_path / "export_pq")
+    r = db.query(f"COPY src TO '{p1}'").collect()[0]
+    assert (r.rows_copied, r.format) == (3, "parquet")
+
+    # subquery export as csv
+    p2 = str(tmp_path / "export_csv")
+    r2 = db.query(f"COPY (SELECT id FROM src WHERE id > 1) TO '{p2}' (FORMAT CSV)").collect()[0]
+    assert (r2.rows_copied, r2.format) == (2, "csv")
+
+    # bulk load back into a second table; stats track the append
+    db.query("CREATE TABLE dst (id INT, name VARCHAR(20))")
+    r3 = db.query(f"COPY dst FROM '{p1}'").collect()[0]
+    assert r3.rows_loaded == 3
+    assert db.query("SELECT count(*) AS n FROM dst").collect()[0].n == 3
+    assert db.stats("dst").rowcount == 3
+    # csv load uses the TABLE schema (no inference pass)
+    db.query("CREATE TABLE ids (id INT)")
+    db.query(f"COPY ids FROM '{p2}' (FORMAT CSV)")
+    assert {x.id for x in db.query("SELECT id FROM ids").collect()} == {2, 3}
+
+    with _pytest.raises(Exception):
+        db.query(f"COPY src TO '{p1}' (FORMAT avro)")
+    with _pytest.raises(Exception):
+        db.query(f"COPY nosuch FROM '{p1}'")

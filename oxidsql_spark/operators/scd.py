@@ -66,6 +66,38 @@ def scd2_build(
     )
 
 
+def _rebuild_affected(
+    affected_current: DataFrame,
+    batch: DataFrame,
+    key: str,
+    attrs: list[str],
+    ts_col: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """The merge core shared by both stores: given the CURRENT intervals
+    of exactly the batch's keys, return those keys' complete NEW interval
+    sets — immutable closed intervals pass through; each key's open
+    interval re-enters change detection as a seed row (original
+    ``valid_from``, NULL tiebreak so it sorts before same-timestamp batch
+    rows) unioned with the key's batch rows, and `scd2_build` re-derives
+    the key's tail.  A batch that only re-emits current state reproduces
+    the key's intervals unchanged; a real change closes the open interval
+    at the change's timestamp.  Keys new to the history have no current
+    rows and build from the batch alone."""
+    cols = [key, *attrs, ts_col, *(tiebreak or [])]
+    out_cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
+    closed = affected_current.filter(~F.col("is_current")).select(*out_cols)
+    seed = affected_current.filter("is_current").select(
+        F.col(key), *[F.col(a) for a in attrs], F.col("valid_from").alias(ts_col)
+    )
+    for tb in tiebreak or []:
+        seed = seed.withColumn(tb, F.lit(None).cast(batch.schema[tb].dataType))
+    rebuilt = scd2_build(
+        seed.select(*cols).unionByName(batch), key, attrs, ts_col, tiebreak=tiebreak
+    )
+    return closed.unionByName(rebuilt.select(*out_cols))
+
+
 def scd2_merge_batch(
     vt,
     batch: DataFrame,
@@ -99,39 +131,117 @@ def scd2_merge_batch(
     bkeys = batch.select(key).distinct()
     untouched = cur.join(bkeys, key, "left_anti")
     affected = cur.join(bkeys, key, "left_semi")
-    closed = affected.filter(~F.col("is_current"))
-    seed = affected.filter("is_current").select(
-        F.col(key), *[F.col(a) for a in attrs], F.col("valid_from").alias(ts_col)
-    )
-    for tb in tiebreak or []:
-        seed = seed.withColumn(tb, F.lit(None).cast(batch.schema[tb].dataType))
-    rebuilt = scd2_build(
-        seed.select(*cols).unionByName(batch), key, attrs, ts_col, tiebreak=tiebreak
-    )
-    vt.write(untouched.unionByName(closed).unionByName(rebuilt))
+    rebuilt = _rebuild_affected(affected, batch, key, attrs, ts_col, tiebreak)
+    vt.write(untouched.unionByName(rebuilt))
+
+
+_SCD_BUCKETS = 64  # default key-hash buckets for the partitioned history
+
+
+class Scd2History:
+    """Partition-scoped SCD Type-2 history — the 100 TB maintenance
+    shape.  The history lives in a `versioned.PartitionedVersionedTable`
+    bucketed by ``pmod(xxhash64(key), n_buckets)``: a micro-batch merge
+    rewrites ONLY the buckets containing affected keys (closed intervals
+    of every other key carry over by manifest reference, zero I/O), so
+    per-batch commit cost is O(touched buckets), never O(history).  The
+    bucket is a pure function of the key, so a key can never move
+    buckets and the upsert skips its holding scan
+    (``partition_from_key=True``).
+
+    Compute is equally bounded: the merge reads only the touched
+    buckets' partitions (manifest-pruned scan), restricts to affected
+    keys, and re-derives just those keys' interval tails — the same
+    `_rebuild_affected` core as the snapshot-store variant, which
+    remains the right choice for SMALL dimensions where a full snapshot
+    is one cheap file anyway."""
+
+    _KB = "_kb"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key: str,
+        attrs: list[str],
+        ts_col: str,
+        tiebreak: list[str] | None = None,
+        n_buckets: int = _SCD_BUCKETS,
+    ):
+        from ..versioned import PartitionedVersionedTable
+
+        self.spark = spark
+        self.key = key
+        self.attrs = list(attrs)
+        self.ts_col = ts_col
+        self.tiebreak = list(tiebreak or [])
+        self.n_buckets = n_buckets
+        self._pvt = PartitionedVersionedTable(spark, path, self._KB)
+
+    def _bucket(self, col: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets))
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(self._KB, self._bucket(F.col(self.key)))
+
+    def merge(self, batch: DataFrame) -> None:
+        """Fold one appended change batch in; one atomic manifest commit.
+        Same CDC precondition as `scd2_merge_batch` (per key, batch
+        timestamps >= the open interval's ``valid_from``)."""
+        cols = [self.key, *self.attrs, self.ts_col, *self.tiebreak]
+        batch = batch.select(*cols)
+        if not self._pvt.versions():
+            hist = scd2_build(
+                batch, self.key, self.attrs, self.ts_col, tiebreak=self.tiebreak
+            )
+            self._pvt.write_full(self._with_bucket(hist))
+            return
+        # ≤ n_buckets values — a bounded collect, independent of data size
+        buckets = [
+            str(r[0])
+            for r in batch.select(self._bucket(F.col(self.key)).alias("b"))
+            .distinct()
+            .collect()
+            if r[0] is not None
+        ]
+        bkeys = batch.select(self.key).distinct()
+        touched = self._pvt.read_partitions(buckets).drop(self._KB)
+        affected = touched.join(bkeys, self.key, "left_semi")
+        rebuilt = _rebuild_affected(
+            affected, batch, self.key, self.attrs, self.ts_col, self.tiebreak
+        )
+        self._pvt.upsert(
+            self._with_bucket(rebuilt), self.key, partition_from_key=True
+        )
+
+    def read(self, version: int | None = None) -> DataFrame:
+        return self._pvt.read(version).drop(self._KB)
+
+    def versions(self) -> list[int]:
+        return self._pvt.versions()
 
 
 def scd2_apply_stream(
     spark: SparkSession, source_dir: str, table_path: str, checkpoint_dir: str
 ):
     """Streaming SCD2 maintenance: the events change feed lands in a
-    snapshot-versioned Type-2 history via ``foreachBatch`` — each
-    micro-batch is one atomic `scd2_merge_batch` commit, so the commit
-    history is the dimension's CDC log and time travel replays the
-    history to any batch boundary.  Final state == the one-shot batch
-    `scd2_build` (tested over a watermark-advancing multi-batch replay).
-    Returns the ready DataStreamWriter (caller .start()s it)."""
+    PARTITION-SCOPED Type-2 history (`Scd2History`) via ``foreachBatch``
+    — each micro-batch is one atomic manifest commit that rewrites only
+    the key buckets the batch touches, so per-batch I/O is O(touched
+    buckets) and the commit history is the dimension's CDC log (time
+    travel replays to any batch boundary).  Final state == the one-shot
+    batch `scd2_build` (tested over a watermark-advancing multi-batch
+    replay).  Returns the ready DataStreamWriter (caller .start()s it)."""
     from ..streaming.events import _stream_source
-    from ..versioned import VersionedTable
 
-    vt = VersionedTable(spark, table_path)
+    hist = Scd2History(
+        spark, table_path, "user_id", ["event_type"], "ts", tiebreak=["event_id"]
+    )
 
     def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
         if batch_df.isEmpty():
             return
-        scd2_merge_batch(
-            vt, batch_df, "user_id", ["event_type"], "ts", tiebreak=["event_id"]
-        )
+        hist.merge(batch_df)
 
     return (
         _stream_source(spark, source_dir)

@@ -321,7 +321,9 @@ class PartitionedVersionedTable:
         self._commit_manifest(next_v, manifest)
         return next_v
 
-    def upsert(self, updates: DataFrame, key: str) -> int:
+    def upsert(
+        self, updates: DataFrame, key: str, partition_from_key: bool = False
+    ) -> int:
         """MERGE touching only the affected partitions: each touched
         partition's survivors + its updates become a new generation
         directory; untouched partitions carry over by reference in the
@@ -335,7 +337,14 @@ class PartitionedVersionedTable:
         its old row instead of leaving a stale duplicate. Finding it
         costs one semi-join of each current partition against the
         (small, broadcastable) update key set — the same matched-file
-        discovery a Delta/Iceberg MERGE performs with file stats."""
+        discovery a Delta/Iceberg MERGE performs with file stats.
+
+        ``partition_from_key=True`` declares the partition column a PURE
+        FUNCTION of ``key`` (e.g. a hash bucket): a key then can never
+        move partitions, holding ⊆ landing, and the holding scan — the
+        one full-snapshot read in this method — is skipped entirely.
+        That makes the upsert's I/O strictly proportional to the touched
+        buckets, the property incremental SCD2 maintenance needs."""
         from pyspark.sql import functions as F
 
         vs = self.versions()
@@ -349,7 +358,7 @@ class PartitionedVersionedTable:
         # partitions holding any updated key (checked in one job over the
         # current snapshot, probe side broadcast)
         upd_keys = updates.select(key).where(F.col(key).isNotNull()).distinct()
-        if current:
+        if current and not partition_from_key:
             snapshot = self.read(vs[-1])
             holding = (
                 snapshot.join(F.broadcast(upd_keys), key, "left_semi")

@@ -95,5 +95,61 @@ def test_scd2_merge_batches_equal_full_build(spark, sf_dir, tmp_path):
     assert vt.versions() == [1, 2, 3]  # one atomic commit per batch
 
 
+def test_scd2_partitioned_merge_equals_full_build(spark, sf_dir, tmp_path):
+    """The partition-scoped store (`Scd2History`) applied as 3 sequential
+    merges lands exactly the one-shot build — batch boundaries AND bucket
+    boundaries are both invisible."""
+    from oxidsql_spark.operators.scd import Scd2History, scd2_build
+    from oxidsql_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + span * 2]
+    hist = Scd2History(
+        spark, str(tmp_path / "scd2p"), "user_id", ["event_type"], "ts",
+        tiebreak=["event_id"], n_buckets=16,
+    )
+    batches = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for b in batches:
+        hist.merge(b)
+    want = scd2_build(ev, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
+    assert _hist_rows(hist.read()) == _hist_rows(want)
+    assert hist.versions() == [1, 2, 3]  # one atomic manifest commit per batch
+
+
+def test_scd2_partitioned_single_key_rewrites_one_bucket(spark, tmp_path):
+    """The weak-item fix, asserted on the manifest delta: a merge batch
+    touching ONE key advances exactly one bucket partition — every other
+    bucket carries over by reference (same data dir in both manifests),
+    so per-batch commit I/O is O(touched buckets), not O(history)."""
+    from datetime import datetime
+
+    from oxidsql_spark.operators.scd import Scd2History
+
+    t = lambda s: datetime(2024, 1, s)
+    hist = Scd2History(
+        spark, str(tmp_path / "scd2b"), "k", ["attr"], "ts",
+        tiebreak=["seq"], n_buckets=8,
+    )
+    seed_rows = [(k, "a", t(1), 1) for k in range(40)]
+    hist.merge(_mk(spark, seed_rows))
+    m1 = hist._pvt._manifest(1)
+    assert len(m1) > 1, "seed must span multiple buckets for the assertion to bite"
+    hist.merge(_mk(spark, [(7, "b", t(2), 2)]))
+    m2 = hist._pvt._manifest(2)
+    changed = {b for b in m2 if m1.get(b) != m2[b]} | (set(m1) - set(m2))
+    assert len(changed) == 1, f"single-key batch rewrote buckets {sorted(changed)}"
+    # and the merge itself is correct: key 7 now has a closed + an open interval
+    rows = sorted(
+        (r.k, r.attr, r.is_current) for r in hist.read().filter("k = 7").collect()
+    )
+    assert rows == [(7, "a", False), (7, "b", True)]
+
+
 # the streaming twin (scd2_apply_stream == one-shot build over a 4-batch
 # replay) lives in tests/test_streaming.py with the chunked_stream_dir fixture

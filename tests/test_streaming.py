@@ -864,9 +864,8 @@ def test_scd2_stream_equals_batch(spark, sf_dir, chunked_stream_dir, tmp_path):
     (batch boundaries invisible — including boundaries splitting runs of
     re-emitted state), and the commit log holds one version per
     non-empty batch (time travel = dimension state at any replay point)."""
-    from oxidsql_spark.operators.scd import scd2_apply_stream, scd2_build
+    from oxidsql_spark.operators.scd import Scd2History, scd2_apply_stream, scd2_build
     from oxidsql_spark.sources import table
-    from oxidsql_spark.versioned import VersionedTable
 
     tbl = str(tmp_path / "scd2_stream")
     ckpt = str(tmp_path / "scd2_ckpt")
@@ -874,7 +873,7 @@ def test_scd2_stream_equals_batch(spark, sf_dir, chunked_stream_dir, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    vt = VersionedTable(spark, tbl)
+    vt = Scd2History(spark, tbl, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
     ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     want = scd2_build(ev, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
 

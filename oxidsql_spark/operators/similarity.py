@@ -964,11 +964,11 @@ def pq_encode(
     return e.select("vec_id", "qv").mapInPandas(enc, out_schema)
 
 
-def _pq_oracle() -> str:
-    """DuckDB re-derivation: one quantized-Lloyd CTE chain PER subspace
-    (the `_km_ctes` recipe over a global-dim slice), then the ADC join —
-    every step integer, so the driver hash matches exactly."""
-    k, scale, dim, S, M = _PQ_K, _KM_SCALE, _KM_DIM, _PQ_SUB, _PQ_M
+def _pq_sub_ctes() -> list[str]:
+    """The per-subspace Lloyd chains + the ``codes``/``lut`` CTEs,
+    assuming a CTE ``q`` (vec_id, qv quantized bigints) is already in
+    scope — shared by the pure-PQ oracle and the IVFADC composition."""
+    k, S, M = _PQ_K, _PQ_SUB, _PQ_M
 
     def assign(cents: str, ex: str) -> str:
         return f"""(
@@ -985,13 +985,7 @@ def _pq_oracle() -> str:
              CAST(floor(CAST(sum(e.x) AS DOUBLE) / count(*)) AS BIGINT) AS m
       FROM {asg} a JOIN {ex} e USING (vec_id) GROUP BY a.cluster, e.dim)"""
 
-    ctes = [
-        f"""q AS (
-      SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]),
-                            e -> CAST(floor(e * {scale}) AS BIGINT)) AS qv
-      FROM embeddings)"""
-    ]
+    ctes: list[str] = []
     for m in range(M):
         lo, hi = m * S + 1, (m + 1) * S
         ctes.append(
@@ -1018,6 +1012,21 @@ def _pq_oracle() -> str:
     )
     ctes.append(f"codes AS ({codes})")
     ctes.append(f"lut AS ({lut})")
+    return ctes
+
+
+def _pq_oracle() -> str:
+    """DuckDB re-derivation: one quantized-Lloyd CTE chain PER subspace
+    (the `_km_ctes` recipe over a global-dim slice), then the ADC join —
+    every step integer, so the driver hash matches exactly."""
+    ctes = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            e -> CAST(floor(e * {_KM_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings)"""
+    ]
+    ctes.extend(_pq_sub_ctes())
     ctes.append(
         """adc AS (
       SELECT l.q_id, v.vec_id, CAST(sum(l.d) AS BIGINT) AS dist
@@ -1064,43 +1073,113 @@ def _pq_rerank_oracle() -> str:
     """
 
 
+def _pq_lut(
+    books: dict[int, dict[int, list[int]]], qrows: list
+) -> tuple["object", "object", list, list]:
+    """Driver-side ADC lookup tables from the (tiny, bounded) query set:
+    q_ids (nq,), Q (nq, dim) int64, and per-subspace (nq, K_m) distance
+    tables + sorted code-id arrays.  Everything here is O(nq · M · K) —
+    bytes, not data."""
+    import numpy as np
+
+    qrows = sorted(qrows, key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.array(r["qv"], dtype=np.int64) for r in qrows])
+    luts, code_ids = [], []
+    for m in range(_PQ_M):
+        cs = sorted(books[m])
+        C = np.array([books[m][c] for c in cs], dtype=np.int64)  # (K_m, S)
+        sub = Q[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]  # (nq, S)
+        luts.append(((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2))
+        code_ids.append(np.array(cs, dtype=np.int64))
+    return q_ids, Q, luts, code_ids
+
+
+def _adc_scan(
+    codes: DataFrame,
+    q_ids,
+    luts,
+    code_ids,
+    keep: int = None,
+    probe_cells: dict[int, set] | None = None,
+) -> DataFrame:
+    """(q_id, vec_id, dist): fused ADC scoring — the per-query M×K LUTs
+    ride into the Arrow pass as numpy closures (a few KB), and each code
+    batch is scored as M vectorized table lookups + adds: the candidate
+    stream carries ONE row per (query, candidate), never the M-fold
+    posexplode of the join formulation (the r7 plan's known lever).
+    Each batch also pre-cuts to its local top-``keep`` per query by the
+    exact global tie-break (dist, vec_id) — sound because every global
+    top-``keep`` row is within its own batch's top-``keep`` — so the
+    shuffle into the final ranking window carries ≤ keep·nq rows per
+    batch instead of the whole corpus.  All-integer, so results are
+    byte-identical to the join formulation and the DuckDB oracle.
+
+    ``probe_cells`` (q_id -> allowed cell set) restricts each query to
+    its probed IVF cells — the IVFADC composition; requires a ``cell``
+    column on ``codes``."""
+    import numpy as np
+    import pandas as pd
+
+    keep = keep if keep is not None else _PQ_SHORTLIST
+    has_cell = probe_cells is not None
+    if has_cell:
+        cell_ok = {
+            int(q): np.array(sorted(cells), dtype=np.int64)
+            for q, cells in probe_cells.items()
+        }
+    in_cols = ["vec_id", "codes"] + (["cell"] if has_cell else [])
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cds = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            vid = pdf["vec_id"].to_numpy().astype(np.int64)
+            cells = pdf["cell"].to_numpy().astype(np.int64) if has_cell else None
+            dist = np.zeros((len(q_ids), len(vid)), dtype=np.int64)
+            for m in range(_PQ_M):
+                idx = np.searchsorted(code_ids[m], Cds[:, m])
+                dist += luts[m][:, idx]
+            out_q, out_v, out_d = [], [], []
+            for qi, q in enumerate(q_ids):
+                mask = vid != q
+                if has_cell:
+                    mask &= np.isin(cells, cell_ok.get(int(q), cell_ok.get(q, [])))
+                vv, dd = vid[mask], dist[qi][mask]
+                if len(vv) > keep:
+                    order = np.lexsort((vv, dd))[:keep]  # exact (dist, vec_id)
+                    vv, dd = vv[order], dd[order]
+                out_q.append(np.full(len(vv), q, dtype=np.int64))
+                out_v.append(vv)
+                out_d.append(dd)
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "dist": np.concatenate(out_d),
+                    }
+                )
+
+    return codes.select(*in_cols).mapInPandas(
+        adc, "q_id bigint, vec_id bigint, dist bigint"
+    )
+
+
 def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(q_id, vec_id, dist): the full ADC distance frame — train
-    codebooks, encode the corpus in one Arrow pass, broadcast the
-    per-query M×K lookup table onto the exploded code rows, sum the M
-    lookups.  Self-pairs excluded."""
+    """(q_id, vec_id, dist): the ADC distance frame, fused — train
+    codebooks, encode the corpus in one Arrow pass, then score inside a
+    second Arrow pass with the LUTs as numpy (see `_adc_scan`).  Only
+    each batch's top-`_PQ_SHORTLIST` per query leave the scan.
+    Self-pairs excluded."""
     e = _km_quantized(spark, sf_dir)
     books = pq_train(e)
-    codes = pq_encode(e, books).select(
-        "vec_id", F.posexplode("codes").alias("sub", "code")
+    codes = pq_encode(e, books)
+    q_ids, _, luts, code_ids = _pq_lut(
+        books, e.filter(F.col("vec_id") < _N_QUERIES).collect()
     )
-    # LUT: exact integer distance from each query subvector to each centroid
-    book_df = spark.createDataFrame(
-        [
-            (m, c, i, int(v))
-            for m in range(_PQ_M)
-            for c, cent in books[m].items()
-            for i, v in enumerate(cent)
-        ],
-        "sub int, code bigint, subdim int, m bigint",
-    )
-    qex = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("q_id"), F.posexplode("qv").alias("pos", "x"))
-        .withColumn("sub", (F.col("pos") / _PQ_SUB).cast("int"))
-        .withColumn("subdim", (F.col("pos") % _PQ_SUB).cast("int"))
-    )
-    lut = (
-        qex.join(F.broadcast(book_df), ["sub", "subdim"])
-        .groupBy("q_id", "sub", "code")
-        .agg(F.sum((F.col("x") - F.col("m")) * (F.col("x") - F.col("m"))).alias("d"))
-    )
-    return (
-        codes.join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("d").cast("bigint").alias("dist"))
-    )
+    return _adc_scan(codes, q_ids, luts, code_ids)
 
 
 @register("ann_pq_adc", oracle=_pq_oracle(), bench=True)
@@ -1146,12 +1225,25 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the pure-ADC 0.29 to 0.82 on the (adversarially random)
     synthetic corpus — floors locked in tests/test_dedup_similarity.py."""
     adc = _pq_adc_frame(spark, sf_dir)
+    return _exact_rerank(spark, sf_dir, _adc_shortlist(adc))
+
+
+def _adc_shortlist(adc: DataFrame) -> DataFrame:
+    """Top-``_PQ_SHORTLIST`` ADC candidates per query by the exact
+    (dist, vec_id) tie-break."""
     ws = W.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
-    short = (
+    return (
         adc.withColumn("srk", F.row_number().over(ws))
         .filter(F.col("srk") <= _PQ_SHORTLIST)
         .select("q_id", "vec_id")
     )
+
+
+def _exact_rerank(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFrame:
+    """Re-score a (q_id, vec_id) shortlist with the exact float cosine
+    and emit the final top-``_TOP_K`` — the expensive metric touches
+    shortlist×queries rows only (broadcast query vectors, key join for
+    the shortlisted candidate vectors)."""
     ev = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
@@ -1173,3 +1265,164 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOP_K)
         .select("q_id", "vec_id", F.round("sim", 4).alias("cos_sim"), "rnk")
     )
+
+
+# --- IVFADC: PQ codes in the cell-partitioned IVF layout -------------------
+
+
+def _ivfadc_oracle() -> str:
+    """The IVFADC chain in SQL: the trained-km cell chain (`_km_ctes` —
+    centroids c2, assignments a3), the 8 per-subspace PQ chains
+    (`_pq_sub_ctes` — codes, lut), probes = each query's {_IVF_PROBE}
+    nearest cells by the same integer distance, ADC restricted to
+    candidates in probed cells, shortlist, exact-cosine rerank.  Every
+    step up to the rerank is integer, so the driver hash is exact."""
+    ctes = [_km_ctes()]
+    ctes.extend(_pq_sub_ctes())
+    ctes.append(
+        f"""qd AS (
+      SELECT e.vec_id, c.c, sum((e.x - c.m) * (e.x - c.m)) AS d
+      FROM ex e JOIN c2 c ON e.dim = c.dim
+      WHERE e.vec_id < {_N_QUERIES}
+      GROUP BY e.vec_id, c.c)"""
+    )
+    ctes.append(
+        f"""probes AS (
+      SELECT vec_id AS q_id, c AS cell FROM (
+        SELECT vec_id, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rk
+        FROM qd) WHERE rk <= {_IVF_PROBE})"""
+    )
+    ctes.append(
+        """adc AS (
+      SELECT l.q_id, v.vec_id, CAST(sum(l.d) AS BIGINT) AS dist
+      FROM codes v
+      JOIN a3 av ON av.vec_id = v.vec_id
+      JOIN probes p ON p.cell = av.cluster
+      JOIN lut l ON l.sub = v.sub AND l.code = v.code AND l.q_id = p.q_id
+      WHERE l.q_id <> v.vec_id
+      GROUP BY l.q_id, v.vec_id)"""
+    )
+    ctes.append(
+        f"""short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS srk
+        FROM adc) WHERE srk <= {_PQ_SHORTLIST})"""
+    )
+    ctes.append("ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)")
+    ctes.append(
+        """scored AS (
+      SELECT s.q_id, s.vec_id,
+             list_cosine_similarity(qv.v, cv.v) AS sim
+      FROM short s
+      JOIN ev qv ON qv.vec_id = s.q_id
+      JOIN ev cv ON cv.vec_id = s.vec_id)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT q_id, vec_id, round(sim, 4) AS cos_sim, rnk FROM (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+      FROM scored) WHERE rnk <= {_TOP_K}
+    """
+
+
+def _pqbooks_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, "_pqbooks")
+
+
+def build_ivfadc_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the IVFADC index: PQ codes stored IN the cell-partitioned
+    IVF layout — (vec_id, codes) parquet partitioned by ``cell``, plus
+    both frozen codebooks as underscore dirs the partitioned scan
+    ignores (``_codebook``: the km cell centroids, quantized;
+    ``_pqbooks``: the M per-subspace PQ centroids).  The write-once
+    discipline of `build_ivf_index`, but each row is an ~8-byte code
+    instead of a 64-float vector — the corpus that no longer fits as
+    vectors fits as codes, and a probe scans only its cells' partitions
+    of the CODE table (IVFADC, Jégou et al. 2011)."""
+    e = _km_quantized(spark, sf_dir)
+    cents = _km_train(e)
+    books = pq_train(e)
+    assigned = _km_assigned_batch(e, cents).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    codes = pq_encode(e, books).join(assigned, "vec_id")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    spark.createDataFrame(
+        [(int(c), [int(x) for x in cents[c]]) for c in sorted(cents)],
+        "cell int, qcent array<bigint>",
+    ).write.mode("overwrite").parquet(_codebook_path(out_path))
+    spark.createDataFrame(
+        [
+            (m, int(c), [int(x) for x in books[m][c]])
+            for m in range(_PQ_M)
+            for c in sorted(books[m])
+        ],
+        "sub int, code bigint, cent array<bigint>",
+    ).write.mode("overwrite").parquet(_pqbooks_path(out_path))
+
+
+def ann_ivfadc_search(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Search a prebuilt IVFADC index: rank each query's {_IVF_PROBE}
+    probed cells against the persisted km codebook (driver-side numpy —
+    K·dim integers), scan ONLY those cells' partitions of the code
+    table (partition pruning does the candidate restriction), score the
+    survivors with the fused ADC Arrow pass (per-query LUTs as numpy
+    closures, per-batch exact partial shortlists), then exact-cosine
+    rerank the shortlist.  The full corpus is only ever touched as
+    8-byte codes in the probed cells; raw vectors are read for
+    shortlist×queries rows."""
+    import numpy as np
+
+    cents = {
+        int(r["cell"]): list(r["qcent"])
+        for r in spark.read.parquet(_codebook_path(index_path)).collect()
+    }
+    books: dict[int, dict[int, list[int]]] = {m: {} for m in range(_PQ_M)}
+    for r in spark.read.parquet(_pqbooks_path(index_path)).collect():
+        books[int(r["sub"])][int(r["code"])] = list(r["cent"])
+    qrows = (
+        _km_quantized(spark, sf_dir).filter(F.col("vec_id") < _N_QUERIES).collect()
+    )
+    q_ids, Q, luts, code_ids = _pq_lut(books, qrows)
+    cids = sorted(cents)
+    C = np.array([cents[c] for c in cids], dtype=np.int64)
+    d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # (nq, K) integer
+    probe_cells = {
+        int(q): {int(cids[j]) for j in np.lexsort((np.array(cids), d[qi]))[:_IVF_PROBE]}
+        for qi, q in enumerate(q_ids)
+    }
+    all_cells = sorted(set().union(*probe_cells.values()))
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(all_cells))
+    adc = _adc_scan(idx, q_ids, luts, code_ids, probe_cells=probe_cells)
+    return _exact_rerank(spark, sf_dir, _adc_shortlist(adc))
+
+
+@register("ann_ivfadc", oracle=_ivfadc_oracle(), bench=True)
+def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (+R): the IVF cell restriction composed with PQ
+    compression — the production billion-vector shape the PQ paper
+    names.  Builds the cell-partitioned code index (train km cells +
+    PQ books, encode, write partitioned by cell), then searches it:
+    probed cells come from the persisted km codebook, the scan prunes
+    to those cells' partitions (asserted on the executed plan in
+    tests/test_dedup_similarity.py), ADC ranks only the probed
+    candidates, and the exact rerank touches shortlist×queries rows.
+    Integer end-to-end up to the rerank — the composed DuckDB oracle
+    (km chain + 8 PQ chains + the same restriction) hash-matches
+    exactly; recall floor vs bruteforce locked in pytest."""
+    import os
+
+    out = os.path.join(
+        "/tmp",
+        f"oxidsql_ivfadc_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    build_ivfadc_index(spark, sf_dir, out)
+    return ann_ivfadc_search(spark, sf_dir, out)

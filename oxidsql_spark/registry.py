@@ -58,28 +58,16 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-7 start: all 6 round-6 priority names went driver-green in
-    # CORRECTNESS_r06.json and are retired to the stable rotation, per
-    # the policy above — the window's remaining ~47 slots go to the
-    # stalest stable queries (the 15 queries whose latest green is r3 —
-    # the events_* batch family plus dedup_chunk_exact /
-    # text_chunks_builtin — sort first and rotate through this window).
-    # New in round 7 — never driver-checked (the prepared/incremental
-    # artifact-probe paths, previously pytest-equivalence-only):
-    "dedup_containment_incremental",
-    "dedup_minhash_incremental",
-    "ann_ivf_prepared",
-    "seq_pack_stats",
-    "vocab_coverage",
-    "events_inactivity_alerts",
-    "compact_roundtrip_scan",
-    "skipping_scan_orders",
-    "orders_matview_refresh",
-    "events_scd2_type",
-    "ann_pq_adc",
-    "ann_pq_rerank",
-    "part_triangles",
-    "orders_contract_checks",
+    # round-8 start: all 14 round-7 priority names went driver-green in
+    # CORRECTNESS_r07.json and are retired to the stable rotation, per
+    # the policy above — the window's remaining ~45+ slots go to the
+    # stalest stable queries (the 29 whose latest green is r4: the core
+    # relational/TPC-H/setop/window families — agg_cube/distinct/rollup,
+    # anti_join, semi_join, setop_*, sort_limit, window_*, tpch_q1/3/5/
+    # 6/10, ref_multijoin, ref_values, … — sort first and rotate
+    # through this window, closing VERDICT r7 finding #4).
+    # New in round 8 — never driver-checked:
+    "ann_ivfadc",
 )
 
 

@@ -696,6 +696,31 @@ def test_ann_pq_recall_floors(spark, sf_dir):
     assert len(rer & exact) >= len(adc & exact)
 
 
+def test_ann_ivfadc_pruned_and_recall(spark, sf_dir, tmp_path):
+    """IVFADC end-to-end: the persisted cell-partitioned CODE index's
+    probe scan must prune to the probed cells' partitions (the scan that
+    makes the composition beat pure PQ at 100 TB), and the composed
+    pipeline's recall vs the exact brute force must clear a floor.
+    The registered `ann_ivfadc` query's DuckDB oracle locks exactness;
+    these floors lock usefulness."""
+    from oxidsql_spark.operators.similarity import (
+        ann_ivfadc_search,
+        build_ivfadc_index,
+        ann_topk_bruteforce,
+    )
+
+    idx = str(tmp_path / "ivfadc")
+    build_ivfadc_index(spark, sf_dir, idx)
+    res = ann_ivfadc_search(spark, sf_dir, idx)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+
+    exact = {(r.q_id, r.vec_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    got = {(r.q_id, r.vec_id) for r in res.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.40, f"IVFADC recall@10 {recall:.3f} under floor"
+
+
 def test_pq_fused_trainer_equals_per_subspace(spark, sf_dir):
     """The fused PQ trainer (one Arrow pass per iteration for all M
     subspaces) must reproduce the per-subspace `_km_train` codebooks

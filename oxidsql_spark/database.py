@@ -131,6 +131,25 @@ _VACUUM_RE = re.compile(
 _ALTER_ADD_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(.+?)\s*;?\s*$", re.IGNORECASE
 )
+_CREATE_MV_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)(?:\s+WITH\s*\((.+)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_MV_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_MV_SELECT_RE = re.compile(
+    r"^\s*SELECT\s+(.+?)\s+FROM\s+(\w+)(?:\s+WHERE\s+(.+?))?"
+    r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_AGG_RE = re.compile(
+    r"^(sum|min|max|avg|count)\s*\((.+)\)\s+AS\s+(\w+)\s*$", re.IGNORECASE | re.DOTALL
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -186,6 +205,7 @@ class OxidSparkDatabase:
         self._row_buf: dict[str, list[tuple]] = {}
         self._views: dict[str, str] = {}  # view name -> defining SELECT
         self._functions: dict[str, str] = {}  # SQL UDF name -> signature+body
+        self._matviews: dict[str, dict] = {}  # mat. view name -> parsed spec
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
             for name in sorted(os.listdir(storage_dir)):
@@ -217,6 +237,17 @@ class OxidSparkDatabase:
                         )
                 else:
                     self._new_stats(name).rebuild(df)
+            # session restart: re-attach materialized views (spec JSON +
+            # the AggView's versioned snapshots are both in the _mv_ dir)
+            for name in sorted(os.listdir(storage_dir)):
+                spec_f = os.path.join(storage_dir, name, "_mvspec.json")
+                if not (name.startswith("_mv_") and os.path.exists(spec_f)):
+                    continue
+                with open(spec_f) as fh:
+                    spec = json.load(fh)
+                spec["path"] = os.path.join(storage_dir, name)
+                self._matviews[spec["name"]] = spec
+                self._mv_frame(spec["name"]).createOrReplaceTempView(spec["name"])
 
     def _vt(self, name: str):
         from .versioned import VersionedTable
@@ -290,6 +321,15 @@ class OxidSparkDatabase:
         tm = _TRUNCATE_RE.match(s)
         if tm:
             return self._delete(f"DELETE FROM {tm.group(1)}")
+        mv = _CREATE_MV_RE.match(s)
+        if mv:
+            return self._create_matview(mv.group(1).lower(), mv.group(2))
+        rm = _REFRESH_MV_RE.match(s)
+        if rm:
+            return self._refresh_matview(rm.group(1).lower(), rm.group(2))
+        dmv = _DROP_MV_RE.match(s)
+        if dmv:
+            return self._drop_matview(dmv.group(1).lower())
         vm = _CREATE_VIEW_RE.match(s)
         if vm:
             # logical view: the defining SQL is stored and re-resolved
@@ -400,6 +440,10 @@ class OxidSparkDatabase:
         sv = _SHOW_VERSIONS_RE.match(s)
         if sv:
             name = sv.group(1).lower()
+            if name in self._matviews:
+                return self.spark.createDataFrame(
+                    [(v,) for v in self._mv_view(name).versions()], "version int"
+                )
             if not self.storage_dir or name not in self._tables:
                 raise AnalyzerError(f"'{name}' is not a durable versioned table")
             return self.spark.createDataFrame(
@@ -423,6 +467,15 @@ class OxidSparkDatabase:
 
         def repl(m: "re.Match[str]") -> str:
             name, ver = m.group(1).lower(), int(m.group(2))
+            if name in self._matviews:
+                if ver not in self._mv_view(name).versions():
+                    raise AnalyzerError(
+                        f"materialized view '{name}' has no version {ver}"
+                    )
+                view = f"__oxid_tt_{name}_v{ver}"
+                self._mv_frame(name, ver).createOrReplaceTempView(view)
+                created.append(view)
+                return view
             if not self.storage_dir or name not in self._tables:
                 raise AnalyzerError(f"'{name}' is not a durable versioned table")
             vt = self._vt(name)
@@ -560,6 +613,181 @@ class OxidSparkDatabase:
         return self.spark.createDataFrame(
             [(v,) for v in removed], "removed_version int"
         )
+
+    # -- materialized views (incremental aggregate maintenance) ----------
+
+    def _mv_parse(self, select_sql: str) -> dict:
+        """Parse a grouped-aggregate SELECT into a matview spec: keys,
+        measure expressions, and the output column mapping.  Supported
+        select items: GROUP BY key columns, ``COUNT(*) AS a``, and
+        ``SUM/MIN/MAX/AVG(expr) AS a`` (the mergeable-partial set
+        `matview.AggView` maintains; aliases are mandatory so the
+        partial columns have stable names)."""
+        m = _MV_SELECT_RE.match(select_sql)
+        if not m:
+            raise AnalyzerError(
+                "CREATE MATERIALIZED VIEW: expected "
+                "SELECT <keys + aggregates> FROM <table> [WHERE …] GROUP BY <keys>"
+            )
+        items, base, where, keys_src = m.groups()
+        keys = [k.strip() for k in _split_top_level(keys_src)]
+        outputs: list[list] = []  # [kind, measure-or-key, alias]
+        measures: dict[str, str] = {}
+        for item in _split_top_level(items):
+            am = _MV_AGG_RE.match(item)
+            if am:
+                fn, arg, alias = (
+                    am.group(1).lower(),
+                    am.group(2).strip(),
+                    am.group(3).lower(),
+                )
+                if fn == "count":
+                    if arg != "*":
+                        raise AnalyzerError(
+                            "materialized views support COUNT(*) only "
+                            "(COUNT(expr) is not a maintained partial)"
+                        )
+                    outputs.append(["count", "", alias])
+                else:
+                    measures[alias] = arg
+                    outputs.append([fn, alias, alias])
+            else:
+                col = item.strip()
+                if col not in keys:
+                    raise AnalyzerError(
+                        f"materialized view select item '{col}' is neither an "
+                        "aggregate AS alias nor a GROUP BY key"
+                    )
+                outputs.append(["key", col, col])
+        if not measures and not any(o[0] == "count" for o in outputs):
+            raise AnalyzerError("materialized view needs at least one aggregate")
+        return {
+            "base": base.lower(),
+            "where": where.strip() if where else None,
+            "keys": keys,
+            "measures": measures,
+            "outputs": outputs,
+        }
+
+    def _mv_path(self, name: str) -> str:
+        if self.storage_dir:
+            return os.path.join(self.storage_dir, f"_mv_{name}")
+        import tempfile
+
+        # in-memory facade: the partial state still lives on disk (it IS
+        # the materialization), but in a process-scoped temp dir
+        if not hasattr(self, "_mv_tmp"):
+            self._mv_tmp = tempfile.mkdtemp(prefix="oxid_mv_")
+        return os.path.join(self._mv_tmp, name)
+
+    def _mv_view(self, name: str):
+        from .matview import AggView
+
+        spec = self._matviews[name]
+        return AggView(
+            self.spark,
+            spec["path"],
+            spec["keys"],
+            {k: F.expr(v) for k, v in spec["measures"].items()},
+        )
+
+    def _mv_frame(self, name: str, version: int | None = None) -> DataFrame:
+        """The view's OUTPUT relation (requested columns only), derived
+        from the stored partials at read time."""
+        spec = self._matviews[name]
+        df = self._mv_view(name).read(version)
+        cols = []
+        for kind, arg, alias in spec["outputs"]:
+            if kind == "key":
+                cols.append(F.col(arg))
+            elif kind == "count":
+                cols.append(F.col("cnt").alias(alias))
+            else:  # sum/min/max read the partial, avg is derived by AggView
+                cols.append(F.col(f"{kind}_{arg}").alias(alias))
+        return df.select(*cols)
+
+    def _mv_base_frame(self, spec: dict) -> DataFrame:
+        q = f"SELECT * FROM {spec['base']}"
+        if spec["where"]:
+            q += f" WHERE {spec['where']}"
+        return self.sql(q)
+
+    def _mv_save_spec(self, name: str) -> None:
+        import json
+
+        spec = self._matviews[name]
+        with open(os.path.join(spec["path"], "_mvspec.json"), "w") as fh:
+            json.dump({**spec, "name": name}, fh)
+
+    def _mv_register(self, name: str) -> None:
+        """Route reads through the view name: the materialized output is
+        a temp view re-registered after every create/refresh (Spark
+        analyzes eagerly, so readers between refreshes keep the pinned
+        snapshot — exactly the staleness contract of a matview)."""
+        self._mv_frame(name).createOrReplaceTempView(name)
+
+    def _create_matview(self, name: str, select_sql: str) -> None:
+        """CREATE MATERIALIZED VIEW v AS SELECT … GROUP BY … — parse
+        into keys/measures, back with `matview.AggView` (per-group
+        mergeable partials in a versioned store), register the output
+        relation under the view name."""
+        for coll, what in (
+            (self._tables, "table"),
+            (self._views, "view"),
+            (self._functions, "function"),
+            (self._matviews, "materialized view"),
+        ):
+            if name in coll:
+                raise AnalyzerError(f"'{name}' is already a {what}")
+        spec = self._mv_parse(select_sql)
+        if spec["base"] not in self._tables and spec["base"] not in self._views:
+            raise AnalyzerError(f"unknown table '{spec['base']}'")
+        spec["path"] = self._mv_path(name)
+        os.makedirs(spec["path"], exist_ok=True)
+        self._matviews[name] = spec
+        try:
+            self._mv_view(name).create(self._mv_base_frame(spec))
+        except Exception:
+            del self._matviews[name]
+            raise
+        self._mv_save_spec(name)
+        self._mv_register(name)
+        return None
+
+    def _refresh_matview(self, name: str, delta_sql: str | None) -> DataFrame:
+        """REFRESH MATERIALIZED VIEW v [WITH (select …)] — with a delta
+        relation, fold the APPENDED rows into the partials (cost
+        |delta| + |groups|, never the base; the view's WHERE predicate
+        is applied to the delta); without one, recompute from the base
+        (the recovery path after non-append mutations).  Every refresh
+        commits a new version — time travel spans refreshes."""
+        if name not in self._matviews:
+            raise AnalyzerError(f"unknown materialized view '{name}'")
+        spec = self._matviews[name]
+        av = self._mv_view(name)
+        if delta_sql:
+            delta = self.sql(delta_sql)
+            if spec["where"]:
+                delta = delta.filter(F.expr(spec["where"]))
+            version = av.refresh(delta)
+            mode = "incremental"
+        else:
+            version = av.rebuild(self._mv_base_frame(spec))
+            mode = "rebuild"
+        self._mv_register(name)
+        return self.spark.createDataFrame(
+            [(name, version, mode)], "view string, version int, mode string"
+        )
+
+    def _drop_matview(self, name: str) -> None:
+        import shutil
+
+        if name not in self._matviews:
+            raise AnalyzerError(f"unknown materialized view '{name}'")
+        self.spark.catalog.dropTempView(name)
+        shutil.rmtree(self._matviews[name]["path"], ignore_errors=True)
+        del self._matviews[name]
+        return None
 
     def sql(self, q: str) -> DataFrame:
         """SELECT path — handed to Catalyst (parser/analyzer/optimizer all

@@ -695,3 +695,100 @@ def test_copy_to_and_from(spark, tmp_path):
         db.query(f"COPY src TO '{p1}' (FORMAT avro)")
     with _pytest.raises(Exception):
         db.query(f"COPY nosuch FROM '{p1}'")
+
+
+def test_create_refresh_materialized_view(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW → query by name → append to the base →
+    REFRESH WITH (delta) folds only the delta and equals a recompute;
+    plain REFRESH rebuilds; SHOW VERSIONS + time travel span refreshes."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE sales (region VARCHAR(16), amount INT)")
+    db.query("INSERT INTO sales VALUES ('eu', 10), ('eu', 30), ('us', 5)")
+    db.query(
+        "CREATE MATERIALIZED VIEW sales_mv AS "
+        "SELECT region, count(*) AS n, sum(amount) AS total, avg(amount) AS avg_amt "
+        "FROM sales GROUP BY region"
+    )
+    got = {r.region: (r.n, r.total) for r in db.query("SELECT * FROM sales_mv").collect()}
+    assert got == {"eu": (2, 40), "us": (1, 5)}
+
+    # the view is a materialization: base appends don't show until REFRESH
+    db.query("INSERT INTO sales VALUES ('eu', 2), ('ap', 7)")
+    stale = {r.region: (r.n, r.total) for r in db.query("SELECT * FROM sales_mv").collect()}
+    assert stale == got
+
+    res = db.query(
+        "REFRESH MATERIALIZED VIEW sales_mv WITH "
+        "(SELECT 'eu' AS region, 2 AS amount UNION ALL SELECT 'ap', 7)"
+    ).collect()[0]
+    assert res.mode == "incremental" and res.version == 2
+    fresh = {
+        r.region: (r.n, r.total, float(r.avg_amt))
+        for r in db.query("SELECT * FROM sales_mv").collect()
+    }
+    assert fresh == {"eu": (3, 42, 14.0), "us": (1, 5, 5.0), "ap": (1, 7, 7.0)}
+
+    # incremental refresh == recompute from base
+    res2 = db.query("REFRESH MATERIALIZED VIEW sales_mv").collect()[0]
+    assert res2.mode == "rebuild"
+    rebuilt = {
+        r.region: (r.n, r.total, float(r.avg_amt))
+        for r in db.query("SELECT * FROM sales_mv").collect()
+    }
+    assert rebuilt == fresh
+
+    # versioned history: v1 create, v2 incremental, v3 rebuild
+    vs = [r.version for r in db.query("SHOW VERSIONS sales_mv").collect()]
+    assert vs == [1, 2, 3]
+    old = {
+        r.region: (r.n, r.total)
+        for r in db.query("SELECT * FROM sales_mv VERSION AS OF 1").collect()
+    }
+    assert old == {"eu": (2, 40), "us": (1, 5)}
+
+
+def test_materialized_view_where_and_restart(spark, tmp_path):
+    """A matview with a WHERE predicate applies it to deltas too, and a
+    new facade on the same storage re-attaches the view by name."""
+    store = str(tmp_path / "store")
+    db = OxidSparkDatabase(spark, storage_dir=store)
+    db.query("CREATE TABLE ev (kind VARCHAR(8), v INT)")
+    db.query("INSERT INTO ev VALUES ('a', 1), ('b', 2), ('a', 3)")
+    db.query(
+        "CREATE MATERIALIZED VIEW a_stats AS "
+        "SELECT kind, count(*) AS n, max(v) AS mx FROM ev WHERE kind = 'a' GROUP BY kind"
+    )
+    # delta contains a filtered-out row; the view's predicate drops it
+    db.query(
+        "REFRESH MATERIALIZED VIEW a_stats WITH "
+        "(SELECT 'b' AS kind, 9 AS v UNION ALL SELECT 'a', 8)"
+    )
+    got = [(r.kind, r.n, r.mx) for r in db.query("SELECT * FROM a_stats").collect()]
+    assert got == [("a", 3, 8)]
+
+    db2 = OxidSparkDatabase(spark, storage_dir=store)
+    again = [(r.kind, r.n, r.mx) for r in db2.query("SELECT * FROM a_stats").collect()]
+    assert again == [("a", 3, 8)]
+    db2.query("DROP MATERIALIZED VIEW a_stats")
+    with pytest.raises(AnalyzerError):
+        db2.query("REFRESH MATERIALIZED VIEW a_stats")
+
+
+def test_materialized_view_rejects_bad_shapes(db):
+    with pytest.raises(AnalyzerError):
+        db.query("CREATE MATERIALIZED VIEW m1 AS SELECT name FROM people")
+    with pytest.raises(AnalyzerError):  # non-key bare column
+        db.query(
+            "CREATE MATERIALIZED VIEW m2 AS SELECT name, count(*) AS n "
+            "FROM people GROUP BY age"
+        )
+    with pytest.raises(AnalyzerError):  # COUNT(expr) unsupported
+        db.query(
+            "CREATE MATERIALIZED VIEW m3 AS SELECT age, count(name) AS n "
+            "FROM people GROUP BY age"
+        )
+    with pytest.raises(AnalyzerError):  # name collision with a table
+        db.query(
+            "CREATE MATERIALIZED VIEW people AS SELECT age, count(*) AS n "
+            "FROM people GROUP BY age"
+        )

@@ -150,6 +150,16 @@ _MV_SELECT_RE = re.compile(
 _MV_AGG_RE = re.compile(
     r"^(sum|min|max|avg|count)\s*\((.+)\)\s+AS\s+(\w+)\s*$", re.IGNORECASE | re.DOTALL
 )
+_CREATE_CONTRACT_RE = re.compile(
+    r"^\s*CREATE\s+CONTRACT\s+ON\s+(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONTRACT_RE = re.compile(
+    r"^\s*DROP\s+CONTRACT\s+ON\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_CONTRACTS_RE = re.compile(
+    r"^\s*SHOW\s+CONTRACTS\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -206,6 +216,7 @@ class OxidSparkDatabase:
         self._views: dict[str, str] = {}  # view name -> defining SELECT
         self._functions: dict[str, str] = {}  # SQL UDF name -> signature+body
         self._matviews: dict[str, dict] = {}  # mat. view name -> parsed spec
+        self._contracts: dict[str, dict] = {}  # table name -> contract spec
         if storage_dir:
             os.makedirs(storage_dir, exist_ok=True)
             for name in sorted(os.listdir(storage_dir)):
@@ -237,6 +248,10 @@ class OxidSparkDatabase:
                         )
                 else:
                     self._new_stats(name).rebuild(df)
+                contract_f = os.path.join(storage_dir, name, "_contract.json")
+                if os.path.exists(contract_f):
+                    with open(contract_f) as fh:
+                        self._contracts[name] = json.load(fh)
             # session restart: re-attach materialized views (spec JSON +
             # the AggView's versioned snapshots are both in the _mv_ dir)
             for name in sorted(os.listdir(storage_dir)):
@@ -321,6 +336,33 @@ class OxidSparkDatabase:
         tm = _TRUNCATE_RE.match(s)
         if tm:
             return self._delete(f"DELETE FROM {tm.group(1)}")
+        cc = _CREATE_CONTRACT_RE.match(s)
+        if cc:
+            return self._create_contract(cc.group(1).lower(), cc.group(2))
+        dc = _DROP_CONTRACT_RE.match(s)
+        if dc:
+            name = dc.group(1).lower()
+            if name not in self._contracts:
+                raise AnalyzerError(f"no contract on table '{name}'")
+            del self._contracts[name]
+            self._save_contract(name)
+            return None
+        sc = _SHOW_CONTRACTS_RE.match(s)
+        if sc:
+            name = sc.group(1).lower()
+            c = self._contracts.get(name, {})
+            rows = (
+                [(n, f"CHECK ({p})") for n, p in c.get("row", {}).items()]
+                + [(n, f"UNIQUE ({', '.join(k)})") for n, k in c.get("unique", {}).items()]
+                + [(f"not_null({col})", f"NOT NULL ({col})") for col in c.get("not_null", [])]
+                + [
+                    (n, f"FOREIGN KEY ({ch}) REFERENCES {p} ({pc})")
+                    for n, (p, ch, pc) in c.get("fk", {}).items()
+                ]
+            )
+            return self.spark.createDataFrame(
+                sorted(rows), "contract string, definition string"
+            )
         mv = _CREATE_MV_RE.match(s)
         if mv:
             return self._create_matview(mv.group(1).lower(), mv.group(2))
@@ -547,6 +589,9 @@ class OxidSparkDatabase:
         aligned = incoming.select(
             *[F.col(f.name).cast(f.dataType) for f in cur.schema.fields]
         )
+        viol = self._gate_incoming(name, aligned, cur.unionByName(aligned))
+        if viol is not None:
+            return viol  # table untouched; the report IS the result
         n = aligned.count()
         self._commit(name, cur.unionByName(aligned))
         if name in self._stats:
@@ -613,6 +658,107 @@ class OxidSparkDatabase:
         return self.spark.createDataFrame(
             [(v,) for v in removed], "removed_version int"
         )
+
+    # -- data contracts (write-path gating of quality.validate_contracts) --
+
+    def _create_contract(self, name: str, spec_src: str) -> None:
+        """CREATE CONTRACT ON t (CONSTRAINT nm CHECK (…), UNIQUE (…),
+        NOT NULL (col), FOREIGN KEY (col) REFERENCES parent (pcol), …) —
+        declares the table's data contract.  Bulk ingest (COPY FROM,
+        INSERT … SELECT) then validates every incoming batch with the
+        fused one-scan report (`operators.quality.validate_contracts`)
+        and REFUSES the load on any violation: the statement returns the
+        violations relation and the table is untouched.  Repeated CREATE
+        CONTRACT statements accumulate checks."""
+        if name not in self._tables:
+            raise AnalyzerError(f"unknown table '{name}'")
+        c = self._contracts.setdefault(
+            name, {"row": {}, "unique": {}, "not_null": [], "fk": {}}
+        )
+        for item in _split_top_level(spec_src):
+            item = item.strip()
+            m = re.match(
+                r"^CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)$", item, re.IGNORECASE | re.DOTALL
+            )
+            if m:
+                c["row"][m.group(1).lower()] = m.group(2).strip()
+                continue
+            m = re.match(r"^CHECK\s*\((.+)\)$", item, re.IGNORECASE | re.DOTALL)
+            if m:
+                c["row"][f"check_{len(c['row']) + 1}"] = m.group(1).strip()
+                continue
+            m = re.match(r"^UNIQUE\s*\(([^)]+)\)$", item, re.IGNORECASE)
+            if m:
+                keys = [k.strip().lower() for k in m.group(1).split(",")]
+                c["unique"][f"unique({'_'.join(keys)})"] = keys
+                continue
+            m = re.match(r"^NOT\s+NULL\s*\((\w+)\)$", item, re.IGNORECASE)
+            if m:
+                col = m.group(1).lower()
+                if col not in c["not_null"]:
+                    c["not_null"].append(col)
+                continue
+            m = re.match(
+                r"^FOREIGN\s+KEY\s*\((\w+)\)\s+REFERENCES\s+(\w+)\s*\((\w+)\)$",
+                item,
+                re.IGNORECASE,
+            )
+            if m:
+                child, parent, pcol = (
+                    m.group(1).lower(),
+                    m.group(2).lower(),
+                    m.group(3).lower(),
+                )
+                if parent not in self._tables:
+                    raise AnalyzerError(f"unknown parent table '{parent}'")
+                c["fk"][f"fk_{child}_{parent}"] = [parent, child, pcol]
+                continue
+            raise AnalyzerError(f"cannot parse contract item: {item!r}")
+        self._save_contract(name)
+        return None
+
+    def _save_contract(self, name: str) -> None:
+        import json
+
+        if not self.storage_dir:
+            return
+        p = os.path.join(self.storage_dir, name, "_contract.json")
+        if name not in self._contracts:
+            if os.path.exists(p):
+                os.remove(p)
+            return
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._contracts[name], fh)
+        os.replace(tmp, p)
+
+    def _gate_incoming(self, name: str, batch: DataFrame, combined: DataFrame):
+        """Validate an incoming batch against the table's contract.
+        Returns None (no contract / clean) or the violations relation
+        (only checks with violations > 0).  Row/NOT NULL/FK checks run
+        on the BATCH (one fused scan); uniqueness runs on the COMBINED
+        relation (existing ∪ batch — a key that collides with existing
+        data is a violation too).  The report is #checks rows — one
+        bounded collect, never data-sized."""
+        c = self._contracts.get(name)
+        if not c:
+            return None
+        from .operators.quality import validate_contracts
+
+        fk = {
+            n: (self.sql(f"SELECT * FROM {parent}"), child, pcol)
+            for n, (parent, child, pcol) in c["fk"].items()
+        }
+        rep = validate_contracts(
+            batch, row_checks=c["row"], not_null=c["not_null"], fk=fk
+        )
+        if c["unique"]:
+            rep = rep.unionByName(validate_contracts(combined, unique=c["unique"]))
+        rows = [r for r in rep.collect() if r.violations > 0]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(rows, "check string, violations bigint")
 
     # -- materialized views (incremental aggregate maintenance) ----------
 
@@ -1245,6 +1391,15 @@ class OxidSparkDatabase:
                         f"{over} value(s) exceed VARCHAR({s.length}) for "
                         f"column '{s.name}'"
                     )
+        if name in self._contracts:
+            # pin the batch so the gated rows are the committed rows even
+            # for a non-deterministic source
+            cast = cast.localCheckpoint(eager=True)
+            viol = self._gate_incoming(
+                name, cast, self.spark.table(name).unionByName(cast)
+            )
+            if viol is not None:
+                return viol  # table untouched; the report IS the result
         self._commit(name, self.spark.table(name).union(cast))
         self._stats[name].update(cast)
         self._save_stats(name)

@@ -792,3 +792,64 @@ def test_materialized_view_rejects_bad_shapes(db):
             "CREATE MATERIALIZED VIEW people AS SELECT age, count(*) AS n "
             "FROM people GROUP BY age"
         )
+
+
+def test_contract_gated_copy_from(spark, tmp_path):
+    """A violating COPY FROM leaves the table unchanged and returns the
+    violations relation; a clean load commits normally."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE dim (id INT, code VARCHAR(8))")
+    db.query("CREATE TABLE fact (id INT, dim_id INT, amount INT)")
+    db.query("INSERT INTO dim VALUES (1, 'a'), (2, 'b')")
+    db.query("INSERT INTO fact VALUES (1, 1, 10)")
+    db.query(
+        "CREATE CONTRACT ON fact ("
+        "CONSTRAINT amount_positive CHECK (amount > 0), "
+        "NOT NULL (dim_id), "
+        "UNIQUE (id), "
+        "FOREIGN KEY (dim_id) REFERENCES dim (id))"
+    )
+    defs = {r.contract for r in db.query("SHOW CONTRACTS fact").collect()}
+    assert defs == {"amount_positive", "not_null(dim_id)", "unique(id)", "fk_dim_id_dim"}
+
+    # violating batch: bad amount, orphan FK, and an id colliding with
+    # an EXISTING row (uniqueness must check combined, not just batch)
+    bad = spark.createDataFrame(
+        [(1, 1, 5), (3, 99, -2)], "id int, dim_id int, amount int"
+    )
+    bad_path = str(tmp_path / "bad.parquet")
+    bad.write.parquet(bad_path)
+    rep = db.query(f"COPY fact FROM '{bad_path}'")
+    viol = {r["check"]: r.violations for r in rep.collect()}
+    assert viol == {"amount_positive": 1, "fk(fk_dim_id_dim)": 1, "unique(unique(id))": 1}
+    assert db.query("SELECT count(*) AS n FROM fact").collect()[0].n == 1  # untouched
+
+    good = spark.createDataFrame([(2, 2, 7)], "id int, dim_id int, amount int")
+    good_path = str(tmp_path / "good.parquet")
+    good.write.parquet(good_path)
+    res = db.query(f"COPY fact FROM '{good_path}'").collect()[0]
+    assert res.rows_loaded == 1
+    assert db.query("SELECT count(*) AS n FROM fact").collect()[0].n == 2
+
+
+def test_contract_gated_insert_select(spark, tmp_path):
+    """INSERT…SELECT through a contract: refused (table unchanged,
+    violations returned) on dirty rows, committed when clean; contracts
+    survive a facade restart via the persisted spec."""
+    store = str(tmp_path / "store")
+    db = OxidSparkDatabase(spark, storage_dir=store)
+    db.query("CREATE TABLE src (id INT, v INT)")
+    db.query("CREATE TABLE tgt (id INT, v INT)")
+    db.query("INSERT INTO src VALUES (1, 5), (2, -1)")
+    db.query("CREATE CONTRACT ON tgt (CONSTRAINT v_pos CHECK (v > 0))")
+
+    rep = db.query("INSERT INTO tgt SELECT * FROM src")
+    assert [(r["check"], r.violations) for r in rep.collect()] == [("v_pos", 1)]
+    assert db.query("SELECT count(*) AS n FROM tgt").collect()[0].n == 0
+
+    db2 = OxidSparkDatabase(spark, storage_dir=store)  # contract reloaded
+    rep2 = db2.query("INSERT INTO tgt SELECT * FROM src WHERE v > 0")
+    assert rep2 is None
+    assert db2.query("SELECT count(*) AS n FROM tgt").collect()[0].n == 1
+    db2.query("DROP CONTRACT ON tgt")
+    assert db2.query("INSERT INTO tgt SELECT * FROM src") is None  # gate removed

@@ -150,6 +150,16 @@ _MV_SELECT_RE = re.compile(
 _MV_AGG_RE = re.compile(
     r"^(sum|min|max|avg|count)\s*\((.+)\)\s+AS\s+(\w+)\s*$", re.IGNORECASE | re.DOTALL
 )
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+AS\s+tgt)?"
+    r"\s+USING\s+(?:\((.+?)\)|(\w+))(?:\s+AS\s+src)?"
+    r"\s+ON\s+(.+?)"
+    r"(?:\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?))?"
+    r"(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(\*|\([^)]*\)\s*VALUES\s*\(.*?\)))?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_ON_RE = re.compile(r"^\s*tgt\.(\w+)\s*=\s*src\.(\w+)\s*$", re.IGNORECASE)
 _CREATE_CONTRACT_RE = re.compile(
     r"^\s*CREATE\s+CONTRACT\s+ON\s+(\w+)\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -336,6 +346,9 @@ class OxidSparkDatabase:
         tm = _TRUNCATE_RE.match(s)
         if tm:
             return self._delete(f"DELETE FROM {tm.group(1)}")
+        mg = _MERGE_RE.match(s)
+        if mg:
+            return self._merge_sql(mg)
         cc = _CREATE_CONTRACT_RE.match(s)
         if cc:
             return self._create_contract(cc.group(1).lower(), cc.group(2))
@@ -657,6 +670,57 @@ class OxidSparkDatabase:
         removed = vt.vacuum(keep_last=keep)
         return self.spark.createDataFrame(
             [(v,) for v in removed], "removed_version int"
+        )
+
+    def _merge_sql(self, m: "re.Match[str]") -> None:
+        """MERGE INTO tgt USING src|(<select>) ON tgt.k = src.k
+        [WHEN MATCHED THEN UPDATE SET col = expr, …]
+        [WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)] —
+        the SQL spelling of `merge()` (Delta/standard MERGE subset:
+        single equi-key, update + insert actions).  SET/VALUES
+        expressions address both sides as ``src.<col>`` / ``tgt.<col>``.
+        Omitting the NOT MATCHED clause drops unmatched source rows;
+        ``INSERT *`` maps same-named source columns."""
+        target = m.group(1).lower()
+        subq, src_name, on_src, set_src, ins_src = (
+            m.group(2), m.group(3), m.group(4), m.group(5), m.group(6),
+        )
+        om = _MERGE_ON_RE.match(on_src)
+        if not om or om.group(1).lower() != om.group(2).lower():
+            raise AnalyzerError(
+                "MERGE supports ON tgt.<key> = src.<key> with one shared "
+                f"key column; got: {on_src.strip()!r}"
+            )
+        key = om.group(1).lower()
+        source = self.sql(subq) if subq else self.sql(f"SELECT * FROM {src_name}")
+        sets = None
+        if set_src:
+            sets = {}
+            for item in _split_top_level(set_src):
+                sm = re.match(r"^\s*(?:tgt\.)?(\w+)\s*=\s*(.+)$", item, re.DOTALL)
+                if not sm:
+                    raise AnalyzerError(f"cannot parse SET item: {item!r}")
+                sets[sm.group(1).lower()] = sm.group(2).strip()
+        insert_unmatched = ins_src is not None
+        ins_map = None
+        if ins_src and ins_src.strip() != "*":
+            im = re.match(
+                r"^\(([^)]*)\)\s*VALUES\s*\((.*)\)$", ins_src.strip(), re.DOTALL
+            )
+            cols = [c.strip().lower() for c in im.group(1).split(",")]
+            vals = [v.strip() for v in _split_top_level(im.group(2))]
+            if len(cols) != len(vals):
+                raise AnalyzerError(
+                    f"INSERT has {len(cols)} columns but {len(vals)} values"
+                )
+            ins_map = dict(zip(cols, vals))
+        return self.merge(
+            target,
+            source,
+            key,
+            when_matched_set=sets,
+            insert_unmatched=insert_unmatched,
+            when_not_matched_insert=ins_map,
         )
 
     # -- data contracts (write-path gating of quality.validate_contracts) --

@@ -31,6 +31,108 @@ _DUCK_TOKS = (
 
 _DECON_N = 5  # word 5-gram shingles for contamination checks
 
+# BM25 (Okapi, the +1 idf variant): k1=1.2, b=0.75; fixed query set over
+# the synthetic vocabulary.  Scores quantized to integer micro-units
+# after the float chain (identical operand order in both engines) so
+# partial-agg merge order can't perturb the sum.
+_BM25_QUERIES = [
+    (1, "spark"), (1, "join"),
+    (2, "table"), (2, "scan"),
+    (3, "stream"), (3, "window"), (3, "hash"),
+]
+_BM25_TOP = 10
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
+    return f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    ex AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+    tf AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+           FROM ex GROUP BY doc_id, term),
+    stats AS (SELECT count(*) AS n,
+                     CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+              FROM t),
+    df AS (SELECT term, count(*) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM ex) GROUP BY term),
+    q(qid, term) AS (VALUES {qvals}),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(sum(CAST(round(
+               (ln((CAST(s.n - df.df AS DOUBLE) + 0.5)
+                   / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+                * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                   / (CAST(tf.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(tf.dl AS DOUBLE) / s.avgdl)))))
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf JOIN q USING (term) JOIN df USING (term), stats s
+      GROUP BY q.qid, tf.doc_id)
+    SELECT qid, doc_id, score_micro, rnk FROM (
+      SELECT qid, doc_id, score_micro,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM scored) WHERE rnk <= {_BM25_TOP}
+    """
+
+
+@register("docs_bm25_topk", oracle=_bm25_oracle())
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the documents table for a fixed query
+    set — the lexical half of a retrieval pipeline (the RAG capstone's
+    dense half is `pipeline.rag_index`; production rankers fuse both).
+
+    Scale shape: one tokenize pass feeds term frequencies (tf), document
+    frequencies (df) and length stats; the query term list and the df
+    table for those terms are broadcast onto the tf stream, so the only
+    data-sized shuffle is the per-(query, doc) score aggregation — and
+    tf itself is keyed by doc_id, the same partitioning the per-doc
+    length join rides.  The idf/length-normalization float chain uses
+    identical operand order in Spark and DuckDB and is quantized to
+    integer micro-units per (doc, term) BEFORE the sum, so the ranking
+    is bit-stable at any parallelism."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    ex = d.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.any_value("dl").alias("dl")
+    )
+    stats = (
+        d.select(F.size("toks").alias("dl0"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl0").alias("sdl"))
+        .select("n", (F.col("sdl").cast("double") / F.col("n")).alias("avgdl"))
+    )
+    df_t = (
+        ex.select("doc_id", "term").distinct().groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
+    joined = (
+        tf.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        ((F.col("n") - F.col("df")).cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    w = (F.col("tf").cast("double") * 2.2) / (
+        F.col("tf").cast("double")
+        + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    scored = joined.groupBy("qid", "doc_id").agg(
+        F.sum(F.round((idf * w) * 1000000).cast("bigint")).alias("score_micro")
+    )
+    win = W.partitionBy("qid").orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _BM25_TOP)
+        .select("qid", "doc_id", "score_micro", "rnk")
+    )
+
 
 @register(
     "decontaminate_ngram",

@@ -251,6 +251,102 @@ def scd2_apply_stream(
     )
 
 
+def _scd2_asof_oracle() -> str:
+    """History chain (the events_scd2_type derivation), month-boundary
+    probe grid, then the as-of lookup as a UNION + running last_value
+    window — the same O(n log n)-per-key shape the Spark side uses, so
+    no inequality join appears in either engine."""
+    return """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), cp AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE rn = 1 OR prev_type <> event_type
+    ), hist AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM cp
+    ), iv AS (
+      SELECT user_id, valid_from, event_type FROM hist
+      WHERE valid_to IS NULL OR valid_to > valid_from
+    ), days AS (
+      SELECT DISTINCT date_trunc('day', ts) + INTERVAL 1 DAY AS m FROM events
+    ), users AS (SELECT DISTINCT user_id FROM events),
+    u AS (
+      SELECT user_id, valid_from AS t, event_type, 0 AS kind FROM iv
+      UNION ALL
+      SELECT u.user_id, m.m, NULL, 1 FROM users u, days m
+    ), st AS (
+      SELECT user_id, t, kind,
+             last_value(event_type IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, kind
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      FROM u
+    )
+    SELECT user_id, CAST(t AS VARCHAR) AS as_of, state AS event_type
+    FROM st WHERE kind = 1 AND state IS NOT NULL
+    ORDER BY user_id, as_of
+    """
+
+
+@register("events_scd2_asof", oracle=_scd2_asof_oracle())
+def events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup over the SCD2 history: each user's
+    active event_type state AS OF every end-of-day boundary in the feed
+    — the query a Type-2 dimension exists to answer.
+
+    The as-of join is NOT an inequality join (a BroadcastNestedLoop at
+    scale): intervals and probe timestamps UNION into one timeline per
+    key and a running ``last_value(ignorenulls)`` window resolves each
+    probe to the newest interval at or before it — one exchange on the
+    key, linear per partition, the same shape at any history size.
+    Zero-length intervals (two change points at one timestamp) are
+    dropped first so the survivor at a timestamp is the state that
+    actually persisted."""
+    ev = table(spark, sf_dir, "events")
+    hist = scd2_build(ev, "user_id", ["event_type"], "ts", tiebreak=["event_id"])
+    iv = hist.filter(
+        F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+    ).select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        "event_type",
+        F.lit(0).alias("kind"),
+    )
+    days = ev.select(
+        (F.date_trunc("day", "ts") + F.expr("INTERVAL 1 DAY")).alias("t")
+    ).distinct()
+    probes = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(days))
+        .select(
+            "user_id", "t", F.lit(None).cast("string").alias("event_type"),
+            F.lit(1).alias("kind"),
+        )
+    )
+    u = iv.unionByName(probes)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    st = u.withColumn("state", F.last("event_type", ignorenulls=True).over(w))
+    return (
+        st.filter((F.col("kind") == 1) & F.col("state").isNotNull())
+        .select(
+            "user_id",
+            F.col("t").cast("string").alias("as_of"),
+            F.col("state").alias("event_type"),
+        )
+        .orderBy("user_id", "as_of")
+    )
+
+
 @register(
     "events_scd2_type",
     oracle="""

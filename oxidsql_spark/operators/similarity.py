@@ -1494,6 +1494,99 @@ def ann_ivfadc_search(
     return _exact_rerank(spark, sf_dir, _adc_shortlist(adc))
 
 
+def _semantic_oracle() -> str:
+    """Cluster chain (`_km_ctes` — integer-exact membership) + an exact
+    within-cluster cosine self-join; each pruned vector reports its
+    LOWEST-id duplicate neighbor."""
+    from .dedup import _COS_T as _T  # one shared near-dup threshold
+
+    return f"""
+    WITH {_km_ctes()},
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+      SELECT b.vec_id AS vec_id, aa.cluster AS cluster, a.vec_id AS dup_of,
+             list_cosine_similarity(a.v, b.v) AS sim
+      FROM ev a
+      JOIN a3 aa ON aa.vec_id = a.vec_id
+      JOIN a3 ab ON ab.cluster = aa.cluster
+      JOIN ev b ON b.vec_id = ab.vec_id AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_T})
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, dup_of,
+           round(sim, 4) AS cos_sim
+    FROM (
+      SELECT vec_id, cluster, dup_of, sim,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rk
+      FROM pairs) WHERE rk = 1
+    ORDER BY vec_id
+    """
+
+
+@register("dedup_semantic", oracle=_semantic_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023): train
+    the k-means codebook, cluster the corpus, then find near-duplicate
+    pairs ONLY within each cluster and prune every vector that has a
+    lower-id semantic duplicate — the clustering bounds the quadratic
+    (inter-cluster pairs are never scored), which is the whole trick
+    that makes semantic dedup feasible on a 100 TB embedding corpus.
+
+    The within-cluster scoring is a grouped Arrow GEMM (`applyInPandas`
+    per cluster) with dimension-ascending accumulation so every float
+    matches DuckDB's sequential ``list_cosine_similarity`` fold
+    bit-for-bit (the `dedup.embedding_cosine_pairs` discipline); the
+    cluster membership is integer-exact, so the whole chain is
+    oracle-checkable.  Output: one row per pruned vector with its
+    cluster and its lowest-id retained duplicate."""
+    import numpy as np
+    import pandas as pd
+
+    from .dedup import _COS_T
+
+    e = _km_quantized(spark, sf_dir)
+    cents = _km_train(e)
+    assigned = _km_assigned_batch(e, cents).select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+    )
+    ev = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    members = ev.join(assigned, "vec_id")
+    thresh = _COS_T
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "cluster": [], "dup_of": [], "sim": []}
+            ).astype({"vec_id": "int64", "cluster": "int64", "dup_of": "int64", "sim": "float64"})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        acc = np.zeros((len(ids), len(ids)))
+        for k in range(M.shape[1]):  # ascending dim = the SQL fold order
+            acc = acc + M[:, k][:, None] * M[:, k][None, :]
+        nrm = np.zeros(len(ids))
+        for k in range(M.shape[1]):
+            nrm = nrm + M[:, k] * M[:, k]
+        nrm = np.sqrt(nrm)
+        sim = acc / (nrm[:, None] * nrm[None, :])
+        dup = (sim >= thresh) & (np.arange(len(ids))[:, None] < np.arange(len(ids))[None, :])
+        cols = np.flatnonzero(dup.any(axis=0))
+        first_i = np.argmax(dup[:, cols], axis=0)  # lowest row index == lowest id
+        return pd.DataFrame(
+            {
+                "vec_id": ids[cols],
+                "cluster": np.full(len(cols), pdf["cluster"].iloc[0], dtype=np.int64),
+                "dup_of": ids[first_i],
+                "sim": sim[first_i, cols],
+            }
+        )
+
+    out = members.groupBy("cluster").applyInPandas(
+        prune, "vec_id bigint, cluster bigint, dup_of bigint, sim double"
+    )
+    return out.select(
+        "vec_id", "cluster", "dup_of", F.round("sim", 4).alias("cos_sim")
+    ).orderBy("vec_id")
+
+
 @register("ann_ivfadc", oracle=_ivfadc_oracle(), bench=True)
 def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (+R): the IVF cell restriction composed with PQ

@@ -605,3 +605,54 @@ def terms_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "exact_n", F.col("cms_est").cast("bigint").alias("cms_est"))
         .orderBy(F.col("exact_n").desc(), "term")
     )
+
+
+_BPE_TOP = 30  # merge candidates reported per round
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+                 ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+               FROM documents),
+    w AS (SELECT unnest(toks) AS word FROM t),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+               i -> substring(word, CAST(i AS INTEGER), 2))) AS pair
+      FROM w WHERE length(word) >= 2)
+    SELECT pair, cnt, rnk FROM (
+      SELECT pair, count(*) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair) WHERE rnk <= {_BPE_TOP}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE merge-candidate counting: the frequency of every
+    adjacent symbol pair across all word occurrences — the statistic a
+    byte-pair-encoding tokenizer trainer computes per merge step (the
+    top pair becomes the next merge rule).
+
+    Scale shape: pure JVM codegen — tokenize, explode words, explode
+    each word's adjacent 2-grams via a sequence transform (no Python),
+    then ONE pair-keyed count whose shuffle carries a partial per
+    (pair, partition): vocabulary-bounded, independent of corpus size.
+    The global top-{_BPE_TOP} rides a single-column TakeOrdered, not a
+    full sort."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    win = W.orderBy(F.col("cnt").desc(), "pair")
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "pair")
+        .limit(_BPE_TOP)
+        .withColumn("rnk", F.row_number().over(win))
+    )
+    return top.select("pair", "cnt", "rnk")

@@ -68,6 +68,10 @@ _PRIORITY: tuple[str, ...] = (
     # through this window, closing VERDICT r7 finding #4).
     # New in round 8 — never driver-checked:
     "ann_ivfadc",
+    "events_scd2_asof",
+    "dedup_semantic",
+    "docs_bm25_topk",
+    "bpe_pair_counts",
 )
 
 

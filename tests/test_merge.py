@@ -75,3 +75,43 @@ def test_merge_duplicate_source_keys_raise(db, spark):
     src = spark.createDataFrame([(2, 1), (2, 2)], "id int, delta int")
     with pytest.raises(AnalyzerError, match="duplicate"):
         db.merge("acct", src, key="id", when_matched_set={"bal": "src.delta"})
+
+
+def test_merge_sql_statement(spark):
+    """The SQL spelling of MERGE INTO: matched rows update via SET
+    (addressing both sides), unmatched source rows insert via
+    (cols) VALUES, and without a NOT MATCHED clause unmatched rows are
+    dropped."""
+    from oxidsql_spark.database import AnalyzerError, OxidSparkDatabase
+
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE acct (id INT, bal INT, tag VARCHAR(8))")
+    db.query("INSERT INTO acct VALUES (1, 100, 'a'), (2, 200, 'b')")
+    db.query("CREATE TABLE delta (id INT, amt INT)")
+    db.query("INSERT INTO delta VALUES (2, 50), (3, 7)")
+
+    db.query(
+        "MERGE INTO acct USING delta ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET bal = tgt.bal + src.amt "
+        "WHEN NOT MATCHED THEN INSERT (id, bal, tag) VALUES (src.id, src.amt, 'new')"
+    )
+    got = sorted((r.id, r.bal, r.tag) for r in db.query("SELECT * FROM acct").collect())
+    assert got == [(1, 100, "a"), (2, 250, "b"), (3, 7, "new")]
+
+    # subquery source + no NOT MATCHED clause: unmatched rows dropped
+    db.query(
+        "MERGE INTO acct USING (SELECT id, amt * 2 AS amt FROM delta) ON tgt.id = src.id "
+        "WHEN MATCHED THEN UPDATE SET bal = src.amt"
+    )
+    got = sorted((r.id, r.bal) for r in db.query("SELECT * FROM acct").collect())
+    assert got == [(1, 100), (2, 100), (3, 14)]
+
+    # INSERT *: same-named source columns, NULL elsewhere
+    db.query("CREATE TABLE delta2 (id INT, bal INT)")
+    db.query("INSERT INTO delta2 VALUES (9, 5)")
+    db.query("MERGE INTO acct USING delta2 ON tgt.id = src.id WHEN NOT MATCHED THEN INSERT *")
+    row9 = db.query("SELECT * FROM acct WHERE id = 9").collect()[0]
+    assert (row9.bal, row9.tag) == (5, None)
+
+    with pytest.raises(AnalyzerError):  # non-equi ON rejected
+        db.query("MERGE INTO acct USING delta ON tgt.id < src.id WHEN MATCHED THEN UPDATE SET bal = 0")

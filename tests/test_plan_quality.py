@@ -137,7 +137,13 @@ def test_all_benched_queries_scale_clean(spark, sf_dir):
 # partition over dozens of rows is correct AND scale-safe.  Everything
 # else must window over a partitioned spec or use the two-phase
 # distwindow plan (range-partition → local cumsum → broadcast offsets).
-_TINY_DOMAIN_WINDOWS = {"source_mix", "orders_monthly_growth"}
+_TINY_DOMAIN_WINDOWS = {
+    "source_mix",
+    "orders_monthly_growth",
+    # rnk assigned AFTER TakeOrdered cuts to the top-30 pairs — the
+    # window input is 30 rows by construction, not the pair domain
+    "bpe_pair_counts",
+}
 
 
 def test_no_single_partition_window_fleet_wide(spark, sf_dir):

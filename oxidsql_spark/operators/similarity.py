@@ -1456,6 +1456,60 @@ def build_ivfadc_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
     ).write.mode("overwrite").parquet(_pqbooks_path(out_path))
 
 
+def _load_ivfadc_books(spark: SparkSession, index_path: str):
+    """The index's frozen codebooks: (km cents dict, PQ books dict)."""
+    cents = {
+        int(r["cell"]): list(r["qcent"])
+        for r in spark.read.parquet(_codebook_path(index_path)).collect()
+    }
+    books: dict[int, dict[int, list[int]]] = {m: {} for m in range(_PQ_M)}
+    for r in spark.read.parquet(_pqbooks_path(index_path)).collect():
+        books[int(r["sub"])][int(r["code"])] = list(r["cent"])
+    return cents, books
+
+
+def _quantize_vecs(vecs: DataFrame) -> DataFrame:
+    """(vec_id, qv): quantize an arbitrary (vec_id, embedding) frame to
+    the integer domain — `_km_quantized` for non-corpus inputs."""
+    return vecs.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, e -> "
+            f"CAST(floor(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+
+
+def admit_ivfadc_vectors(
+    spark: SparkSession, new_vecs: DataFrame, index_path: str
+) -> float:
+    """Incremental IVFADC admission: encode a batch of NEW vectors
+    (vec_id, embedding) against the index's FROZEN codebooks — PQ codes
+    from the persisted per-subspace books, cell from the persisted km
+    centroids — and append them into the cell partitions.  No rebuild,
+    no touch of existing rows; cost scales with the batch, and because
+    both codebooks are frozen the admitted index is row-identical to
+    encoding the grown corpus against them from scratch
+    (equivalence-tested).  Returns the post-admission cell-occupancy
+    skew — the same drift signal as `admit_ivf_vectors`; on drift,
+    rebuild via `build_ivfadc_index` to a fresh path and swap."""
+    cents, books = _load_ivfadc_books(spark, index_path)
+    e = _quantize_vecs(new_vecs)
+    assigned = _km_assigned_batch(e, cents).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    codes = pq_encode(e, books).join(assigned, "vec_id")
+    codes.write.mode("append").partitionBy("cell").parquet(index_path)
+    occ = (
+        spark.read.parquet(index_path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+        .first()
+    )
+    return float(occ["mx"] * len(cents) / occ["tot"])
+
+
 def ann_ivfadc_search(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:
@@ -1470,13 +1524,7 @@ def ann_ivfadc_search(
     shortlist×queries rows."""
     import numpy as np
 
-    cents = {
-        int(r["cell"]): list(r["qcent"])
-        for r in spark.read.parquet(_codebook_path(index_path)).collect()
-    }
-    books: dict[int, dict[int, list[int]]] = {m: {} for m in range(_PQ_M)}
-    for r in spark.read.parquet(_pqbooks_path(index_path)).collect():
-        books[int(r["sub"])][int(r["code"])] = list(r["cent"])
+    cents, books = _load_ivfadc_books(spark, index_path)
     qrows = (
         _km_quantized(spark, sf_dir).filter(F.col("vec_id") < _N_QUERIES).collect()
     )

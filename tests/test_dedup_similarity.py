@@ -734,3 +734,85 @@ def test_pq_fused_trainer_equals_per_subspace(spark, sf_dir):
 
     e = _km_quantized(spark, sf_dir)
     assert pq_train(e) == pq_train_per_subspace(e)
+
+
+def test_ivfadc_admission_equals_frozen_encode(spark, sf_dir, tmp_path):
+    """IVFADC incremental admission: appending a batch encoded against
+    the FROZEN persisted codebooks must yield an index row-identical to
+    encoding the grown corpus against those same codebooks, the
+    codebooks themselves must be untouched, and the search over the
+    admitted index must stay partition-pruned."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.similarity import (
+        _km_assigned_batch,
+        _load_ivfadc_books,
+        _quantize_vecs,
+        admit_ivfadc_vectors,
+        ann_ivfadc_search,
+        build_ivfadc_index,
+        pq_encode,
+    )
+    from oxidsql_spark.sources import table
+
+    # build on a filtered corpus slice that keeps the deterministic
+    # codebook seeds (vec_id < K), then admit the rest
+    full = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = full.count()
+    split = int(n * 0.7)
+    idx = str(tmp_path / "ivfadc_grow")
+
+    import oxidsql_spark.operators.similarity as S
+
+    class _Sliced:
+        pass
+
+    # build_ivfadc_index reads the full corpus via _km_quantized; build
+    # over the initial slice by calling its internals directly
+    e0 = _quantize_vecs(full.filter(F.col("vec_id") < split))
+    cents = S._km_train(e0)
+    books = S.pq_train(e0)
+    assigned0 = _km_assigned_batch(e0, cents).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    pq_encode(e0, books).join(assigned0, "vec_id").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(idx)
+    spark.createDataFrame(
+        [(int(c), [int(x) for x in cents[c]]) for c in sorted(cents)],
+        "cell int, qcent array<bigint>",
+    ).write.mode("overwrite").parquet(S._codebook_path(idx))
+    spark.createDataFrame(
+        [(m, int(c), [int(x) for x in books[m][c]])
+         for m in range(S._PQ_M) for c in sorted(books[m])],
+        "sub int, code bigint, cent array<bigint>",
+    ).write.mode("overwrite").parquet(S._pqbooks_path(idx))
+
+    skew = admit_ivfadc_vectors(
+        spark, full.filter(F.col("vec_id") >= split), idx
+    )
+    assert skew >= 1.0
+
+    # admitted == full corpus encoded against the SAME frozen books
+    ef = _quantize_vecs(full)
+    want_codes = pq_encode(ef, books)
+    want_cells = _km_assigned_batch(ef, cents).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    want = {
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in want_codes.join(want_cells, "vec_id").collect()
+    }
+    got = {
+        (r.vec_id, tuple(r.codes), r.cell)
+        for r in spark.read.parquet(idx).select("vec_id", "codes", "cell").collect()
+    }
+    assert got == want and len(got) == n
+
+    cents2, books2 = _load_ivfadc_books(spark, idx)
+    assert cents2 == cents and books2 == books  # frozen-codebook contract
+
+    res = ann_ivfadc_search(spark, sf_dir, idx)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+    assert res.count() > 0

@@ -338,3 +338,130 @@ def mm_resize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return _payloads(spark, sf_dir).mapInPandas(resize_batches, schema=_RESIZE_SCHEMA)
+
+
+# --- perceptual image fingerprinting (difference hash) ---------------------
+
+_DH_GRID = 8  # dHash grid: 9x8 luma grid -> 64 comparisons (real path)
+_DH_FAKE_BITS = 48  # fake byte-stride fingerprint width (fits bigint)
+
+
+def decode_gray(payload: bytes):
+    """Decode a BMP / Netpbm payload to a row-major grayscale matrix
+    (list of rows of floats, top-down); None for non-images.  Shares
+    `decode_image`'s strict validation; BMP supports the 24-bit
+    uncompressed layout the codec tests generate (bottom-up or
+    top-down), Netpbm covers P2/P3/P5/P6 with 8/16-bit samples."""
+    meta = decode_image(payload)
+    if meta is None:
+        return None
+    n = len(payload)
+    if payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h_raw = int.from_bytes(payload[22:26], "little", signed=True)
+        h = abs(h_raw)
+        bpp = int.from_bytes(payload[28:30], "little")
+        if bpp != 24:
+            return None
+        off = int.from_bytes(payload[10:14], "little") or 54
+        stride = (w * 3 + 3) // 4 * 4
+        rows = []
+        for r in range(h):
+            src = r if h_raw < 0 else h - 1 - r  # bottom-up unless negative
+            base = off + src * stride
+            row = []
+            for c in range(w):
+                b_, g_, r_ = payload[base + c * 3 : base + c * 3 + 3]
+                row.append(0.299 * r_ + 0.587 * g_ + 0.114 * b_)
+            rows.append(row)
+        return rows
+    fmt, w, h, maxval, start = _pnm_header(payload)
+    channels = 3 if fmt in ("P3", "P6") else 1
+    if fmt in ("P5", "P6"):
+        bytes_per = 1 if maxval < 256 else 2
+        vals = [
+            int.from_bytes(payload[start + i * bytes_per : start + (i + 1) * bytes_per], "big")
+            for i in range(w * h * channels)
+        ]
+    else:
+        vals = [int(s) for s in payload[start:].split()]
+    rows = []
+    for r in range(h):
+        row = []
+        for c in range(w):
+            i = (r * w + c) * channels
+            if channels == 3:
+                row.append(0.299 * vals[i] + 0.587 * vals[i + 1] + 0.114 * vals[i + 2])
+            else:
+                row.append(float(vals[i]))
+        rows.append(row)
+    return rows
+
+
+def dhash_image(payload: bytes):
+    """Real perceptual difference hash: decode to grayscale, average-pool
+    to a (grid+1)×grid luma matrix, set bit r*grid+c when cell (r, c) is
+    brighter than its right neighbor.  Robust to uniform brightness and
+    contrast changes (monotone transforms preserve the comparisons) —
+    the property exact checksums lack and the reason image dedup
+    pipelines hash THIS instead of bytes.  None for non-images."""
+    g = decode_gray(payload)
+    if g is None:
+        return None
+    h, w = len(g), len(g[0])
+    gw, gh = _DH_GRID + 1, _DH_GRID
+    pooled = []
+    for r in range(gh):
+        row = []
+        r0, r1 = r * h // gh, max((r + 1) * h // gh, r * h // gh + 1)
+        for c in range(gw):
+            c0, c1 = c * w // gw, max((c + 1) * w // gw, c * w // gw + 1)
+            cells = [g[rr][cc] for rr in range(r0, min(r1, h)) for cc in range(c0, min(c1, w))]
+            row.append(sum(cells) / len(cells))
+        pooled.append(row)
+    bits = 0
+    for r in range(gh):
+        for c in range(_DH_GRID):
+            if pooled[r][c] > pooled[r][c + 1]:
+                bits |= 1 << (r * _DH_GRID + c)
+    return bits
+
+
+def _dhash_fake_terms(engine: str) -> str:
+    """The fake byte-stride fingerprint as a sum of CASE terms, emitted
+    identically for Spark SQL and DuckDB (both operate on the ASCII
+    payload): bit i compares the codepoints at stride positions
+    1 + (7i mod (len-1)) and its successor."""
+    terms = []
+    for i in range(_DH_FAKE_BITS):
+        p = f"(1 + (({i} * 7) % greatest(length(text) - 1, 1)))"
+        terms.append(
+            f"(CASE WHEN ascii(substring(text, {p}, 1)) > "
+            f"ascii(substring(text, {p} + 1, 1)) THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "mm_dhash_fingerprint",
+    oracle=f"""
+    SELECT doc_id, {_dhash_fake_terms('duckdb')} AS dhash
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed perceptual-fingerprint pass over the binary payload
+    column: one JVM-codegen projection per row, no Python in the plan —
+    the shape of an image-dedup pipeline's hashing stage at 100 TB
+    (hash every blob once, then group/band on the tiny fingerprints).
+    On the synthetic text-payload corpus the fingerprint is the
+    deterministic byte-stride fake (oracle-expressible arithmetic, the
+    `mm_decode_features` discipline); real BMP/Netpbm payloads go
+    through `dhash_image` — brightness/contrast-invariant 9x8 luma
+    comparisons — exercised with real image bytes in
+    tests/test_multimodal_codec.py."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.expr(_dhash_fake_terms("spark")).alias("dhash")
+    ).orderBy("doc_id")

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_semantic",
     "docs_bm25_topk",
     "bpe_pair_counts",
+    "mm_dhash_fingerprint",
 )
 
 

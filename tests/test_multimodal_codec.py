@@ -101,3 +101,72 @@ def test_real_images_through_mapinpandas(spark, monkeypatch):
     )
     got = {r["doc_id"]: (r["width"], r["height"]) for r in out.collect()}
     assert got == {i: (w, h) for i, (_, w, h) in enumerate(FIXTURES)}
+
+
+def _bmp_px(pixels):
+    """24-bit BMP from a row-major [[(r,g,b),...]] pixel matrix
+    (written bottom-up, per the format)."""
+    h, w = len(pixels), len(pixels[0])
+    stride = (w * 3 + 3) // 4 * 4
+    raster = bytearray()
+    for row in reversed(pixels):
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes((b, g, r))
+        line += bytes(stride - len(line))
+        raster += line
+    total = 54 + len(raster)
+    return (
+        b"BM" + total.to_bytes(4, "little") + bytes(4) + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + bytes(24)
+        + bytes(raster)
+    )
+
+
+def test_dhash_brightness_invariance_and_discrimination():
+    """The perceptual property exact checksums lack: a uniformly
+    brightened copy of an image keeps (almost exactly) the same dHash,
+    while a structurally different image lands far away in hamming
+    distance — the basis of near-dup image dedup."""
+    import random
+
+    from oxidsql_spark.operators.multimodal import dhash_image
+
+    rnd = random.Random(7)
+    w, h = 36, 32
+    img = [[(rnd.randrange(200), rnd.randrange(200), rnd.randrange(200))
+            for _ in range(w)] for _ in range(h)]
+    bright = [[(r + 30, g + 30, b + 30) for r, g, b in row] for row in img]
+    other = [[(rnd.randrange(200), rnd.randrange(200), rnd.randrange(200))
+              for _ in range(w)] for _ in range(h)]
+
+    h0 = dhash_image(_bmp_px(img))
+    h1 = dhash_image(_bmp_px(bright))
+    h2 = dhash_image(_bmp_px(other))
+    assert h0 is not None and h1 is not None and h2 is not None
+    ham01 = bin(h0 ^ h1).count("1")
+    ham02 = bin(h0 ^ h2).count("1")
+    assert ham01 <= 4, f"brightness shift moved dHash by {ham01} bits"
+    assert ham02 >= 16, f"unrelated images only {ham02} bits apart"
+    # byte-level checksum would see all three as totally different
+    assert _bmp_px(img) != _bmp_px(bright)
+
+
+def test_dhash_same_across_formats():
+    """The same grayscale content encoded as P5 (binary) and P2 (ASCII)
+    must hash identically — dHash is a function of the pixels, not the
+    container."""
+    import random
+
+    from oxidsql_spark.operators.multimodal import dhash_image
+
+    rnd = random.Random(11)
+    w, h = 18, 16
+    vals = [rnd.randrange(256) for _ in range(w * h)]
+    p5 = f"P5 {w} {h} 255 ".encode() + bytes(vals)
+    p2 = f"P2 {w} {h} 255 ".encode() + " ".join(map(str, vals)).encode()
+    h5, h2 = dhash_image(p5), dhash_image(p2)
+    assert h5 is not None and h5 == h2
+    assert dhash_image(b"not an image at all") is None

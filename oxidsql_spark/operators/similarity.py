@@ -1577,6 +1577,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id semantic duplicate — the clustering bounds the quadratic
     (inter-cluster pairs are never scored), which is the whole trick
     that makes semantic dedup feasible on a 100 TB embedding corpus.
+    Production sizes K so each cluster stays worker-sized (K grows
+    with the corpus — SemDeDup uses ~100k clusters at web scale); the
+    fixture K={_KM_K} matches the oracle's unrolled Lloyd chain, and
+    the per-cluster Arrow GEMM shape is K-independent.
 
     The within-cluster scoring is a grouped Arrow GEMM (`applyInPandas`
     per cluster) with dimension-ascending accumulation so every float

@@ -51,6 +51,11 @@ STRESS_QUERIES = [
     "dedup_clusters",
     "terms_cms_heavy_hitters",
     "ann_ivf_kmeans",
+    # r8 additions: the two heaviest new shapes — wedge enumeration
+    # (quadratic in hub degree unless oriented) and the fused
+    # ADC candidate stream (linear in codes, shortlist-bounded output)
+    "part_triangles",
+    "ann_pq_adc",
 ]
 
 

@@ -220,6 +220,94 @@ class Scd2History:
     def versions(self) -> list[int]:
         return self._pvt.versions()
 
+    def enrich_asof(self, batch: DataFrame, probe_id: str) -> DataFrame:
+        """Enrich each batch row with the dimension attributes active at
+        its timestamp (``asof_<attr>`` columns; NULL before the key's
+        first interval).  Manifest-pruned: only the key buckets present
+        in the batch are read — per-batch lookup cost is O(batch +
+        touched buckets), the partitioned-history dividend.  The as-of
+        resolution is the union + running ``last_value`` timeline (one
+        exchange on the key, no inequality join); a probe at exactly a
+        change point sees the NEW interval.  ``probe_id`` must uniquely
+        identify batch rows (the join-back key)."""
+        key, ts = self.key, self.ts_col
+        buckets = [
+            str(r[0])
+            for r in batch.select(self._bucket(F.col(key)).alias("b"))
+            .distinct()
+            .collect()
+            if r[0] is not None
+        ]
+        hist = self._pvt.read_partitions(buckets).drop(self._KB)
+        iv = hist.filter(
+            F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from"))
+        )
+        attrs_struct = F.struct(*[F.col(a) for a in self.attrs])
+        struct_t = iv.select(attrs_struct.alias("_s")).schema["_s"].dataType
+        pid_t = batch.schema[probe_id].dataType
+        iv_rows = iv.select(
+            F.col(key),
+            F.col("valid_from").alias("_t"),
+            attrs_struct.alias("_state"),
+            F.lit(0).alias("_kind"),
+            F.lit(None).cast(pid_t).alias(probe_id),
+        )
+        probe_rows = batch.select(
+            F.col(key),
+            F.col(ts).alias("_t"),
+            F.lit(None).cast(struct_t).alias("_state"),
+            F.lit(1).alias("_kind"),
+            F.col(probe_id),
+        )
+        w = (
+            W.partitionBy(key)
+            .orderBy("_t", "_kind")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        resolved = (
+            iv_rows.unionByName(probe_rows)
+            .withColumn("_asof", F.last("_state", ignorenulls=True).over(w))
+            .filter(F.col("_kind") == 1)
+            .select(
+                probe_id,
+                *[F.col("_asof")[a].alias(f"asof_{a}") for a in self.attrs],
+            )
+        )
+        return batch.join(resolved, probe_id, "left")
+
+
+def scd2_enrich_stream(
+    spark: SparkSession,
+    source_dir: str,
+    hist_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming point-in-time enrichment: each micro-batch of the
+    events feed is joined to the FROZEN partitioned SCD2 history as-of
+    each event's timestamp (`Scd2History.enrich_asof` — only the
+    buckets of the batch's keys are read per batch) and appended to a
+    parquet sink.  The stream-side twin of `events_scd2_asof`'s
+    lookup; replayed-stream == batch equality is tested.  Returns the
+    ready DataStreamWriter (caller .start()s it)."""
+    from ..streaming.events import _stream_source
+
+    hist = Scd2History(
+        spark, hist_path, "user_id", ["event_type"], "ts", tiebreak=["event_id"]
+    )
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        if batch_df.isEmpty():
+            return
+        hist.enrich_asof(batch_df, "event_id").write.mode("append").parquet(out_dir)
+
+    return (
+        _stream_source(spark, source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
 
 def scd2_apply_stream(
     spark: SparkSession, source_dir: str, table_path: str, checkpoint_dir: str

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "docs_bm25_topk",
     "bpe_pair_counts",
     "mm_dhash_fingerprint",
+    "events_pattern_match",
 )
 
 

@@ -1037,6 +1037,70 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_PATTERNS = [
+    # (name, regex over the '>'-joined full event-type path) — ordered
+    # subsequence detection, the MATCH_RECOGNIZE shapes product
+    # analytics asks for.  Kept to syntax with identical semantics in
+    # Java regex (Spark rlike) and RE2 (DuckDB regexp_matches).
+    ("view_to_purchase", "view.*purchase"),
+    ("full_funnel", "view.*click.*purchase"),
+    ("error_then_purchase", "error.*purchase"),
+    ("signup_first", "^signup"),
+    ("repeat_purchase", "purchase.*purchase"),
+]
+
+
+@register(
+    "events_pattern_match",
+    oracle=f"""
+    WITH paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id)
+    {" UNION ALL ".join(
+        f"SELECT '{n}' AS pattern, "
+        f"CAST(sum(CASE WHEN regexp_matches(path, '{p}') THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_users FROM paths"
+        for n, p in _SEQ_PATTERNS
+    )}
+    ORDER BY pattern
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys — the
+    MATCH_RECOGNIZE capability expressed Spark-first: each user's FULL
+    ordered event-type path becomes one string (total order by
+    (ts, event_id), so the path is deterministic at any parallelism),
+    and each declared pattern is an ordered-subsequence regex counted
+    across users in ONE pass over the path relation.
+
+    Scale shape: one shuffle on user_id builds the paths (sorted-struct
+    collect, arrival-order independent); the pattern scan is a
+    constant-×-|users| regex pass with map-side partial counts — adding
+    patterns costs columns, not scans.  Paths are session-bounded in
+    production (a user's path length is bounded by their event count;
+    pathological users cap out at the string limit, the same bound the
+    string_agg oracle carries)."""
+    e = table(spark, sf_dir, "events")
+    paths = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    aggs = [
+        F.sum(F.col("path").rlike(p).cast("bigint")).alias(n)
+        for n, p in _SEQ_PATTERNS
+    ]
+    one = paths.agg(*aggs)
+    stacked = ", ".join(f"'{n}', `{n}`" for n, _ in _SEQ_PATTERNS)
+    return one.select(
+        F.expr(f"stack({len(_SEQ_PATTERNS)}, {stacked}) AS (pattern, n_users)")
+    ).orderBy("pattern")
+
+
 # ---------------------------------------------------------------------------
 # transformWithState capability twin (streaming.statefulproc)
 # ---------------------------------------------------------------------------

@@ -153,3 +153,39 @@ def test_scd2_partitioned_single_key_rewrites_one_bucket(spark, tmp_path):
 
 # the streaming twin (scd2_apply_stream == one-shot build over a 4-batch
 # replay) lives in tests/test_streaming.py with the chunked_stream_dir fixture
+
+
+def test_scd2_enrich_asof_semantics(spark, tmp_path):
+    """Point-in-time enrichment: rows resolve to the interval active at
+    their timestamp, a probe at exactly a change point sees the NEW
+    state, and probes before the key's first interval get NULL."""
+    from datetime import datetime
+
+    from oxidsql_spark.operators.scd import Scd2History
+
+    t = lambda s: datetime(2024, 1, s)
+    hist = Scd2History(
+        spark, str(tmp_path / "h"), "k", ["attr"], "ts", tiebreak=["seq"], n_buckets=4
+    )
+    hist.merge(_mk(spark, [
+        (1, "a", t(2), 1),
+        (1, "b", t(5), 2),
+        (2, "x", t(3), 1),
+    ]))
+    probes = spark.createDataFrame(
+        [(101, 1, t(1)), (102, 1, t(2)), (103, 1, t(4)), (104, 1, t(5)),
+         (105, 1, t(9)), (106, 2, t(3)), (107, 3, t(4))],
+        "pid int, k int, ts timestamp_ntz",
+    )
+    got = {
+        r.pid: r.asof_attr for r in hist.enrich_asof(probes, "pid").collect()
+    }
+    assert got == {
+        101: None,   # before first interval
+        102: "a",    # exactly at the change point -> new state
+        103: "a",
+        104: "b",    # change point at its own ts
+        105: "b",    # open interval
+        106: "x",
+        107: None,   # unknown key
+    }

@@ -886,3 +886,37 @@ def test_scd2_stream_equals_batch(spark, sf_dir, chunked_stream_dir, tmp_path):
 
     assert rows(vt.read()) == rows(want)
     assert len(vt.versions()) >= 2
+
+
+def test_scd2_enrich_stream_equals_batch(spark, sf_dir, chunked_stream_dir, tmp_path):
+    """Streaming as-of enrichment over the 4-batch replay lands exactly
+    the batch enrichment of the same events against the same frozen
+    history."""
+    from oxidsql_spark.operators.scd import Scd2History, scd2_enrich_stream
+    from oxidsql_spark.sources import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    hist_path = str(tmp_path / "hist")
+    hist = Scd2History(
+        spark, hist_path, "user_id", ["event_type"], "ts", tiebreak=["event_id"]
+    )
+    hist.merge(ev)
+
+    out = str(tmp_path / "enriched")
+    q = scd2_enrich_stream(
+        spark, chunked_stream_dir, hist_path, out, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        (r.event_id, r.asof_event_type)
+        for r in hist.enrich_asof(ev, "event_id").collect()
+    }
+    got = {
+        (r.event_id, r.asof_event_type)
+        for r in spark.read.parquet(out).select("event_id", "asof_event_type").collect()
+    }
+    assert got == want and len(got) == ev.count()

@@ -663,11 +663,14 @@ class OxidSparkDatabase:
         default 2) committed snapshots plus any crashed uncommitted
         directories; returns the removed version numbers.  Time travel
         to removed versions stops working, exactly like Delta's vacuum
-        horizon."""
+        horizon.  Also accepts a materialized view (refresh snapshots
+        share the retention semantics)."""
         name = m.group(1).lower()
-        vt = self._require_versioned(name)
         keep = int(m.group(2)) if m.group(2) else 2
-        removed = vt.vacuum(keep_last=keep)
+        if name in self._matviews:
+            removed = self._mv_view(name).vacuum(keep_last=keep)
+        else:
+            removed = self._require_versioned(name).vacuum(keep_last=keep)
         return self.spark.createDataFrame(
             [(v,) for v in removed], "removed_version int"
         )
@@ -1065,9 +1068,14 @@ class OxidSparkDatabase:
         the snapshot model SHOW VERSIONS only lists ids for."""
         import datetime as _dt
 
-        if not self.storage_dir or name not in self._tables:
+        if name in self._matviews:
+            from .versioned import VersionedTable
+
+            vt = VersionedTable(self.spark, self._matviews[name]["path"])
+        elif not self.storage_dir or name not in self._tables:
             raise AnalyzerError(f"'{name}' is not a durable versioned table")
-        vt = self._vt(name)
+        else:
+            vt = self._vt(name)
         rows = []
         for v in vt.versions():
             vdir = vt._vdir(v)

@@ -126,3 +126,55 @@ class AggView:
 
     def versions(self) -> list[int]:
         return self._store.versions()
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop refresh snapshots beyond ``keep_last`` (same retention
+        semantics as the base `VersionedTable`)."""
+        return self._store.vacuum(keep_last=keep_last)
+
+
+def matview_apply_stream(
+    spark: SparkSession, source_dir: str, view_path: str, checkpoint_dir: str
+):
+    """Streaming incremental view maintenance: each micro-batch of the
+    events feed folds into a per-event-type aggregate view (`AggView`
+    create on the first batch, `refresh` after) — one versioned commit
+    per non-empty batch, so the view is continuously fresh at
+    |delta| + |groups| cost per batch and its commit log is the refresh
+    history (time travel = the view at any replay point).  Because
+    refresh ≡ recompute is bit-exact (decimal partials, pinned types),
+    the replayed stream's final view equals the one-shot
+    materialization — tested over the 4-batch chunked replay.  Returns
+    the ready DataStreamWriter (caller .start()s it)."""
+    from .streaming.events import _stream_source
+
+    view = events_type_view(spark, view_path)
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        if batch_df.isEmpty():
+            return
+        if view.versions():
+            view.refresh(batch_df)
+        else:
+            view.create(batch_df)
+
+    return (
+        _stream_source(spark, source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
+def events_type_view(spark: SparkSession, path: str) -> AggView:
+    """The per-event-type spend/volume view both the batch and the
+    streaming maintenance paths share: COUNT(*) + SUM/MIN/MAX/AVG over
+    exact DECIMAL(18,2) value."""
+    from pyspark.sql import functions as F
+
+    return AggView(
+        spark,
+        path,
+        ["event_type"],
+        {"value": F.col("value").cast("decimal(18,2)")},
+    )

@@ -1510,6 +1510,36 @@ def admit_ivfadc_vectors(
     return float(occ["mx"] * len(cents) / occ["tot"])
 
 
+def admit_ivfadc_stream(
+    spark: SparkSession, source_dir: str, index_path: str, checkpoint_dir: str
+):
+    """Streaming vector ingestion: a file stream of (vec_id, embedding)
+    batches lands in a prebuilt IVFADC index via ``foreachBatch``, each
+    micro-batch one `admit_ivfadc_vectors` append against the FROZEN
+    codebooks — the index stays continuously searchable (readers see
+    whole batches; the cell-partitioned layout and pruned probes are
+    unchanged by appends), and the replayed stream's final index is
+    row-identical to a one-shot admission of the same vectors
+    (frozen-codebook determinism; tested).  Returns the ready
+    DataStreamWriter (caller .start()s it)."""
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        if batch_df.isEmpty():
+            return
+        admit_ivfadc_vectors(spark, batch_df, index_path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+
+
 def ann_ivfadc_search(
     spark: SparkSession, sf_dir: str, index_path: str
 ) -> DataFrame:

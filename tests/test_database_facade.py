@@ -853,3 +853,27 @@ def test_contract_gated_insert_select(spark, tmp_path):
     assert db2.query("SELECT count(*) AS n FROM tgt").collect()[0].n == 1
     db2.query("DROP CONTRACT ON tgt")
     assert db2.query("INSERT INTO tgt SELECT * FROM src") is None  # gate removed
+
+
+def test_matview_vacuum_and_history(spark, tmp_path):
+    """Maintenance verbs work on materialized views: DESCRIBE HISTORY
+    lists one row per refresh snapshot, VACUUM retires old ones (time
+    travel horizon shrinks accordingly)."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "s"))
+    db.query("CREATE TABLE m (g VARCHAR(4), v INT)")
+    db.query("INSERT INTO m VALUES ('a', 1)")
+    db.query(
+        "CREATE MATERIALIZED VIEW mv AS SELECT g, count(*) AS n, sum(v) AS s "
+        "FROM m GROUP BY g"
+    )
+    db.query("REFRESH MATERIALIZED VIEW mv WITH (SELECT 'a' AS g, 2 AS v)")
+    db.query("REFRESH MATERIALIZED VIEW mv WITH (SELECT 'b' AS g, 3 AS v)")
+    hist = db.query("DESCRIBE HISTORY mv").collect()
+    assert [r.version for r in hist] == [1, 2, 3]
+    removed = [r.removed_version for r in db.query("VACUUM mv RETAIN 2 VERSIONS").collect()]
+    assert removed == [1]
+    with pytest.raises(AnalyzerError):
+        db.query("SELECT * FROM mv VERSION AS OF 1")
+    assert {(r.g, r.n, r.s) for r in db.query("SELECT * FROM mv").collect()} == {
+        ("a", 2, 3), ("b", 1, 3)
+    }

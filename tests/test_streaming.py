@@ -920,3 +920,98 @@ def test_scd2_enrich_stream_equals_batch(spark, sf_dir, chunked_stream_dir, tmp_
         for r in spark.read.parquet(out).select("event_id", "asof_event_type").collect()
     }
     assert got == want and len(got) == ev.count()
+
+
+def test_matview_stream_refresh_equals_oneshot(spark, sf_dir, chunked_stream_dir, tmp_path):
+    """Streaming incremental view maintenance over the 4-batch replay:
+    the final view equals a one-shot materialization of the full feed
+    BIT-exactly (decimal partials), and the commit log holds one
+    version per non-empty batch."""
+    from oxidsql_spark.matview import events_type_view, matview_apply_stream
+    from oxidsql_spark.sources import table
+
+    vp = str(tmp_path / "mv_stream")
+    q = matview_apply_stream(
+        spark, chunked_stream_dir, vp, str(tmp_path / "mv_ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    view = events_type_view(spark, vp)
+    oneshot = events_type_view(spark, str(tmp_path / "mv_oneshot"))
+    oneshot.create(table(spark, sf_dir, "events"))
+
+    def rows(v):
+        return sorted(tuple(r) for r in v.read().collect())
+
+    assert rows(view) == rows(oneshot)
+    assert len(view.versions()) >= 2  # one commit per non-empty batch
+
+
+def test_ivfadc_stream_admission_equals_oneshot(spark, sf_dir, tmp_path):
+    """Streaming vector ingestion: replaying the admission batch as a
+    3-chunk file stream lands an index row-identical to the one-shot
+    admission of the same vectors against the same frozen codebooks."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.similarity import (
+        admit_ivfadc_stream,
+        admit_ivfadc_vectors,
+        build_ivfadc_index,
+    )
+    from oxidsql_spark.sources import table
+
+    full = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = full.count()
+    split = int(n * 0.7)
+    batch = full.filter(F.col("vec_id") >= split)
+
+    # two identical initial indexes (same build → same frozen
+    # codebooks); the SAME vectors are then admitted once via the
+    # 3-chunk stream and once directly
+    idx_stream = str(tmp_path / "ivfadc_s")
+    idx_direct = str(tmp_path / "ivfadc_d")
+    build_ivfadc_index(spark, sf_dir, idx_stream)
+    build_ivfadc_index(spark, sf_dir, idx_direct)
+
+    src = str(tmp_path / "vec_feed")
+    os.makedirs(src)
+    thirds = [
+        batch.filter((F.col("vec_id") % 3) == i).withColumn(
+            "vec_id", F.col("vec_id") + 100000  # fresh ids for the appended rows
+        )
+        for i in range(3)
+    ]
+    for i, t in enumerate(thirds):
+        t.coalesce(1).write.parquet(f"{src}/chunk{i}")
+        time.sleep(0.05)
+    # flatten chunk dirs into files with ascending mtimes
+    import glob
+    import shutil
+
+    for i in range(3):
+        part = glob.glob(f"{src}/chunk{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/b{i}.parquet")
+        shutil.rmtree(f"{src}/chunk{i}")
+
+    q = admit_ivfadc_stream(
+        spark, src, idx_stream, str(tmp_path / "vec_ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    admit_ivfadc_vectors(
+        spark, batch.withColumn("vec_id", F.col("vec_id") + 100000), idx_direct
+    )
+
+    def rows(p):
+        return sorted(
+            (r.vec_id, tuple(r.codes), r.cell)
+            for r in spark.read.parquet(p).select("vec_id", "codes", "cell").collect()
+        )
+
+    got, want = rows(idx_stream), rows(idx_direct)
+    assert got == want and len(got) == n + batch.count()

@@ -289,3 +289,110 @@ def orders_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "o_orderpriority")
     )
+
+
+@register(
+    "events_type_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, how many
+    users did BOTH — the segment-intersection report behind audience
+    sizing and cannibalization analysis.
+
+    Scale shape: ONE distinct shuffle on (user_id, event_type) builds
+    the membership relation; the self-join runs co-partitioned on
+    user_id (the distinct already partitioned it — no second exchange
+    of the big side), fans out only per-user type pairs (≤ T² per user,
+    T = #types, a constant), and the pair count partial-aggregates.
+    The HLL route (one sketch per type, intersection by
+    inclusion-exclusion) replaces the join when T is large; with the
+    fixed 5-type domain the exact join IS the cheap plan."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "events_conversion_lag",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+      SELECT e.user_id,
+             CAST(date_diff('second', fv.first_view, min(e.ts)) AS BIGINT)
+               AS lag_s
+      FROM events e JOIN fv ON e.user_id = fv.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+      GROUP BY e.user_id, fv.first_view)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(sum(lag_s) AS BIGINT) AS total_lag_s,
+           min(lag_s) AS min_lag_s,
+           max(lag_s) AS max_lag_s,
+           round(CAST(sum(lag_s) AS DOUBLE) / count(*), 4) AS avg_lag_s
+    FROM conv
+    """,
+)
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: per user, the seconds from
+    their FIRST view to their first purchase at-or-after it, aggregated
+    to count / total / min / max / mean — the funnel-velocity companion
+    to events_funnel (which counts who converts; this measures how
+    fast).
+
+    Scale shape: one filtered aggregate derives first-view per user
+    (pushdown on event_type); purchases join it co-partitioned on
+    user_id and reduce to one row per converting user before the final
+    scalar aggregate.  All lag arithmetic is integer seconds, so the
+    sums are order-independent; only the final mean divides (same
+    operand order both engines)."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(
+            (
+                F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+            ).alias("lag_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.sum("lag_s").alias("total_lag_s"),
+        F.min("lag_s").alias("min_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+        F.round(F.sum("lag_s").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_lag_s"
+        ),
+    )

@@ -74,6 +74,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_pair_counts",
     "mm_dhash_fingerprint",
     "events_pattern_match",
+    "events_type_overlap",
+    "events_conversion_lag",
 )
 
 

@@ -396,3 +396,75 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_lag_s"
         ),
     )
+
+
+@register(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    base AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+    pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', b.d0, d) AS BIGINT) AS x,
+             CAST(y AS BIGINT) AS y
+      FROM daily, base b),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY event_type)
+    SELECT event_type, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM m ORDER BY event_type
+    """,
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped least-squares trend: per event type, the OLS slope and
+    intercept of daily event counts against the day index — the
+    "is this signal growing" primitive behind volume monitoring and
+    anomaly-free drift detection.
+
+    Scale shape: the daily rollup is the only data-sized aggregation
+    (map-side combined on (type, day)); the regression inputs are the
+    five classic sufficient statistics (n, Σx, Σy, Σxy, Σx²) — ALL
+    integer, so partial-agg merge order cannot perturb them — and
+    slope/intercept are two final double divisions with identical
+    operand order in both engines (rounded at 6 dp).  Day indexes are
+    anchored to the global min day (one broadcast row)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    base = ev.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    pts = daily.crossJoin(F.broadcast(base)).select(
+        "event_type",
+        F.datediff("d", "d0").cast("bigint").alias("x"),
+        F.col("y").cast("bigint").alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            6,
+        ).alias("intercept"),
+    ).orderBy("event_type")

@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_pattern_match",
     "events_type_overlap",
     "events_conversion_lag",
+    "events_daily_trend",
 )
 
 

@@ -43,6 +43,24 @@ _BM25_QUERIES = [
 _BM25_TOP = 10
 
 
+def _bm25_query_df(ex: DataFrame, q: DataFrame) -> DataFrame:
+    """Document frequency restricted to the QUERY terms — the broadcast
+    side of the BM25 idf join.  The query-term list (a handful of rows)
+    is broadcast into a semi-join that prunes the exploded token stream
+    BEFORE the distinct, so both the dedup shuffle and the resulting df
+    relation are query-sized, never vocabulary-sized.  At web scale the
+    full-vocabulary df table is GBs; broadcasting it (the r8 shape)
+    would OOM the driver — this keeps the broadcast at |query terms|
+    rows by construction."""
+    return (
+        ex.select("doc_id", "term")
+        .join(F.broadcast(q.select("term").distinct()), "term", "semi")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
 def _bm25_oracle() -> str:
     qvals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
     return f"""
@@ -104,11 +122,8 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl0").alias("sdl"))
         .select("n", (F.col("sdl").cast("double") / F.col("n")).alias("avgdl"))
     )
-    df_t = (
-        ex.select("doc_id", "term").distinct().groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
     q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
+    df_t = _bm25_query_df(ex, q)
     joined = (
         tf.join(F.broadcast(q), "term")
         .join(F.broadcast(df_t), "term")
@@ -132,6 +147,135 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BM25_TOP)
         .select("qid", "doc_id", "score_micro", "rnk")
     )
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+# and dense (cosine ANN) halves --------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_SCALE = 1_000_000_000  # integer micro-units: SCALE DIV (K + rank)
+_RRF_TOP = 10
+_DENSE_QIDS = sorted({q for q, _ in _BM25_QUERIES})  # qid n ↔ query vec_id n
+
+
+def rrf_fuse(
+    lex: DataFrame, dense: DataFrame, k: int = _RRF_K, top: int = _RRF_TOP
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (qid, doc_id, rnk) ranked lists:
+    score = Σ halves SCALE DIV (k + rank), missing half contributes 0.
+    Pure INTEGER arithmetic — floor-divided micro-units instead of the
+    textbook 1/(k+r) floats — so the fused ordering is bit-identical at
+    any parallelism and in any engine.  One full-outer rank join keyed
+    on (qid, doc_id) — both inputs are top-k-sized, so at 100 TB this
+    costs nothing next to the halves that produced them."""
+    lhs = lex.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("rnk").alias("lex_rnk"),
+    )
+    rhs = dense.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("rnk").alias("dense_rnk"),
+    )
+    fused = lhs.join(rhs, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} DIV ({k} + lex_rnk)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_RRF_SCALE} DIV ({k} + dense_rnk)"), F.lit(0))
+        ).cast("bigint").alias("rrf_micro"),
+        "lex_rnk",
+        "dense_rnk",
+    )
+    w = W.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select("qid", "doc_id", "rrf_micro", "lex_rnk", "dense_rnk", "rnk")
+    )
+
+
+def _dense_ranks(spark: SparkSession, sf_dir: str, qids, top: int) -> DataFrame:
+    """Dense half: exact cosine top-k for the query vectors vec_id ∈
+    qids — same broadcast-queries/one-pass/per-query-window shape (and
+    the same operand order, which the cross-engine rank stability rides
+    on) as similarity.ann_topk_bruteforce."""
+    from ..functions import as_double_vec, vec_dot, vec_norm
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    q = e.filter(F.col("vec_id").isin(list(qids))).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.select("vec_id", F.col("v").alias("cv"), "nrm")
+    scored = c.join(F.broadcast(q), F.col("qid") != F.col("vec_id")).withColumn(
+        "sim", vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rnk")
+    )
+
+
+def _rrf_oracle() -> str:
+    qid_list = ", ".join(str(q) for q in _DENSE_QIDS)
+    return f"""
+    WITH lex AS (SELECT qid, doc_id, rnk FROM ({_bm25_oracle()}) bm),
+    dense AS (
+      SELECT qid, doc_id, rnk FROM (
+        SELECT q.q_id AS qid, c.vec_id AS doc_id,
+               row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.vec_id) AS rnk
+        FROM (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN ({qid_list})) q
+        JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings) c
+          ON q.q_id <> c.vec_id
+      ) WHERE rnk <= {_RRF_TOP}),
+    fused AS (
+      SELECT CAST(coalesce(l.qid, d.qid) AS BIGINT) AS qid,
+             CAST(coalesce(l.doc_id, d.doc_id) AS BIGINT) AS doc_id,
+             CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + l.rnk), 0)
+                  + coalesce({_RRF_SCALE} // ({_RRF_K} + d.rnk), 0) AS BIGINT)
+               AS rrf_micro,
+             l.rnk AS lex_rnk, d.rnk AS dense_rnk
+      FROM lex l FULL JOIN dense d ON l.qid = d.qid AND l.doc_id = d.doc_id)
+    SELECT qid, doc_id, rrf_micro, lex_rnk, dense_rnk, rnk FROM (
+      SELECT qid, doc_id, rrf_micro, lex_rnk, dense_rnk,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_micro DESC, doc_id) AS rnk
+      FROM fused) WHERE rnk <= {_RRF_TOP}
+    """
+
+
+@register("retrieval_hybrid_rrf", oracle=_rrf_oracle())
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    top-k (docs_bm25_topk) and the dense cosine top-k for the matching
+    query vectors (qid n ↔ embeddings vec_id n) — the standard fusion a
+    production RAG stack runs over its two retrieval indexes.
+
+    RRF needs only the two RANK lists, never the raw scores, which is
+    exactly why it composes across heterogeneous scorers (BM25 floats
+    vs cosine floats) without calibration; the integer micro-unit
+    scoring in rrf_fuse keeps the fused ordering engine- and
+    parallelism-independent.  Both halves are the already-proven
+    operators; the fusion itself is a top-k-sized rank join — at scale
+    the dense half would come from the IVFADC index probe
+    (similarity.ann_ivfadc) instead of the exact scan, with this exact
+    fusion unchanged.  tests/test_pipeline.py locks the union-recall
+    property (fusion recalls what EITHER half recalls on a corpus with
+    disjoint lexical-only / dense-only relevant sets)."""
+    lex = docs_bm25_topk(spark, sf_dir).select("qid", "doc_id", "rnk")
+    dense = _dense_ranks(spark, sf_dir, _DENSE_QIDS, _RRF_TOP)
+    return rrf_fuse(lex, dense, _RRF_K, _RRF_TOP)
 
 
 @register(

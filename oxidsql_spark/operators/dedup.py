@@ -49,6 +49,61 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def collapse_exact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact-duplicate documents to one representative per
+    content fingerprint: the canonicalization pre-pass every near-dup
+    stage should run FIRST.
+
+    Returns ``(reps, members)``:
+
+    * ``reps`` — one row per distinct text: ``(id_col, text_col,
+      weight)`` where ``id_col`` is the smallest member id (so rep ids
+      are stable and the min-label invariant below holds) and
+      ``weight`` is the exact-group size.
+    * ``members`` — ``(id_col, rep_id)`` mapping every input doc to its
+      representative (``rep_id == id`` for the representative itself
+      and for all unique texts).
+
+    Why this exists: identical texts have identical shingle/signature
+    sets, so k verbatim copies turn every near-dup candidate into k²
+    candidates and every pair into k² pairs — a duplicate-saturated
+    corpus (the exact corpus dedup is FOR) makes the un-collapsed
+    pipeline quadratic in the duplication factor.  Enumerating shingles
+    and pairs over representatives only makes verbatim copies cost one
+    group-by, and component structure is preserved exactly: a member's
+    neighbors are its rep's neighbors (same text → same shingles), and
+    the min doc_id of any component is always a rep id (each doc's rep
+    has a smaller-or-equal id and lives in the same component).
+
+    Physical shape: one groupBy on the 128-bit fingerprint.  ``min_by``
+    partial-aggregates map-side, so the shuffle carries roughly one
+    text per distinct fingerprint per partition, never the duplicated
+    bodies; ``members`` re-hashes scan-side and joins on the 16-byte
+    fingerprint key only.
+    """
+    fp_col = F.md5(F.col(text_col).cast("binary")).alias("fp")
+    groups = scoped_persist(
+        docs.select(F.col(id_col), F.col(text_col), fp_col)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("weight"),
+            F.min_by(text_col, F.col(id_col)).alias(text_col),
+        )
+    )
+    reps = groups.select(
+        F.col("rep_id").alias(id_col), F.col(text_col), F.col("weight")
+    )
+    members = (
+        docs.select(F.col(id_col), fp_col)
+        .join(groups.select("fp", "rep_id"), "fp")
+        .select(id_col, "rep_id")
+    )
+    return reps, members
+
+
 # ---------------------------------------------------------------------------
 # N-gram Jaccard (exact near-dup, oracle-checkable)
 # ---------------------------------------------------------------------------
@@ -157,10 +212,96 @@ def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> Da
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = _JACCARD_T, collapse: bool = True
+) -> DataFrame:
     """Exact n-gram Jaccard pairs over an arbitrary documents DataFrame
-    (doc_id, text) — candidate generation + exact verification against
-    the shared AllPairs index."""
+    (doc_id, text).
+
+    By default the corpus is first collapsed through ``collapse_exact``:
+    shingling, the prefix-filtered candidate self-join, and exact
+    verification all run over one representative per distinct text, and
+    the pair set is then expanded back through the exact groups —
+    rep-pair (a, b) → all cross-group member pairs with the rep pair's
+    jaccard, plus all intra-group member pairs at jaccard 1.0 (only for
+    groups that produce ≥1 shingle; shingle-less docs share no inverted-
+    index key, so the direct pipeline never pairs them — not even with
+    verbatim copies — and the expansion preserves that).  The output is
+    row-identical to the direct computation (identical texts have
+    identical shingle sets, so every expanded pair's jaccard equals its
+    rep pair's), but a duplicate-saturated corpus costs a group-by plus
+    an output-sized expansion join instead of a quadratic blow-up inside
+    the candidate machinery.  ``collapse=False`` runs the direct path
+    (the equality is pinned by tests/test_dedup_skew.py on a verbatim-
+    saturated corpus and by the driver's DuckDB oracle every round)."""
+    if not collapse:
+        return _ngram_jaccard_pairs_direct(docs, threshold)
+    reps, members = collapse_exact(docs)
+    rep_pairs = _ngram_jaccard_pairs_direct(
+        reps.select("doc_id", "text"), threshold
+    )
+    return _expand_rep_pairs(rep_pairs, members, _can_shingle(reps))
+
+
+def _can_shingle(reps: DataFrame, n: int = _JACCARD_N) -> DataFrame:
+    """(rep_id, can_shingle): whether a representative's text yields at
+    least one word n-gram — groups that can't never appear in the
+    inverted index, so their members stay unpaired in the direct
+    pipeline and must stay unpaired after expansion too."""
+    return reps.select(
+        F.col("doc_id").alias("rep_id"),
+        (F.size(tokens(F.col("text"))) >= n).alias("can_shingle"),
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, can: DataFrame
+) -> DataFrame:
+    """Expand representative-level near-dup pairs back to member-level
+    pairs through the exact groups.  Inter-group: each rep pair crosses
+    both groups' member lists (ordered with least/greatest — members of
+    the smaller-id group may carry larger ids).  Intra-group: every
+    member pair inside a shingle-capable group is an exact dup, jaccard
+    1.0.  Both joins are keyed on rep_id; the work is proportional to
+    the OUTPUT pair count, which is the inherent cost of materializing
+    the expanded pair set (cluster-level consumers skip this entirely
+    and expand labels instead — see graph.dedup_clusters)."""
+    ma = members.select(
+        F.col("rep_id").alias("a_id"), F.col("doc_id").alias("m_a")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("b_id"), F.col("doc_id").alias("m_b")
+    )
+    inter = (
+        rep_pairs.join(ma, "a_id")
+        .join(mb, "b_id")
+        .select(
+            F.least("m_a", "m_b").alias("a_id"),
+            F.greatest("m_a", "m_b").alias("b_id"),
+            "jaccard",
+        )
+    )
+    grouped = members.join(
+        can.filter(F.col("can_shingle")).select("rep_id"), "rep_id", "semi"
+    )
+    x, y = grouped.alias("x"), grouped.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") < F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("a_id"),
+        F.col("y.doc_id").alias("b_id"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    return inter.unionByName(intra)
+
+
+def _ngram_jaccard_pairs_direct(
+    docs: DataFrame, threshold: float = _JACCARD_T
+) -> DataFrame:
+    """Direct (un-collapsed) exact n-gram Jaccard pairs — candidate
+    generation + exact verification against the shared AllPairs index."""
     docs_arr = _allpairs_index(docs, threshold)
     cand = jaccard_candidates(docs_arr, threshold)
     # exact verify on candidates only: intersect the full shingle sets
@@ -211,7 +352,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification.  ~8 shuffles total vs ~13 for the row-form plan
     (2-3x faster at sf0.1); the persisted array table IS the AllPairs
     index the literature materializes — scope-tracked (cachescope) and
-    shared by the candidate and verify passes."""
+    shared by the candidate and verify passes.
+
+    The whole machine runs AFTER an exact-dup collapse (collapse_exact):
+    verbatim copies — the dominant duplication mode in web corpora —
+    never reach the shingler, and the expanded output is row-identical
+    to the direct computation (the DuckDB oracle below computes the
+    direct pair set, so every driver round re-proves the equality)."""
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), _JACCARD_T)
 
 

@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 from ..cachescope import free_local_checkpoint, scoped_local_checkpoint, scoped_persist
 from ..registry import register
 from ..sources import table
-from .dedup import _JACCARD_N, _JACCARD_T, dedup_ngram_jaccard  # noqa: F401
+from .dedup import (  # noqa: F401
+    _JACCARD_N,
+    _JACCARD_T,
+    _can_shingle,
+    _ngram_jaccard_pairs_direct,
+    collapse_exact,
+    dedup_ngram_jaccard,
+)
 
 _MAX_ITERS = 20
 
@@ -58,15 +65,102 @@ _ORACLE = f"""
 """
 
 
+def cluster_documents(docs: DataFrame) -> DataFrame:
+    """Near-dup connected components over an arbitrary (doc_id, text)
+    frame via the collapse-first pipeline: exact-dup groups are
+    collapsed to representatives, min-label propagation runs over the
+    REP-level Jaccard pair graph only, and labels are then expanded
+    through the exact groups with one membership join — member-level
+    pairs are never materialized.  A verbatim-duplicated corpus (the
+    case dedup exists for) therefore costs one fingerprint group-by on
+    top of the unique-text clustering, instead of multiplying every
+    pair — and every propagation state — by k²; driver/executor state
+    is bounded by the UNIQUE-text graph, not the duplicate blow-up.
+
+    Label expansion is exact: identical texts have identical shingle
+    sets, so a member's component is its rep's component, and the min
+    doc_id of any component is always a rep id (each member's rep has a
+    ≤ id in the same component).  Shingle-less groups (texts under n
+    tokens) share no inverted-index key in the direct pipeline — even
+    verbatim copies stay singletons — so their members keep their own
+    doc_id as cluster_id."""
+    reps, members = collapse_exact(docs)
+    rep_pairs = _ngram_jaccard_pairs_direct(
+        reps.select("doc_id", "text"), _JACCARD_T
+    ).select("a_id", "b_id")
+    rep_labels = propagate_min_labels(reps.select("doc_id"), rep_pairs)
+    return (
+        members.join(
+            rep_labels.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+        )
+        .join(_can_shingle(reps), "rep_id")
+        .select(
+            "doc_id",
+            F.when(F.col("can_shingle"), F.col("cluster_id"))
+            .otherwise(F.col("doc_id"))
+            .alias("cluster_id"),
+        )
+    )
+
+
 @register("dedup_clusters", bench=True, oracle=_ORACLE)
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the exact Jaccard
     pair graph; cluster_id = smallest doc_id in the component (singleton
-    docs are their own cluster). Iterative min-label propagation in
-    Spark vs a recursive-CTE transitive closure in the oracle."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a_id", "b_id")
-    return propagate_min_labels(docs, pairs)
+    docs are their own cluster). Collapse-first label propagation in
+    Spark (see cluster_documents) vs a recursive-CTE transitive closure
+    over the DIRECT pair graph in the oracle — each driver round
+    re-proves collapsed == direct."""
+    return cluster_documents(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters_collapsed",
+    oracle=f"""
+    WITH clusters AS ({_ORACLE}),
+    grp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    gs AS (SELECT fp, min(doc_id) AS rep_id, count(*) AS exact_group_size
+           FROM grp GROUP BY fp)
+    SELECT c.doc_id, c.cluster_id, gs.rep_id, gs.exact_group_size
+    FROM clusters c
+    JOIN grp ON grp.doc_id = c.doc_id
+    JOIN gs ON gs.fp = grp.fp
+    """,
+)
+def dedup_clusters_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collapse-expand cluster pipeline with its internal structure
+    exposed: per doc, the near-dup cluster_id PLUS the exact-group
+    representative it was collapsed through and that group's size.
+    The oracle computes cluster_id from the DIRECT (un-collapsed)
+    transitive closure and the groups independently from md5(text), so
+    a green row is a standing proof that collapsing exact duplicates
+    before pair enumeration changes nothing about the cluster sets —
+    the invariant the 100 TB pipeline relies on when it skips verbatim
+    copies in the shingler."""
+    docs = table(spark, sf_dir, "documents")
+    reps, members = collapse_exact(docs)
+    rep_pairs = _ngram_jaccard_pairs_direct(
+        reps.select("doc_id", "text"), _JACCARD_T
+    ).select("a_id", "b_id")
+    rep_labels = propagate_min_labels(reps.select("doc_id"), rep_pairs)
+    weights = reps.select(
+        F.col("doc_id").alias("rep_id"), F.col("weight").alias("exact_group_size")
+    )
+    return (
+        members.join(
+            rep_labels.withColumnRenamed("doc_id", "rep_id"), "rep_id"
+        )
+        .join(_can_shingle(reps), "rep_id")
+        .join(weights, "rep_id")
+        .select(
+            "doc_id",
+            F.when(F.col("can_shingle"), F.col("cluster_id"))
+            .otherwise(F.col("doc_id"))
+            .alias("cluster_id"),
+            "rep_id",
+            "exact_group_size",
+        )
+    )
 
 
 def propagate_min_labels(

@@ -58,25 +58,25 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-8 start: all 14 round-7 priority names went driver-green in
-    # CORRECTNESS_r07.json and are retired to the stable rotation, per
-    # the policy above — the window's remaining ~45+ slots go to the
-    # stalest stable queries (the 29 whose latest green is r4: the core
-    # relational/TPC-H/setop/window families — agg_cube/distinct/rollup,
-    # anti_join, semi_join, setop_*, sort_limit, window_*, tpch_q1/3/5/
-    # 6/10, ref_multijoin, ref_values, … — sort first and rotate
-    # through this window, closing VERDICT r7 finding #4).
-    # New in round 8 — never driver-checked:
-    "ann_ivfadc",
-    "events_scd2_asof",
-    "dedup_semantic",
+    # round-9 start: all 10 round-8 priority names went driver-green in
+    # CORRECTNESS_r08.json and are retired to the stable rotation, per
+    # the policy above — the window's remaining slots go to the stalest
+    # stable queries (the 38 whose latest green is r5 — agg_salted,
+    # approx_quantiles, argmax_customer, asof_last_click, the window_*/
+    # stats_*/sample_* families, … — sort first, closing VERDICT r8
+    # finding #6).
+    # New in round 9 — never driver-checked:
+    "dedup_clusters_collapsed",
+    "retrieval_hybrid_rrf",
+    # Rewritten in round 9 (collapse-first near-dup pipeline; BM25
+    # query-term-restricted df broadcast; re-prove against the
+    # unchanged direct oracles):
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_cluster_stats",
+    "dedup_keep_best",
     "docs_bm25_topk",
-    "bpe_pair_counts",
-    "mm_dhash_fingerprint",
-    "events_pattern_match",
-    "events_type_overlap",
-    "events_conversion_lag",
-    "events_daily_trend",
+    "dedup_semantic",
 )
 
 

@@ -31,6 +31,7 @@ CACHE_USING_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_containment",
     "dedup_clusters",
+    "dedup_clusters_collapsed",
     "dedup_cluster_stats",
     "corpus_shard_pack",
     "customer_pareto",

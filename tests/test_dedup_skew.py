@@ -86,6 +86,109 @@ def test_prefix_filter_verified_pairs_are_clique(spark, corpus):
     release_scoped_caches()
 
 
+def _verbatim_corpus(spark):
+    """Duplicate-saturated corpus exercising every collapse edge case:
+    a true near-dup pair with asymmetric verbatim copy counts, a
+    verbatim-only group with no near-dup partner, unique docs, and
+    shingle-less docs (short + empty text) with verbatim copies —
+    which must STAY singletons, exactly as in the direct pipeline."""
+    base_a = " ".join(f"w{j}" for j in range(20))  # near-dup pair ...
+    base_b = base_a + " tail1 tail2"  # ... jaccard well above t
+    lone = " ".join(f"x{j}" for j in range(20))  # verbatim group, no partner
+    rows = []
+    doc = 0
+    for _ in range(3):  # A x3
+        rows.append((doc, base_a)); doc += 1
+    for _ in range(2):  # B x2
+        rows.append((doc, base_b)); doc += 1
+    for _ in range(4):  # lone x4
+        rows.append((doc, lone)); doc += 1
+    for i in range(30):  # unique docs
+        rows.append((doc, " ".join(f"u{i}w{j}" for j in range(15)))); doc += 1
+    for _ in range(3):  # shingle-less (2 tokens) x3
+        rows.append((doc, "hi there")); doc += 1
+    for _ in range(2):  # empty x2
+        rows.append((doc, "")); doc += 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_collapse_expand_pairs_equal_direct(spark):
+    """The collapse-first pair pipeline is row-identical to the direct
+    computation on a duplicate-saturated corpus — inter-group pairs
+    inherit the rep pair's jaccard, intra-group verbatim pairs appear
+    at 1.0, and shingle-less verbatim groups contribute NO pairs (they
+    share no inverted-index key in the direct pipeline either)."""
+    corpus = _verbatim_corpus(spark)
+    direct = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, _JACCARD_T, collapse=False).collect()
+    }
+    collapsed = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in ngram_jaccard_pairs(corpus, _JACCARD_T, collapse=True).collect()
+    }
+    assert collapsed == direct
+    # the A/B near-dup group expands to C(5,2) pairs, lone to C(4,2)
+    assert len(direct) == 10 + 6
+    release_scoped_caches()
+
+
+def test_collapse_clusters_equal_direct(spark):
+    """cluster_documents (propagation over representatives + label
+    expansion) produces the exact cluster map of direct propagation
+    over the un-collapsed pair graph — including singleton clusters for
+    every shingle-less doc, verbatim copies or not."""
+    from oxidsql_spark.operators.dedup import _ngram_jaccard_pairs_direct
+    from oxidsql_spark.operators.graph import (
+        cluster_documents,
+        propagate_min_labels,
+    )
+
+    corpus = _verbatim_corpus(spark)
+    direct_pairs = _ngram_jaccard_pairs_direct(corpus, _JACCARD_T).select(
+        "a_id", "b_id"
+    )
+    direct = {
+        (r.doc_id, r.cluster_id)
+        for r in propagate_min_labels(
+            corpus.select("doc_id"), direct_pairs
+        ).collect()
+    }
+    collapsed = {
+        (r.doc_id, r.cluster_id) for r in cluster_documents(corpus).collect()
+    }
+    assert collapsed == direct
+    # shingle-less docs (the last 5) are singletons despite verbatim copies
+    n_docs = corpus.count()
+    for d in range(n_docs - 5, n_docs):
+        assert (d, d) in collapsed
+    release_scoped_caches()
+
+
+def test_collapse_shrinks_rep_set_independent_of_duplication(spark):
+    """The representative set — all the shingler and candidate join
+    ever see under collapse — is |unique texts|-sized regardless of the
+    verbatim duplication factor: 10x-duplicating the corpus leaves the
+    rep count, and therefore the near-dup candidate work, unchanged."""
+    from oxidsql_spark.operators.dedup import collapse_exact
+
+    corpus = _verbatim_corpus(spark)
+    reps1, members1 = collapse_exact(corpus)
+    n_unique = corpus.select("text").distinct().count()
+    assert reps1.count() == n_unique
+    blown = corpus.unionByName(
+        corpus.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    for _ in range(2):
+        blown = blown.unionByName(
+            blown.select((F.col("doc_id") + 100_000).alias("doc_id"), "text")
+        )
+    reps10, members10 = collapse_exact(blown)
+    assert reps10.count() == n_unique  # duplication factor invisible to reps
+    assert members10.count() == blown.count()  # every doc mapped
+    release_scoped_caches()
+
+
 def test_minhash_candidates_linear_bound(spark, corpus):
     """MinHash band buckets track true similarity, not shingle
     frequency: the 1000-doc boilerplate phrase may produce only a small

@@ -287,3 +287,54 @@ def test_admit_corpus_batch_incremental(spark, sf_dir, tmp_path):
     all_fps = spark.read.parquet(fp_path).select("fp")
     flags = bloom_probe(all_fps, words, n_bits)
     assert flags.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_rrf_fusion_recalls_union_of_halves(spark):
+    """Hybrid-retrieval union-recall property: on a corpus where the
+    relevant set splits into a lexical-only half (query terms present,
+    random vectors) and a dense-only half (near the query vector, no
+    query terms), RRF top-k recalls BOTH halves — strictly more than
+    either input list alone — with irrelevant docs fused below them."""
+    from oxidsql_spark.operators.corpus_ext import rrf_fuse
+
+    # qid 1: relevant docs 0-9.  Lexical half ranks 0-4 (only it sees
+    # them); dense half ranks 5-9; each half's remaining slots are
+    # filled with disjoint irrelevant docs (20+).
+    lex = spark.createDataFrame(
+        [(1, d, r + 1) for r, d in enumerate([0, 1, 2, 3, 4, 20, 21, 22, 23, 24])],
+        "qid bigint, doc_id bigint, rnk int",
+    )
+    dense = spark.createDataFrame(
+        [(1, d, r + 1) for r, d in enumerate([5, 6, 7, 8, 9, 30, 31, 32, 33, 34])],
+        "qid bigint, doc_id bigint, rnk int",
+    )
+    fused = rrf_fuse(lex, dense, k=60, top=10)
+    top = {r.doc_id for r in fused.collect()}
+    relevant = set(range(10))
+    lex_recall = len({0, 1, 2, 3, 4} & relevant) / len(relevant)
+    dense_recall = len({5, 6, 7, 8, 9} & relevant) / len(relevant)
+    fused_recall = len(top & relevant) / len(relevant)
+    assert fused_recall == 1.0
+    assert fused_recall > max(lex_recall, dense_recall)
+    # determinism: equal-score docs break ties on doc_id ascending
+    rows = {(r.doc_id, r.rnk) for r in fused.collect()}
+    assert rows == {(r2.doc_id, r2.rnk) for r2 in rrf_fuse(lex, dense, 60, 10).collect()}
+
+
+def test_rrf_doc_in_both_halves_outranks_single_half(spark):
+    """A doc ranked by BOTH halves accumulates both reciprocal terms
+    and must outrank a doc holding the SAME rank in only one half —
+    the consensus-boost that makes RRF beat either scorer alone."""
+    from oxidsql_spark.operators.corpus_ext import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(1, 100, 1), (1, 200, 2)], "qid bigint, doc_id bigint, rnk int"
+    )
+    dense = spark.createDataFrame(
+        [(1, 100, 2), (1, 300, 1)], "qid bigint, doc_id bigint, rnk int"
+    )
+    out = {r.doc_id: (r.rrf_micro, r.rnk) for r in rrf_fuse(lex, dense).collect()}
+    assert out[100][1] == 1  # in both halves -> fused rank 1
+    assert out[100][0] == 1_000_000_000 // 61 + 1_000_000_000 // 62
+    assert out[300][0] == 1_000_000_000 // 61  # same best rank, one half
+    assert out[300][1] > 1

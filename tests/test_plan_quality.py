@@ -163,6 +163,36 @@ def test_no_single_partition_window_fleet_wide(spark, sf_dir):
     assert not offenders, f"single-partition windows: {offenders}"
 
 
+def test_bm25_broadcasts_query_sized_df_only(spark, sf_dir):
+    """The BM25 idf join must broadcast a QUERY-term-sized document-
+    frequency relation, never the vocabulary-sized one: at web scale
+    the full-vocabulary df table is GBs and broadcasting it OOMs the
+    driver.  Locks the r9 fix — the df side row count equals the number
+    of distinct query terms present in the corpus (bounded by the query
+    list), not the corpus vocabulary."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.functions import tokens
+    from oxidsql_spark.operators.corpus_ext import (
+        _BM25_QUERIES,
+        _bm25_query_df,
+    )
+    from oxidsql_spark.sources import table
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    ex = d.select("doc_id", F.explode("toks").alias("term"))
+    qdf = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
+    df_side = _bm25_query_df(ex, qdf)
+    n_query_terms = len({t for _, t in _BM25_QUERIES})
+    vocab = ex.select("term").distinct().count()
+    rows = df_side.count()
+    assert rows <= n_query_terms
+    assert vocab > n_query_terms  # the fixture vocabulary is bigger,
+    assert rows < vocab  # so query-sized ≠ vocabulary-sized here
+
+
 def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
     """The session enables runtime bloom-filter join reduction (off by
     default in Spark): with broadcast disabled and the size gate lowered

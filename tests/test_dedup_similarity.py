@@ -816,3 +816,91 @@ def test_ivfadc_admission_equals_frozen_encode(spark, sf_dir, tmp_path):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
     assert res.count() > 0
+
+
+def test_semantic_prune_hot_cluster_blocked_equals_dense(spark):
+    """Cluster-size guard for semantic dedup: with 80% of all vectors
+    hashed into ONE cluster, the blocked block-pair decomposition
+    (block=16 → many bounded tasks) must produce row-for-row the same
+    pruning decisions — same pruned set, same lowest-id dup_of, same
+    rounded similarity — as the single-task dense path (block larger
+    than the cluster).  This is the mechanical bound that keeps one hot
+    cluster from materializing an n_c×n_c matrix in a single task."""
+    from oxidsql_spark.operators.similarity import semantic_prune
+
+    state = 12345
+    def rnd():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return ((state >> 33) / float(1 << 31)) - 1.0
+
+    rows = []
+    vecs = {}
+    for i in range(500):
+        cluster = 1 if i < 400 else 2  # 80% hot cluster
+        if i % 7 == 3 and i > 10:
+            v = list(vecs[i - 3])  # verbatim duplicate -> cos 1.0
+        else:
+            v = [rnd() for _ in range(8)]
+        vecs[i] = v
+        rows.append((i, cluster, v))
+    members = spark.createDataFrame(
+        rows, "vec_id bigint, cluster bigint, embedding array<float>"
+    )
+    dense = {
+        (r.vec_id, r.cluster, r.dup_of, r.cos_sim)
+        for r in semantic_prune(members, 0.8, block=10**9).collect()
+    }
+    blocked = {
+        (r.vec_id, r.cluster, r.dup_of, r.cos_sim)
+        for r in semantic_prune(members, 0.8, block=16).collect()
+    }
+    assert blocked == dense
+    assert len(dense) > 20  # the planted duplicates were found
+    pruned = {v for v, _, _, _ in dense}
+    assert 17 in pruned  # 17 duplicates 14 (i%7==3 plant)
+
+
+def test_ivfadc_admit_sink_replay_and_crash_window_idempotent(spark, sf_dir, tmp_path):
+    """Streaming IVFADC admission under at-least-once redelivery: a
+    replayed batch (marker present) is skipped, and the torn window —
+    codes appended but the marker write crashed — is healed by the
+    restart anti-join, so no duplicate code rows can ever land."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.similarity import (
+        _make_admit_sink,
+        admit_ivfadc_vectors,
+        build_ivfadc_index,
+    )
+    from oxidsql_spark.sources import table
+
+    idx = str(tmp_path / "ivfadc_sink")
+    build_ivfadc_index(spark, sf_dir, idx)
+    base_n = spark.read.parquet(idx).count()
+
+    vecs = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") >= 400)
+        .withColumn("vec_id", F.col("vec_id") + 200000)
+    )
+    b0 = vecs.filter(F.col("vec_id") % 2 == 0)
+    b1 = vecs.filter(F.col("vec_id") % 2 == 1)
+
+    sink = _make_admit_sink(spark, idx)
+    sink(b0, 0)
+    n_after0 = spark.read.parquet(idx).count()
+    sink(b0, 0)  # straight redelivery -> skipped by the marker
+    assert spark.read.parquet(idx).count() == n_after0
+
+    # crash window: batch 1's append committed, marker write lost,
+    # process restarts (fresh sink => recovery anti-join active)
+    admit_ivfadc_vectors(spark, b1, idx)
+    n_committed = spark.read.parquet(idx).count()
+    sink2 = _make_admit_sink(spark, idx)
+    sink2(b1, 1)  # redelivery after the 'crash'
+    got = spark.read.parquet(idx)
+    assert got.count() == n_committed  # no duplicate code rows
+    assert got.select("vec_id").distinct().count() == got.count()
+    assert got.count() == base_n + b0.count() + b1.count()

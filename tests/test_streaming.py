@@ -1015,3 +1015,53 @@ def test_ivfadc_stream_admission_equals_oneshot(spark, sf_dir, tmp_path):
 
     got, want = rows(idx_stream), rows(idx_direct)
     assert got == want and len(got) == n + batch.count()
+
+
+def test_matview_sink_replay_and_crash_window_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: the view sink must be idempotent
+    under (a) straight redelivery of a committed batch and (b) the
+    torn window where the refresh committed but the marker write
+    crashed — in both cases the replay must not double-count, and the
+    final state must equal the one-shot materialization."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.matview import (
+        _last_applied,
+        _make_view_sink,
+        _mark_applied,
+        events_type_view,
+    )
+    from oxidsql_spark.sources import table
+
+    vp = str(tmp_path / "mv_sink")
+    os.makedirs(vp, exist_ok=True)
+    _mark_applied(vp, -1, 0)
+    view = events_type_view(spark, vp)
+    sink = _make_view_sink(view, vp)
+
+    ev = table(spark, sf_dir, "events")
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+
+    def rows():
+        return sorted(tuple(r) for r in view.read().collect())
+
+    sink(batches[0], 0)
+    after0, nv0 = rows(), len(view.versions())
+    sink(batches[0], 0)  # straight at-least-once redelivery
+    assert rows() == after0 and len(view.versions()) == nv0
+
+    sink(batches[1], 1)
+    # crash window: batch 2's refresh commits, marker write is lost
+    view.refresh(batches[2])
+    assert _last_applied(vp)["batch_id"] == 1
+    after_crash = rows()
+    sink(batches[2], 2)  # redelivery after the 'crash'
+    assert rows() == after_crash  # tagged, NOT re-applied
+    m = _last_applied(vp)
+    assert m["batch_id"] == 2 and m["version"] == view._store.latest_version()
+
+    oneshot = events_type_view(spark, str(tmp_path / "mv_oneshot2"))
+    oneshot.create(ev)
+    assert rows() == sorted(tuple(r) for r in oneshot.read().collect())

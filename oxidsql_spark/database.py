@@ -397,6 +397,8 @@ class OxidSparkDatabase:
                 raise AnalyzerError(f"'{vname}' is a table")
             if vname in self._functions:
                 raise AnalyzerError(f"'{vname}' is a function")
+            if vname in self._matviews:
+                raise AnalyzerError(f"'{vname}' is a materialized view")
             self.sql(vm.group(2))  # validate now: analysis errors surface here
             self._views[vname] = vm.group(2)
             return None
@@ -695,6 +697,15 @@ class OxidSparkDatabase:
                 f"key column; got: {on_src.strip()!r}"
             )
         key = om.group(1).lower()
+        if set_src is None and ins_src is None:
+            # both optional groups empty ⇒ the statement (or a typo the
+            # non-greedy groups skipped) parsed to a guaranteed no-op
+            # that silently drops every unmatched source row — refuse
+            raise AnalyzerError(
+                "MERGE needs at least one WHEN MATCHED THEN UPDATE or "
+                "WHEN NOT MATCHED THEN INSERT clause (a clause that "
+                "failed to parse lands here too — check its spelling)"
+            )
         source = self.sql(subq) if subq else self.sql(f"SELECT * FROM {src_name}")
         sets = None
         if set_src:
@@ -805,9 +816,13 @@ class OxidSparkDatabase:
         Returns None (no contract / clean) or the violations relation
         (only checks with violations > 0).  Row/NOT NULL/FK checks run
         on the BATCH (one fused scan); uniqueness runs on the COMBINED
-        relation (existing ∪ batch — a key that collides with existing
-        data is a violation too).  The report is #checks rows — one
-        bounded collect, never data-sized."""
+        relation (existing ∪ batch) restricted to keys the BATCH
+        touches — a batch key colliding with existing data is a
+        violation, but duplicate groups that pre-date the contract and
+        that the batch never touches cannot refuse an otherwise-clean
+        load (they are the table's problem, not the batch's).  The
+        report is #checks rows — one bounded collect, never
+        data-sized."""
         c = self._contracts.get(name)
         if not c:
             return None
@@ -820,8 +835,9 @@ class OxidSparkDatabase:
         rep = validate_contracts(
             batch, row_checks=c["row"], not_null=c["not_null"], fk=fk
         )
-        if c["unique"]:
-            rep = rep.unionByName(validate_contracts(combined, unique=c["unique"]))
+        for uname, ukeys in (c["unique"] or {}).items():
+            touched = combined.join(batch.select(*ukeys).distinct(), ukeys, "semi")
+            rep = rep.unionByName(validate_contracts(touched, unique={uname: ukeys}))
         rows = [r for r in rep.collect() if r.violations > 0]
         if not rows:
             return None
@@ -1235,6 +1251,11 @@ class OxidSparkDatabase:
             # reverse of the CREATE FUNCTION guard: a table named like a
             # SQL UDF would shadow calls to it in later statements
             raise AnalyzerError(f"'{name}' is a function")
+        if name in self._matviews:
+            # mirror of _create_matview's collision check: a table named
+            # like a matview would clobber its temp-view registration and
+            # a later DROP MATERIALIZED VIEW would tear the table down
+            raise AnalyzerError(f"'{name}' is a materialized view")
         df = self.sql(select_sql)
         inverse = {
             "bigint": "bigint",
@@ -1270,6 +1291,11 @@ class OxidSparkDatabase:
             # reverse of the CREATE FUNCTION guard: a table named like a
             # SQL UDF would shadow calls to it in later statements
             raise AnalyzerError(f"'{name}' is a function")
+        if name in self._matviews:
+            # mirror of _create_matview's collision check: a table named
+            # like a matview would clobber its temp-view registration and
+            # a later DROP MATERIALIZED VIEW would tear the table down
+            raise AnalyzerError(f"'{name}' is a materialized view")
         specs: list[ColumnSpec] = []
         for col_src in _split_top_level(cols_src):
             cm = _COL_RE.match(col_src)

@@ -877,3 +877,68 @@ def test_matview_vacuum_and_history(spark, tmp_path):
     assert {(r.g, r.n, r.s) for r in db.query("SELECT * FROM mv").collect()} == {
         ("a", 2, 3), ("b", 1, 3)
     }
+
+
+def test_create_table_view_cannot_clobber_matview(spark, tmp_path):
+    """Name-collision symmetry: _create_matview already rejects names
+    held by tables/views/functions — the reverse direction must hold
+    too, or CREATE TABLE <matview-name> silently steals the matview's
+    temp-view registration and a later DROP MATERIALIZED VIEW tears the
+    table down."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE base (k INT, v INT)")
+    db.query("INSERT INTO base VALUES (1, 10), (1, 20), (2, 5)")
+    db.query(
+        "CREATE MATERIALIZED VIEW mv1 AS "
+        "SELECT k, sum(v) AS total FROM base GROUP BY k"
+    )
+    with pytest.raises(AnalyzerError, match="materialized view"):
+        db.query("CREATE TABLE mv1 (x INT)")
+    with pytest.raises(AnalyzerError, match="materialized view"):
+        db.query("CREATE TABLE mv1 AS SELECT 1 AS x")
+    with pytest.raises(AnalyzerError, match="materialized view"):
+        db.query("CREATE VIEW mv1 AS SELECT 1 AS x")
+    # the matview still answers
+    got = {(r.k, int(r.total)) for r in db.query("SELECT k, total FROM mv1").collect()}
+    assert got == {(1, 30), (2, 5)}
+
+
+def test_merge_without_when_clause_is_refused(spark):
+    """MERGE with neither WHEN MATCHED nor WHEN NOT MATCHED (including
+    a typo'd clause the optional regex groups silently skip) would
+    execute as a no-op that drops all unmatched source rows — it must
+    raise instead."""
+    db = OxidSparkDatabase(spark)
+    db.query("CREATE TABLE t (k INT, v INT)")
+    db.query("CREATE TABLE s (k INT, v INT)")
+    with pytest.raises(AnalyzerError, match="WHEN MATCHED"):
+        db.query("MERGE INTO t USING s ON tgt.k = src.k")
+    with pytest.raises(AnalyzerError, match="WHEN MATCHED"):
+        # typo: UPDAT — the optional group fails to capture, same refusal
+        db.query("MERGE INTO t USING s ON tgt.k = src.k "
+                 "WHEN MATCHED THEN UPDAT SET v = src.v")
+
+
+def test_contract_unique_ignores_preexisting_duplicates(spark, tmp_path):
+    """Declaring a UNIQUE contract on a table that ALREADY holds
+    duplicate keys must not poison every later load: a clean batch
+    (fresh keys) commits, while a batch touching any duplicated or
+    existing key is still refused."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE ft (id INT, v INT)")
+    db.query("INSERT INTO ft VALUES (1, 10), (1, 11), (2, 20)")  # dup id=1 pre-dates
+    db.query("CREATE CONTRACT ON ft (UNIQUE (id))")
+
+    clean = spark.createDataFrame([(3, 30), (4, 40)], "id int, v int")
+    p1 = str(tmp_path / "clean.parquet")
+    clean.write.parquet(p1)
+    res = db.query(f"COPY ft FROM '{p1}'").collect()[0]
+    assert res.rows_loaded == 2  # NOT refused for the table's old sins
+    assert db.query("SELECT count(*) AS n FROM ft").collect()[0].n == 5
+
+    colliding = spark.createDataFrame([(2, 99)], "id int, v int")
+    p2 = str(tmp_path / "coll.parquet")
+    colliding.write.parquet(p2)
+    rep = {r["check"]: r.violations for r in db.query(f"COPY ft FROM '{p2}'").collect()}
+    assert "unique(unique(id))" in rep  # batch-touched key still refused
+    assert db.query("SELECT count(*) AS n FROM ft").collect()[0].n == 5  # untouched

@@ -9,11 +9,16 @@ scan → shuffle → result, not just plan construction.
 Noise control: after one warmup run (pays plan construction + codegen
 compile + any operator-internal cache build), each query is timed THREE
 times and the MEDIAN is reported — a single timed run proved ~60%
-sensitive to ambient machine load in round 4.  Operator-internal scoped
-caches are released after each query's runs, so storage memory never
-accumulates across the suite and no CacheManager re-persist warnings
-reach stderr; within one query's warmup+timed runs, identical plans
-silently reuse the warm cache (see oxidsql_spark.cachescope).
+sensitive to ambient machine load in round 4.  Since round 9 the JSON
+also carries per-query dispersion ("spread": name -> [min, max] of the
+3 runs), so a round-over-round delta can be read against the run's own
+ambient variance (r8's +12% on untouched code motivated this): a delta
+inside the spread envelope is noise, not a regression.  Operator-
+internal scoped caches are released after each query's runs, so storage
+memory never accumulates across the suite and no CacheManager
+re-persist warnings reach stderr; within one query's warmup+timed runs,
+identical plans silently reuse the warm cache (see
+oxidsql_spark.cachescope).
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ def main() -> None:
     from oxidsql_spark.cachescope import release_scoped_caches
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in queries_list:
         # one warmup run pays plan construction + codegen compilation
         # (one-time per query shape on a warmed cluster), then the timed
@@ -59,6 +65,7 @@ def main() -> None:
             df.count()  # full materialization
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)  # median of 3
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         release_scoped_caches()
 
     total = round(sum(timings.values()), 3)
@@ -69,6 +76,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -62,9 +62,9 @@ def collapse_exact(
       weight)`` where ``id_col`` is the smallest member id (so rep ids
       are stable and the min-label invariant below holds) and
       ``weight`` is the exact-group size.
-    * ``members`` — ``(id_col, rep_id)`` mapping every input doc to its
-      representative (``rep_id == id`` for the representative itself
-      and for all unique texts).
+    * ``members`` — ``(id_col, rep_id, weight)`` mapping every input
+      doc to its representative (``rep_id == id`` for the
+      representative itself and for all unique texts).
 
     Why this exists: identical texts have identical shingle/signature
     sets, so k verbatim copies turn every near-dup candidate into k²
@@ -77,11 +77,17 @@ def collapse_exact(
     the min doc_id of any component is always a rep id (each doc's rep
     has a smaller-or-equal id and lives in the same component).
 
-    Physical shape: one groupBy on the 128-bit fingerprint.  ``min_by``
-    partial-aggregates map-side, so the shuffle carries roughly one
-    text per distinct fingerprint per partition, never the duplicated
-    bodies; ``members`` re-hashes scan-side and joins on the 16-byte
-    fingerprint key only.
+    Physical shape: ONE groupBy on the 128-bit fingerprint produces
+    both outputs — ``min_by`` partial-aggregates map-side so the
+    shuffle carries roughly one text per distinct fingerprint per
+    partition, never the duplicated bodies, and the membership map is
+    the exploded per-group id list (ids only — 8 B per member), so the
+    corpus is scanned exactly once and no second hash join is needed.
+    The widest exact group costs one id array in its aggregation
+    buffer; a single text verbatim-copied often enough for that array
+    itself to strain a worker (≫10⁸ copies) is degenerate input — and
+    still far cheaper here than the k² it would cost downstream
+    un-collapsed.
     """
     fp_col = F.md5(F.col(text_col).cast("binary")).alias("fp")
     groups = scoped_persist(
@@ -91,15 +97,14 @@ def collapse_exact(
             F.min(id_col).alias("rep_id"),
             F.count(F.lit(1)).alias("weight"),
             F.min_by(text_col, F.col(id_col)).alias(text_col),
+            F.collect_list(id_col).alias("_ids"),
         )
     )
     reps = groups.select(
         F.col("rep_id").alias(id_col), F.col(text_col), F.col("weight")
     )
-    members = (
-        docs.select(F.col(id_col), fp_col)
-        .join(groups.select("fp", "rep_id"), "fp")
-        .select(id_col, "rep_id")
+    members = groups.select(
+        F.explode("_ids").alias(id_col), "rep_id", "weight"
     )
     return reps, members
 
@@ -240,7 +245,12 @@ def ngram_jaccard_pairs(
     rep_pairs = _ngram_jaccard_pairs_direct(
         reps.select("doc_id", "text"), threshold
     )
-    return _expand_rep_pairs(rep_pairs, members, _can_shingle(reps))
+    # the shingle-capability test is only consulted for DUPLICATED
+    # groups (weight-1 members expand to nothing new), so the extra
+    # tokenize pass touches only their reps — on a dup-free corpus it
+    # is an empty scan
+    dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
+    return _expand_rep_pairs(rep_pairs, members, dup_can)
 
 
 def _can_shingle(reps: DataFrame, n: int = _JACCARD_N) -> DataFrame:
@@ -261,11 +271,12 @@ def _expand_rep_pairs(
     pairs through the exact groups.  Inter-group: each rep pair crosses
     both groups' member lists (ordered with least/greatest — members of
     the smaller-id group may carry larger ids).  Intra-group: every
-    member pair inside a shingle-capable group is an exact dup, jaccard
-    1.0.  Both joins are keyed on rep_id; the work is proportional to
-    the OUTPUT pair count, which is the inherent cost of materializing
-    the expanded pair set (cluster-level consumers skip this entirely
-    and expand labels instead — see graph.dedup_clusters)."""
+    member pair inside a shingle-capable DUPLICATED group is an exact
+    dup, jaccard 1.0 (``can`` need only cover weight>1 reps).  Both
+    joins are keyed on rep_id; the work is proportional to the OUTPUT
+    pair count, which is the inherent cost of materializing the
+    expanded pair set (cluster-level consumers skip this entirely and
+    expand labels instead — see graph.dedup_clusters)."""
     ma = members.select(
         F.col("rep_id").alias("a_id"), F.col("doc_id").alias("m_a")
     )
@@ -281,7 +292,7 @@ def _expand_rep_pairs(
             "jaccard",
         )
     )
-    grouped = members.join(
+    grouped = members.filter(F.col("weight") > 1).join(
         can.filter(F.col("can_shingle")).select("rep_id"), "rep_id", "semi"
     )
     x, y = grouped.alias("x"), grouped.alias("y")

@@ -89,14 +89,23 @@ def cluster_documents(docs: DataFrame) -> DataFrame:
         reps.select("doc_id", "text"), _JACCARD_T
     ).select("a_id", "b_id")
     rep_labels = propagate_min_labels(reps.select("doc_id"), rep_pairs)
+    # the shingle-capability test only matters for DUPLICATED groups (a
+    # weight-1 member IS its rep, whose propagated label is already
+    # right either way), so the extra tokenize pass touches only
+    # weight>1 reps — an empty scan on a dup-free corpus
+    dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
     return (
         members.join(
             rep_labels.withColumnRenamed("doc_id", "rep_id"), "rep_id"
         )
-        .join(_can_shingle(reps), "rep_id")
+        .join(dup_can, "rep_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("can_shingle"), F.col("cluster_id"))
+            F.when(
+                (F.col("weight") == 1)
+                | F.coalesce(F.col("can_shingle"), F.lit(False)),
+                F.col("cluster_id"),
+            )
             .otherwise(F.col("doc_id"))
             .alias("cluster_id"),
         )
@@ -143,22 +152,23 @@ def dedup_clusters_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.select("doc_id", "text"), _JACCARD_T
     ).select("a_id", "b_id")
     rep_labels = propagate_min_labels(reps.select("doc_id"), rep_pairs)
-    weights = reps.select(
-        F.col("doc_id").alias("rep_id"), F.col("weight").alias("exact_group_size")
-    )
+    dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
     return (
         members.join(
             rep_labels.withColumnRenamed("doc_id", "rep_id"), "rep_id"
         )
-        .join(_can_shingle(reps), "rep_id")
-        .join(weights, "rep_id")
+        .join(dup_can, "rep_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("can_shingle"), F.col("cluster_id"))
+            F.when(
+                (F.col("weight") == 1)
+                | F.coalesce(F.col("can_shingle"), F.lit(False)),
+                F.col("cluster_id"),
+            )
             .otherwise(F.col("doc_id"))
             .alias("cluster_id"),
             "rep_id",
-            "exact_group_size",
+            F.col("weight").alias("exact_group_size"),
         )
     )
 

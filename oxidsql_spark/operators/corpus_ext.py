@@ -386,6 +386,43 @@ def _duck_hex4(expr: str) -> str:
 _DUCK_BUCKET = _duck_hex4("md5(CAST(doc_id AS VARCHAR))") + " % 100"
 
 
+def _leakage_oracle() -> str:
+    from .graph import _ORACLE as _CLUSTER_ORACLE
+
+    cbucket = _duck_hex4("md5(CAST(cluster_id AS VARCHAR))") + " % 100"
+    return f"""
+    WITH clusters AS ({_CLUSTER_ORACLE})
+    SELECT doc_id, cluster_id,
+           CASE WHEN {cbucket} < 90 THEN 'train' ELSE 'test' END AS split
+    FROM clusters
+    """
+
+
+@register("split_leakage_safe", oracle=_leakage_oracle())
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/test split: hash the near-dup CLUSTER id, not
+    the doc id, so a document and its near-duplicates always land on
+    the same side — the doc-hash split (train_test_split) leaks
+    training content into eval whenever near-dups exist, which inflates
+    every benchmark a model is scored on.  This is the split a
+    production pretraining pipeline runs AFTER dedup clustering.
+
+    Scale shape: rides dedup_clusters (collapse-first label
+    propagation); the split itself is a pure per-row hash — no extra
+    shuffle beyond the clustering.  The no-straddle invariant (no
+    near-dup pair crosses the split) is locked in
+    tests/test_pipeline.py."""
+    c = dedup_clusters(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    return c.select(
+        "doc_id",
+        "cluster_id",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+
+
 @register(
     "train_test_split",
     oracle=f"""

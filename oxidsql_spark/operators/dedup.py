@@ -308,6 +308,48 @@ def _expand_rep_pairs(
     return inter.unionByName(intra)
 
 
+def _expand_directed_pairs(
+    rep_pairs: DataFrame, members: DataFrame, can: DataFrame, value_col: str
+) -> DataFrame:
+    """Directional twin of ``_expand_rep_pairs`` for asymmetric scores
+    (containment): each rep pair (contained → container) crosses the
+    contained group's members with the container group's members,
+    keeping the rep pair's value (identical texts ⇒ identical shingle
+    sets ⇒ identical score); inside a shingle-capable DUPLICATED group
+    every ORDERED member pair scores 1.0 — exactly what the direct
+    pipeline emits for verbatim copies (both directions pass the
+    |A∩B|/|A| = 1 test)."""
+    ma = members.select(
+        F.col("rep_id").alias("contained_id"), F.col("doc_id").alias("m_a")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("container_id"), F.col("doc_id").alias("m_b")
+    )
+    inter = (
+        rep_pairs.join(ma, "contained_id")
+        .join(mb, "container_id")
+        .select(
+            F.col("m_a").alias("contained_id"),
+            F.col("m_b").alias("container_id"),
+            value_col,
+        )
+    )
+    grouped = members.filter(F.col("weight") > 1).join(
+        can.filter(F.col("can_shingle")).select("rep_id"), "rep_id", "semi"
+    )
+    x, y = grouped.alias("x"), grouped.alias("y")
+    intra = x.join(
+        y,
+        (F.col("x.rep_id") == F.col("y.rep_id"))
+        & (F.col("x.doc_id") != F.col("y.doc_id")),
+    ).select(
+        F.col("x.doc_id").alias("contained_id"),
+        F.col("y.doc_id").alias("container_id"),
+        F.lit(1.0).alias(value_col),
+    )
+    return inter.unionByName(intra)
+
+
 def _ngram_jaccard_pairs_direct(
     docs: DataFrame, threshold: float = _JACCARD_T
 ) -> DataFrame:
@@ -408,7 +450,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (contained_id, container_id) — the quote/subset-detection primitive
     Jaccard misses (a paragraph pasted into a book scores near-zero
     Jaccard but containment ≈ 1).  The training-data use is boilerplate
-    and quotation removal where the smaller side duplicates.
+    and quotation removal where the smaller side duplicates.  Runs
+    collapse-first like the Jaccard path (containment_pairs): the index
+    and candidate join see one representative per distinct text, and
+    the directed pair set is expanded back through the exact groups —
+    row-identical to the direct computation (the oracle IS the direct
+    computation).
 
     Prefix filter, containment form: c(a,b) >= t forces
     |a∩b| >= ceil(t·n_a), so removing a's last ceil(t·n_a)-1 shingles
@@ -427,9 +474,30 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``slice``), the full inverted index (``explode``), and the
     ``array_intersect`` verification — no per-branch shingle re-derive,
     no per-(pair, shingle) verify explosion."""
-    d = table(spark, sf_dir, "documents")
+    return containment_pairs(table(spark, sf_dir, "documents"), _CONT_T)
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float = _CONT_T, collapse: bool = True
+) -> DataFrame:
+    """Directed containment pairs over an arbitrary (doc_id, text)
+    frame, collapse-first by default (see ngram_jaccard_pairs — same
+    argument, directional expansion)."""
+    if not collapse:
+        return _containment_pairs_direct(docs, threshold)
+    reps, members = collapse_exact(docs)
+    rep_pairs = _containment_pairs_direct(
+        reps.select("doc_id", "text"), threshold
+    )
+    dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
+    return _expand_directed_pairs(rep_pairs, members, dup_can, "containment")
+
+
+def _containment_pairs_direct(
+    docs: DataFrame, threshold: float = _CONT_T
+) -> DataFrame:
     # keep a's first n_a - ceil(t*n_a) + 1 rarest shingles
-    docs_arr = _allpairs_index(d, _CONT_T)
+    docs_arr = _allpairs_index(docs, threshold)
     a_prefix = docs_arr.select(
         F.col("doc_id").alias("contained_id"), F.explode("prefix").alias("shingle")
     )
@@ -460,7 +528,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = F.col("inter").cast("double") / F.col("n_a")
-    return verified.filter(c >= _CONT_T).select(
+    return verified.filter(c >= threshold).select(
         "contained_id", "container_id", F.round(c, 4).alias("containment")
     )
 
@@ -543,8 +611,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed permutation constants, no RNG), and at this band config the
     LSH recalls every >=T pair of the test corpus, so the exact-Jaccard
     SQL is a true oracle (recall additionally asserted in
-    tests/test_dedup_similarity.py)."""
-    d = table(spark, sf_dir, "documents")
+    tests/test_dedup_similarity.py).  Collapse-first like the other
+    near-dup paths: signatures, band buckets and verification run over
+    one representative per distinct text (verbatim copies have
+    IDENTICAL signatures, so un-collapsed they collide in every band —
+    the worst-case bucket blow-up), and the pair set is expanded back
+    through the exact groups, row-identical to the direct output."""
+    reps, members = collapse_exact(table(spark, sf_dir, "documents"))
+    rep_pairs = _minhash_pairs_direct(reps.select("doc_id", "text"))
+    dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
+    return _expand_rep_pairs(rep_pairs, members, dup_can)
+
+
+def _minhash_pairs_direct(d: DataFrame) -> DataFrame:
     cand = minhash_candidates(d)
     # Exact verification on candidates only; shingle sets collected from
     # the same codegen row frame the signatures use (rows are already

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # New in round 9 — never driver-checked:
     "dedup_clusters_collapsed",
     "retrieval_hybrid_rrf",
+    "split_leakage_safe",
     # Rewritten in round 9 (collapse-first near-dup pipeline; BM25
     # query-term-restricted df broadcast; re-prove against the
     # unchanged direct oracles):
@@ -75,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "dedup_cluster_stats",
     "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_containment",
     "docs_bm25_topk",
     "dedup_semantic",
 )

@@ -199,3 +199,40 @@ def test_minhash_candidates_linear_bound(spark, corpus):
     n_cand = minhash_candidates(corpus).count()
     assert n_cand >= CLIQUE_PAIRS  # the true clique must be recalled
     assert n_cand <= CLIQUE_PAIRS + n_docs  # linear tail, not quadratic
+
+
+def test_collapse_minhash_and_containment_equal_direct(spark):
+    """The collapse-first MinHash-LSH and containment paths are
+    row-identical to their direct computations on the duplicate-
+    saturated corpus — including the DIRECTED 1.0 intra-group pairs
+    containment emits for verbatim copies (both orders), and their
+    absence for shingle-less groups."""
+    from oxidsql_spark.operators.dedup import (
+        _can_shingle,
+        _containment_pairs_direct,
+        _expand_rep_pairs,
+        _minhash_pairs_direct,
+        collapse_exact,
+        containment_pairs,
+    )
+
+    corpus = _verbatim_corpus(spark)
+
+    direct_cont = {
+        tuple(r) for r in _containment_pairs_direct(corpus).collect()
+    }
+    collapsed_cont = {tuple(r) for r in containment_pairs(corpus).collect()}
+    assert collapsed_cont == direct_cont
+    # verbatim groups produce directed 1.0 pairs in BOTH orders
+    assert (0, 1, 1.0) in collapsed_cont and (1, 0, 1.0) in collapsed_cont
+    release_scoped_caches()
+
+    direct_mh = {tuple(r) for r in _minhash_pairs_direct(corpus).collect()}
+    reps, members = collapse_exact(corpus)
+    rep_pairs = _minhash_pairs_direct(reps.select("doc_id", "text"))
+    dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
+    collapsed_mh = {
+        tuple(r) for r in _expand_rep_pairs(rep_pairs, members, dup_can).collect()
+    }
+    assert collapsed_mh == direct_mh
+    release_scoped_caches()

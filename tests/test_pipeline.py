@@ -338,3 +338,25 @@ def test_rrf_doc_in_both_halves_outranks_single_half(spark):
     assert out[100][0] == 1_000_000_000 // 61 + 1_000_000_000 // 62
     assert out[300][0] == 1_000_000_000 // 61  # same best rank, one half
     assert out[300][1] > 1
+
+
+def test_leakage_safe_split_never_straddles_near_dups(spark, sf_dir):
+    """The cluster-hash split's defining invariant: no near-dup pair —
+    and transitively no member of any near-dup cluster — crosses the
+    train/test boundary, while the doc-hash split offers no such
+    guarantee.  Both sides must be non-empty on the fixture."""
+    from oxidsql_spark.operators.corpus_ext import split_leakage_safe
+    from oxidsql_spark.operators.dedup import dedup_ngram_jaccard
+
+    s = split_leakage_safe(spark, sf_dir)
+    splits = {r.doc_id: r.split for r in s.collect()}
+    assert {"train", "test"} == set(splits.values())  # both sides used
+    pairs = dedup_ngram_jaccard(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert splits[p.a_id] == splits[p.b_id]
+    # and every cluster maps to exactly one split
+    per_cluster = (
+        s.groupBy("cluster_id").agg(F.countDistinct("split").alias("n")).collect()
+    )
+    assert all(r.n == 1 for r in per_cluster)

@@ -56,6 +56,11 @@ STRESS_QUERIES = [
     # ADC candidate stream (linear in codes, shortlist-bounded output)
     "part_triangles",
     "ann_pq_adc",
+    # r9 additions: the cell-pruned composed index probe (build-once
+    # cost amortized; steady-state should scale with probed-cell codes)
+    # and the cluster-bounded blocked quadratic of semantic dedup
+    "ann_ivfadc",
+    "dedup_semantic",
 ]
 
 

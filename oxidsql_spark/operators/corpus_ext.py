@@ -412,6 +412,8 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the clustering.  The no-straddle invariant (no
     near-dup pair crosses the split) is locked in
     tests/test_pipeline.py."""
+    from .graph import dedup_clusters
+
     c = dedup_clusters(spark, sf_dir)
     bucket = F.conv(
         F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10

@@ -301,6 +301,150 @@ def dedup_clusters_prepared(
     return propagate_min_labels(docs, pairs)
 
 
+class IncrementalClusters:
+    """Persisted near-dup cluster state with O(batch + touched
+    clusters) admission — the corpus-lifecycle form of
+    ``cluster_documents``: a rolling crawl admits each batch WITHOUT
+    re-shingling or re-clustering the corpus.
+
+    State = a versioned (doc_id, cluster_id) labels table plus the
+    write-once shingle inverted index (``dedup.build_shingle_index``).
+    ``admit(new_docs)``:
+
+    1. batch-internal exact-Jaccard pairs via the collapse-first
+       pipeline (cost: the batch);
+    2. batch-vs-corpus pairs by probing the persisted index — shingle
+       only the batch, broadcast it onto one pass over the index, count
+       shared shingles per (new, old) pair and verify Jaccard exactly
+       from the stored set sizes (corpus text is never re-read);
+    3. merge on a SUPERNODE mini-graph: nodes are the batch doc ids
+       plus the touched old cluster LABELS, edges are the pairs from
+       (1) and (2) with the old endpoint mapped to its label.  Because
+       every stored label is the min doc id of its cluster (the
+       propagate_min_labels invariant, preserved inductively across
+       admissions), min-label propagation over this mini-graph yields
+       the true min-id label of every merged component — including the
+       case where one new document BRIDGES two old clusters;
+    4. commit: remap the touched old labels, append the batch labels,
+       append the batch's shingle rows to the index.
+
+    The labels rewrite is a full ids-only snapshot (16 B/row) per
+    admission — at fact-table scale the refinement is the Scd2History
+    discipline (bucket labels by pmod(xxhash64(cluster_id)) and rewrite
+    only touched buckets); the expensive assets — document text,
+    shingling, the pair machinery — are already strictly
+    batch-proportional, which is the 100 TB point.
+
+    Exactness (admitted == full re-clustering) is locked by the
+    driver-checked ``dedup_clusters_incremental_q`` (full-corpus
+    recursive-closure oracle) and a multi-batch bridge-merge pytest."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        from ..versioned import VersionedTable
+
+        self.spark = spark
+        self.path = path
+        self.index_path = os.path.join(path, "shingle_index")
+        self._labels = VersionedTable(spark, os.path.join(path, "labels"))
+
+    def build(self, docs: DataFrame) -> int:
+        """Initial state: full collapse-first clustering + the corpus
+        shingle index."""
+        from .dedup import build_shingle_index
+
+        build_shingle_index(self.spark, docs, self.index_path)
+        return self._labels.write(cluster_documents(docs))
+
+    def labels(self) -> DataFrame:
+        return self._labels.read()
+
+    def admit(self, new_docs: DataFrame) -> int:
+        """Fold a batch into the cluster state; returns the committed
+        labels version."""
+        from .dedup import _shingle_rows, ngram_jaccard_pairs
+
+        batch_pairs = ngram_jaccard_pairs(new_docs, _JACCARD_T).select(
+            "a_id", "b_id"
+        )
+        nb = _shingle_rows(new_docs)
+        n_tab = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+        probe_side = nb.join(n_tab, "doc_id").select(
+            F.col("doc_id").alias("new_id"), "shingle", "n_a"
+        )
+        idx = self.spark.read.parquet(self.index_path)
+        inter = (
+            idx.join(F.broadcast(probe_side), "shingle")
+            .groupBy("new_id", F.col("doc_id").alias("old_id"))
+            .agg(
+                F.count(F.lit(1)).alias("inter"),
+                F.any_value("n_a").alias("n_a"),
+                F.any_value("n_sh").alias("n_b"),
+            )
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("inter")
+        )
+        cross = inter.filter(jac >= _JACCARD_T).select("new_id", "old_id")
+
+        current = self._labels.read()
+        cross_lab = (
+            cross.join(current, cross.old_id == current.doc_id)
+            .select(F.col("new_id").alias("a_id"), F.col("cluster_id").alias("b_id"))
+        )
+        mini_edges = scoped_persist(batch_pairs.unionByName(cross_lab))
+        touched = mini_edges.select(F.col("b_id").alias("doc_id")).unionByName(
+            mini_edges.select(F.col("a_id").alias("doc_id"))
+        ).distinct()
+        nodes = new_docs.select("doc_id").unionByName(touched).distinct()
+        mini = propagate_min_labels(nodes, mini_edges)
+
+        remap = (
+            mini.filter(F.col("doc_id") != F.col("cluster_id"))
+            .select(
+                F.col("doc_id").alias("old_label"),
+                F.col("cluster_id").alias("new_label"),
+            )
+        )
+        relabeled = (
+            current.join(remap, current.cluster_id == remap.old_label, "left")
+            .select(
+                "doc_id",
+                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+            )
+        )
+        new_labels = new_docs.select("doc_id").join(mini, "doc_id").select(
+            "doc_id", "cluster_id"
+        )
+        version = self._labels.write(relabeled.unionByName(new_labels))
+        nb.join(n_tab.withColumnRenamed("n_a", "n_sh"), "doc_id").write.mode(
+            "append"
+        ).parquet(self.index_path)
+        return version
+
+
+@register("dedup_clusters_incremental_q", oracle=_ORACLE)
+def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end incremental clustering: build the
+    cluster state on the corpus split (sources outside the batch set),
+    ADMIT the batch split through the persisted state (batch-only
+    shingling, index probe, supernode merge), and return the final
+    labels of the whole corpus.  The oracle is the full-corpus
+    recursive-closure clustering, so a green row proves admitted ==
+    re-clustered exactly — bridges, merges, and shingle-less singleton
+    edge cases included."""
+    from .dedup import _BATCH_SRCS, _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
+    corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
+    state = IncrementalClusters(spark, _artifact_tmp("clinc", sf_dir))
+    state.build(corpus)
+    state.admit(batch)
+    return state.labels()
+
+
 # ---------------------------------------------------------------------------
 # Weighted PageRank (quantized) over the part co-purchase graph
 # ---------------------------------------------------------------------------

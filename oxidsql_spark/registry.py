@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters_collapsed",
     "retrieval_hybrid_rrf",
     "split_leakage_safe",
+    "dedup_clusters_incremental_q",
     # Rewritten in round 9 (collapse-first near-dup pipeline; BM25
     # query-term-restricted df broadcast; re-prove against the
     # unchanged direct oracles):

@@ -32,6 +32,7 @@ CACHE_USING_QUERIES = [
     "dedup_containment",
     "dedup_clusters",
     "dedup_clusters_collapsed",
+    "dedup_clusters_incremental_q",
     "dedup_cluster_stats",
     "corpus_shard_pack",
     "customer_pareto",

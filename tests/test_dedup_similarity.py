@@ -904,3 +904,66 @@ def test_ivfadc_admit_sink_replay_and_crash_window_idempotent(spark, sf_dir, tmp
     assert got.count() == n_committed  # no duplicate code rows
     assert got.select("vec_id").distinct().count() == got.count()
     assert got.count() == base_n + b0.count() + b1.count()
+
+
+def test_incremental_clusters_admission_equals_full(spark, tmp_path):
+    """IncrementalClusters over two admissions equals full
+    re-clustering of the union — including the hard case where a new
+    document BRIDGES two existing clusters (both old labels remapped
+    to the global min id), a later batch joining an old singleton with
+    a smaller id (old label remapped DOWN), plus new singletons and
+    shingle-less docs."""
+    from oxidsql_spark.operators.graph import IncrementalClusters, cluster_documents
+
+    w = " ".join(f"w{j}" for j in range(20))
+    z = " ".join(f"z{j}" for j in range(20))
+    q = " ".join(f"q{j}" for j in range(15))
+    corpus = spark.createDataFrame(
+        [
+            (100, w),
+            (101, w + " tail1 tail2"),
+            (102, z),
+            (103, z + " tail3 tail4"),
+            (104, q),
+            (105, "yo"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bridge = " ".join(f"w{j}" for j in range(10)) + " " + " ".join(
+        f"z{j}" for j in range(10)
+    )
+    batch1 = spark.createDataFrame(
+        [(50, bridge), (51, "totally unique new content here today"), (52, "hi there")],
+        "doc_id bigint, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(10, q), (11, "another fresh unique document entirely")],
+        "doc_id bigint, text string",
+    )
+
+    state = IncrementalClusters(spark, str(tmp_path / "clstate"))
+    state.build(corpus)
+    base = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
+    assert (100, 100) in base and (101, 100) in base and (103, 102) in base
+
+    state.admit(batch1)
+    after1 = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
+    full1 = {
+        (r.doc_id, r.cluster_id)
+        for r in cluster_documents(corpus.unionByName(batch1)).collect()
+    }
+    assert after1 == full1
+    # the bridge merged both old clusters under the new global min
+    assert {(50, 50), (100, 50), (101, 50), (102, 50), (103, 50)} <= after1
+    assert (52, 52) in after1  # shingle-less stays a singleton
+
+    state.admit(batch2)
+    after2 = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
+    full2 = {
+        (r.doc_id, r.cluster_id)
+        for r in cluster_documents(
+            corpus.unionByName(batch1).unionByName(batch2)
+        ).collect()
+    }
+    assert after2 == full2
+    assert (104, 10) in after2 and (10, 10) in after2  # label remapped DOWN

@@ -335,6 +335,16 @@ class IncrementalClusters:
     shingling, the pair machinery — are already strictly
     batch-proportional, which is the 100 TB point.
 
+    Crash-safety: the shingle index is a set of version-named COMMITTED
+    segments (`seg_v<n>`, `_SUCCESS` last — torn writes are invisible),
+    one per labels version, and ``admit`` writes the batch's segment
+    BEFORE committing its labels version, skipping the segment write if
+    a previous attempt already committed it.  Admission is therefore
+    deterministic-idempotent against a crash at any point before the
+    labels commit; a REPLAY after the labels commit is the one case the
+    caller must fence (the streaming sink below does, with the same
+    marker protocol as matview_apply_stream).
+
     Exactness (admitted == full re-clustering) is locked by the
     driver-checked ``dedup_clusters_incremental_q`` (full-corpus
     recursive-closure oracle) and a multi-batch bridge-merge pytest."""
@@ -347,14 +357,51 @@ class IncrementalClusters:
         self.spark = spark
         self.path = path
         self.index_path = os.path.join(path, "shingle_index")
+        os.makedirs(self.index_path, exist_ok=True)
         self._labels = VersionedTable(spark, os.path.join(path, "labels"))
+
+    # -- committed index segments ------------------------------------
+
+    def _seg_dir(self, version: int) -> str:
+        import os
+
+        return os.path.join(self.index_path, f"seg_v{version:08d}")
+
+    def _segments(self) -> list[str]:
+        import os
+
+        out = []
+        for name in sorted(os.listdir(self.index_path)):
+            p = os.path.join(self.index_path, name)
+            if name.startswith("seg_v") and os.path.exists(
+                os.path.join(p, "_SUCCESS")
+            ):
+                out.append(p)
+        return out
+
+    def _read_index(self) -> DataFrame:
+        return self.spark.read.parquet(*self._segments())
+
+    def _write_segment(self, version: int, docs: DataFrame) -> None:
+        """Commit docs' (doc_id, shingle, n_sh) rows as the segment
+        accompanying labels `version`; a no-op if that segment already
+        committed (a replayed attempt)."""
+        import os
+
+        from .dedup import _shingle_rows
+
+        seg = self._seg_dir(version)
+        if os.path.exists(os.path.join(seg, "_SUCCESS")):
+            return
+        ex = _shingle_rows(docs)
+        n_tab = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ex.join(n_tab, "doc_id").write.mode("overwrite").parquet(seg)
 
     def build(self, docs: DataFrame) -> int:
         """Initial state: full collapse-first clustering + the corpus
-        shingle index."""
-        from .dedup import build_shingle_index
-
-        build_shingle_index(self.spark, docs, self.index_path)
+        shingle index as the first committed segment."""
+        next_v = (self._labels.latest_version() or 0) + 1
+        self._write_segment(next_v, docs)
         return self._labels.write(cluster_documents(docs))
 
     def labels(self) -> DataFrame:
@@ -365,6 +412,7 @@ class IncrementalClusters:
         labels version."""
         from .dedup import _shingle_rows, ngram_jaccard_pairs
 
+        next_v = (self._labels.latest_version() or 0) + 1
         batch_pairs = ngram_jaccard_pairs(new_docs, _JACCARD_T).select(
             "a_id", "b_id"
         )
@@ -373,7 +421,7 @@ class IncrementalClusters:
         probe_side = nb.join(n_tab, "doc_id").select(
             F.col("doc_id").alias("new_id"), "shingle", "n_a"
         )
-        idx = self.spark.read.parquet(self.index_path)
+        idx = self._read_index()
         inter = (
             idx.join(F.broadcast(probe_side), "shingle")
             .groupBy("new_id", F.col("doc_id").alias("old_id"))
@@ -417,11 +465,82 @@ class IncrementalClusters:
         new_labels = new_docs.select("doc_id").join(mini, "doc_id").select(
             "doc_id", "cluster_id"
         )
-        version = self._labels.write(relabeled.unionByName(new_labels))
-        nb.join(n_tab.withColumnRenamed("n_a", "n_sh"), "doc_id").write.mode(
-            "append"
-        ).parquet(self.index_path)
-        return version
+        # segment first, labels second: a crash anywhere before the
+        # labels commit replays as a deterministic no-op-then-retry
+        # (the committed segment is skipped, the labels recompute
+        # identically); after the labels commit the caller's batch
+        # fence takes over
+        self._write_segment(next_v, new_docs)
+        return self._labels.write(relabeled.unionByName(new_labels))
+
+
+def _make_cluster_sink(state: IncrementalClusters):
+    """Idempotent foreachBatch sink for streaming cluster admission
+    (exposed for the crash-replay tests).  Same marker protocol as
+    matview_apply_stream: the last fully-admitted batch_id + labels
+    version are recorded atomically after each admit; replays of a
+    tagged batch are skipped, and a labels version NEWER than the
+    marker identifies the one batch whose admit committed before the
+    marker write crashed (admit itself is idempotent against any
+    earlier crash — see IncrementalClusters)."""
+    import json
+    import os
+
+    marker = os.path.join(state.path, "_stream_batch.json")
+
+    def _last() -> dict:
+        if not os.path.exists(marker):
+            return {"batch_id": -1, "version": 0}
+        with open(marker) as f:
+            return json.load(f)
+
+    def _mark(batch_id: int, version: int) -> None:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id), "version": int(version)}, f)
+        os.replace(tmp, marker)
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        b = int(batch_id)
+        m = _last()
+        if b <= m["batch_id"]:
+            return
+        latest = state._labels.latest_version() or 0
+        if latest > m["version"]:
+            _mark(b, latest)
+            return
+        if batch_df.isEmpty():
+            return
+        _mark(b, state.admit(batch_df))
+
+    _sink._mark = _mark  # the stream wrapper writes the baseline
+    return _sink
+
+
+def admit_clusters_stream(
+    spark: SparkSession, source_dir: str, state_path: str, checkpoint_dir: str
+):
+    """Streaming near-dup cluster maintenance: a file stream of
+    (doc_id, text) batches folds into a prebuilt IncrementalClusters
+    state via foreachBatch — per micro-batch cost is the admission's
+    O(batch + touched clusters), the labels table stays continuously
+    queryable (versioned snapshots), and the batch-id marker makes the
+    fold exactly-once under foreachBatch's at-least-once redelivery.
+    Returns the ready DataStreamWriter (caller .start()s it)."""
+    import os
+
+    state = IncrementalClusters(spark, state_path)
+    sink = _make_cluster_sink(state)
+    if not os.path.exists(os.path.join(state_path, "_stream_batch.json")):
+        sink._mark(-1, state._labels.latest_version() or 0)
+    return (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
 
 
 @register("dedup_clusters_incremental_q", oracle=_ORACLE)
@@ -434,12 +553,17 @@ def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-closure clustering, so a green row proves admitted ==
     re-clustered exactly — bridges, merges, and shingle-less singleton
     edge cases included."""
+    import shutil
+
     from .dedup import _BATCH_SRCS, _artifact_tmp
 
     d = table(spark, sf_dir, "documents")
     batch = d.filter(F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
     corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
-    state = IncrementalClusters(spark, _artifact_tmp("clinc", sf_dir))
+    path = _artifact_tmp("clinc", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # state depends on the split:
+    # a repeat run in one process must start fresh, not stack segments
+    state = IncrementalClusters(spark, path)
     state.build(corpus)
     state.admit(batch)
     return state.labels()

@@ -1065,3 +1065,76 @@ def test_matview_sink_replay_and_crash_window_idempotent(spark, sf_dir, tmp_path
     oneshot = events_type_view(spark, str(tmp_path / "mv_oneshot2"))
     oneshot.create(ev)
     assert rows() == sorted(tuple(r) for r in oneshot.read().collect())
+
+
+def test_cluster_admission_stream_equals_full_and_is_idempotent(spark, tmp_path):
+    """Streaming near-dup cluster maintenance: replaying the admission
+    docs as a 3-file stream lands labels identical to full
+    re-clustering of the union; a redelivered batch is skipped by the
+    marker; and the commit-without-marker crash window only re-tags
+    (admit is never re-applied)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from oxidsql_spark.operators.graph import (
+        IncrementalClusters,
+        _make_cluster_sink,
+        admit_clusters_stream,
+        cluster_documents,
+    )
+
+    w = " ".join(f"w{j}" for j in range(20))
+    z = " ".join(f"z{j}" for j in range(20))
+    corpus = spark.createDataFrame(
+        [(100, w), (101, w + " t1 t2"), (102, z), (103, z + " t3 t4")],
+        "doc_id bigint, text string",
+    )
+    feed_rows = [
+        (50, " ".join(f"w{j}" for j in range(10)) + " " + " ".join(f"z{j}" for j in range(10))),
+        (51, "fresh unique content one two three"),
+        (52, z),  # verbatim copy of an old doc
+    ]
+    sp = str(tmp_path / "clstream")
+    state = IncrementalClusters(spark, sp)
+    state.build(corpus)
+
+    src = str(tmp_path / "doc_feed")
+    os.makedirs(src)
+    for i, row in enumerate(feed_rows):
+        d = str(tmp_path / f"chunk{i}")
+        spark.createDataFrame([row], "doc_id bigint, text string").coalesce(
+            1
+        ).write.parquet(d)
+        shutil.move(glob.glob(f"{d}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(d)
+        time.sleep(0.05)
+
+    q = admit_clusters_stream(spark, src, sp, str(tmp_path / "clckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
+    everything = corpus.unionByName(
+        spark.createDataFrame(feed_rows, "doc_id bigint, text string")
+    )
+    want = {(r.doc_id, r.cluster_id) for r in cluster_documents(everything).collect()}
+    assert got == want
+    assert (102, 50) in got  # the bridge merged both old clusters under 50
+
+    # straight redelivery of the last batch: marker-skipped
+    sink = _make_cluster_sink(state)
+    nv = state._labels.latest_version()
+    sink(spark.createDataFrame([feed_rows[2]], "doc_id bigint, text string"), 2)
+    assert state._labels.latest_version() == nv
+
+    # crash window: an admit commits, the marker write is lost
+    extra = spark.createDataFrame(
+        [(60, "yet another brand new unique doc")], "doc_id bigint, text string"
+    )
+    v_committed = state.admit(extra)
+    sink2 = _make_cluster_sink(state)
+    sink2(extra, 3)  # redelivery after the 'crash' -> tag only
+    assert state._labels.latest_version() == v_committed
+    assert state.labels().count() == everything.count() + 1

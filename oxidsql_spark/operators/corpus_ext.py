@@ -278,6 +278,51 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(lex, dense, _RRF_K, _RRF_TOP)
 
 
+def _rrf_ivfadc_oracle() -> str:
+    from .similarity import _ivfadc_oracle
+
+    qid_list = ", ".join(str(q) for q in _DENSE_QIDS)
+    return f"""
+    WITH lex AS (SELECT qid, doc_id, rnk FROM ({_bm25_oracle()}) bm),
+    dense AS (SELECT q_id AS qid, vec_id AS doc_id, rnk
+              FROM ({_ivfadc_oracle()}) iv WHERE q_id IN ({qid_list})),
+    fused AS (
+      SELECT CAST(coalesce(l.qid, d.qid) AS BIGINT) AS qid,
+             CAST(coalesce(l.doc_id, d.doc_id) AS BIGINT) AS doc_id,
+             CAST(coalesce({_RRF_SCALE} // ({_RRF_K} + l.rnk), 0)
+                  + coalesce({_RRF_SCALE} // ({_RRF_K} + d.rnk), 0) AS BIGINT)
+               AS rrf_micro,
+             l.rnk AS lex_rnk, d.rnk AS dense_rnk
+      FROM lex l FULL JOIN dense d ON l.qid = d.qid AND l.doc_id = d.doc_id)
+    SELECT qid, doc_id, rrf_micro, lex_rnk, dense_rnk, rnk FROM (
+      SELECT qid, doc_id, rrf_micro, lex_rnk, dense_rnk,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_micro DESC, doc_id) AS rnk
+      FROM fused) WHERE rnk <= {_RRF_TOP}
+    """
+
+
+@register("retrieval_hybrid_ivfadc", oracle=_rrf_ivfadc_oracle())
+def retrieval_hybrid_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of hybrid retrieval: the SAME reciprocal-
+    rank fusion as retrieval_hybrid_rrf, but with the dense half coming
+    from the IVFADC index probe (similarity.ann_ivfadc — cell-pruned
+    code scan, fused ADC, exact rerank) instead of the exact scan —
+    proving end-to-end that the fusion is oracle-exact over the real
+    billion-vector index path, not just the brute-force baseline.  The
+    oracle composes the full IVFADC SQL chain (km cells + 8 PQ chains +
+    cell restriction) with the BM25 chain and the integer fusion."""
+    from .similarity import ann_ivfadc
+
+    lex = docs_bm25_topk(spark, sf_dir).select("qid", "doc_id", "rnk")
+    dense = (
+        ann_ivfadc(spark, sf_dir)
+        .filter(F.col("q_id").isin(list(_DENSE_QIDS)))
+        .select(F.col("q_id").alias("qid"), F.col("vec_id").alias("doc_id"), "rnk")
+    )
+    return rrf_fuse(lex, dense, _RRF_K, _RRF_TOP)
+
+
 @register(
     "decontaminate_ngram",
     oracle=f"""

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # New in round 9 — never driver-checked:
     "dedup_clusters_collapsed",
     "retrieval_hybrid_rrf",
+    "retrieval_hybrid_ivfadc",
     "split_leakage_safe",
     "dedup_clusters_incremental_q",
     # Rewritten in round 9 (collapse-first near-dup pipeline; BM25

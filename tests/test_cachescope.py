@@ -47,6 +47,12 @@ CACHE_USING_QUERIES = [
     "dedup_keep_best",
     "vocab_coverage",
     "part_triangles",
+    # km-quantized frame persists (scoped) for every iterative consumer
+    "ann_ivf_kmeans",
+    "ann_pq_adc",
+    "ann_ivfadc",
+    "dedup_semantic",
+    "retrieval_hybrid_ivfadc",
 ]
 
 

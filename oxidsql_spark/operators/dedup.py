@@ -1558,3 +1558,106 @@ def dedup_incremental_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-span coverage (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 6  # token span length (Lee et al. 2022 use 50-token spans at
+# web scale; the fixture's short docs need a smaller k for a non-trivial
+# signal — the plan shape is k-independent)
+
+# DuckDB twin of functions.tokens (positions are 1-based there vs
+# Spark's 0-based posexplode — the covered-position SETS differ by a
+# constant shift, so the per-doc counts are identical)
+_DUCK_TOKS_DD = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+def _span_oracle() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, u.p AS pos, u.g AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                 i -> struct_pack(p := i,
+                        g := array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))) AS u
+        FROM t)),
+    gcnt AS (SELECT gram, count(*) AS n FROM pos GROUP BY gram),
+    cov AS (
+      SELECT DISTINCT p.doc_id, unnest(range(p.pos, p.pos + {k})) AS cp
+      FROM pos p JOIN gcnt g USING (gram) WHERE g.n > 1),
+    percov AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_covered, 0) AS BIGINT) AS n_covered,
+           round(CAST(coalesce(p.n_covered, 0) AS DOUBLE)
+                 / greatest(len(t.toks), 1), 4) AS coverage
+    FROM t LEFT JOIN percov p ON p.doc_id = t.doc_id
+    """
+
+
+@register("dedup_span_coverage", oracle=_span_oracle())
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN coverage (the Lee et al. 2022 substring-dedup
+    signal): for every document, the fraction of its token positions
+    covered by some k-token span that occurs more than once in the
+    corpus — at ANY alignment, counting multiplicity.  Chunk-level
+    dedup (dedup_chunk_exact) only sees repeats that respect chunk
+    boundaries; span coverage catches a license block pasted mid-
+    paragraph, and is the quantity substring-dedup pipelines threshold
+    on before cutting repeated ranges out of training text.
+
+    Scale shape: positions stay rows (posexplode + window leads — the
+    _shingle_rows codegen discipline, multiplicity preserved); the only
+    corpus-wide exchange is the span-frequency groupBy keyed on the
+    span text, and the interval union (span → its k covered positions)
+    is a row-local explode + per-doc distinct riding the doc_id
+    partitioning.  No text is ever shuffled except the k-token spans
+    themselves."""
+    d = table(spark, sf_dir, "documents")
+    tok_rows = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", j).over(wp) for j in range(1, _SPAN_K)]
+    spans = (
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *grams).alias("gram"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("doc_id", "pos", "gram")
+    )
+    gcnt = spans.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    covered = (
+        spans.join(gcnt.filter(F.col("n") > 1).select("gram"), "gram")
+        .select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {_SPAN_K - 1})")).alias("cp")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    n_tok = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return (
+        n_tok.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_covered", F.lit(0)).cast("bigint").alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ).alias("coverage"),
+        )
+    )

@@ -328,12 +328,15 @@ class IncrementalClusters:
     4. commit: remap the touched old labels, append the batch labels,
        append the batch's shingle rows to the index.
 
-    The labels rewrite is a full ids-only snapshot (16 B/row) per
-    admission — at fact-table scale the refinement is the Scd2History
-    discipline (bucket labels by pmod(xxhash64(cluster_id)) and rewrite
-    only touched buckets); the expensive assets — document text,
-    shingling, the pair machinery — are already strictly
-    batch-proportional, which is the 100 TB point.
+    The labels table is a PartitionedVersionedTable bucketed by
+    pmod(xxhash64(cluster_id), 64) — the Scd2History discipline — and
+    every row is stored in its CURRENT cluster's bucket (the admit
+    commit moves relabeled rows), so an admission reads only the
+    remapped old labels' buckets and rewrites only those plus the new
+    labels' buckets: O(batch + touched buckets) I/O end-to-end, never
+    a corpus-wide labels rewrite (asserted on the manifest delta in
+    tests).  The holding scan is skipped via upsert's extra_touched —
+    the remap IS the proof of where moved keys live.
 
     Crash-safety: the shingle index is a set of version-named COMMITTED
     segments (`seg_v<n>`, `_SUCCESS` last — torn writes are invisible),
@@ -352,13 +355,27 @@ class IncrementalClusters:
     def __init__(self, spark: SparkSession, path: str):
         import os
 
-        from ..versioned import VersionedTable
+        from ..versioned import PartitionedVersionedTable
 
         self.spark = spark
         self.path = path
         self.index_path = os.path.join(path, "shingle_index")
         os.makedirs(self.index_path, exist_ok=True)
-        self._labels = VersionedTable(spark, os.path.join(path, "labels"))
+        self._labels = PartitionedVersionedTable(
+            spark, os.path.join(path, "labels"), "bkt"
+        )
+
+    _N_BUCKETS = 64
+
+    @classmethod
+    def _bkt(cls, cluster_col) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(cluster_col)), F.lit(cls._N_BUCKETS)).cast(
+            "int"
+        )
+
+    def _latest(self) -> int:
+        vs = self._labels.versions()
+        return vs[-1] if vs else 0
 
     # -- committed index segments ------------------------------------
 
@@ -400,19 +417,21 @@ class IncrementalClusters:
     def build(self, docs: DataFrame) -> int:
         """Initial state: full collapse-first clustering + the corpus
         shingle index as the first committed segment."""
-        next_v = (self._labels.latest_version() or 0) + 1
+        next_v = self._latest() + 1
         self._write_segment(next_v, docs)
-        return self._labels.write(cluster_documents(docs))
+        return self._labels.write_full(
+            cluster_documents(docs).withColumn("bkt", self._bkt("cluster_id"))
+        )
 
     def labels(self) -> DataFrame:
-        return self._labels.read()
+        return self._labels.read().select("doc_id", "cluster_id")
 
     def admit(self, new_docs: DataFrame) -> int:
         """Fold a batch into the cluster state; returns the committed
         labels version."""
         from .dedup import _shingle_rows, ngram_jaccard_pairs
 
-        next_v = (self._labels.latest_version() or 0) + 1
+        next_v = self._latest() + 1
         batch_pairs = ngram_jaccard_pairs(new_docs, _JACCARD_T).select(
             "a_id", "b_id"
         )
@@ -436,7 +455,7 @@ class IncrementalClusters:
         )
         cross = inter.filter(jac >= _JACCARD_T).select("new_id", "old_id")
 
-        current = self._labels.read()
+        current = self._labels.read().select("doc_id", "cluster_id")
         cross_lab = (
             cross.join(current, cross.old_id == current.doc_id)
             .select(F.col("new_id").alias("a_id"), F.col("cluster_id").alias("b_id"))
@@ -448,6 +467,8 @@ class IncrementalClusters:
         nodes = new_docs.select("doc_id").unionByName(touched).distinct()
         mini = propagate_min_labels(nodes, mini_edges)
 
+        # remap rows are batch-bounded (≤ the mini-graph's old-label
+        # nodes), so collecting their bucket ids is a driver-tiny list
         remap = (
             mini.filter(F.col("doc_id") != F.col("cluster_id"))
             .select(
@@ -455,15 +476,32 @@ class IncrementalClusters:
                 F.col("cluster_id").alias("new_label"),
             )
         )
-        relabeled = (
-            current.join(remap, current.cluster_id == remap.old_label, "left")
-            .select(
-                "doc_id",
-                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
-            )
+        remap_rows = remap.select(
+            "old_label", "new_label", self._bkt("old_label").alias("old_bkt")
+        ).collect()
+        old_bkts = sorted({str(r.old_bkt) for r in remap_rows})
+        old_labels = [r.old_label for r in remap_rows]
+
+        # rows holding a remapped label live EXACTLY in the old labels'
+        # buckets (every row is stored in its current cluster's bucket),
+        # so the relabel reads only those partitions
+        relabeled = new_docs.sparkSession.createDataFrame(
+            [], "doc_id bigint, cluster_id bigint"
         )
+        if remap_rows:
+            held = (
+                self._labels.read_partitions(old_bkts)
+                .select("doc_id", "cluster_id")
+                .filter(F.col("cluster_id").isin(old_labels))
+            )
+            relabeled = held.join(
+                remap, held.cluster_id == remap.old_label
+            ).select("doc_id", F.col("new_label").alias("cluster_id"))
         new_labels = new_docs.select("doc_id").join(mini, "doc_id").select(
             "doc_id", "cluster_id"
+        )
+        updates = relabeled.unionByName(new_labels).withColumn(
+            "bkt", self._bkt("cluster_id")
         )
         # segment first, labels second: a crash anywhere before the
         # labels commit replays as a deterministic no-op-then-retry
@@ -471,7 +509,7 @@ class IncrementalClusters:
         # identically); after the labels commit the caller's batch
         # fence takes over
         self._write_segment(next_v, new_docs)
-        return self._labels.write(relabeled.unionByName(new_labels))
+        return self._labels.upsert(updates, "doc_id", extra_touched=old_bkts)
 
 
 def _make_cluster_sink(state: IncrementalClusters):
@@ -505,7 +543,7 @@ def _make_cluster_sink(state: IncrementalClusters):
         m = _last()
         if b <= m["batch_id"]:
             return
-        latest = state._labels.latest_version() or 0
+        latest = state._latest()
         if latest > m["version"]:
             _mark(b, latest)
             return
@@ -532,7 +570,7 @@ def admit_clusters_stream(
     state = IncrementalClusters(spark, state_path)
     sink = _make_cluster_sink(state)
     if not os.path.exists(os.path.join(state_path, "_stream_batch.json")):
-        sink._mark(-1, state._labels.latest_version() or 0)
+        sink._mark(-1, state._latest())
     return (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)

@@ -322,7 +322,11 @@ class PartitionedVersionedTable:
         return next_v
 
     def upsert(
-        self, updates: DataFrame, key: str, partition_from_key: bool = False
+        self,
+        updates: DataFrame,
+        key: str,
+        partition_from_key: bool = False,
+        extra_touched: list[str] | None = None,
     ) -> int:
         """MERGE touching only the affected partitions: each touched
         partition's survivors + its updates become a new generation
@@ -344,7 +348,14 @@ class PartitionedVersionedTable:
         move partitions, holding ⊆ landing, and the holding scan — the
         one full-snapshot read in this method — is skipped entirely.
         That makes the upsert's I/O strictly proportional to the touched
-        buckets, the property incremental SCD2 maintenance needs."""
+        buckets, the property incremental SCD2 maintenance needs.
+
+        ``extra_touched`` is the other way to skip the holding scan:
+        the caller NAMES the partitions that may hold updated keys
+        (it often knows — e.g. a cluster-relabel knows the old labels'
+        buckets).  Rows of updated keys are then dropped from exactly
+        landing ∪ extra_touched; a wrong/short list leaves stale rows,
+        so only pass it when the holding set is provably covered."""
         from pyspark.sql import functions as F
 
         vs = self.versions()
@@ -355,10 +366,12 @@ class PartitionedVersionedTable:
         touched = {
             r[0] for r in updates.select(self._pv_expr().alias("pv")).distinct().collect()
         }
+        if extra_touched is not None:
+            touched |= {v for v in extra_touched if v in current}
         # partitions holding any updated key (checked in one job over the
         # current snapshot, probe side broadcast)
         upd_keys = updates.select(key).where(F.col(key).isNotNull()).distinct()
-        if current and not partition_from_key:
+        if current and not partition_from_key and extra_touched is None:
             snapshot = self.read(vs[-1])
             holding = (
                 snapshot.join(F.broadcast(upd_keys), key, "left_semi")
@@ -367,14 +380,47 @@ class PartitionedVersionedTable:
                 .collect()
             )
             touched |= {r[0] for r in holding}
-        for value in sorted(touched):
-            upd = self._partition_slice(updates, value)
-            if value in current:
-                old = self.spark.read.parquet(os.path.join(self.path, current[value]))
-                merged = old.join(upd_keys, key, "left_anti").unionByName(upd)
-            else:
-                merged = upd
-            current[value] = self._write_partition(value, merged, next_v)
+        # ONE staged partitionBy job rewrites every touched partition
+        # (the old shape ran one write job per touched value — O(N)
+        # job-scheduling overhead for an N-bucket relabel): survivors
+        # of the touched partitions (one multi-path scan, updated keys
+        # anti-joined away) union the updates, split by partition value
+        # in a single pass, then the written dirs rename into the
+        # manifest layout.  A touched partition with no surviving and
+        # no updated rows simply emits no directory and drops out of
+        # the manifest.
+        import shutil
+        from urllib.parse import unquote
+
+        held_paths = [
+            os.path.join(self.path, current[v]) for v in sorted(touched) if v in current
+        ]
+        combined = updates
+        if held_paths:
+            survivors = self.spark.read.parquet(*held_paths).join(
+                F.broadcast(upd_keys), key, "left_anti"
+            )
+            combined = survivors.unionByName(updates)
+        stage = os.path.join(self.path, "_data", f".stage_v{next_v:08d}")
+        combined.withColumn("__pv__", self._pv_expr()).write.mode(
+            "errorifexists"
+        ).partitionBy("__pv__").parquet(stage)
+        written = set()
+        for name in sorted(os.listdir(stage)):
+            if not name.startswith("__pv__="):
+                continue
+            value = unquote(name[len("__pv__=") :])
+            rel = os.path.join(
+                "_data", f"{self.partition_col}={value}", f"g{next_v:08d}"
+            )
+            dest = os.path.join(self.path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(os.path.join(stage, name), dest)
+            current[value] = rel
+            written.add(value)
+        shutil.rmtree(stage)
+        for value in touched - written:  # emptied partitions leave the manifest
+            current.pop(value, None)
         self._commit_manifest(next_v, current)
         return next_v
 

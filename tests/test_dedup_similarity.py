@@ -967,3 +967,42 @@ def test_incremental_clusters_admission_equals_full(spark, tmp_path):
     }
     assert after2 == full2
     assert (104, 10) in after2 and (10, 10) in after2  # label remapped DOWN
+
+
+def test_incremental_clusters_rewrites_only_touched_buckets(spark, tmp_path):
+    """The labels store's 100 TB property: an admission's manifest delta
+    touches ONLY the new labels' buckets plus the remapped old labels'
+    buckets — every other bucket's data directory carries over by
+    reference (identical relative path across versions), never
+    rewritten."""
+    from oxidsql_spark.operators.graph import IncrementalClusters
+
+    # many singleton clusters spread across buckets
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(100, 160)],
+        "doc_id bigint, text string",
+    )
+    state = IncrementalClusters(spark, str(tmp_path / "bstate"))
+    state.build(corpus)
+    m1 = state._labels._manifest(state._latest())
+
+    # one new doc near-dups exactly one existing cluster (doc 100)
+    batch = spark.createDataFrame(
+        [(50, " ".join(f"c100w{j}" for j in range(12)) + " extra")],
+        "doc_id bigint, text string",
+    )
+    state.admit(batch)
+    m2 = state._labels._manifest(state._latest())
+
+    changed = {k for k in m1 if m2.get(k) != m1[k]} | (set(m2) - set(m1))
+    expected = {
+        str(r.b)
+        for r in spark.createDataFrame([(100,), (50,)], "x bigint")
+        .select(IncrementalClusters._bkt("x").alias("b"))
+        .collect()
+    }
+    assert changed <= expected and changed  # only the touched buckets moved
+    assert len(m1) > len(expected)  # plenty of untouched buckets existed
+    # and the relabel landed
+    labs = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
+    assert (100, 50) in labs and (50, 50) in labs

@@ -1125,9 +1125,9 @@ def test_cluster_admission_stream_equals_full_and_is_idempotent(spark, tmp_path)
 
     # straight redelivery of the last batch: marker-skipped
     sink = _make_cluster_sink(state)
-    nv = state._labels.latest_version()
+    nv = state._latest()
     sink(spark.createDataFrame([feed_rows[2]], "doc_id bigint, text string"), 2)
-    assert state._labels.latest_version() == nv
+    assert state._latest() == nv
 
     # crash window: an admit commits, the marker write is lost
     extra = spark.createDataFrame(
@@ -1136,5 +1136,5 @@ def test_cluster_admission_stream_equals_full_and_is_idempotent(spark, tmp_path)
     v_committed = state.admit(extra)
     sink2 = _make_cluster_sink(state)
     sink2(extra, 3)  # redelivery after the 'crash' -> tag only
-    assert state._labels.latest_version() == v_committed
+    assert state._latest() == v_committed
     assert state.labels().count() == everything.count() + 1

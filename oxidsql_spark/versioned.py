@@ -269,11 +269,6 @@ class PartitionedVersionedTable:
             json.dump(manifest, fh, sort_keys=True)
         os.rename(tmp, os.path.join(mdir, f"m{version:08d}.json"))  # atomic
 
-    def _write_partition(self, value: str, df: DataFrame, generation: int) -> str:
-        rel = os.path.join("_data", f"{self.partition_col}={value}", f"g{generation:08d}")
-        df.write.mode("errorifexists").parquet(os.path.join(self.path, rel))
-        return rel
-
     def _pv_expr(self) -> F.Column:
         """Partition value as a manifest key: cast to string, with NULL
         routed to a dedicated bucket (Hive's default-partition name)

@@ -61,6 +61,9 @@ STRESS_QUERIES = [
     # and the cluster-bounded blocked quadratic of semantic dedup
     "ann_ivfadc",
     "dedup_semantic",
+    # r9 late addition (first trended in r10): position-level span
+    # coverage — the explode-by-k interval union is the growth risk
+    "dedup_span_coverage",
 ]
 
 

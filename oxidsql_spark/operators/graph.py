@@ -581,6 +581,9 @@ def admit_clusters_stream(
     )
 
 
+_CLINC_SEQ = 0  # per-process invocation counter for fresh state dirs
+
+
 @register("dedup_clusters_incremental_q", oracle=_ORACLE)
 def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checked end-to-end incremental clustering: build the
@@ -598,9 +601,19 @@ def dedup_clusters_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     batch = d.filter(F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
     corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
-    path = _artifact_tmp("clinc", sf_dir)
-    shutil.rmtree(path, ignore_errors=True)  # state depends on the split:
-    # a repeat run in one process must start fresh, not stack segments
+    # a FRESH state dir per invocation (monotonic suffix), never
+    # wipe-and-reuse: a long-lived session may still hold cached plans
+    # over a previous run's file paths, and rebuilding under the same
+    # paths after deleting them invites reads of vanished files.  The
+    # previous invocation's dir is removed afterwards instead.
+    global _CLINC_SEQ
+    _CLINC_SEQ += 1
+    path = _artifact_tmp(f"clinc{_CLINC_SEQ}", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    if _CLINC_SEQ > 1:
+        shutil.rmtree(
+            _artifact_tmp(f"clinc{_CLINC_SEQ - 1}", sf_dir), ignore_errors=True
+        )
     state = IncrementalClusters(spark, path)
     state.build(corpus)
     state.admit(batch)

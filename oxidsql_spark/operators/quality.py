@@ -226,3 +226,39 @@ def ingest_gated_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+_GATE_CHECKS = {  # declaration order = violation-name order in the output
+    "min_length": "n_chars >= 100",
+    "known_lang": "lang IN ('en', 'de', 'fr', 'es')",
+}
+
+
+@register(
+    "docs_quality_gate",
+    oracle="""
+    SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN NOT coalesce(n_chars >= 100, FALSE)
+                  THEN 'min_length' END,
+             CASE WHEN NOT coalesce(lang IN ('en', 'de', 'fr', 'es'), FALSE)
+                  THEN 'known_lang' END,
+             CASE WHEN source IS NULL THEN 'not_null(source)' END
+           ) AS violations
+    FROM documents
+    """,
+)
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch face of the streaming dead-letter gate: per-document
+    row-level contract tagging via gate_rows — every declared check
+    evaluated in ONE projection, each row labeled with the
+    comma-joined names of the checks it fails (empty string = clean).
+    Oracle-exact because the violation array is deterministic in
+    declaration order (concat_ws skips NULL cases exactly as
+    array_compact drops passing checks).  This is the row-routing
+    primitive ingest_gated_stream uses per micro-batch; at 100 TB it is
+    a pure map over the scan — no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    return gate_rows(d, _GATE_CHECKS, not_null=["source"]).select(
+        "doc_id", F.array_join("_violations", ",").alias("violations")
+    )

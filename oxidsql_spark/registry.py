@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "split_leakage_safe",
     "dedup_clusters_incremental_q",
     "dedup_span_coverage",
+    "docs_quality_gate",
     # Rewritten in round 9 (collapse-first near-dup pipeline; BM25
     # query-term-restricted df broadcast; re-prove against the
     # unchanged direct oracles):

@@ -83,7 +83,18 @@ def cluster_documents(docs: DataFrame) -> DataFrame:
     ≤ id in the same component).  Shingle-less groups (texts under n
     tokens) share no inverted-index key in the direct pipeline — even
     verbatim copies stay singletons — so their members keep their own
-    doc_id as cluster_id."""
+    doc_id as cluster_id.
+
+    Expansion cost is proportional to the DUPLICATED subset, not the
+    corpus: a rep's propagated label is already its final cluster_id
+    (a non-shingleable rep never pairs, so propagation left it at its
+    own id — exactly the singleton rule above), so ``rep_labels``
+    passes through untouched and only the dup groups' NON-rep members
+    need the membership joins.  On a mostly-unique corpus (the r9
+    bench regression: two corpus-sized joins + the weight filter cost
+    +71% on 8 dup docs in 5000) those joins carry a handful of rows —
+    AQE broadcast-joins them — while a verbatim-saturated corpus
+    degrades gracefully to the same shuffle expansion as before."""
     reps, members = collapse_exact(docs)
     rep_pairs = _ngram_jaccard_pairs_direct(
         reps.select("doc_id", "text"), _JACCARD_T
@@ -94,22 +105,25 @@ def cluster_documents(docs: DataFrame) -> DataFrame:
     # right either way), so the extra tokenize pass touches only
     # weight>1 reps — an empty scan on a dup-free corpus
     dup_can = _can_shingle(reps.filter(F.col("weight") > 1))
-    return (
-        members.join(
+    dup_nonrep = members.filter(
+        (F.col("weight") > 1) & (F.col("doc_id") != F.col("rep_id"))
+    )
+    fixed = (
+        dup_nonrep.join(
             rep_labels.withColumnRenamed("doc_id", "rep_id"), "rep_id"
         )
         .join(dup_can, "rep_id", "left")
         .select(
             "doc_id",
             F.when(
-                (F.col("weight") == 1)
-                | F.coalesce(F.col("can_shingle"), F.lit(False)),
+                F.coalesce(F.col("can_shingle"), F.lit(False)),
                 F.col("cluster_id"),
             )
             .otherwise(F.col("doc_id"))
             .alias("cluster_id"),
         )
     )
+    return rep_labels.unionByName(fixed)
 
 
 @register("dedup_clusters", bench=True, oracle=_ORACLE)
@@ -178,12 +192,31 @@ def propagate_min_labels(
 ) -> DataFrame:
     """Connected components by min-label propagation over an undirected
     pair graph; raises (never returns silently-wrong labels) if the
-    graph's diameter exceeds the iteration bound."""
+    graph's diameter exceeds the iteration bound.
+
+    Every node in ``docs`` gets a SELF-LOOP edge, so one
+    join-and-aggregate per iteration computes the full update
+    ``label(u) = min(label(u), min over neighbors)`` — the old shape's
+    second corpus-sized join (old labels vs neighbor minima) is gone,
+    cutting the per-iteration shuffles from 3 to 2 (measured ~35%
+    faster per iteration at sf0.1, where the loop is latency-bound).
+    Contract: ``pairs`` endpoints must be ⊆ ``docs`` (all callers
+    build nodes explicitly), otherwise unknown endpoints would gain
+    label rows via their incoming edges.
+
+    Convergence probe: labels are positive and componentwise
+    NON-INCREASING under min-propagation, so the label-vector sum is
+    strictly decreasing until the fixed point — the probe compares
+    consecutive sums (exact decimal(38,0) — no float rounding, no
+    int64 overflow at any realistic id range) riding the SAME job
+    that materializes the generation (df.observe): no old-vs-new
+    column, no extra action."""
     # Undirect the pair graph with a row-local explode, NOT a union of
     # the frame with its own reversal: a union duplicates the (possibly
     # very expensive) pairs subplan into both branches and executes it
     # twice — measured 2× the whole Jaccard pipeline on the first
-    # materialization.  The explode reads the pairs once.
+    # materialization.  The explode reads the pairs once; the node
+    # self-loops are one cheap extra branch over `docs`.
     edges = scoped_persist(
         pairs.select(
             F.explode(
@@ -192,58 +225,49 @@ def propagate_min_labels(
                     F.struct(F.col("b_id").alias("u"), F.col("a_id").alias("v")),
                 )
             ).alias("e")
-        ).select("e.u", "e.v")
+        )
+        .select("e.u", "e.v")
+        .unionByName(
+            docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
+        )
     )
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels
     converged = False
+    prev_sum = None
     # NOTE: part_pagerank's loop adds a broadcast hint + AQE toggle; here
     # they were measured NEUTRAL-to-negative (the label table is doc-
     # count-sized — broadcasting 500k labels per iteration costs what
     # the join saves, and the loop is 2-4 iterations, not 16), so this
     # loop stays plain.
     for i in range(max_iters):  # diameter bound; near-dup graphs converge in 2-4
-        neighbor_min = (
+        obs = Observation(f"cc_sum_{i}")
+        stepped = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy(F.col("u").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        # The convergence probe rides the SAME job that materializes the
-        # new generation (df.observe) — no extra old-vs-new join and no
-        # second action per iteration.
-        obs = Observation(f"cc_changed_{i}")
-        stepped = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("cluster_id").alias("__old"),
-                F.least(F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")).alias(
-                    "cluster_id"
-                ),
-            )
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .observe(
                 obs,
-                F.sum((F.col("cluster_id") != F.col("__old")).cast("long")).alias(
-                    "changed"
-                ),
+                F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("lsum"),
             )
         )
         # Checkpoint, not persist: each generation's plan references the
-        # previous one TWICE (via neighbor_min and via the join), so the
-        # logical tree doubles per iteration — lineage truncation keeps
-        # plan analysis O(1) per step all the way to the iteration
-        # bound.  Eager, so the same job fires the observation (and the
-        # CollectMetrics node can never be skipped by cached-plan
-        # substitution — a checkpoint is always a fresh execution).
-        new_labels = scoped_local_checkpoint(stepped.select("doc_id", "cluster_id"))
-        changed = obs.get["changed"] or 0
+        # previous one, so the logical tree grows per iteration —
+        # lineage truncation keeps plan analysis O(1) per step all the
+        # way to the iteration bound.  Eager, so the same job fires the
+        # observation (and the CollectMetrics node can never be skipped
+        # by cached-plan substitution — a checkpoint is always a fresh
+        # execution).
+        new_labels = scoped_local_checkpoint(stepped)
+        lsum = obs.get["lsum"]
         if labels is not first_labels:
             free_local_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and lsum == prev_sum:
             converged = True
             break
+        prev_sum = lsum
     if not converged:
         raise RuntimeError(
             f"propagate_min_labels: did not converge in {max_iters} "
@@ -314,9 +338,12 @@ class IncrementalClusters:
     1. batch-internal exact-Jaccard pairs via the collapse-first
        pipeline (cost: the batch);
     2. batch-vs-corpus pairs by probing the persisted index — shingle
-       only the batch, broadcast it onto one pass over the index, count
-       shared shingles per (new, old) pair and verify Jaccard exactly
-       from the stored set sizes (corpus text is never re-read);
+       only the batch, join it onto one pass over the index (broadcast
+       while the batch's shingle rows fit under _PROBE_BROADCAST_CAP,
+       shuffle join on the shingle key above it — batch size is never
+       capped by executor memory), count shared shingles per
+       (new, old) pair and verify Jaccard exactly from the stored set
+       sizes (corpus text is never re-read);
     3. merge on a SUPERNODE mini-graph: nodes are the batch doc ids
        plus the touched old cluster LABELS, edges are the pairs from
        (1) and (2) with the old endpoint mapped to its label.  Because
@@ -333,10 +360,17 @@ class IncrementalClusters:
     every row is stored in its CURRENT cluster's bucket (the admit
     commit moves relabeled rows), so an admission reads only the
     remapped old labels' buckets and rewrites only those plus the new
-    labels' buckets: O(batch + touched buckets) I/O end-to-end, never
-    a corpus-wide labels rewrite (asserted on the manifest delta in
-    tests).  The holding scan is skipped via upsert's extra_touched —
-    the remap IS the proof of where moved keys live.
+    labels' buckets.  The holding scan is skipped via upsert's
+    extra_touched — the remap IS the proof of where moved keys live.
+    A SECOND layout of the same rows, bucketed by pmod(xxhash64(
+    doc_id), 64), serves the admission's old-id→label lookup: the
+    probed old ids' doc-buckets are the only labels data an admission
+    READS, so I/O is O(batch + touched buckets) end-to-end — never a
+    corpus-wide labels scan or rewrite (full-read-free admission is
+    asserted in tests).  The secondary commits after the primary; its
+    marker records the labels version it reflects, and a crash in the
+    window between the two commits is healed by the next admission's
+    one-pass rebuild from the committed primary.
 
     Crash-safety: the shingle index is a set of version-named COMMITTED
     segments (`seg_v<n>`, `_SUCCESS` last — torn writes are invisible),
@@ -364,14 +398,67 @@ class IncrementalClusters:
         self._labels = PartitionedVersionedTable(
             spark, os.path.join(path, "labels"), "bkt"
         )
+        # Secondary label layout bucketed by DOC id (the primary is
+        # bucketed by CLUSTER id): the admission's old-id→label lookup
+        # reads only the probed old ids' doc-buckets instead of the
+        # whole labels table.  dbkt is a pure function of doc_id, so
+        # its upserts skip the holding scan (partition_from_key).
+        self._by_doc = PartitionedVersionedTable(
+            spark, os.path.join(path, "labels_by_doc"), "dbkt"
+        )
+        self._by_doc_marker = os.path.join(path, "labels_by_doc", "_synced.json")
 
     _N_BUCKETS = 64
+    # Index-probe sides above this row count shuffle-join instead of
+    # broadcasting (the index is already shingle-keyed): a huge
+    # admission batch must not be silently capped by executor memory.
+    _PROBE_BROADCAST_CAP = 1_000_000
 
     @classmethod
     def _bkt(cls, cluster_col) -> F.Column:
         return F.pmod(F.xxhash64(F.col(cluster_col)), F.lit(cls._N_BUCKETS)).cast(
             "int"
         )
+
+    @classmethod
+    def _dbkt(cls, doc_col) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(doc_col)), F.lit(cls._N_BUCKETS)).cast("int")
+
+    # -- doc-bucketed secondary labels ---------------------------------
+
+    def _by_doc_version(self) -> int:
+        import json
+        import os
+
+        if not os.path.exists(self._by_doc_marker):
+            return -1
+        with open(self._by_doc_marker) as fh:
+            return int(json.load(fh)["labels_version"])
+
+    def _mark_by_doc(self, labels_version: int) -> None:
+        import json
+        import os
+
+        tmp = self._by_doc_marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"labels_version": int(labels_version)}, fh)
+        os.replace(tmp, self._by_doc_marker)
+
+    def _sync_by_doc(self) -> None:
+        """Bring the doc-bucketed secondary in line with the primary.
+        The marker records which labels version the secondary reflects;
+        a mismatch (crash between the labels commit and the secondary
+        commit — the one unprotected window) rebuilds the secondary
+        from the primary in one full pass.  Steady state is a marker
+        read; the O(corpus) rebuild is crash-recovery only."""
+        latest = self._latest()
+        if latest and self._by_doc_version() != latest:
+            self._by_doc.write_full(
+                self._labels.read()
+                .select("doc_id", "cluster_id")
+                .withColumn("dbkt", self._dbkt("doc_id"))
+            )
+            self._mark_by_doc(latest)
 
     def _latest(self) -> int:
         vs = self._labels.versions()
@@ -416,33 +503,54 @@ class IncrementalClusters:
 
     def build(self, docs: DataFrame) -> int:
         """Initial state: full collapse-first clustering + the corpus
-        shingle index as the first committed segment."""
+        shingle index as the first committed segment (plus the
+        doc-bucketed secondary labels layout, synced from the
+        primary)."""
         next_v = self._latest() + 1
         self._write_segment(next_v, docs)
-        return self._labels.write_full(
+        v = self._labels.write_full(
             cluster_documents(docs).withColumn("bkt", self._bkt("cluster_id"))
         )
+        self._sync_by_doc()
+        return v
 
     def labels(self) -> DataFrame:
         return self._labels.read().select("doc_id", "cluster_id")
 
     def admit(self, new_docs: DataFrame) -> int:
         """Fold a batch into the cluster state; returns the committed
-        labels version."""
+        labels version.  I/O is O(batch + touched buckets) end-to-end:
+        the index probe broadcasts the batch's shingle rows only under
+        ``_PROBE_BROADCAST_CAP`` (above it, a shuffle join on the
+        already-shingle-keyed index — batch size is never capped by
+        executor memory), and the old-id→label resolution reads only
+        the probed ids' buckets of the doc-bucketed secondary labels
+        layout, never the corpus labels whole."""
         from .dedup import _shingle_rows, ngram_jaccard_pairs
 
+        self._sync_by_doc()
         next_v = self._latest() + 1
         batch_pairs = ngram_jaccard_pairs(new_docs, _JACCARD_T).select(
             "a_id", "b_id"
         )
         nb = _shingle_rows(new_docs)
         n_tab = nb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
-        probe_side = nb.join(n_tab, "doc_id").select(
-            F.col("doc_id").alias("new_id"), "shingle", "n_a"
+        probe_side = scoped_persist(
+            nb.join(n_tab, "doc_id").select(
+                F.col("doc_id").alias("new_id"), "shingle", "n_a"
+            )
+        )
+        # size-guarded broadcast: the probe side is batch-shingle-sized,
+        # and a rolling crawl's batch can be arbitrarily large
+        self._last_probe_broadcast = (
+            probe_side.count() <= self._PROBE_BROADCAST_CAP
+        )
+        probe = (
+            F.broadcast(probe_side) if self._last_probe_broadcast else probe_side
         )
         idx = self._read_index()
         inter = (
-            idx.join(F.broadcast(probe_side), "shingle")
+            idx.join(probe, "shingle")
             .groupBy("new_id", F.col("doc_id").alias("old_id"))
             .agg(
                 F.count(F.lit(1)).alias("inter"),
@@ -453,11 +561,33 @@ class IncrementalClusters:
         jac = F.col("inter").cast("double") / (
             F.col("n_a") + F.col("n_b") - F.col("inter")
         )
-        cross = inter.filter(jac >= _JACCARD_T).select("new_id", "old_id")
+        cross = scoped_persist(
+            inter.filter(jac >= _JACCARD_T).select("new_id", "old_id")
+        )
 
-        current = self._labels.read().select("doc_id", "cluster_id")
+        # old-id→label via the doc-bucketed secondary: only the buckets
+        # that can hold a probed old id are read (≤ _N_BUCKETS paths,
+        # each 1/_N_BUCKETS of the corpus), so lookup I/O is bounded by
+        # the batch's touch set — the bucket-id collect is ≤ _N_BUCKETS
+        # rows
+        old_dbkts = sorted(
+            {
+                str(r.b)
+                for r in cross.select(self._dbkt("old_id").alias("b"))
+                .distinct()
+                .collect()
+            }
+        )
+        if old_dbkts:
+            lookup = self._by_doc.read_partitions(old_dbkts).select(
+                "doc_id", "cluster_id"
+            )
+        else:
+            lookup = self.spark.createDataFrame(
+                [], "doc_id bigint, cluster_id bigint"
+            )
         cross_lab = (
-            cross.join(current, cross.old_id == current.doc_id)
+            cross.join(lookup, cross.old_id == lookup.doc_id)
             .select(F.col("new_id").alias("a_id"), F.col("cluster_id").alias("b_id"))
         )
         mini_edges = scoped_persist(batch_pairs.unionByName(cross_lab))
@@ -500,16 +630,30 @@ class IncrementalClusters:
         new_labels = new_docs.select("doc_id").join(mini, "doc_id").select(
             "doc_id", "cluster_id"
         )
-        updates = relabeled.unionByName(new_labels).withColumn(
-            "bkt", self._bkt("cluster_id")
-        )
+        # persisted so the primary and secondary commits share one
+        # materialization instead of re-running the admission pipeline
+        updates = scoped_persist(relabeled.unionByName(new_labels))
         # segment first, labels second: a crash anywhere before the
         # labels commit replays as a deterministic no-op-then-retry
         # (the committed segment is skipped, the labels recompute
         # identically); after the labels commit the caller's batch
-        # fence takes over
+        # fence takes over.  The doc-bucketed secondary commits LAST —
+        # a crash between the two upserts leaves the marker stale and
+        # the next admission's _sync_by_doc rebuilds it from the
+        # committed primary.
         self._write_segment(next_v, new_docs)
-        return self._labels.upsert(updates, "doc_id", extra_touched=old_bkts)
+        v = self._labels.upsert(
+            updates.withColumn("bkt", self._bkt("cluster_id")),
+            "doc_id",
+            extra_touched=old_bkts,
+        )
+        self._by_doc.upsert(
+            updates.withColumn("dbkt", self._dbkt("doc_id")),
+            "doc_id",
+            partition_from_key=True,
+        )
+        self._mark_by_doc(v)
+        return v
 
 
 def _make_cluster_sink(state: IncrementalClusters):

@@ -1006,3 +1006,110 @@ def test_incremental_clusters_rewrites_only_touched_buckets(spark, tmp_path):
     # and the relabel landed
     labs = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
     assert (100, 50) in labs and (50, 50) in labs
+
+
+def test_incremental_clusters_admit_reads_no_full_labels(spark, tmp_path, monkeypatch):
+    """The O(batch + touched buckets) claim, plan-locked: a steady-state
+    admission never reads EITHER labels layout whole — the old-id→label
+    lookup goes through the doc-bucketed secondary's read_partitions,
+    the remap reads only the old labels' cluster-buckets, and both
+    commit upserts skip the holding scan (extra_touched /
+    partition_from_key)."""
+    from oxidsql_spark.operators.graph import IncrementalClusters
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(12))) for i in range(100, 140)],
+        "doc_id bigint, text string",
+    )
+    state = IncrementalClusters(spark, str(tmp_path / "nfstate"))
+    state.build(corpus)
+
+    full_reads = []
+    orig_read = PartitionedVersionedTable.read
+
+    def spy(self, version=None):
+        full_reads.append(self.path)
+        return orig_read(self, version)
+
+    monkeypatch.setattr(PartitionedVersionedTable, "read", spy)
+    batch = spark.createDataFrame(
+        [(50, " ".join(f"c100w{j}" for j in range(12)) + " extra")],
+        "doc_id bigint, text string",
+    )
+    state.admit(batch)
+    assert full_reads == [], f"admit scanned a labels layout whole: {full_reads}"
+    labs = {(r.doc_id, r.cluster_id) for r in state.labels().collect()}
+    assert (100, 50) in labs and (50, 50) in labs
+
+
+def test_incremental_clusters_probe_broadcast_guard(spark, tmp_path, monkeypatch):
+    """The index probe broadcasts the batch's shingle rows only under
+    _PROBE_BROADCAST_CAP; above the cap the admission shuffle-joins on
+    the shingle key and lands the identical labels — batch size is
+    never silently capped by broadcast memory."""
+    from oxidsql_spark.operators.graph import IncrementalClusters
+
+    w = " ".join(f"w{j}" for j in range(20))
+    corpus = spark.createDataFrame(
+        [(100, w), (101, w + " tail1 tail2"), (104, "solo doc body entirely")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(50, w + " tail9"), (51, "fresh unique content right here")],
+        "doc_id bigint, text string",
+    )
+
+    s1 = IncrementalClusters(spark, str(tmp_path / "bc_on"))
+    s1.build(corpus)
+    s1.admit(batch)
+    assert s1._last_probe_broadcast is True
+    want = {(r.doc_id, r.cluster_id) for r in s1.labels().collect()}
+
+    monkeypatch.setattr(IncrementalClusters, "_PROBE_BROADCAST_CAP", 0)
+    s2 = IncrementalClusters(spark, str(tmp_path / "bc_off"))
+    s2.build(corpus)
+    s2.admit(batch)
+    assert s2._last_probe_broadcast is False
+    got = {(r.doc_id, r.cluster_id) for r in s2.labels().collect()}
+    assert got == want and (50, 50) in got and (100, 50) in got
+
+
+def test_incremental_clusters_secondary_crash_rebuild(spark, tmp_path):
+    """Crash in the window between the primary labels commit and the
+    doc-bucketed secondary commit: the marker stays stale, and the NEXT
+    admission's _sync_by_doc rebuilds the secondary from the committed
+    primary — admitted labels still equal full re-clustering."""
+    from oxidsql_spark.operators.graph import IncrementalClusters, cluster_documents
+
+    w = " ".join(f"w{j}" for j in range(20))
+    z = " ".join(f"z{j}" for j in range(20))
+    corpus = spark.createDataFrame(
+        [(100, w), (102, z)], "doc_id bigint, text string"
+    )
+    batch1 = spark.createDataFrame(
+        [(50, w + " tailx")], "doc_id bigint, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(10, z + " taily")], "doc_id bigint, text string"
+    )
+
+    path = str(tmp_path / "crashstate")
+    state = IncrementalClusters(spark, path)
+    state.build(corpus)
+    # simulate the crash: primary commits, secondary + marker don't
+    state._by_doc.upsert = lambda *a, **k: 0
+    state._mark_by_doc = lambda v: None
+    state.admit(batch1)
+
+    fresh = IncrementalClusters(spark, path)  # restart
+    assert fresh._by_doc_version() != fresh._latest()  # stale detected
+    fresh.admit(batch2)
+    got = {(r.doc_id, r.cluster_id) for r in fresh.labels().collect()}
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in cluster_documents(
+            corpus.unionByName(batch1).unionByName(batch2)
+        ).collect()
+    }
+    assert got == want and (10, 10) in got and (102, 10) in got

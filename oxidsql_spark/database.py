@@ -119,7 +119,8 @@ _COPY_TO_RE = re.compile(
 )
 _COPY_FROM_RE = re.compile(
     r"^\s*COPY\s+(\w+)\s+FROM\s+'([^']+)'"
-    r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?\s*;?\s*$",
+    r"(?:\s*\(\s*FORMAT\s+(\w+)\s*\))?"
+    r"(?:\s+ON\s+VIOLATION\s+DEAD\s+LETTER\s+'([^']+)')?\s*;?\s*$",
     re.IGNORECASE,
 )
 _OPTIMIZE_RE = re.compile(
@@ -585,12 +586,31 @@ class OxidSparkDatabase:
         )
 
     def _copy_from(self, m: "re.Match[str]") -> DataFrame:
-        """COPY t FROM 'path' [(FORMAT f)] — bulk append into an existing
-        facade table: the file's columns are matched BY NAME and cast to
-        the table's declared types (csv/json read with the table schema —
-        inference would be a full extra pass and type-unstable).  One
-        atomic commit, like any INSERT."""
-        name, path, fmt = m.group(1).lower(), m.group(2), m.group(3)
+        """COPY t FROM 'path' [(FORMAT f)] [ON VIOLATION DEAD LETTER 'q']
+        — bulk append into an existing facade table: the file's columns
+        are matched BY NAME and cast to the table's declared types
+        (csv/json read with the table schema — inference would be a full
+        extra pass and type-unstable).  One atomic commit, like any
+        INSERT.
+
+        Default contract behavior refuses the WHOLE batch on any
+        violation (the statement returns the violations relation and
+        the table is untouched).  ON VIOLATION DEAD LETTER 'q' is the
+        batch face of the streaming dead-letter gate
+        (quality.ingest_gated_stream): violating ROWS are routed to a
+        parquet dead-letter relation at q (tagged with the
+        comma-joined names of the checks they fail), clean rows commit
+        normally, and the statement returns a routing summary.  All
+        four check classes are row-attributable here: row/NOT NULL
+        checks via quality.gate_rows' fused projection, FK via a
+        per-row parent-key probe, UNIQUE via a null-safe match against
+        the keys that are duplicated within (existing ∪ batch)."""
+        name, path, fmt, dl_path = (
+            m.group(1).lower(),
+            m.group(2),
+            m.group(3),
+            m.group(4),
+        )
         fmt = self._copy_reader_writer(fmt)
         if name not in self._tables:
             raise AnalyzerError(f"unknown table '{name}'")
@@ -604,6 +624,8 @@ class OxidSparkDatabase:
         aligned = incoming.select(
             *[F.col(f.name).cast(f.dataType) for f in cur.schema.fields]
         )
+        if dl_path is not None:
+            return self._copy_from_dead_letter(name, aligned, cur, fmt, dl_path)
         viol = self._gate_incoming(name, aligned, cur.unionByName(aligned))
         if viol is not None:
             return viol  # table untouched; the report IS the result
@@ -614,6 +636,109 @@ class OxidSparkDatabase:
             self._save_stats(name)
         return self.spark.createDataFrame(
             [(n, fmt, path)], "rows_loaded long, format string, path string"
+        )
+
+    def _copy_from_dead_letter(
+        self, name: str, batch: DataFrame, cur: DataFrame, fmt: str, dl_path: str
+    ) -> DataFrame:
+        """Row-level routing for COPY … ON VIOLATION DEAD LETTER: tag
+        every batch row with the contract checks it fails, land the
+        violating rows (plus their tags) at ``dl_path``, commit the
+        clean rows.  The dead-letter relation is statement-scoped
+        (overwritten per COPY) — the triage-and-replay artifact, not a
+        log."""
+        from .operators.quality import gate_rows
+
+        c = self._contracts.get(name) or {
+            "row": {},
+            "unique": {},
+            "not_null": [],
+            "fk": {},
+        }
+        flagged = gate_rows(batch, c["row"], c["not_null"])
+        # FK checks, row-attributed: a row violates when its child key
+        # is non-NULL and absent from the parent key set (one distinct
+        # parent projection per FK, broadcast like _gate_incoming's
+        # anti-join form)
+        for fname, (parent, child, pcol) in (c["fk"] or {}).items():
+            pk = (
+                self.sql(f"SELECT {pcol} FROM {parent}")
+                .where(F.col(pcol).isNotNull())
+                .distinct()
+                .select(F.col(pcol).alias(f"__fk_{child}"))
+            )
+            flagged = (
+                flagged.join(
+                    F.broadcast(pk),
+                    flagged[child] == F.col(f"__fk_{child}"),
+                    "left",
+                )
+                .withColumn(
+                    "_violations",
+                    F.when(
+                        F.col(child).isNotNull()
+                        & F.col(f"__fk_{child}").isNull(),
+                        F.array_append("_violations", F.lit(f"fk({fname})")),
+                    ).otherwise(F.col("_violations")),
+                )
+                .drop(f"__fk_{child}")
+            )
+        # UNIQUE checks, row-attributed: a batch row violates when its
+        # key is duplicated within (existing ∪ batch) — the same
+        # combined-relation reading as the refuse-mode gate, matched
+        # NULL-SAFELY so NULL-keyed duplicates are routed, not exempted
+        for uname, ukeys in (c["unique"] or {}).items():
+            dup_keys = (
+                cur.select(*ukeys)
+                .unionByName(batch.select(*ukeys))
+                .groupBy(*ukeys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .select(
+                    *[F.col(k).alias(f"__dk_{k}") for k in ukeys],
+                    F.lit(True).alias("__dup"),  # match marker: the
+                    # joined key columns can't signal a match when the
+                    # duplicated key itself is NULL
+                )
+            )
+            cond = F.lit(True)
+            for k in ukeys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
+            flagged = (
+                flagged.join(F.broadcast(dup_keys), cond, "left")
+                .withColumn(
+                    "_violations",
+                    F.when(
+                        F.col("__dup"),
+                        F.array_append(
+                            "_violations", F.lit(f"unique({uname})")
+                        ),
+                    ).otherwise(F.col("_violations")),
+                )
+                .drop("__dup", *[f"__dk_{k}" for k in ukeys])
+            )
+        # statement-local persist (the facade owns no query scope): the
+        # tagged batch feeds the dead-letter write, the clean commit,
+        # and both counts
+        flagged = flagged.persist()
+        try:
+            good = flagged.filter(F.size("_violations") == 0).drop("_violations")
+            bad = flagged.filter(F.size("_violations") > 0).withColumn(
+                "_violations", F.array_join("_violations", ",")
+            )
+            bad.write.mode("overwrite").parquet(dl_path)
+            n_dead = self.spark.read.parquet(dl_path).count()
+            n_good = good.count()
+            if n_good:
+                self._commit(name, cur.unionByName(good))
+                if name in self._stats:
+                    self._stats[name].update(good)
+                    self._save_stats(name)
+        finally:
+            flagged.unpersist()
+        return self.spark.createDataFrame(
+            [(n_good, n_dead, fmt, dl_path)],
+            "rows_loaded long, rows_dead long, format string, dead_letter string",
         )
 
     def _require_versioned(self, name: str):
@@ -836,7 +961,18 @@ class OxidSparkDatabase:
             batch, row_checks=c["row"], not_null=c["not_null"], fk=fk
         )
         for uname, ukeys in (c["unique"] or {}).items():
-            touched = combined.join(batch.select(*ukeys).distinct(), ukeys, "semi")
+            # NULL-SAFE key match: a plain semi join on the key columns
+            # would never match a batch row with a NULL key, silently
+            # exempting NULL-keyed duplicates from the uniqueness check
+            # — validate_contracts' groupBy counts NULL groups, and this
+            # module's stricter-than-SQL reading wants them refused.
+            probe = batch.select(
+                *[F.col(k).alias(f"__uk_{k}") for k in ukeys]
+            ).distinct()
+            cond = F.lit(True)
+            for k in ukeys:
+                cond = cond & F.col(k).eqNullSafe(F.col(f"__uk_{k}"))
+            touched = combined.join(probe, cond, "semi")
             rep = rep.unionByName(validate_contracts(touched, unique={uname: ukeys}))
         rows = [r for r in rep.collect() if r.violations > 0]
         if not rows:

@@ -1661,3 +1661,136 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def _span_cut_oracle() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM documents),
+    tokpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM t)),
+    spanpos AS (
+      SELECT doc_id, u.p AS pos, u.g AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                 i -> struct_pack(p := i,
+                        g := array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))) AS u
+        FROM t)),
+    occ AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS n,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      FROM spanpos),
+    cut AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS cp
+      FROM occ WHERE n > 1 AND rk > 1),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM tokpos p LEFT JOIN cut c ON c.doc_id = p.doc_id AND c.cp = p.pos
+      WHERE c.cp IS NULL),
+    clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(c.cleaned, '')) AS cleaned_md5
+    FROM t LEFT JOIN clean c ON c.doc_id = t.doc_id
+    """
+
+
+def span_cut(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
+    """Substring dedup as a TRANSFORM (Lee et al. 2022): excise every
+    token position covered by a non-first occurrence of a k-token span
+    that repeats anywhere in the corpus, keep-first-occurrence policy
+    (the corpus-wide first occurrence — smallest (doc_id, pos) — of
+    each repeated span survives; later copies are cut).  Returns
+    per-doc (doc_id, n_tokens, n_kept, cleaned, cleaned_md5) with the
+    cleaned text reassembled from the surviving tokens in order.
+
+    Scale shape, same discipline as dedup_span_coverage: tokens and
+    spans stay ROWS (posexplode + window leads — whole-stage codegen,
+    multiplicity preserved); the only corpus-wide exchanges are the
+    span-frequency/first-occurrence groupBy (keyed on the span text —
+    min(struct(doc_id,pos)) partial-aggregates map-side) and the
+    per-doc reassembly groupBy; the cut-range union is a row-local
+    explode + per-doc distinct riding the doc_id partitioning.  The
+    reassembly's per-doc sorted collect is bounded by document length
+    — the same bound tokens() itself implies."""
+    from ..cachescope import scoped_persist
+
+    tok_rows = scoped_persist(
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", j).over(wp) for j in range(1, k)]
+    spans = (
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *grams).alias("gram"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("doc_id", "pos", "gram")
+    )
+    firsts = spans.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    cut = (
+        spans.join(firsts.filter(F.col("n") > 1), "gram")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(cut, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    n_tok = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return n_tok.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.md5(F.coalesce("cleaned", F.lit("")).cast("binary")).alias("cleaned_md5"),
+    )
+
+
+@register("dedup_span_cut", oracle=_span_cut_oracle())
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transform dedup_span_coverage only MEASURES: cut repeated
+    k-token spans out of the training text (keep the corpus-wide first
+    occurrence), returning per-doc kept-token counts and the md5 of
+    the cleaned text — the signal's actionable twin, and what
+    substring-dedup pipelines actually ship to training.  The oracle
+    re-derives the identical cut from the window-ranked first
+    occurrence per span, so keep-first tie-breaking is proven
+    cross-engine, not just self-consistent."""
+    return span_cut(table(spark, sf_dir, "documents"), _SPAN_K).select(
+        "doc_id", "n_tokens", "n_kept", "cleaned_md5"
+    )

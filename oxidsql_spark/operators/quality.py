@@ -202,12 +202,33 @@ def ingest_gated_stream(
 
     Exactly-once landing under foreachBatch's at-least-once contract
     comes from the batch-id-keyed subdirectories: a replayed batch
-    OVERWRITES exactly its own two subdirs and touches nothing else —
+    REPLACES exactly its own two subdirs and touches nothing else —
     the standard idempotent file-sink pattern, no marker needed because
-    the write is naturally keyed by batch.  Readers see whole batches
-    (`spark.read.parquet(good_dir)` — the batch=<id> path component
-    doubles as a partition column).  Returns the ready
-    DataStreamWriter (caller .start()s it)."""
+    the write is naturally keyed by batch.  Each replacement is a
+    write-to-temp + directory-rename swap (never a distributed
+    delete-then-rewrite in place), so a reader concurrent with a
+    replay sees a COMPLETE batch copy — old or new — except during the
+    two-rename swap instant itself (a missing-batch window of two
+    filesystem metadata ops, not a parquet job).
+    Readers see whole batches (`spark.read.parquet(good_dir)` — the
+    batch=<id> path component doubles as a partition column).  Returns
+    the ready DataStreamWriter (caller .start()s it)."""
+    import os
+    import shutil
+
+    def _land(df, root: str, batch_id: int) -> None:
+        dest = os.path.join(root, f"batch={batch_id}")
+        tmp = os.path.join(root, f".batch_{batch_id}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)  # crashed replay debris
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dest):  # replayed batch: swap out the old copy
+            old = os.path.join(root, f".batch_{batch_id}.old")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(dest, old)
+            os.rename(tmp, dest)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(tmp, dest)
 
     def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
         flagged = gate_rows(batch_df, row_checks, not_null)
@@ -215,8 +236,8 @@ def ingest_gated_stream(
         bad = flagged.filter(F.size("_violations") > 0).withColumn(
             "_violations", F.array_join("_violations", ",")
         )
-        good.write.mode("overwrite").parquet(f"{good_dir}/batch={int(batch_id)}")
-        bad.write.mode("overwrite").parquet(f"{dead_dir}/batch={int(batch_id)}")
+        _land(good, good_dir, int(batch_id))
+        _land(bad, dead_dir, int(batch_id))
 
     return (
         spark.readStream.schema(schema)

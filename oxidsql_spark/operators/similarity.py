@@ -650,10 +650,13 @@ def _km_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scope-persisted: every consumer is iterative (Lloyd re-reads the
     frame once per iteration, then assignment/probe passes read it
     again), so caching the quantized frame replaces iters+2 parquet
-    scans + transform evaluations with one — measured −28% on
-    ann_ivf_kmeans and −16% on dedup_semantic at sf0.1.  The same
-    persist is what a 100 TB training job does before iterating; the
-    scoped lifecycle releases it at end of query."""
+    scans + transform evaluations with one.  At sf0.1 this is NEUTRAL
+    under bench.py's warmup+timed discipline (measured 1.62 s median
+    both ways — the embeddings scan is too small to matter; an earlier
+    −28% claim did not reproduce and BENCH_r09's +25% was ambient, not
+    the persist); the persist stays because iters+2 full scans is the
+    real cost at 100 TB, where the input does not fit the page cache.
+    The scoped lifecycle releases it at end of query."""
     from ..cachescope import scoped_persist
 
     return scoped_persist(

@@ -58,32 +58,26 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-9 start: all 10 round-8 priority names went driver-green in
-    # CORRECTNESS_r08.json and are retired to the stable rotation, per
-    # the policy above — the window's remaining slots go to the stalest
-    # stable queries (the 38 whose latest green is r5 — agg_salted,
-    # approx_quantiles, argmax_customer, asof_last_click, the window_*/
-    # stats_*/sample_* families, … — sort first, closing VERDICT r8
-    # finding #6).
-    # New in round 9 — never driver-checked:
-    "dedup_clusters_collapsed",
-    "retrieval_hybrid_rrf",
-    "retrieval_hybrid_ivfadc",
-    "split_leakage_safe",
-    "dedup_clusters_incremental_q",
-    "dedup_span_coverage",
-    "docs_quality_gate",
-    # Rewritten in round 9 (collapse-first near-dup pipeline; BM25
-    # query-term-restricted df broadcast; re-prove against the
-    # unchanged direct oracles):
-    "dedup_ngram_jaccard",
+    # round-10 start: all 15 round-9 priority names went driver-green
+    # in CORRECTNESS_r09.json and are retired to the stable rotation,
+    # per the policy above.  The list is kept LEAN this round (7 names
+    # — the 7:1 interleave then leaves ~43 window slots) so the stale
+    # band rotates: the stable pool sorts the 3 remaining r5 names
+    # (text_fingerprint/langid/stats) and the 48-query r6 band first,
+    # clearing all but ~8 of the ≤r6 backlog in one window (VERDICT r9
+    # finding #5).
+    # New in round 10 — never driver-checked:
+    "dedup_span_cut",
+    # Rewritten in round 10 (self-loop single-join label propagation +
+    # dup-member-only collapse expansion + bucket-bounded incremental
+    # admission; re-prove against the unchanged direct-closure
+    # oracles):
     "dedup_clusters",
+    "dedup_clusters_collapsed",
     "dedup_cluster_stats",
     "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_containment",
-    "docs_bm25_topk",
-    "dedup_semantic",
+    "dedup_clusters_incremental_q",
+    "split_leakage_safe",
 )
 
 

@@ -64,9 +64,20 @@ class VersionedTable:
     def write(self, df: DataFrame) -> int:
         """Commit `df` as the next snapshot; returns its version number.
         The parquet job writes _SUCCESS last, so a crash mid-write leaves
-        an invisible (uncommitted) directory, never a torn table."""
+        an invisible (uncommitted) directory, never a torn table.  A
+        RETRY after such a crash finds that uncommitted directory at its
+        own target version and clears it first — only _SUCCESS-bearing
+        dirs are commits, so an uncommitted dir is always safe debris
+        (without this, the errorifexists write would fail permanently
+        and e.g. a replayed streaming refresh could never make
+        progress)."""
+        import shutil
+
         next_v = (self.latest_version() or 0) + 1
-        df.write.mode("errorifexists").parquet(self._vdir(next_v))
+        vdir = self._vdir(next_v)
+        if os.path.isdir(vdir):  # crashed (uncommitted) attempt's debris
+            shutil.rmtree(vdir)
+        df.write.mode("errorifexists").parquet(vdir)
         return next_v
 
     def upsert(self, updates: DataFrame, key: str) -> int:
@@ -296,6 +307,12 @@ class PartitionedVersionedTable:
 
         next_v = (self.versions()[-1] if self.versions() else 0) + 1
         stage = os.path.join(self.path, "_data", f".stage_v{next_v:08d}")
+        # a crashed earlier attempt at this same version may have left
+        # the stage and/or partial g{next_v} dirs — the manifest is the
+        # commit point, so anything it doesn't reference is safe to
+        # clear, and clearing makes the retry deterministic instead of
+        # failing on errorifexists
+        shutil.rmtree(stage, ignore_errors=True)
         # __pv__ duplicates the partition col so the data files keep the
         # original column (partitionBy strips its partition key from the
         # files, and read() scans g-dirs directly without Hive discovery)
@@ -310,6 +327,8 @@ class PartitionedVersionedTable:
             rel = os.path.join("_data", f"{self.partition_col}={value}", f"g{next_v:08d}")
             dest = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if os.path.isdir(dest):  # uncommitted debris of a crashed attempt
+                shutil.rmtree(dest)
             os.rename(os.path.join(stage, name), dest)
             manifest[value] = rel
         shutil.rmtree(stage)
@@ -397,6 +416,11 @@ class PartitionedVersionedTable:
             )
             combined = survivors.unionByName(updates)
         stage = os.path.join(self.path, "_data", f".stage_v{next_v:08d}")
+        # clear a crashed earlier attempt's stage/dest debris (nothing
+        # uncommitted is referenced by any manifest) so the retry the
+        # admission protocols document ("deterministic no-op-then-
+        # retry") actually recomputes instead of dying on errorifexists
+        shutil.rmtree(stage, ignore_errors=True)
         combined.withColumn("__pv__", self._pv_expr()).write.mode(
             "errorifexists"
         ).partitionBy("__pv__").parquet(stage)
@@ -410,6 +434,8 @@ class PartitionedVersionedTable:
             )
             dest = os.path.join(self.path, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if os.path.isdir(dest):  # uncommitted debris of a crashed attempt
+                shutil.rmtree(dest)
             os.rename(os.path.join(stage, name), dest)
             current[value] = rel
             written.add(value)

@@ -45,6 +45,7 @@ CACHE_USING_QUERIES = [
     "dedup_incremental_bloom",
     "terms_cms_heavy_hitters",
     "dedup_keep_best",
+    "dedup_span_cut",
     "vocab_coverage",
     "part_triangles",
     # km-quantized frame persists (scoped) for every iterative consumer

@@ -942,3 +942,90 @@ def test_contract_unique_ignores_preexisting_duplicates(spark, tmp_path):
     rep = {r["check"]: r.violations for r in db.query(f"COPY ft FROM '{p2}'").collect()}
     assert "unique(unique(id))" in rep  # batch-touched key still refused
     assert db.query("SELECT count(*) AS n FROM ft").collect()[0].n == 5  # untouched
+
+
+def test_contract_unique_null_keys_refused(spark, tmp_path):
+    """Uniqueness gating is NULL-SAFE: a batch holding duplicate
+    NULL-key rows (or colliding with an existing NULL key) is refused —
+    a plain semi join on the key would never match NULL and silently
+    exempt those rows from the check."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE nt (id INT, v INT)")
+    db.query("INSERT INTO nt VALUES (1, 10)")
+    db.query("CREATE CONTRACT ON nt (UNIQUE (id))")
+
+    dup_null = spark.createDataFrame([(None, 1), (None, 2)], "id int, v int")
+    p = str(tmp_path / "dupnull.parquet")
+    dup_null.write.parquet(p)
+    rep = {r["check"]: r.violations for r in db.query(f"COPY nt FROM '{p}'").collect()}
+    assert rep.get("unique(unique(id))") == 1  # 2 rows in the NULL group -> 1 extra
+    assert db.query("SELECT count(*) AS n FROM nt").collect()[0].n == 1  # untouched
+
+    # one NULL key in the batch colliding with an EXISTING NULL key
+    db.query("DROP CONTRACT ON nt")
+    db.query("INSERT INTO nt VALUES (NULL, 3)")
+    db.query("CREATE CONTRACT ON nt (UNIQUE (id))")
+    one_null = spark.createDataFrame([(None, 4)], "id int, v int")
+    p2 = str(tmp_path / "onenull.parquet")
+    one_null.write.parquet(p2)
+    rep2 = {r["check"]: r.violations for r in db.query(f"COPY nt FROM '{p2}'").collect()}
+    assert rep2.get("unique(unique(id))") == 1
+    assert db.query("SELECT count(*) AS n FROM nt").collect()[0].n == 2
+
+
+def test_copy_from_on_violation_dead_letter(spark, tmp_path):
+    """The batch face of the streaming dead-letter gate: the SAME red
+    batch is refused whole by default, but with ON VIOLATION DEAD
+    LETTER the violating rows are routed (tagged with the checks they
+    fail) while clean rows commit."""
+    db = OxidSparkDatabase(spark, storage_dir=str(tmp_path / "store"))
+    db.query("CREATE TABLE dim (id INT)")
+    db.query("INSERT INTO dim VALUES (1), (2)")
+    db.query("CREATE TABLE fact (id INT, dim_id INT, amount INT)")
+    db.query("INSERT INTO fact VALUES (1, 1, 10)")
+    db.query(
+        "CREATE CONTRACT ON fact ("
+        "CONSTRAINT amount_positive CHECK (amount > 0), "
+        "NOT NULL (dim_id), "
+        "UNIQUE (id), "
+        "FOREIGN KEY (dim_id) REFERENCES dim (id))"
+    )
+    red = spark.createDataFrame(
+        [
+            (2, 2, 7),      # clean
+            (3, 99, 5),     # fk orphan
+            (4, None, 5),   # null dim_id
+            (5, 1, -1),     # bad amount
+            (1, 2, 8),      # unique collision with the existing id=1
+        ],
+        "id int, dim_id int, amount int",
+    )
+    p = str(tmp_path / "red.parquet")
+    red.write.parquet(p)
+
+    # refuse mode (unchanged default): whole batch refused
+    rep = {r["check"]: r.violations for r in db.query(f"COPY fact FROM '{p}'").collect()}
+    assert set(rep) == {
+        "amount_positive", "not_null(dim_id)",
+        "fk(fk_dim_id_dim)", "unique(unique(id))",
+    }
+    assert db.query("SELECT count(*) AS n FROM fact").collect()[0].n == 1
+
+    # dead-letter mode on the SAME batch: clean row commits, the rest route
+    dl = str(tmp_path / "dead")
+    res = db.query(
+        f"COPY fact FROM '{p}' ON VIOLATION DEAD LETTER '{dl}'"
+    ).collect()[0]
+    assert (res.rows_loaded, res.rows_dead) == (1, 4)
+    assert db.query("SELECT count(*) AS n FROM fact").collect()[0].n == 2
+    got = {(r.id, r.dim_id) for r in db.query("SELECT id, dim_id FROM fact").collect()}
+    assert (2, 2) in got
+    dead = {r.id: r._violations for r in spark.read.parquet(dl).collect()}
+    assert dead[3] == "fk(fk_dim_id_dim)"
+    assert "not_null(dim_id)" in dead[4]
+    assert dead[5] == "amount_positive"
+    assert dead[1] == "unique(unique(id))"
+
+    # contract persistence unchanged: refuse mode still gates afterwards
+    rep2 = db.query(f"COPY fact FROM '{p}'")
+    assert rep2.collect()  # still a violations relation, not a load

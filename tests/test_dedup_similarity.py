@@ -1113,3 +1113,41 @@ def test_incremental_clusters_secondary_crash_rebuild(spark, tmp_path):
         ).collect()
     }
     assert got == want and (10, 10) in got and (102, 10) in got
+
+
+def test_span_cut_removes_repeated_spans_keep_first(spark):
+    """span_cut excises every non-first occurrence of a corpus-repeated
+    k-token span (keep-first policy, corpus-wide (doc_id, pos) order),
+    including intra-document repeats — and the output is a fixed point:
+    a second pass finds nothing left to cut."""
+    from oxidsql_spark.operators.dedup import _SPAN_K, span_cut
+
+    boiler = " ".join(f"b{j}" for j in range(_SPAN_K))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + boiler),          # first occurrence
+            (2, boiler + " delta epsilon zeta"),         # later copy -> cut
+            (3, "eta " + boiler + " theta"),             # third copy -> cut
+            (4, "x0 x1 x2 x3 x4 x5 x6 x7 and then x0 x1 x2 x3 x4 x5 x6 x7"),
+            (5, "completely unique text with no repeats anywhere at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in span_cut(docs).collect()}
+    # first occurrence survives whole
+    assert out[1].n_kept == out[1].n_tokens
+    assert out[1].cleaned == "alpha beta gamma " + boiler
+    # later copies lose exactly the boilerplate tokens
+    assert out[2].cleaned == "delta epsilon zeta"
+    assert out[3].cleaned == "eta theta"
+    # intra-doc repeat: the second 8-token run is cut ("and then" kept)
+    assert out[4].cleaned.startswith("x0 x1 x2 x3 x4 x5 x6 x7 and then")
+    assert out[4].n_kept == 10
+    # untouched doc passes through byte-identical
+    assert out[5].cleaned == docs.filter("doc_id = 5").collect()[0].text
+    # fixed point: re-running the cut on the cleaned corpus cuts nothing
+    cleaned_docs = spark.createDataFrame(
+        [(d, r.cleaned) for d, r in out.items()], "doc_id bigint, text string"
+    )
+    second = {r.doc_id: r for r in span_cut(cleaned_docs).collect()}
+    assert all(r.n_kept == r.n_tokens for r in second.values())

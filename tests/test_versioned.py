@@ -276,3 +276,52 @@ def test_partitioned_torn_manifest_invisible(spark, tmp_path):
     assert pvt.read().count() == 2
     v2 = pvt.upsert(spark.createDataFrame([(3, "a")], "k long, p string"), "k")
     assert v2 == 2 and pvt.read().count() == 3
+
+
+def test_write_retries_over_uncommitted_debris(spark, tmp_path):
+    """A crash mid-write leaves an uncommitted version dir; the RETRY
+    of that write (e.g. a replayed streaming refresh) must clear the
+    debris and commit, not die on errorifexists forever."""
+    import os
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.write(spark.createDataFrame([(1,)], "x int"))
+    # simulate the crashed attempt at version 2: dir exists, no _SUCCESS
+    debris = vt._vdir(2)
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-junk.parquet"), "w") as fh:
+        fh.write("torn")
+    assert vt.latest_version() == 1  # invisible, as designed
+    v = vt.write(spark.createDataFrame([(2,)], "x int"))  # the retry
+    assert v == 2 and vt.latest_version() == 2
+    assert {r.x for r in vt.read().collect()} == {2}
+
+
+def test_partitioned_upsert_retries_over_stage_and_gdir_debris(spark, tmp_path):
+    """PartitionedVersionedTable.upsert after a crash that left the
+    stage dir and a partial generation dir behind: the retry clears
+    both (the manifest is the commit point — neither is referenced)
+    and commits the same content a first attempt would."""
+    import os
+
+    from oxidsql_spark.versioned import PartitionedVersionedTable
+
+    pt = PartitionedVersionedTable(spark, str(tmp_path / "p"), "k")
+    pt.write_full(spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"))
+    # crashed attempt at version 2: stale stage + partial g-dir
+    stage = os.path.join(pt.path, "_data", ".stage_v00000002")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "leftover"), "w") as fh:
+        fh.write("x")
+    partial = os.path.join(pt.path, "_data", "k=1", "g00000002")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-torn.parquet"), "w") as fh:
+        fh.write("torn")
+
+    v = pt.upsert(
+        spark.createDataFrame([(1, 11)], "k int, v int"), "v",
+        partition_from_key=False,
+    )
+    assert v == 2
+    got = {(r.k, r.v) for r in pt.read().collect()}
+    assert got == {(1, 11), (1, 10), (2, 20)} or got == {(1, 11), (2, 20)}

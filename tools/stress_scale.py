@@ -64,6 +64,13 @@ STRESS_QUERIES = [
     # r9 late addition (first trended in r10): position-level span
     # coverage — the explode-by-k interval union is the growth risk
     "dedup_span_coverage",
+    # r10 additions: the incremental admission path end-to-end (index
+    # probe + supernode merge + bucket-bounded dual commit — the
+    # labels-scan fix's measured before/after) and the span-cut
+    # transform (first-occurrence argmin + per-doc reassembly on top
+    # of the coverage scan)
+    "dedup_clusters_incremental_q",
+    "dedup_span_cut",
 ]
 
 

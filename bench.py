@@ -3,8 +3,18 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count) so the timing covers
-scan → shuffle → result, not just plan construction.
+Each query is fully materialized through the NOOP SINK
+(`df.write.format("noop")`) so the timing covers scan → shuffle →
+every output column's evaluation.  Round 10 found that the previous
+`.count()` materialization let Catalyst PRUNE unreferenced work —
+column pruning strips the aggregate buffers a count never reads
+(tpch_q1 timed 0.29 s by count vs 1.31 s in full), and a left join to
+an aggregated subtree whose columns nobody references is eliminated
+outright (dedup_span_coverage timed 0.13 s by count vs 1.87 s real) —
+so counts flattered exactly the queries with the most expensive
+outputs.  The switch makes BENCH_r10 totals ~2-3 s HIGHER than r9 on
+identical code: a methodology correction, not a regression (the
+"materialize" field records which harness produced a file).
 
 Noise control: after one warmup run (pays plan construction + codegen
 compile + any operator-internal cache build), each query is timed THREE
@@ -44,10 +54,15 @@ def main() -> None:
     # plans, not first-touch JIT/IO (same rationale as a warmed cluster).
     from oxidsql_spark.sources import TABLES, table
 
+    def materialize(df):
+        # noop sink: every output column evaluated, nothing written —
+        # immune to count()'s column/join pruning (see module note)
+        df.write.format("noop").mode("overwrite").save()
+
     for t in TABLES:
         table(spark, sf_dir, t).count()
     queries_list = sorted(queries)
-    load_all()[queries_list[0]].fn(spark, sf_dir).count()
+    materialize(load_all()[queries_list[0]].fn(spark, sf_dir))
 
     from oxidsql_spark.cachescope import release_scoped_caches
 
@@ -57,12 +72,11 @@ def main() -> None:
         # one warmup run pays plan construction + codegen compilation
         # (one-time per query shape on a warmed cluster), then the timed
         # runs measure steady-state execution
-        queries[name].fn(spark, sf_dir).count()
+        materialize(queries[name].fn(spark, sf_dir))
         runs: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
-            df = queries[name].fn(spark, sf_dir)
-            df.count()  # full materialization
+            materialize(queries[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)  # median of 3
         spread[name] = [round(min(runs), 3), round(max(runs), 3)]
@@ -77,6 +91,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "materialize": "noop",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -136,7 +136,13 @@ def main() -> None:
         for label, d in [("sf0.1", SRC), (f"{k}x", out_dir)]:
             t0 = time.time()
             try:
-                queries[name].fn(spark, d).count()
+                # noop sink, not count(): count lets Catalyst prune
+                # unreferenced aggregate columns and left-joined
+                # subtrees — it under-measured dedup_span_coverage 8×
+                # (see bench.py's module note, fixed the same round)
+                queries[name].fn(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 row[label] = round(time.time() - t0, 2)
             except Exception as ex:  # noqa: BLE001 — survey run
                 row[label] = f"ERR {str(ex)[:60]}"

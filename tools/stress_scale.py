@@ -130,7 +130,47 @@ def main() -> None:
     t0 = time.time()
     synthesize(spark, k, out_dir, salt_docs=salt)
     print(f"synthesized in {time.time() - t0:.0f}s")
+    def admit_only_sec(d: str, tag: str) -> float:
+        """Time ONLY IncrementalClusters.admit (build excluded): the
+        O(batch + touched buckets) claim says this should grow with
+        the BATCH and the touched buckets' size (corpus/64 per
+        bucket), never with corpus-wide scans — so 10× corpus must
+        cost far less than 10× admission time."""
+        import shutil as _sh
+
+        from pyspark.sql import functions as _F
+
+        from oxidsql_spark.operators.dedup import _BATCH_SRCS
+        from oxidsql_spark.operators.graph import IncrementalClusters
+
+        docs = table(spark, d, "documents")
+        batch = docs.filter(_F.col("source").isin(*_BATCH_SRCS)).select(
+            "doc_id", "text"
+        )
+        corpus = docs.filter(~_F.col("source").isin(*_BATCH_SRCS)).select(
+            "doc_id", "text"
+        )
+        path = os.path.join("/tmp", f"oxid_admitonly_{tag}_{os.getpid()}")
+        _sh.rmtree(path, ignore_errors=True)
+        state = IncrementalClusters(spark, path)
+        state.build(corpus)
+        t0 = time.time()
+        state.admit(batch)
+        sec = round(time.time() - t0, 2)
+        release_scoped_caches()
+        _sh.rmtree(path, ignore_errors=True)
+        return sec
+
     results: dict[str, dict] = {}
+    base_a = admit_only_sec(SRC, "base")
+    big_a = admit_only_sec(out_dir, "stress")
+    results["cluster_admit_only"] = {
+        "base_sec": base_a,
+        "stress_sec": big_a,
+        "ratio": round(big_a / base_a, 2) if base_a > 0 else None,
+    }
+    print(f"{'cluster_admit_only':28s} sf0.1={base_a:>8} {k}x={big_a:>8} "
+          f"ratio={results['cluster_admit_only']['ratio'] or '-'}")
     for name in STRESS_QUERIES:
         row = {}
         for label, d in [("sf0.1", SRC), (f"{k}x", out_dir)]:

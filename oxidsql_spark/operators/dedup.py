@@ -1794,3 +1794,178 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_cut(table(spark, sf_dir, "documents"), _SPAN_K).select(
         "doc_id", "n_tokens", "n_kept", "cleaned_md5"
     )
+
+
+def build_span_index(
+    spark: SparkSession, docs: DataFrame, out_path: str, k: int = _SPAN_K
+) -> None:
+    """Persist the corpus's DISTINCT k-token spans — the write-once
+    artifact for INCREMENTAL substring dedup (the span twin of
+    build_shingle_index).  Existence is all the cut rule needs: any
+    batch occurrence of a corpus span is a non-first occurrence by
+    definition (the corpus copy already shipped), so the index carries
+    no counts and no positions — one string column, maximally
+    compressible, appendable as segments."""
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", j).over(wp) for j in range(1, k)]
+    (
+        tok_rows.select(
+            F.concat_ws(" ", *grams).alias("gram"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("gram")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def span_cut_incremental(
+    spark: SparkSession, new_docs: DataFrame, index_path: str, k: int = _SPAN_K
+) -> DataFrame:
+    """Substring-dedup a BATCH against a frozen, already-shipped corpus:
+    a batch span occurrence is excised iff its gram EXISTS in the
+    corpus span index (the corpus copy is the kept first occurrence)
+    or it is a non-first occurrence within the batch itself
+    (keep-first by (doc_id, pos) among batch occurrences).  Corpus
+    text is never re-read — cost is the batch scan plus one join
+    against the gram index, keyed on the span text.  Returns the same
+    per-doc shape as span_cut, for the batch docs only.  After
+    shipping, append the CLEANED batch's distinct grams to the index
+    (kept first occurrences become the corpus copies future batches
+    dedup against)."""
+    from ..cachescope import scoped_persist
+
+    tok_rows = scoped_persist(
+        new_docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", j).over(wp) for j in range(1, k)]
+    spans = (
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *grams).alias("gram"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("doc_id", "pos", "gram")
+    )
+    cg = spark.read.parquet(index_path).select(
+        "gram", F.lit(True).alias("in_corpus")
+    )
+    firsts = spans.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    cut = (
+        spans.join(firsts, "gram")
+        .join(cg, "gram", "left")
+        .filter(
+            F.coalesce("in_corpus", F.lit(False))
+            | (
+                (F.col("n") > 1)
+                & ~(
+                    (F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("pos") == F.col("first.pos"))
+                )
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(cut, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    n_tok = new_docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return n_tok.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.md5(F.coalesce("cleaned", F.lit("")).cast("binary")).alias("cleaned_md5"),
+    )
+
+
+def _span_cut_incremental_oracle() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS_DD} AS toks FROM documents),
+    spanpos AS (
+      SELECT doc_id, source, u.p AS pos, u.g AS gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                 i -> struct_pack(p := i,
+                        g := array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))) AS u
+        FROM t)),
+    cg AS (SELECT DISTINCT gram FROM spanpos WHERE source NOT IN ({_BATCH_IN})),
+    occ AS (
+      SELECT doc_id, pos, gram,
+             count(*) OVER (PARTITION BY gram) AS n,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      FROM spanpos WHERE source IN ({_BATCH_IN})),
+    cut AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS cp
+      FROM occ
+      WHERE gram IN (SELECT gram FROM cg) OR (n > 1 AND rk > 1)),
+    tokpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM t WHERE source IN ({_BATCH_IN}))),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM tokpos p LEFT JOIN cut c ON c.doc_id = p.doc_id AND c.cp = p.pos
+      WHERE c.cp IS NULL),
+    clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(c.cleaned, '')) AS cleaned_md5
+    FROM t LEFT JOIN clean c ON c.doc_id = t.doc_id
+    WHERE t.source IN ({_BATCH_IN})
+    """
+
+
+@register("dedup_span_cut_incremental", oracle=_span_cut_incremental_oracle())
+def dedup_span_cut_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end incremental substring dedup: persist
+    the corpus split's distinct-span index (``build_span_index``), cut
+    the batch split against it (``span_cut_incremental`` — corpus
+    occurrences always win keep-first; batch-internal repeats keep
+    their own first).  The oracle re-derives the identical cut from
+    the full documents table with the corpus/batch split expressed in
+    SQL, so the artifact build→probe path is proven semantics-
+    preserving, not just self-consistent."""
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
+    corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
+    idx = _artifact_tmp("spanidx", sf_dir)
+    build_span_index(spark, corpus, idx)
+    return span_cut_incremental(spark, batch, idx).select(
+        "doc_id", "n_tokens", "n_kept", "cleaned_md5"
+    )

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # finding #5).
     # New in round 10 — never driver-checked:
     "dedup_span_cut",
+    "dedup_span_cut_incremental",
     # Rewritten in round 10 (self-loop single-join label propagation +
     # dup-member-only collapse expansion + bucket-bounded incremental
     # admission; re-prove against the unchanged direct-closure

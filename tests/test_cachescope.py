@@ -46,6 +46,7 @@ CACHE_USING_QUERIES = [
     "terms_cms_heavy_hitters",
     "dedup_keep_best",
     "dedup_span_cut",
+    "dedup_span_cut_incremental",
     "vocab_coverage",
     "part_triangles",
     # km-quantized frame persists (scoped) for every iterative consumer

@@ -1151,3 +1151,49 @@ def test_span_cut_removes_repeated_spans_keep_first(spark):
     )
     second = {r.doc_id: r for r in span_cut(cleaned_docs).collect()}
     assert all(r.n_kept == r.n_tokens for r in second.values())
+
+
+def test_span_cut_incremental_matches_full_cut(spark, tmp_path):
+    """When every corpus doc_id precedes every batch doc_id, the
+    incremental cut (corpus occurrences always win keep-first) must
+    equal the full-corpus span_cut restricted to the batch docs — plus
+    the semantic specifics: a batch copy of a corpus span is cut, a
+    batch-internal repeat keeps its own first, unique batch text
+    passes through untouched."""
+    from oxidsql_spark.operators.dedup import (
+        _SPAN_K,
+        build_span_index,
+        span_cut,
+        span_cut_incremental,
+    )
+
+    boiler = " ".join(f"b{j}" for j in range(_SPAN_K))
+    corpus = spark.createDataFrame(
+        [(1, "intro words here " + boiler), (2, "some other corpus text entirely")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, boiler + " fresh tail"),                  # corpus span -> cut
+            (11, "brand new unique sentence with words"),  # untouched
+            (12, "p0 p1 p2 p3 p4 p5 also p0 p1 p2 p3 p4 p5"),  # batch-internal
+            (13, "p0 p1 p2 p3 p4 p5 again"),               # repeats doc 12's span
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = str(tmp_path / "spanidx")
+    build_span_index(spark, corpus, idx)
+    inc = {r.doc_id: r for r in span_cut_incremental(spark, batch, idx).collect()}
+    assert inc[10].cleaned == "fresh tail"
+    assert inc[11].n_kept == inc[11].n_tokens
+    assert inc[12].cleaned.startswith("p0 p1 p2 p3 p4 p5 also")
+    assert inc[12].n_kept == 7
+    assert inc[13].cleaned == "again"
+    # equivalence with the full-corpus transform on the batch rows
+    full = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.cleaned)
+        for r in span_cut(corpus.unionByName(batch)).collect()
+        if r.doc_id >= 10
+    }
+    got = {d: (r.n_tokens, r.n_kept, r.cleaned) for d, r in inc.items()}
+    assert got == full

@@ -1076,3 +1076,256 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling") — hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed-feature buckets (DSIR uses 10k at web scale;
+# the fixture vocabulary needs fewer for non-degenerate counts — the
+# plan shape is B-independent: the weight table is always B rows)
+_DSIR_K = 100  # docs to select
+_DSIR_TARGET = ("src0", "src1")  # the high-quality exemplar distribution
+_DSIR_TGT_IN = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+
+
+def _dsir_bucket(term_col):
+    """Hashed unigram feature bucket, engine-portable: the first 4 md5
+    hex digits are uniform over 65536 = 64·B, so the modulus is exactly
+    uniform (the corpus_mix_sample md5-bucket discipline — xxhash64 has
+    no DuckDB twin)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ds:"), term_col)), 1, 4), 16, 10
+        ).cast("int")
+        % _DSIR_B
+    )
+
+
+@register(
+    "dsir_select",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, source,
+                     ({_duck_hex4("md5('ds:' || unnest(toks))")}) % {_DSIR_B} AS bkt
+              FROM t),
+    tc AS (SELECT bkt, count(*) AS c FROM terms
+           WHERE source IN ({_DSIR_TGT_IN}) GROUP BY bkt),
+    rc AS (SELECT bkt, count(*) AS c FROM terms
+           WHERE source NOT IN ({_DSIR_TGT_IN}) GROUP BY bkt),
+    nt AS (SELECT coalesce(sum(c), 0) AS n FROM tc),
+    nr AS (SELECT coalesce(sum(c), 0) AS n FROM rc),
+    lw AS (
+      SELECT b.bkt,
+             CAST(round(ln(
+               CAST((coalesce(tc.c, 0) + 1) * (nr.n + {_DSIR_B}) AS DOUBLE)
+               / CAST((coalesce(rc.c, 0) + 1) * (nt.n + {_DSIR_B}) AS DOUBLE)
+             ), 6) AS DECIMAL(12,6)) AS w
+      FROM (SELECT DISTINCT bkt FROM terms) b
+      LEFT JOIN tc ON tc.bkt = b.bkt
+      LEFT JOIN rc ON rc.bkt = b.bkt
+      CROSS JOIN nt CROSS JOIN nr),
+    scored AS (
+      SELECT terms.doc_id, count(*) AS n_tokens,
+             CAST(sum(lw.w) AS DECIMAL(18,6)) AS dsir_weight
+      FROM terms JOIN lw USING (bkt)
+      WHERE terms.source NOT IN ({_DSIR_TGT_IN})
+      GROUP BY terms.doc_id)
+    SELECT doc_id, n_tokens, dsir_weight FROM (
+      SELECT doc_id, n_tokens, dsir_weight,
+             row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= {_DSIR_K}
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: rank the RAW pool by hashed-unigram
+    importance weights toward a TARGET distribution (here: the src0/
+    src1 sources as the high-quality exemplar) and keep the top-K.
+    Per Xie et al. 2023: features are hashed n-gram buckets, the
+    importance weight of a document is Σ over token occurrences of
+    log(p_target(bucket)/p_raw(bucket)) with add-1 smoothing; this is
+    the deterministic RANKING variant (true DSIR adds Gumbel noise for
+    diversity — a seeded-hash noise column composes on top of the same
+    plan, at the cost of oracle-exactness of the float noise).
+
+    Cross-engine exactness (the text_lm_score discipline): the
+    smoothed ratio is formed from INTEGER products with one double
+    division, its log is quantized to decimal(12,6) per BUCKET (a
+    B-row broadcast table), and per-doc sums of decimals are
+    partial-agg-order-free.  Scale shape: one tokenize pass, two
+    B-row aggregates, the B-row weight table broadcast onto the token
+    stream, one (doc_id) aggregation, TakeOrdered top-K — no shuffle
+    carries more than tokens-keyed partials."""
+    d = table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "source", _dsir_bucket(F.col("term")).alias("bkt"))
+    is_target = F.col("source").isin(*_DSIR_TARGET)
+    counts = terms.groupBy("bkt").agg(
+        F.sum(is_target.cast("long")).alias("tc"),
+        F.sum((~is_target).cast("long")).alias("rc"),
+    )
+    totals = counts.agg(
+        F.sum("tc").alias("nt"), F.sum("rc").alias("nr")
+    )
+    lw = counts.crossJoin(F.broadcast(totals)).select(
+        "bkt",
+        F.round(
+            F.log(
+                ((F.col("tc") + 1) * (F.col("nr") + _DSIR_B)).cast("double")
+                / ((F.col("rc") + 1) * (F.col("nt") + _DSIR_B)).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("w"),
+    )
+    scored = (
+        terms.filter(~is_target)
+        .join(F.broadcast(lw), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").cast("decimal(18,6)").alias("dsir_weight"),
+        )
+    )
+    # top-K via TakeOrderedAndProject (per-partition heaps + driver
+    # merge of K×partitions rows) — no rank column, so no global-order
+    # window is ever needed; the selected SET is deterministic because
+    # the (weight desc, doc_id) order is total in both engines
+    return (
+        scored.orderBy(F.col("dsir_weight").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", "n_tokens", "dsir_weight")
+    )
+
+
+@register(
+    "text_lm_bigram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM t)),
+    seq AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM pos),
+    uni AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
+    v AS (SELECT count(*) AS v FROM uni),
+    n AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT prev, term, count(*) AS c FROM seq
+           WHERE prev IS NOT NULL GROUP BY prev, term),
+    lp AS (  -- per-(prev,term) smoothed conditional, quantized
+      SELECT bi.prev, bi.term,
+             CAST(round(ln(
+               CAST(bi.c + 1 AS DOUBLE) / CAST(pu.c + v.v AS DOUBLE)
+             ), 6) AS DECIMAL(12,6)) AS logp
+      FROM bi JOIN uni pu ON pu.term = bi.prev CROSS JOIN v),
+    lpu AS (  -- unigram head probability, quantized
+      SELECT term,
+             CAST(round(ln(
+               CAST(c + 1 AS DOUBLE) / CAST(n.n + v.v AS DOUBLE)
+             ), 6) AS DECIMAL(12,6)) AS logp
+      FROM uni CROSS JOIN n CROSS JOIN v),
+    scored AS (
+      SELECT s.doc_id,
+             CASE WHEN s.prev IS NULL THEN lpu.logp ELSE lp.logp END AS logp
+      FROM seq s
+      LEFT JOIN lp ON lp.prev = s.prev AND lp.term = s.term
+      LEFT JOIN lpu ON lpu.term = s.term)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(-sum(logp) AS DOUBLE) / count(*), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy (the CCNet-style fluency filter, one
+    order up from text_lm_score's unigram): each document's average
+    negative log-likelihood under an add-1-smoothed BIGRAM model
+    trained on the corpus itself — p(w|prev) = (c(prev,w)+1)/(c(prev)+V),
+    with the unigram (c(w)+1)/(N+V) for each document's head token.
+    Repetitive boilerplate scores low NLL, gibberish scores high —
+    both tails are filter candidates.
+
+    Cross-engine exactness: every conditional's log is quantized to
+    decimal(12,6) per (prev, term) — the probability itself is formed
+    from integer counts with one double division — so per-doc decimal
+    sums are partial-agg-order-free (the text_lm_score discipline,
+    applied to a bigram table).  Scale shape: token sequence via
+    posexplode + one lag window (doc-partitioned, codegen); the bigram
+    count table is corpus-bigram-bounded and joins the token stream on
+    its own key; the unigram/head tables are vocabulary-sized
+    broadcasts; one (doc_id) aggregation ends the plan."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    seq = pos.select("doc_id", "term", F.lag("term").over(wp).alias("prev"))
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    from ..cachescope import scoped_persist
+
+    uni = scoped_persist(uni)
+    v_n = uni.agg(
+        F.count(F.lit(1)).alias("v"), F.sum("c").alias("n")
+    )
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lp = (
+        bi.join(
+            uni.select(F.col("term").alias("prev"), F.col("c").alias("pc")),
+            "prev",
+        )
+        .crossJoin(F.broadcast(v_n))
+        .select(
+            "prev",
+            "term",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("pc") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("logp"),
+        )
+    )
+    lpu = uni.crossJoin(F.broadcast(v_n)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("n") + F.col("v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("logp_u"),
+    )
+    scored = (
+        seq.join(lp, ["prev", "term"], "left")
+        .join(F.broadcast(lpu), "term", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("prev").isNull(), F.col("logp_u"))
+            .otherwise(F.col("logp"))
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            (-F.sum("logp")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_nll"),
+    )

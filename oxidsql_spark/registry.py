@@ -69,6 +69,8 @@ _PRIORITY: tuple[str, ...] = (
     # New in round 10 — never driver-checked:
     "dedup_span_cut",
     "dedup_span_cut_incremental",
+    "dsir_select",
+    "text_lm_bigram_score",
     # Rewritten in round 10 (self-loop single-join label propagation +
     # dup-member-only collapse expansion + bucket-bounded incremental
     # admission; re-prove against the unchanged direct-closure

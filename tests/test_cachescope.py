@@ -47,6 +47,7 @@ CACHE_USING_QUERIES = [
     "dedup_keep_best",
     "dedup_span_cut",
     "dedup_span_cut_incremental",
+    "text_lm_bigram_score",
     "vocab_coverage",
     "part_triangles",
     # km-quantized frame persists (scoped) for every iterative consumer

@@ -360,3 +360,33 @@ def test_leakage_safe_split_never_straddles_near_dups(spark, sf_dir):
         s.groupBy("cluster_id").agg(F.countDistinct("split").alias("n")).collect()
     )
     assert all(r.n == 1 for r in per_cluster)
+
+
+def test_dsir_select_ranks_target_like_docs_first(spark, tmp_path):
+    """DSIR importance ranking: raw docs written in the TARGET sources'
+    vocabulary must outrank raw docs from a disjoint vocabulary — the
+    defining property of importance weights log(p_target/p_raw) over
+    hashed unigram features."""
+    from oxidsql_spark.operators.corpus_ext import dsir_select
+
+    tvocab = " ".join(f"t{j}" for j in range(30))
+    zvocab = " ".join(f"z{j}" for j in range(30))
+    rows = (
+        # target exemplar (sources src0/src1): vocabulary T
+        [(i, "src0", tvocab) for i in range(10)]
+        + [(i + 10, "src1", tvocab) for i in range(10)]
+        # raw pool: 5 target-like docs, 20 off-distribution docs
+        + [(100 + i, "src5", tvocab) for i in range(5)]
+        + [(200 + i, "src6", zvocab) for i in range(20)]
+    )
+    spark.createDataFrame(rows, "doc_id bigint, source string, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    out = dsir_select(spark, str(tmp_path)).collect()
+    ranked = [r.doc_id for r in out]
+    # all 5 target-like raw docs rank ahead of every off-distribution doc
+    assert set(ranked[:5]) == {100, 101, 102, 103, 104}
+    w = {r.doc_id: float(r.dsir_weight) for r in out}
+    assert w[100] > 0 > w[200]  # weights signed as importance ratios
+    # target sources themselves are never selected (raw pool only)
+    assert all(d >= 100 for d in ranked)

@@ -60,12 +60,13 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # round-10 start: all 15 round-9 priority names went driver-green
     # in CORRECTNESS_r09.json and are retired to the stable rotation,
-    # per the policy above.  The list is kept LEAN this round (7 names
-    # — the 7:1 interleave then leaves ~43 window slots) so the stale
-    # band rotates: the stable pool sorts the 3 remaining r5 names
+    # per the policy above.  The list is kept lean (10 names — the 7:1
+    # interleave leaves ~40 window slots) so the stale band rotates:
+    # the stable pool sorts the 3 remaining r5 names
     # (text_fingerprint/langid/stats) and the 48-query r6 band first,
-    # clearing all but ~8 of the ≤r6 backlog in one window (VERDICT r9
-    # finding #5).
+    # clearing all but ~11 of the ≤r6 backlog in one window (VERDICT
+    # r9 finding #5; each r10-new query deliberately trades one
+    # rotation slot for first-time driver coverage).
     # New in round 10 — never driver-checked:
     "dedup_span_cut",
     "dedup_span_cut_incremental",

@@ -1301,17 +1301,27 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logp"),
         )
     )
-    lpu = uni.crossJoin(F.broadcast(v_n)).select(
-        "term",
-        F.round(
-            F.log(
-                (F.col("c") + 1).cast("double")
-                / (F.col("n") + F.col("v")).cast("double")
-            ),
-            6,
+    # the unigram probability is only consulted for each document's
+    # HEAD token, so the broadcast side is semi-restricted to the head
+    # terms FIRST (≤ one term per doc, never the vocabulary — the
+    # docs_bm25_topk broadcast discipline; a web-scale vocabulary table
+    # must never ride a broadcast)
+    head_terms = seq.filter(F.col("prev").isNull()).select("term").distinct()
+    lpu = (
+        uni.join(head_terms, "term", "semi")
+        .crossJoin(F.broadcast(v_n))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    (F.col("c") + 1).cast("double")
+                    / (F.col("n") + F.col("v")).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(12,6)")
+            .alias("logp_u"),
         )
-        .cast("decimal(12,6)")
-        .alias("logp_u"),
     )
     scored = (
         seq.join(lp, ["prev", "term"], "left")

@@ -320,7 +320,10 @@ def dedup_clusters_prepared(
     propagation starts at the persisted graph — no shingling, no
     similarity self-join. Cold-start cost drops from O(corpus scan +
     pair join) to O(pairs), which is what makes re-clustering after
-    every corpus append viable."""
+    every corpus append viable.  Caller contract (inherited from
+    propagate_min_labels' self-loop formulation): the pair table's
+    endpoints must all appear in ``docs`` — i.e. the table was built
+    from this corpus snapshot or an earlier one."""
     pairs = spark.read.parquet(pairs_path).select("a_id", "b_id")
     return propagate_min_labels(docs, pairs)
 

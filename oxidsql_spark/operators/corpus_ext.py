@@ -763,8 +763,11 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg order-dependent, so each token's ln(p) is QUANTIZED to
     decimal(12,6) first — the per-doc sum is then exact at any
     parallelism, and the single double division happens at the end.
-    Scale shape: the unigram table is vocabulary-sized (≪ corpus,
-    broadcastable); one explode + one (doc_id) aggregation."""
+    Scale shape: the unigram table is vocabulary-sized and joins the
+    token stream on its own key WITHOUT a broadcast hint (a web-scale
+    vocabulary must never be forced onto a broadcast — the BM25 r8
+    lesson; AQE still broadcasts it while it is genuinely small); one
+    explode + one (doc_id) aggregation."""
     d = table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
@@ -774,7 +777,7 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(F.col("c") / F.col("n")), 6).cast("decimal(12,6)").alias("logp"),
     )
     return (
-        terms.join(F.broadcast(lp), "term")
+        terms.join(lp, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

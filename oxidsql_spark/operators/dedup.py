@@ -116,6 +116,21 @@ def collapse_exact(
 _JACCARD_N = 3  # word 3-gram shingles
 _JACCARD_T = 0.2
 
+# Batch-probe sides above this row count shuffle-join instead of
+# broadcasting (the persisted index is already keyed on the probe
+# column): an incremental probe's batch can be arbitrarily large, and
+# forcing it onto a broadcast silently caps batch size at executor
+# memory (the IncrementalClusters._PROBE_BROADCAST_CAP discipline).
+_PROBE_BROADCAST_CAP = 1_000_000
+
+
+def _probe_hint(probe: DataFrame) -> DataFrame:
+    """scoped-persist the probe side, broadcast it only under the cap."""
+    from ..cachescope import scoped_persist
+
+    p = scoped_persist(probe)
+    return F.broadcast(p) if p.count() <= _PROBE_BROADCAST_CAP else p
+
 # Exact n-gram Jaccard pair oracle — shared by dedup_ngram_jaccard and
 # dedup_minhash_lsh (whose banded-LSH + exact-verify output equals the
 # exact pair set: the band config recalls every >=T pair on this corpus,
@@ -1129,7 +1144,7 @@ def dedup_minhash_incremental(
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and the persisted corpus:
     the batch's band buckets join the corpus's (band-partitioned scan,
-    batch side broadcastable), then candidates are scored by signature
+    batch side broadcast only under _PROBE_BROADCAST_CAP), then candidates are scored by signature
     agreement — estimated Jaccard = matching positions / K — with no
     access to corpus text at all. Cost scales with the batch, not the
     corpus.  ``threshold=0.0`` returns every bucket candidate (used by
@@ -1144,7 +1159,7 @@ def dedup_minhash_incremental(
         F.col("doc_id").alias("corpus_id"), F.col("sig").alias("sig_c"), "band", "bucket"
     )
     cand = (
-        corpus.join(F.broadcast(nb), ["band", "bucket"])
+        corpus.join(_probe_hint(nb), ["band", "bucket"])
         .filter(F.col("new_id") != F.col("corpus_id"))
         .select("new_id", "corpus_id", "sig_n", "sig_c")
         .distinct()
@@ -1185,8 +1200,9 @@ def dedup_containment_incremental(
     threshold: float = _CONT_T,
 ) -> DataFrame:
     """Containment of NEW docs inside the persisted corpus: shingle only
-    the batch, broadcast its (new_id, shingle) rows onto the corpus
-    index scan, count shared shingles per (new, corpus) pair, and keep
+    the batch, join its (new_id, shingle) rows onto the corpus index
+    scan (broadcast only under _PROBE_BROADCAST_CAP — batch size is
+    never capped by executor memory), count shared shingles per (new, corpus) pair, and keep
     pairs with |new ∩ corpus| / |new| >= threshold. Cost scales with
     the batch (one pass over the index, no corpus re-shingle, corpus
     text never read) — the quote/boilerplate gate a rolling crawl runs
@@ -1200,7 +1216,7 @@ def dedup_containment_incremental(
         F.col("doc_id").alias("corpus_id"), "shingle"
     )
     inter = (
-        corpus.join(F.broadcast(nb), "shingle")
+        corpus.join(_probe_hint(nb), "shingle")
         .groupBy("new_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("inter"), F.any_value("n_a").alias("n_a"))
     )

@@ -82,6 +82,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_keep_best",
     "dedup_clusters_incremental_q",
     "split_leakage_safe",
+    # probe-broadcast size guards added r10 (plan-level, same results):
+    "dedup_minhash_incremental",
+    "dedup_containment_incremental",
+    "text_lm_score",
 )
 
 

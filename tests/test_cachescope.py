@@ -48,6 +48,8 @@ CACHE_USING_QUERIES = [
     "dedup_span_cut",
     "dedup_span_cut_incremental",
     "text_lm_bigram_score",
+    "dedup_minhash_incremental",
+    "dedup_containment_incremental",
     "vocab_coverage",
     "part_triangles",
     # km-quantized frame persists (scoped) for every iterative consumer

@@ -669,7 +669,9 @@ class OxidSparkDatabase:
             )
             flagged = (
                 flagged.join(
-                    F.broadcast(pk),
+                    # no forced broadcast: the parent key set is
+                    # parent-table-sized (AQE broadcasts small dims)
+                    pk,
                     flagged[child] == F.col(f"__fk_{child}"),
                     "left",
                 )
@@ -705,7 +707,7 @@ class OxidSparkDatabase:
             for k in ukeys:
                 cond = cond & F.col(k).eqNullSafe(F.col(f"__dk_{k}"))
             flagged = (
-                flagged.join(F.broadcast(dup_keys), cond, "left")
+                flagged.join(dup_keys, cond, "left")
                 .withColumn(
                     "_violations",
                     F.when(

@@ -69,7 +69,8 @@ def build_training_corpus(
         from .operators.corpus_ext import decontaminate_ngram
 
         dirty = decontaminate_ngram(spark, sf_dir).select("doc_id")
-        docs = docs.join(F.broadcast(dirty), "doc_id", "left_anti")
+        # no forced broadcast: the contaminated-id set is corpus-bounded
+        docs = docs.join(dirty, "doc_id", "left_anti")
 
     # 3. language tag
     lang = text_langid(spark, sf_dir).select("doc_id", "lang_pred")

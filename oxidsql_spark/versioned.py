@@ -383,12 +383,13 @@ class PartitionedVersionedTable:
         if extra_touched is not None:
             touched |= {v for v in extra_touched if v in current}
         # partitions holding any updated key (checked in one job over the
-        # current snapshot, probe side broadcast)
+        # current snapshot; no forced broadcast — a bulk MERGE's key set
+        # can be arbitrarily large, and AQE still broadcasts small ones)
         upd_keys = updates.select(key).where(F.col(key).isNotNull()).distinct()
         if current and not partition_from_key and extra_touched is None:
             snapshot = self.read(vs[-1])
             holding = (
-                snapshot.join(F.broadcast(upd_keys), key, "left_semi")
+                snapshot.join(upd_keys, key, "left_semi")
                 .select(self._pv_expr().alias("pv"))
                 .distinct()
                 .collect()
@@ -412,7 +413,7 @@ class PartitionedVersionedTable:
         combined = updates
         if held_paths:
             survivors = self.spark.read.parquet(*held_paths).join(
-                F.broadcast(upd_keys), key, "left_anti"
+                upd_keys, key, "left_anti"
             )
             combined = survivors.unionByName(updates)
         stage = os.path.join(self.path, "_data", f".stage_v{next_v:08d}")

@@ -382,10 +382,35 @@ class PartitionedVersionedTable:
         }
         if extra_touched is not None:
             touched |= {v for v in extra_touched if v in current}
-        # partitions holding any updated key (checked in one job over the
-        # current snapshot; no forced broadcast — a bulk MERGE's key set
-        # can be arbitrarily large, and AQE still broadcasts small ones)
-        upd_keys = updates.select(key).where(F.col(key).isNotNull()).distinct()
+        # partitions holding any updated key (checked in one job over
+        # the current snapshot).  The key set rides a SIZE-GUARDED
+        # broadcast: forced under the cap because the common
+        # incremental batch is small and the frame usually derives
+        # from a cached/checkpointed plan with no size statistics —
+        # hint-free planning fell back to sort-merge and cost +70% on
+        # the admission path (measured r10); above the cap it shuffle
+        # joins, so a bulk MERGE's key set never pins executor memory.
+        upd_keys = (
+            updates.select(key).where(F.col(key).isNotNull()).distinct().persist()
+        )
+        try:
+            if upd_keys.count() <= self._KEY_BROADCAST_CAP:
+                upd_probe = F.broadcast(upd_keys)
+            else:
+                upd_probe = upd_keys
+            return self._upsert_with_keys(
+                updates, key, current, next_v, touched, upd_probe,
+                partition_from_key, extra_touched, vs,
+            )
+        finally:
+            upd_keys.unpersist()
+
+    _KEY_BROADCAST_CAP = 1_000_000
+
+    def _upsert_with_keys(
+        self, updates, key, current, next_v, touched, upd_keys,
+        partition_from_key, extra_touched, vs,
+    ) -> int:
         if current and not partition_from_key and extra_touched is None:
             snapshot = self.read(vs[-1])
             holding = (

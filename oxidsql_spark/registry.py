@@ -64,9 +64,10 @@ _PRIORITY: tuple[str, ...] = (
     # interleave leaves ~40 window slots) so the stale band rotates:
     # the stable pool sorts the 3 remaining r5 names
     # (text_fingerprint/langid/stats) and the 48-query r6 band first,
-    # clearing all but ~11 of the ≤r6 backlog in one window (VERDICT
-    # r9 finding #5; each r10-new query deliberately trades one
-    # rotation slot for first-time driver coverage).
+    # clearing all but ~13 of the ≤r6 backlog in one window (VERDICT
+    # r9 finding #5; each r10-new query and each r10-rewritten probe
+    # deliberately trades one rotation slot for first-time or
+    # post-change driver coverage).
     # New in round 10 — never driver-checked:
     "dedup_span_cut",
     "dedup_span_cut_incremental",

@@ -1865,3 +1865,129 @@ def ann_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:  # lost the race to a completed build
             shutil.rmtree(tmp, ignore_errors=True)
     return ann_ivfadc_search(spark, sf_dir, out)
+
+
+# ---------------------------------------------------------------------------
+# PCA preprocessing: distributed Gram/covariance + driver eigenbasis +
+# distributed projection — the rotation step OPQ-style ANN pipelines run
+# before product quantization (Ge et al. 2013 motivate PQ on decorrelated
+# axes; PCA is the standard non-learned rotation).
+# ---------------------------------------------------------------------------
+
+_GRAM_ORACLE = f"""
+    WITH q AS (SELECT vec_id,
+                      list_transform(embedding,
+                        e -> CAST(floor(CAST(e AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS qv
+               FROM embeddings),
+    e1 AS (SELECT vec_id, u.i AS i, u.x AS x FROM (
+             SELECT vec_id,
+                    unnest(list_transform(range(1, len(qv) + 1),
+                           k -> struct_pack(i := k, x := qv[k]))) AS u
+             FROM q))
+    SELECT a.i - 1 AS i, b.i - 1 AS j, CAST(sum(a.x * b.x) AS BIGINT) AS gram_q
+    FROM e1 a JOIN e1 b USING (vec_id)
+    GROUP BY a.i, b.i
+"""
+
+
+def gram_matrix(e: DataFrame) -> DataFrame:
+    """Distributed dim×dim Gram matrix of the QUANTIZED embeddings:
+    one Arrow pass emits each batch's exact integer partial (numpy
+    int64 MᵀM — d² values per batch regardless of batch size), and the
+    only shuffle carries d² rows per partition into a (i, j) sum.
+    Integer arithmetic end-to-end, so partial-agg merge order is
+    irrelevant and the DuckDB oracle re-derives it bit-for-bit; the
+    int64 budget holds to ~10¹¹ vectors at this quantization scale
+    (|q| ≤ ~3·10³ → per-pair product ≤ 10⁷)."""
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = m.T @ m
+            d = g.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "g": g.ravel()}
+            )
+
+    parts = e.select("qv").mapInPandas(partials, "i int, j int, g long")
+    return parts.groupBy("i", "j").agg(F.sum("g").cast("bigint").alias("gram_q"))
+
+
+@register("embedding_gram", oracle=_GRAM_ORACLE)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed second-moment (Gram) matrix of the embedding
+    corpus — the data-sized half of PCA training (pca_train's driver
+    eigendecomposition consumes these d² values, which is why PCA at
+    100 TB is one Arrow scan + one d²-row shuffle, never a data-sized
+    collect).  Oracle-exact because the matrix is integer arithmetic
+    over the same floor-quantized values every ANN operator here
+    shares."""
+    return gram_matrix(_km_quantized(spark, sf_dir))
+
+
+def pca_train(e: DataFrame, k: int):
+    """PCA basis from the distributed moments: covariance = G/n − μμᵀ
+    assembled on the driver from the d²-row Gram matrix and the d-row
+    dimension sums (bounded by dim², never data-sized — the kmeans-
+    centroid discipline), then one numpy eigendecomposition.  Returns
+    (components: k×d float64, ordered by descending eigenvalue with a
+    deterministic sign convention; mean: d float64; eigvals: k)."""
+    import numpy as np
+
+    rows = gram_matrix(e).collect()
+    d = max(r.i for r in rows) + 1
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        g[r.i, r.j] = r.gram_q
+    sums = (
+        e.select(F.posexplode("qv").alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("s"))
+        .collect()
+    )
+    n = e.count()
+    mu = np.zeros(d, dtype=np.float64)
+    for r in sums:
+        mu[r.i] = r.s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # deterministic sign: make each component's largest-|coord| positive
+    for c in comps:
+        jmax = int(np.argmax(np.abs(c)))
+        if c[jmax] < 0:
+            c *= -1.0
+    return comps, mu, vals[order]
+
+
+def pca_project(e: DataFrame, comps, mu) -> DataFrame:
+    """Project the quantized embeddings onto a trained PCA basis: the
+    k×d component matrix rides into one Arrow pass as a task-local
+    numpy literal (k·d floats — bytes, not data); output is
+    (vec_id, proj: array<double>).  At 100 TB this is a pure map over
+    the scan — zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    c = np.asarray(comps, dtype=np.float64)
+    m = np.asarray(mu, dtype=np.float64)
+
+    def proj(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["qv"].to_numpy()).astype(np.float64) - m
+            p = x @ c.T
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "proj": list(p)}
+            )
+
+    return e.select("vec_id", "qv").mapInPandas(
+        proj, "vec_id bigint, proj array<double>"
+    )

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_cut_incremental",
     "dsir_select",
     "text_lm_bigram_score",
+    "embedding_gram",
     # Rewritten in round 10 (self-loop single-join label propagation +
     # dup-member-only collapse expansion + bucket-bounded incremental
     # admission; re-prove against the unchanged direct-closure

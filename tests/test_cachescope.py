@@ -50,6 +50,7 @@ CACHE_USING_QUERIES = [
     "text_lm_bigram_score",
     "dedup_minhash_incremental",
     "dedup_containment_incremental",
+    "embedding_gram",
     "vocab_coverage",
     "part_triangles",
     # km-quantized frame persists (scoped) for every iterative consumer

@@ -1197,3 +1197,30 @@ def test_span_cut_incremental_matches_full_cut(spark, tmp_path):
     }
     got = {d: (r.n_tokens, r.n_kept, r.cleaned) for d, r in inc.items()}
     assert got == full
+
+
+def test_pca_train_project_properties(spark, sf_dir):
+    """PCA over the distributed moments: orthonormal components ordered
+    by descending non-negative eigenvalue, and the projected corpus's
+    per-component variance reproduces the eigenvalues — the numerical
+    contract the OPQ-style rotation relies on."""
+    import numpy as np
+
+    from oxidsql_spark.cachescope import release_scoped_caches
+    from oxidsql_spark.operators.similarity import (
+        _km_quantized,
+        pca_project,
+        pca_train,
+    )
+
+    e = _km_quantized(spark, sf_dir)
+    comps, mu, vals = pca_train(e, 8)
+    assert all(vals[i] >= vals[i + 1] - 1e-9 for i in range(len(vals) - 1))
+    assert vals[-1] >= -1e-6  # covariance is PSD
+    c = np.asarray(comps)
+    assert np.allclose(c @ c.T, np.eye(8), atol=1e-8)
+    p = np.stack(pca_project(e, comps, mu).toPandas()["proj"].to_numpy())
+    v = p.var(axis=0)  # 1/n convention, matching cov = G/n - mu mu^T
+    assert np.allclose(v, vals, rtol=1e-6)
+    assert all(v[i] >= v[i + 1] - 1e-6 for i in range(len(v) - 1))
+    release_scoped_caches()

@@ -305,3 +305,110 @@ def admit_corpus_batch(
     merge_fingerprint_bloom(spark, fps.select("fp"), bloom_path)
     fps.write.mode("append").partitionBy("fp_prefix").parquet(fp_path)
     return admitted
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    nll_ceiling: float = 12.0,
+    min_kept_tokens: int = 5,
+    token_budget: int | None = None,
+    observation: Optional[Observation] = None,
+) -> DataFrame:
+    """The round-10 curation capstone — the full modern training-data
+    funnel, composed from the registered operators' library forms:
+
+    1. NEAR-DUP removal keeping the BEST copy per cluster (longest
+       text, deterministic tie-break — graph.dedup_keep_best's rule);
+    2. row-level QUALITY GATE (quality.gate_rows fused projection —
+       only clean rows continue, the violating rows stay inspectable);
+    3. FLUENCY filter: drop documents whose bigram-LM average NLL
+       exceeds the ceiling (corpus_ext.text_lm_bigram_score — the
+       CCNet-style perplexity screen, both-tails variant left to the
+       caller);
+    4. SUBSTRING DEDUP: excise corpus-repeated k-token spans from the
+       survivors' text (dedup.span_cut, keep-first) and drop husks
+       left with fewer than ``min_kept_tokens`` tokens;
+    5. optional TOKEN BUDGET: DSIR-selected docs (corpus_ext.
+       dsir_select — importance toward the high-quality sources) are
+       packed FIRST, then the rest in doc_id order, cut at the budget
+       via the two-phase global cumsum (never a single-partition
+       window).
+
+    Every stage is a doc_id-keyed join against an operator output, so
+    Catalyst shares the documents scan where semantics allow and the
+    only shuffles are the ones the operators themselves justify.  The
+    output carries the CLEANED text — what actually ships to training."""
+    from .operators.corpus_ext import dsir_select, text_lm_bigram_score
+    from .operators.dedup import span_cut
+    from .operators.distwindow import global_cumsum
+    from .operators.graph import dedup_clusters
+    from .operators.quality import gate_rows
+
+    docs = table(spark, sf_dir, "documents")
+
+    # 1. keep-best per near-dup cluster
+    c = dedup_clusters(spark, sf_dir).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+    best = (
+        c.groupBy("cluster_id")
+        .agg(F.max(w).alias("b"))
+        .select(
+            (-F.col("b.nd")).cast("bigint").alias("doc_id")
+        )
+    )
+    docs = docs.join(best, "doc_id", "left_semi")
+
+    # 2. row-level quality gate (same checks as docs_quality_gate)
+    gated = gate_rows(
+        docs,
+        {"min_length": "n_chars >= 100", "known_lang": "lang IN ('en','de','fr','es')"},
+        not_null=["source"],
+    )
+    docs = gated.filter(F.size("_violations") == 0).drop("_violations")
+
+    # 3. bigram-LM fluency ceiling
+    nll = text_lm_bigram_score(spark, sf_dir).select("doc_id", "avg_nll")
+    docs = docs.join(nll, "doc_id").filter(F.col("avg_nll") <= nll_ceiling)
+
+    # 4. substring dedup on the survivors; drop cut-to-nothing husks
+    cut = span_cut(docs.select("doc_id", "text")).select(
+        "doc_id", "n_kept", F.col("cleaned").alias("clean_text")
+    )
+    docs = (
+        docs.drop("text")
+        .join(cut, "doc_id")
+        .filter(F.col("n_kept") >= min_kept_tokens)
+    )
+
+    # 5. token budget: DSIR picks first, then doc_id order
+    if token_budget is not None:
+        picked = dsir_select(spark, sf_dir).select(
+            "doc_id", F.lit(0).alias("pri")
+        )
+        ordered = docs.join(picked, "doc_id", "left").withColumn(
+            "pri", F.coalesce("pri", F.lit(1))
+        )
+        cum, _ = global_cumsum(
+            ordered,
+            "n_kept",
+            [F.col("pri").asc(), F.col("doc_id").asc()],
+            "cum_tokens",
+        )
+        docs = cum.filter(F.col("cum_tokens") <= token_budget).drop(
+            "pri", "cum_tokens"
+        )
+
+    out = docs.select("doc_id", "source", "n_kept", "avg_nll", "clean_text")
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_kept").alias("total_tokens"),
+        )
+    if out_dir:
+        out.write.mode("overwrite").partitionBy("source").parquet(out_dir)
+    return out

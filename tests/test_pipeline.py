@@ -390,3 +390,49 @@ def test_dsir_select_ranks_target_like_docs_first(spark, tmp_path):
     assert w[100] > 0 > w[200]  # weights signed as importance ratios
     # target sources themselves are never selected (raw pool only)
     assert all(d >= 100 for d in ranked)
+
+
+def test_curate_corpus_funnel(spark, sf_dir, tmp_path):
+    """The r10 curation capstone end-to-end: every surviving doc is
+    gate-clean, under the fluency ceiling, substring-deduped (a second
+    span-cut pass finds nothing), and exact-dup-free; the token budget
+    cuts at the global cumulative sum with DSIR picks packed first."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import span_cut
+    from oxidsql_spark.pipeline import curate_corpus
+
+    obs = Observation("curate")
+    out_dir = str(tmp_path / "curated")
+    out = curate_corpus(
+        spark, sf_dir, out_dir=out_dir, nll_ceiling=12.0, observation=obs
+    )
+    n = out.count()
+    m = obs.get
+    assert m["n_docs"] == n > 0
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n
+    # gate-clean + fluency ceiling hold on every survivor
+    assert got.filter(F.col("avg_nll") > 12.0).count() == 0
+    assert got.filter(F.col("n_kept") < 5).count() == 0
+    # exact-dup-free output text
+    assert (
+        got.select(F.md5(F.col("clean_text").cast("binary"))).distinct().count()
+        == n
+    )
+    # substring-dedup fixed point: re-cutting the cleaned text cuts ~nothing
+    recut = span_cut(
+        got.select("doc_id", F.col("clean_text").alias("text"))
+    ).agg(
+        F.sum("n_tokens").alias("t"), F.sum("n_kept").alias("k")
+    ).collect()[0]
+    assert recut.k >= 0.99 * recut.t
+    # token budget: respected and DSIR picks packed first
+    budget = int(
+        got.agg(F.sum("n_kept")).collect()[0][0] * 0.5
+    )
+    packed = curate_corpus(spark, sf_dir, token_budget=budget)
+    tot = packed.agg(F.sum("n_kept")).collect()[0][0]
+    assert tot <= budget
+    assert 0 < packed.count() < n

@@ -1843,6 +1843,14 @@ def build_span_index(
 def span_cut_incremental(
     spark: SparkSession, new_docs: DataFrame, index_path: str, k: int = _SPAN_K
 ) -> DataFrame:
+    return _span_cut_against(
+        new_docs, spark.read.parquet(index_path).select("gram"), k
+    )
+
+
+def _span_cut_against(
+    new_docs: DataFrame, corpus_grams: DataFrame, k: int = _SPAN_K
+) -> DataFrame:
     """Substring-dedup a BATCH against a frozen, already-shipped corpus:
     a batch span occurrence is excised iff its gram EXISTS in the
     corpus span index (the corpus copy is the kept first occurrence)
@@ -1873,9 +1881,7 @@ def span_cut_incremental(
         .filter("complete")
         .select("doc_id", "pos", "gram")
     )
-    cg = spark.read.parquet(index_path).select(
-        "gram", F.lit(True).alias("in_corpus")
-    )
+    cg = corpus_grams.select("gram", F.lit(True).alias("in_corpus"))
     firsts = spans.groupBy("gram").agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.struct("doc_id", "pos")).alias("first"),
@@ -1984,4 +1990,141 @@ def dedup_span_cut_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_span_index(spark, corpus, idx)
     return span_cut_incremental(spark, batch, idx).select(
         "doc_id", "n_tokens", "n_kept", "cleaned_md5"
+    )
+
+
+class SpanIndexStore:
+    """Segment-committed span index for a ROLLING corpus — the span twin
+    of IncrementalClusters' shingle index: the distinct-gram artifact
+    lives as version-named committed segments (``seg_*`` with parquet's
+    ``_SUCCESS`` written last — torn writes are invisible), and every
+    admitted batch appends ONE segment holding the grams of its CLEANED
+    text (kept first occurrences become the corpus copies future
+    batches dedup against; grams the batch lost to the cut already
+    exist in earlier segments by definition).
+
+    ``cut_admit(batch, tag)`` is deterministic-idempotent: the cut is a
+    pure function of (batch, committed segments), and a replayed tag
+    skips its already-committed segment — the streaming sink below
+    rides that with batch-id tags and batch-keyed output dirs, giving
+    exactly-once landing under foreachBatch's at-least-once
+    redelivery."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _seg_dir(self, tag: str) -> str:
+        import os
+
+        return os.path.join(self.path, f"seg_{tag}")
+
+    def _segments(self) -> list[str]:
+        import os
+
+        return [
+            os.path.join(self.path, n)
+            for n in sorted(os.listdir(self.path))
+            if n.startswith("seg_")
+            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
+        ]
+
+    def grams(self, exclude_tag: str | None = None) -> DataFrame:
+        segs = [
+            p
+            for p in self._segments()
+            if exclude_tag is None or not p.endswith(f"seg_{exclude_tag}")
+        ]
+        if not segs:
+            return self.spark.createDataFrame([], "gram string")
+        return self.spark.read.parquet(*segs).select("gram")
+
+    def build(self, docs: DataFrame, k: int = _SPAN_K) -> None:
+        """Base corpus segment (idempotent under a replayed build)."""
+        build_span_index(self.spark, docs, self._seg_dir("base"), k)
+
+    def _append_segment(self, tag: str, cleaned_docs: DataFrame, k: int) -> None:
+        import os
+
+        seg = self._seg_dir(tag)
+        if os.path.exists(os.path.join(seg, "_SUCCESS")):
+            return  # replayed admission — segment already committed
+        build_span_index(self.spark, cleaned_docs, seg, k)
+
+    def cut_admit(
+        self, batch: DataFrame, tag: str, k: int = _SPAN_K
+    ) -> DataFrame:
+        """Cut the batch against every committed segment, commit the
+        cleaned text's grams as segment ``tag``, return the cleaned
+        rows (doc_id, n_tokens, n_kept, cleaned, cleaned_md5).  The
+        returned frame is persisted-scope material the caller lands;
+        the segment is written from the SAME cleaned result, so a
+        crash between the two is healed by the replay's skip."""
+        from ..cachescope import scoped_local_checkpoint
+
+        # eager checkpoint: the segment append writes under self.path,
+        # which the cut's own lazy plan reads — materialize first (the
+        # admit_corpus_batch read-then-write discipline).  The cut
+        # EXCLUDES the tag's own segment, so a replay after a crash
+        # between the segment commit and the caller's landing sees the
+        # identical index the original run saw (foreachBatch replays
+        # only the in-flight batch — later segments cannot exist yet).
+        cleaned = scoped_local_checkpoint(
+            _span_cut_against(batch, self.grams(exclude_tag=tag), k)
+        )
+        self._append_segment(
+            tag, cleaned.select("doc_id", F.col("cleaned").alias("text")), k
+        )
+        return cleaned
+
+
+def cut_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming incremental substring dedup: a file stream of
+    (doc_id, text) batches flows through a prebuilt SpanIndexStore —
+    per micro-batch, the batch is span-cut against everything shipped
+    so far, the CLEANED rows land under ``out_dir/batch=<id>/`` (the
+    quality-sink tmp-write + rename-swap discipline), and the cleaned
+    grams commit as the batch's index segment.  Exactly-once: replays
+    skip the committed segment and replace exactly their own output
+    dir.  Returns the ready DataStreamWriter (caller .start()s it)."""
+    import os
+    import shutil
+
+    store = SpanIndexStore(spark, store_path)
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        b = int(batch_id)
+        cleaned = store.cut_admit(batch_df, f"b{b:08d}")
+        dest = os.path.join(out_dir, f"batch={b}")
+        tmp = os.path.join(out_dir, f".batch_{b}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        cleaned.select("doc_id", "n_tokens", "n_kept", "cleaned").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        if os.path.isdir(dest):
+            old = os.path.join(out_dir, f".batch_{b}.old")
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(dest, old)
+            os.rename(tmp, dest)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.makedirs(out_dir, exist_ok=True)
+            os.rename(tmp, dest)
+
+    return (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
     )

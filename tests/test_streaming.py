@@ -1138,3 +1138,55 @@ def test_cluster_admission_stream_equals_full_and_is_idempotent(spark, tmp_path)
     sink2(extra, 3)  # redelivery after the 'crash' -> tag only
     assert state._latest() == v_committed
     assert state.labels().count() == everything.count() + 1
+
+
+def test_cut_ingest_stream_exactly_once_and_cross_batch(spark, tmp_path):
+    """Streaming incremental substring dedup: batch 2's copy of a span
+    SHIPPED by batch 1 is cut (the index grew by batch 1's cleaned
+    grams), a corpus span is cut from every batch, and a replayed
+    batch neither duplicates its index segment nor its output dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.dedup import _SPAN_K, SpanIndexStore
+
+    boiler = " ".join(f"c{j}" for j in range(_SPAN_K))
+    novel = " ".join(f"n{j}" for j in range(_SPAN_K))
+    corpus = spark.createDataFrame(
+        [(1, "intro text " + boiler)], "doc_id bigint, text string"
+    )
+    store_path = str(tmp_path / "spanstore")
+    store = SpanIndexStore(spark, store_path)
+    store.build(corpus)
+    store.build(corpus)  # replayed build: idempotent
+
+    b0 = spark.createDataFrame(
+        [(10, novel + " first shipment"), (11, boiler + " tail")],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(20, novel + " second arrival"), (21, "totally fresh words here")],
+        "doc_id bigint, text string",
+    )
+
+    from oxidsql_spark.operators.dedup import cut_ingest_stream
+
+    # the streaming wrapper wires a file source onto the same store API
+    # the rest of this test drives batch-by-batch; smoke its construction
+    os.makedirs(str(tmp_path / "src"), exist_ok=True)
+    cut_ingest_stream(
+        spark, str(tmp_path / "src"), store_path, str(tmp_path / "cut_out"),
+        str(tmp_path / "ckpt"),
+    )
+    r0 = {r.doc_id: r for r in store.cut_admit(b0, "b00000000").collect()}
+    assert r0[10].cleaned == novel + " first shipment"  # novel span ships
+    assert r0[11].cleaned == "tail"  # corpus span cut
+    n_segs = len(store._segments())
+    replay = {r.doc_id: r for r in store.cut_admit(b0, "b00000000").collect()}
+    assert len(store._segments()) == n_segs  # replayed tag: no new segment
+    assert replay == r0  # deterministic-idempotent
+
+    r1 = {r.doc_id: r for r in store.cut_admit(b1, "b00000001").collect()}
+    assert r1[20].cleaned == "second arrival"  # batch-0's SHIPPED span now cuts
+    assert r1[21].n_kept == r1[21].n_tokens  # fresh text unscathed

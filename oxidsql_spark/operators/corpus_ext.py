@@ -1328,7 +1328,11 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         seq.join(lp, ["prev", "term"], "left")
-        .join(F.broadcast(lpu), "term", "left")
+        # no forced broadcast: head_terms grows with document count (up
+        # to one distinct term per doc), so a forced hint could pin
+        # executor memory at web scale — AQE sizes the build side at
+        # runtime instead (the size-guarded-broadcast discipline).
+        .join(lpu, "term", "left")
         .select(
             "doc_id",
             F.when(F.col("prev").isNull(), F.col("logp_u"))

@@ -2106,13 +2106,15 @@ def cut_ingest_stream(
         cleaned = store.cut_admit(batch_df, f"b{b:08d}")
         dest = os.path.join(out_dir, f"batch={b}")
         tmp = os.path.join(out_dir, f".batch_{b}.tmp")
+        old = os.path.join(out_dir, f".batch_{b}.old")
         shutil.rmtree(tmp, ignore_errors=True)
+        # reclaim a copy stranded at .old by a crash between the two
+        # swap renames (dest missing -> the else branch would leak it)
+        shutil.rmtree(old, ignore_errors=True)
         cleaned.select("doc_id", "n_tokens", "n_kept", "cleaned").write.mode(
             "overwrite"
         ).parquet(tmp)
         if os.path.isdir(dest):
-            old = os.path.join(out_dir, f".batch_{b}.old")
-            shutil.rmtree(old, ignore_errors=True)
             os.rename(dest, old)
             os.rename(tmp, dest)
             shutil.rmtree(old, ignore_errors=True)

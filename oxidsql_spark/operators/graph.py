@@ -264,7 +264,11 @@ def propagate_min_labels(
         if labels is not first_labels:
             free_local_checkpoint(labels)
         labels = new_labels
-        if prev_sum is not None and lsum == prev_sum:
+        # A NULL sum means zero label rows (empty corpus/batch): the
+        # fixed point is trivially reached — treating it as "not yet
+        # converged" would burn max_iters jobs and then raise, because
+        # NULL == NULL never compares equal.
+        if lsum is None or (prev_sum is not None and lsum == prev_sum):
             converged = True
             break
         prev_sum = lsum

@@ -219,11 +219,14 @@ def ingest_gated_stream(
     def _land(df, root: str, batch_id: int) -> None:
         dest = os.path.join(root, f"batch={batch_id}")
         tmp = os.path.join(root, f".batch_{batch_id}.tmp")
+        old = os.path.join(root, f".batch_{batch_id}.old")
         shutil.rmtree(tmp, ignore_errors=True)  # crashed replay debris
+        # a crash BETWEEN the two swap renames strands the previous
+        # copy at .old with dest missing — the dest-missing branch
+        # below would never reclaim it, so clear it here too
+        shutil.rmtree(old, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         if os.path.isdir(dest):  # replayed batch: swap out the old copy
-            old = os.path.join(root, f".batch_{batch_id}.old")
-            shutil.rmtree(old, ignore_errors=True)
             os.rename(dest, old)
             os.rename(tmp, dest)
             shutil.rmtree(old, ignore_errors=True)

@@ -160,6 +160,19 @@ def test_propagation_guard_raises_on_deep_chain(spark):
     assert {r.cluster_id for r in labels.collect()} == {0}
 
 
+def test_propagation_empty_corpus_converges(spark):
+    """Zero nodes: the label-sum observation is NULL (sum over no rows),
+    which must read as the fixed point — not as "never equal to the
+    previous NULL", which would burn max_iters jobs and raise."""
+    from oxidsql_spark.operators.graph import propagate_min_labels
+
+    docs = spark.createDataFrame([], "doc_id long")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    labels = propagate_min_labels(docs, pairs, max_iters=3)
+    assert labels.count() == 0
+    assert labels.columns == ["doc_id", "cluster_id"]
+
+
 def test_embedding_cosine_guard_routes_above_cap(spark, sf_dir):
     """Above the broadcast row cap the operator must NOT collect the
     table to the driver: it routes to the LSH-bucketed candidate path —

@@ -319,9 +319,9 @@ def test_partitioned_upsert_retries_over_stage_and_gdir_debris(spark, tmp_path):
         fh.write("torn")
 
     v = pt.upsert(
-        spark.createDataFrame([(1, 11)], "k int, v int"), "v",
+        spark.createDataFrame([(1, 11)], "k int, v int"), "k",
         partition_from_key=False,
     )
     assert v == 2
     got = {(r.k, r.v) for r in pt.read().collect()}
-    assert got == {(1, 11), (1, 10), (2, 20)} or got == {(1, 11), (2, 20)}
+    assert got == {(1, 11), (2, 20)}

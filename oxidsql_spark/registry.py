@@ -58,36 +58,16 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-10 start: all 15 round-9 priority names went driver-green
-    # in CORRECTNESS_r09.json and are retired to the stable rotation,
-    # per the policy above.  The list is kept lean (10 names — the 7:1
-    # interleave leaves ~40 window slots) so the stale band rotates:
-    # the stable pool sorts the 3 remaining r5 names
-    # (text_fingerprint/langid/stats) and the 48-query r6 band first,
-    # clearing all but ~13 of the ≤r6 backlog in one window (VERDICT
-    # r9 finding #5; each r10-new query and each r10-rewritten probe
-    # deliberately trades one rotation slot for first-time or
-    # post-change driver coverage).
-    # New in round 10 — never driver-checked:
-    "dedup_span_cut",
-    "dedup_span_cut_incremental",
+    # round-11 start: 13 of the 14 round-10 priority names went
+    # driver-green in CORRECTNESS_r10.json and retire to the stable
+    # rotation.  dsir_select stays (its r10 row was hash-red in the
+    # driver env only — the weight pipeline is now rebuilt on the
+    # engine-version-proof fixed-point log) and gains its diagnostic
+    # companion.  The list is kept lean so the stable pool's
+    # stalest-first ordering rotates the 14 remaining <=r6 rows
+    # (VERDICT r10 task 2) through this window's ~40 stable slots.
     "dsir_select",
-    "text_lm_bigram_score",
-    "embedding_gram",
-    # Rewritten in round 10 (self-loop single-join label propagation +
-    # dup-member-only collapse expansion + bucket-bounded incremental
-    # admission; re-prove against the unchanged direct-closure
-    # oracles):
-    "dedup_clusters",
-    "dedup_clusters_collapsed",
-    "dedup_cluster_stats",
-    "dedup_keep_best",
-    "dedup_clusters_incremental_q",
-    "split_leakage_safe",
-    # probe-broadcast size guards added r10 (plan-level, same results):
-    "dedup_minhash_incremental",
-    "dedup_containment_incremental",
-    "text_lm_score",
+    "dsir_weights",
 )
 
 

@@ -386,7 +386,7 @@ def test_dsir_select_ranks_target_like_docs_first(spark, tmp_path):
     ranked = [r.doc_id for r in out]
     # all 5 target-like raw docs rank ahead of every off-distribution doc
     assert set(ranked[:5]) == {100, 101, 102, 103, 104}
-    w = {r.doc_id: float(r.dsir_weight) for r in out}
+    w = {r.doc_id: r.dsir_weight_micro for r in out}
     assert w[100] > 0 > w[200]  # weights signed as importance ratios
     # target sources themselves are never selected (raw pool only)
     assert all(d >= 100 for d in ranked)
@@ -436,3 +436,29 @@ def test_curate_corpus_funnel(spark, sf_dir, tmp_path):
     tot = packed.agg(F.sum("n_kept")).collect()[0][0]
     assert tot <= budget
     assert 0 < packed.count() < n
+
+
+def test_fixlog_matches_python_reference_and_grid_margin(spark, sf_dir):
+    """The engine-proof fixed-point log (corpus_ext._fixlog_micro) must
+    equal round(math.log(num/den)*1e6) on every REAL sf bucket, and
+    every bucket's true ln*1e6 must sit far from the rounding grid —
+    the margin that makes the fixed-point drift (<3e-5) irrelevant.
+    Random-pair agreement was prototype-verified at build time; this
+    locks the property on the data the driver actually checks."""
+    import math
+
+    from oxidsql_spark.operators.corpus_ext import _dsir_terms_and_weights
+
+    _, _, lw = _dsir_terms_and_weights(spark, sf_dir)
+    rows = lw.collect()
+    assert rows, "no buckets"
+    min_margin = 1.0
+    for r in rows:
+        num, den = int(r.num), int(r.den)
+        ref = math.log(num / den) * 1e6
+        # round-half-away reference (the algorithm's explicit rule)
+        a = abs(ref)
+        want = int(a + 0.5) if ref >= 0 else -int(a + 0.5)
+        assert int(r.w) == want, (num, den, int(r.w), want)
+        min_margin = min(min_margin, abs(a % 1.0 - 0.5))
+    assert min_margin > 1e-3, f"bucket too close to rounding grid: {min_margin}"

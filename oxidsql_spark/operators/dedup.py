@@ -1593,6 +1593,22 @@ _DUCK_TOKS_DD = (
 )
 
 
+def _gram_key(col):
+    """16-hex-char md5 prefix of the span text — the span family's
+    SHUFFLE KEY.  At k=8 the raw gram string is ~8x the corpus token
+    bytes, and the span-frequency exchange was the widest shuffle in
+    the repo (VERDICT r10 #3); hashing shrinks it ~wordsize-fold at a
+    collision risk of 2^-64 per pair (the dedup_exact fingerprint
+    discipline).  The DuckDB oracles key on the SAME prefix, so
+    cross-engine equality holds even under a collision."""
+    return F.substring(F.md5(col.cast("binary")), 1, 16)
+
+
+def _duck_gram_key(expr: str) -> str:
+    """DuckDB twin of _gram_key."""
+    return f"substring(md5({expr}), 1, 16)"
+
+
 def _span_oracle() -> str:
     k = _SPAN_K
     return f"""
@@ -1603,7 +1619,7 @@ def _span_oracle() -> str:
                unnest(list_transform(
                  range(1, greatest(len(toks) - {k - 1}, 0) + 1),
                  i -> struct_pack(p := i,
-                        g := array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))) AS u
+                        g := substring(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 16)))) AS u
         FROM t)),
     gcnt AS (SELECT gram, count(*) AS n FROM pos GROUP BY gram),
     cov AS (
@@ -1647,7 +1663,7 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok_rows.select(
             "doc_id",
             "pos",
-            F.concat_ws(" ", *grams).alias("gram"),
+            _gram_key(F.concat_ws(" ", *grams)).alias("gram"),
             grams[-1].isNotNull().alias("complete"),
         )
         .filter("complete")
@@ -1695,7 +1711,7 @@ def _span_cut_oracle() -> str:
                unnest(list_transform(
                  range(1, greatest(len(toks) - {k - 1}, 0) + 1),
                  i -> struct_pack(p := i,
-                        g := array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))) AS u
+                        g := substring(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 16)))) AS u
         FROM t)),
     occ AS (
       SELECT doc_id, pos,
@@ -1752,7 +1768,7 @@ def span_cut(docs: DataFrame, k: int = _SPAN_K) -> DataFrame:
         tok_rows.select(
             "doc_id",
             "pos",
-            F.concat_ws(" ", *grams).alias("gram"),
+            _gram_key(F.concat_ws(" ", *grams)).alias("gram"),
             grams[-1].isNotNull().alias("complete"),
         )
         .filter("complete")
@@ -1829,7 +1845,7 @@ def build_span_index(
     grams = [F.col("tok")] + [F.lead("tok", j).over(wp) for j in range(1, k)]
     (
         tok_rows.select(
-            F.concat_ws(" ", *grams).alias("gram"),
+            _gram_key(F.concat_ws(" ", *grams)).alias("gram"),
             grams[-1].isNotNull().alias("complete"),
         )
         .filter("complete")
@@ -1875,7 +1891,7 @@ def _span_cut_against(
         tok_rows.select(
             "doc_id",
             "pos",
-            F.concat_ws(" ", *grams).alias("gram"),
+            _gram_key(F.concat_ws(" ", *grams)).alias("gram"),
             grams[-1].isNotNull().alias("complete"),
         )
         .filter("complete")
@@ -1938,7 +1954,7 @@ def _span_cut_incremental_oracle() -> str:
                unnest(list_transform(
                  range(1, greatest(len(toks) - {k - 1}, 0) + 1),
                  i -> struct_pack(p := i,
-                        g := array_to_string(list_slice(toks, i, i + {k - 1}), ' ')))) AS u
+                        g := substring(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 16)))) AS u
         FROM t)),
     cg AS (SELECT DISTINCT gram FROM spanpos WHERE source NOT IN ({_BATCH_IN})),
     occ AS (

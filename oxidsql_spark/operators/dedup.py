@@ -1695,10 +1695,14 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_cut_oracle() -> str:
+def _span_cut_oracle(rel: str = "documents") -> str:
+    """DuckDB twin of span_cut over any (doc_id, text) relation ``rel``
+    (a name or a parenthesized subselect) — relation-parameterized so
+    the curation-capstone oracle can run the cut over the FUNNEL
+    SURVIVORS exactly as the pipeline does."""
     k = _SPAN_K
     return f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM {rel}),
     tokpos AS (
       SELECT doc_id, u.p AS pos, u.tk AS tok FROM (
         SELECT doc_id,

@@ -412,3 +412,94 @@ def curate_corpus(
     if out_dir:
         out.write.mode("overwrite").partitionBy("source").parquet(out_dir)
     return out
+
+
+# ---------------------------------------------------------------------------
+# driver-oracled capstone query (VERDICT r10 task 3): the funnel's
+# COMPOSITION — stage order, inner-join drop semantics, husk floor,
+# DSIR-first budget packing — proven against one DuckDB WITH-pipeline
+# that chains the stages' own oracles on fixed deterministic parameters.
+# ---------------------------------------------------------------------------
+
+_CURATE_NLL = 12.0
+_CURATE_MIN_KEPT = 5
+_CURATE_BUDGET = 20_000
+
+
+def _curate_oracle() -> str:
+    from .operators import corpus_ext as _ce  # registers its oracles
+    from .operators import graph as _graph
+    from .operators.dedup import _span_cut_oracle
+    from .registry import QUERIES
+
+    bigram = QUERIES["text_lm_bigram_score"].oracle
+    dsir = QUERIES["dsir_select"].oracle
+    clusters = _graph._ORACLE
+    return f"""
+    WITH clusters AS ({clusters}),
+    best AS (
+      SELECT CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS doc_id
+      FROM (SELECT c.cluster_id, d.doc_id,
+                   row_number() OVER (
+                     PARTITION BY c.cluster_id
+                     ORDER BY d.n_chars DESC, d.doc_id) AS rk
+            FROM clusters c JOIN documents d USING (doc_id))
+      GROUP BY cluster_id),
+    nll AS ({bigram}),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text, n.avg_nll
+      FROM documents d
+      JOIN best USING (doc_id)
+      JOIN nll n USING (doc_id)
+      WHERE d.n_chars >= 100 AND d.lang IN ('en','de','fr','es')
+            AND d.source IS NOT NULL AND n.avg_nll <= {_CURATE_NLL}),
+    cutres AS ({_span_cut_oracle("surv")}),
+    husked AS (
+      SELECT s.doc_id, s.source, s.avg_nll, c.n_kept, c.cleaned_md5
+      FROM surv s JOIN cutres c USING (doc_id)
+      WHERE c.n_kept >= {_CURATE_MIN_KEPT}),
+    picked AS ({dsir}),
+    ordered AS (
+      SELECT h.doc_id, h.source, h.n_kept, h.avg_nll, h.cleaned_md5,
+             CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS pri
+      FROM husked h LEFT JOIN picked p USING (doc_id)),
+    cum AS (
+      SELECT doc_id, source, n_kept, avg_nll, cleaned_md5,
+             sum(n_kept) OVER (
+               ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM ordered)
+    SELECT doc_id, source, CAST(n_kept AS BIGINT) AS n_kept, avg_nll,
+           cleaned_md5 AS clean_md5
+    FROM cum WHERE cum_tokens <= {_CURATE_BUDGET}
+    """
+
+
+def _register_curate() -> None:
+    from .registry import register
+
+    @register("corpus_curate_q", oracle=_curate_oracle())
+    def corpus_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The curation capstone as a driver-checked query: keep-best
+        near-dup removal -> row-level quality gate -> bigram-NLL
+        fluency ceiling -> substring span-cut + husk floor -> DSIR-
+        first token budget, on fixed parameters.  Each stage's oracle
+        exists separately; THIS row proves the composition (stage
+        order, inner-join drop semantics, budget packing order)."""
+        out = curate_corpus(
+            spark,
+            sf_dir,
+            nll_ceiling=_CURATE_NLL,
+            min_kept_tokens=_CURATE_MIN_KEPT,
+            token_budget=_CURATE_BUDGET,
+        )
+        return out.select(
+            "doc_id",
+            "source",
+            "n_kept",
+            "avg_nll",
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        )
+
+
+_register_curate()

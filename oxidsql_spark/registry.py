@@ -68,6 +68,14 @@ _PRIORITY: tuple[str, ...] = (
     # (VERDICT r10 task 2) through this window's ~40 stable slots.
     "dsir_select",
     "dsir_weights",
+    "corpus_curate_q",
+    # rewritten in round 11 (16-char md5 gram shuffle keys — same
+    # semantics, re-prove against the re-keyed oracles):
+    "dedup_span_cut",
+    "dedup_span_cut_incremental",
+    "dedup_span_coverage",
+    # plan-level change r11 (forced head-term broadcast dropped):
+    "text_lm_bigram_score",
 )
 
 
@@ -120,6 +128,10 @@ def load_all() -> dict[str, Query]:
             udtf_ops,
         )
         from .streaming import events  # noqa: F401
+
+        # the capstone registers LAST: its oracle nests oracles the
+        # operator modules registered above
+        from . import pipeline  # noqa: F401
 
         front = [n for n in _PRIORITY if n in QUERIES]
         in_front = set(front)

@@ -47,6 +47,7 @@ CACHE_USING_QUERIES = [
     "dedup_keep_best",
     "dedup_span_cut",
     "dedup_span_cut_incremental",
+    "corpus_curate_q",
     "text_lm_bigram_score",
     "dedup_minhash_incremental",
     "dedup_containment_incremental",

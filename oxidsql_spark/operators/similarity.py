@@ -1991,3 +1991,182 @@ def pca_project(e: DataFrame, comps, mu) -> DataFrame:
     return e.select("vec_id", "qv").mapInPandas(
         proj, "vec_id bigint, proj array<double>"
     )
+
+
+# --- OPQ-parametric rotated PQ (the PCA consumer) --------------------------
+
+_OPQ_HIT_FLOOR = 15  # rotated-ADC exact-top-k hits (of 100) the query asserts
+
+
+def _eig_alloc(vals, m_sub: int, s_sub: int):
+    """OPQ-parametric eigenvalue allocation (Ge et al. 2013 §4): assign
+    eigen-dimensions, in descending eigenvalue order, to the non-full
+    subspace with the smallest current log-variance product — balancing
+    per-subspace information so no PQ codebook is starved.  Plain PCA
+    rotation alone CONCENTRATES variance into the first subspace and
+    measurably hurts ADC recall (0.26 -> 0.23 on the sf fixtures, 500-
+    query evaluation); with allocation it rises to 0.28.  Driver-side
+    over dim scalars — bytes."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.float64)
+    order = np.argsort(v)[::-1]
+    logprod = [0.0] * m_sub
+    slots = [s_sub] * m_sub
+    buckets: list[list[int]] = [[] for _ in range(m_sub)]
+    for d in order:
+        m = min(
+            (mm for mm in range(m_sub) if slots[mm] > 0),
+            key=lambda mm: (logprod[mm], mm),
+        )
+        buckets[m].append(int(d))
+        logprod[m] += float(np.log(max(v[d], 1e-9)))
+        slots[m] -= 1
+    import itertools
+
+    return np.array(list(itertools.chain.from_iterable(buckets)), dtype=np.int64)
+
+
+def opq_train(e: DataFrame, m_sub: int = _PQ_M):
+    """OPQ-parametric preprocessing: the PCA basis from the distributed
+    Gram matrix (pca_train — one Arrow pass + d^2-row shuffle) with its
+    rows PERMUTED by balanced eigenvalue allocation.  Returns
+    (rotation: d x d float64, mean: d float64)."""
+    comps, mu, vals = pca_train(e, _KM_DIM)
+    perm = _eig_alloc(vals, m_sub, _KM_DIM // m_sub)
+    return comps[perm], mu
+
+
+def opq_rotate(e: DataFrame, comps, mu) -> DataFrame:
+    """Rotate quantized embeddings into the OPQ basis and re-quantize
+    to integer units (the rotation is orthonormal, so the scale — and
+    therefore every downstream integer-distance bound — is preserved).
+    Zero shuffle: the d x d rotation rides the Arrow pass as a literal."""
+    return pca_project(e, comps, mu).select(
+        "vec_id",
+        F.expr("transform(proj, x -> CAST(floor(x) AS BIGINT))").alias("qv"),
+    )
+
+
+def _opq_oracle() -> str:
+    """Self-verifying oracle (the hll_partial_union pattern, with
+    teeth): eigendecomposition is driver-side numpy and cannot be
+    re-derived in SQL, so the oracle instead (a) re-derives the FLAT
+    PQ-ADC chain and the exact integer-euclidean top-k entirely in SQL
+    and counts their intersection — verifying the query's shared
+    machinery (quantize, Lloyd, encode, ADC join, exact scan,
+    ranking) exactly — and (b) pins the rotated path's recall floor as
+    a literal the Spark side must EARN (a rotation/encode regression
+    flips the boolean and the driver row goes red)."""
+    ctes = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            e -> CAST(floor(e * {_KM_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings)"""
+    ]
+    ctes.extend(_pq_sub_ctes())
+    ctes.append(
+        """adc AS (
+      SELECT l.q_id, v.vec_id, CAST(sum(l.d) AS BIGINT) AS dist
+      FROM codes v JOIN lut l ON l.sub = v.sub AND l.code = v.code
+      WHERE l.q_id <> v.vec_id
+      GROUP BY l.q_id, v.vec_id)"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    flat AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rnk
+        FROM adc) WHERE rnk <= {_TOP_K}),
+    qd AS (SELECT vec_id, u.i AS dim, qv[CAST(u.i AS INTEGER)] AS x
+           FROM q, range(1, {_KM_DIM} + 1) AS u(i)),
+    pair AS (
+      SELECT a.vec_id AS q_id, b.vec_id, sum((a.x - b.x) * (a.x - b.x)) AS d2
+      FROM qd a JOIN qd b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < {_N_QUERIES}
+      GROUP BY a.vec_id, b.vec_id),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY d2, vec_id) AS rnk
+        FROM pair) WHERE rnk <= {_TOP_K})
+    SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({_TOP_K} AS BIGINT) AS k,
+           (SELECT count(*) FROM flat JOIN exact USING (q_id, vec_id)) AS flat_hits,
+           true AS rot_hits_ge_floor
+    """
+
+
+@register("ann_opq_adc", oracle=_opq_oracle())
+def ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated PQ-ADC — the PCA consumer (VERDICT r10 task 4): the
+    corpus is rotated into the eigen-allocated PCA basis (opq_train /
+    opq_rotate — one Arrow projection, zero shuffle), PQ codebooks are
+    trained and the corpus encoded IN THE ROTATED SPACE, and the ten
+    standard queries are ADC-ranked against the rotated codes.  Output
+    is one self-verifying row: the FLAT chain's exact-top-k hit count
+    (SQL-re-derived by the oracle — proving quantize/Lloyd/encode/ADC/
+    exact-scan machinery exactly) plus the rotated chain's floor
+    boolean.  Exact top-k here is the integer euclidean on the shared
+    quantization — fully SQL-derivable, no float hazard.  The 500-query
+    rotated-vs-flat comparison lives in
+    tests/test_dedup_similarity.py::test_opq_rotation_lifts_adc_recall."""
+    from ..cachescope import scoped_persist
+
+    e = _km_quantized(spark, sf_dir)
+    comps, mu = opq_train(e)
+    rot = scoped_persist(opq_rotate(e, comps, mu))
+
+    def topk_hits(frame: DataFrame) -> DataFrame:
+        books = pq_train(frame)
+        codes = pq_encode(frame, books)
+        qrows = [
+            r.asDict()
+            for r in frame.filter(F.col("vec_id") < _N_QUERIES).collect()
+        ]
+        q_ids, _, luts, code_ids = _pq_lut(books, qrows)
+        adc = _adc_scan(codes, q_ids, luts, code_ids)
+        w = W.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
+        return (
+            adc.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _TOP_K)
+            .select("q_id", "vec_id")
+        )
+
+    # exact integer-euclidean top-k on the shared quantization (the
+    # rotation is orthonormal, so this is the right ground truth for
+    # BOTH spaces)
+    qd = e.select("vec_id", F.col("qv"))
+    qs = qd.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")
+    )
+    pair = (
+        qd.join(F.broadcast(qs), F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(qq, qv, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("d2"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("d2").asc(), "vec_id")
+    exact = (
+        pair.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id")
+    )
+    exact = scoped_persist(exact)
+
+    flat_hits = topk_hits(e.select("vec_id", "qv")).join(
+        exact, ["q_id", "vec_id"]
+    ).count()
+    rot_hits = topk_hits(rot).join(exact, ["q_id", "vec_id"]).count()
+    return spark.createDataFrame(
+        [(_N_QUERIES, _TOP_K, flat_hits, rot_hits >= _OPQ_HIT_FLOOR)],
+        "n_queries bigint, k bigint, flat_hits bigint, rot_hits_ge_floor boolean",
+    )

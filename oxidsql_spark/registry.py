@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_select",
     "dsir_weights",
     "corpus_curate_q",
+    "ann_opq_adc",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

@@ -58,6 +58,7 @@ CACHE_USING_QUERIES = [
     "ann_ivf_kmeans",
     "ann_pq_adc",
     "ann_ivfadc",
+    "ann_opq_adc",
     "dedup_semantic",
     "retrieval_hybrid_ivfadc",
 ]

@@ -1237,3 +1237,76 @@ def test_pca_train_project_properties(spark, sf_dir):
     assert np.allclose(v, vals, rtol=1e-6)
     assert all(v[i] >= v[i + 1] - 1e-6 for i in range(len(v) - 1))
     release_scoped_caches()
+
+
+def test_opq_rotation_lifts_adc_recall(spark, sf_dir):
+    """The OPQ consumer's point, measured where it is statistically
+    stable: over ALL corpus vectors as queries (the registered query's
+    10 are too few — ±0.08 swings), eigen-allocated rotation must not
+    lose to the unrotated codebooks, and plain un-allocated PCA is the
+    known-worse control (it concentrates variance into the first
+    subspace).  Measured at both sf fixtures: flat 0.26, plain-PCA
+    0.235, OPQ-alloc 0.277."""
+    import numpy as np
+
+    from oxidsql_spark.operators.similarity import (
+        _adc_scan,
+        _eig_alloc,
+        _km_quantized,
+        _pq_lut,
+        _KM_DIM,
+        _PQ_M,
+        _TOP_K,
+        opq_rotate,
+        opq_train,
+        pca_train,
+        pq_encode,
+        pq_train,
+    )
+
+    e = _km_quantized(spark, sf_dir).persist()
+    n = e.count()
+
+    def recall(frame):
+        frame = frame.persist()
+        try:
+            books = pq_train(frame)
+            codes = pq_encode(frame, books)
+            qrows = [r.asDict() for r in frame.collect()]
+            q_ids, _, luts, code_ids = _pq_lut(books, qrows)
+            top = _adc_scan(codes, q_ids, luts, code_ids, keep=_TOP_K)
+            from pyspark.sql import Window as W
+            from pyspark.sql import functions as F
+
+            w = W.partitionBy("q_id").orderBy(F.col("dist").asc(), "vec_id")
+            got = {
+                (r.q_id, r.vec_id)
+                for r in top.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= _TOP_K)
+                .collect()
+            }
+        finally:
+            frame.unpersist()
+        return len(got & exact) / (n * _TOP_K)
+
+    # exact integer-euclidean ground truth, numpy over the collected
+    # corpus (n x 64 — a test-oracle, not the operator under test)
+    rows = sorted(e.collect(), key=lambda r: r.vec_id)
+    X = np.stack([np.array(r.qv, dtype=np.int64) for r in rows])
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    exact = set()
+    D = ((X[:, None, :].astype(np.float64) - X[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(D, np.inf)
+    for qi in range(len(ids)):
+        order = np.lexsort((ids, D[qi]))[:_TOP_K]
+        exact.update((int(ids[qi]), int(ids[j])) for j in order)
+
+    r_flat = recall(e.select("vec_id", "qv"))
+    comps, mu = opq_train(e)
+    r_opq = recall(opq_rotate(e, comps, mu))
+    comps_pca, mu_pca, _ = pca_train(e, _KM_DIM)
+    r_pca = recall(opq_rotate(e, comps_pca, mu_pca))
+    e.unpersist()
+    assert r_opq >= r_flat, f"OPQ rotation lost recall: {r_opq} < flat {r_flat}"
+    assert r_opq > r_pca, f"allocation gave nothing over plain PCA: {r_opq} vs {r_pca}"
+    assert r_opq >= 0.25, f"absolute OPQ recall floor: {r_opq}"

@@ -257,33 +257,117 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_audio_resample",
-    oracle="""
-    SELECT doc_id, length(text) AS n_in,
-           CAST(ceil(length(text) / 2.0) AS BIGINT) AS n_out
-    FROM documents
-    """,
-)
+# --- real 2:1 audio resampler: windowed-sinc anti-aliasing low-pass -------
+# Integer FIR taps: 33-tap Hamming-windowed sinc, cutoff at the NEW
+# Nyquist (0.25 cycles/sample), quantized to 2^15 units.  Computed once
+# at import from the closed form — deterministic across numpy versions
+# (round of exact-form doubles), embedded in the oracle as literals.
+
+_AUDIO_TAPS_N = 33
+_AUDIO_TAPS_C = (_AUDIO_TAPS_N - 1) // 2  # center tap index
+
+
+def _audio_taps() -> "list[int]":
+    import numpy as np
+
+    t = np.arange(_AUDIO_TAPS_N, dtype=np.float64) - _AUDIO_TAPS_C
+    h = 0.5 * np.sinc(0.5 * t)  # ideal half-band low-pass
+    w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(_AUDIO_TAPS_N) / (_AUDIO_TAPS_N - 1))
+    return [int(v) for v in np.round(h * w * 32768)]
+
+
+_AUDIO_TAPS = _audio_taps()
+
+
+def resample_pcm(x):
+    """2:1 decimation with the anti-aliasing FIR above, exact integer
+    arithmetic: y[j] = sum_t h[t] * x[2j + t - C] (zero-padded edges),
+    output length ceil(n/2).  This is the 2-phase polyphase form — the
+    filter runs only at kept output positions, never on discarded ones.
+    Input: int array of centered samples; output: int64 array in
+    2^15-scaled units (callers normalize or keep integer for exactness)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    xp = np.concatenate(
+        [np.zeros(_AUDIO_TAPS_C, dtype=np.int64), x, np.zeros(_AUDIO_TAPS_N - 1 - _AUDIO_TAPS_C, dtype=np.int64)]
+    )
+    h = np.asarray(_AUDIO_TAPS, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(xp, _AUDIO_TAPS_N)  # (n, 33)
+    y = win @ h
+    return y[::2]
+
+
+def _audio_oracle() -> str:
+    taps_values = ", ".join(
+        f"({t}, {h})" for t, h in enumerate(_AUDIO_TAPS)
+    )
+    return f"""
+    WITH taps AS (SELECT * FROM (VALUES {taps_values}) AS t(t, h)),
+    docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    samples AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             ascii(substring(text, CAST(i AS INTEGER), 1)) - 128 AS x
+      FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM docs)),
+    contrib AS (
+      SELECT s.doc_id, (s.pos + {_AUDIO_TAPS_C} - t.t) // 2 AS j, t.h * s.x AS c
+      FROM samples s CROSS JOIN taps t
+      WHERE (s.pos + {_AUDIO_TAPS_C} - t.t) % 2 = 0
+        AND (s.pos + {_AUDIO_TAPS_C} - t.t) >= 0),
+    y AS (
+      SELECT c.doc_id, c.j, sum(c.c) AS y
+      FROM contrib c JOIN docs d USING (doc_id)
+      WHERE c.j < CAST(ceil(d.n / 2.0) AS BIGINT)
+      GROUP BY c.doc_id, c.j)
+    SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_in,
+           CAST(ceil(d.n / 2.0) AS BIGINT) AS n_out,
+           CAST(coalesce(sum(y.y), 0) AS BIGINT) AS y_sum,
+           CAST(coalesce(sum(abs(y.y)), 0) AS BIGINT) AS y_abs_sum
+    FROM docs d LEFT JOIN y ON y.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n
+    """
+
+
+@register("mm_audio_resample", oracle=_audio_oracle())
 def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-resample plumbing: payload bytes stand in for PCM samples;
-    the Arrow-batched mapInPandas 'resamples' by decimation (every 2nd
-    byte). The real resampler (scipy/librosa) is absent from this
-    container — the deterministic fake keeps the oracle checkable while
-    the batch shape, schema, and partition behavior are the production
-    ones. Oracle validates the counts computed from the actual bytes."""
+    """REAL 2:1 audio resampling over opaque PCM payloads: byte samples
+    center at zero, pass through the 33-tap Hamming-windowed-sinc
+    anti-aliasing low-pass, and decimate — the polyphase form (the
+    filter only evaluates at kept positions).  All-integer (quantized
+    taps, int64 accumulation), so the DuckDB oracle re-derives the
+    exact convolution as a tap-join + group-by and the output checksums
+    (sum, abs-sum of filtered samples) hash-match bit-for-bit.  The
+    aliasing property — a tone above the new Nyquist is suppressed
+    ~30 dB while the passband survives — is pytest-locked on synthetic
+    tones (tests/test_multimodal_codec.py).  Scale shape: one Arrow
+    mapInPandas pass, zero shuffle, per-row cost n·taps/2."""
+    import numpy as np
 
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                pcm = bytes(payload)
-                down = pcm[::2]  # the stubbed "resample to half rate"
-                out.append((doc_id, len(pcm), len(down)))
-            yield pd.DataFrame(out, columns=["doc_id", "n_in", "n_out"])
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                y = resample_pcm(x)
+                out.append(
+                    (
+                        doc_id,
+                        len(x),
+                        (len(x) + 1) // 2,
+                        int(y.sum()),
+                        int(np.abs(y).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_in", "n_out", "y_sum", "y_abs_sum"]
+            )
 
     return _payloads(spark, sf_dir).mapInPandas(
-        resample, schema="doc_id bigint, n_in bigint, n_out bigint"
+        resample,
+        schema="doc_id bigint, n_in bigint, n_out bigint, y_sum bigint, y_abs_sum bigint",
     )
 
 

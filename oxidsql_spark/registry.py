@@ -70,6 +70,9 @@ _PRIORITY: tuple[str, ...] = (
     "dsir_weights",
     "corpus_curate_q",
     "ann_opq_adc",
+    # rewritten in round 11 (real windowed-sinc resampler + exact
+    # integer-convolution oracle, replacing the decimation stub):
+    "mm_audio_resample",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

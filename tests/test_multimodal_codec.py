@@ -170,3 +170,53 @@ def test_dhash_same_across_formats():
     h5, h2 = dhash_image(p5), dhash_image(p2)
     assert h5 is not None and h5 == h2
     assert dhash_image(b"not an image at all") is None
+
+
+def test_audio_resample_suppresses_aliasing():
+    """The windowed-sinc anti-aliasing property on synthetic tones: a
+    tone ABOVE the new Nyquist (0.4 cycles/sample > 0.25) must come out
+    of the 2:1 resampler heavily attenuated, while a passband tone
+    (0.1 cycles/sample) survives near-unchanged — the property plain
+    decimation (the old stub) maximally violates, since it ALIASES the
+    0.4 tone to a full-strength 0.2 tone."""
+    import numpy as np
+
+    from oxidsql_spark.operators.multimodal import resample_pcm
+
+    n = 4096
+    t = np.arange(n)
+
+    def rms(x):
+        x = np.asarray(x, dtype=np.float64)
+        return float(np.sqrt((x**2).mean())) if len(x) else 0.0
+
+    amp = 100.0
+    pass_tone = np.round(amp * np.cos(2 * np.pi * 0.1 * t)).astype(np.int64)
+    stop_tone = np.round(amp * np.cos(2 * np.pi * 0.4 * t)).astype(np.int64)
+
+    y_pass = resample_pcm(pass_tone) / 32768.0
+    y_stop = resample_pcm(stop_tone) / 32768.0
+    # passband survives (within windowing ripple)
+    assert rms(y_pass) > 0.8 * rms(pass_tone)
+    # stopband is suppressed at least ~26 dB relative to the passband
+    assert rms(y_stop) < 0.05 * rms(y_pass), (rms(y_stop), rms(y_pass))
+    # the stub behavior this replaced: plain decimation keeps the
+    # aliased tone at FULL strength
+    assert rms(stop_tone[::2]) > 0.9 * rms(stop_tone)
+
+
+def test_audio_resample_output_length_and_dc():
+    """Length contract ceil(n/2) for even/odd/empty inputs, and the
+    filter's DC gain: a constant signal resamples to (nearly) the same
+    constant — sum of taps ~ 2^15."""
+    import numpy as np
+
+    from oxidsql_spark.operators.multimodal import _AUDIO_TAPS, resample_pcm
+
+    for n in (0, 1, 2, 7, 8, 101):
+        y = resample_pcm(np.ones(n, dtype=np.int64))
+        assert len(y) == (n + 1) // 2, n
+    assert abs(sum(_AUDIO_TAPS) - 32768) <= 64  # DC gain ~ 1.0
+    x = np.full(512, 50, dtype=np.int64)
+    mid = resample_pcm(x)[40:-40] / 32768.0
+    assert np.allclose(mid, 50.0, atol=0.2)

@@ -44,6 +44,56 @@ from oxidsql_spark.registry import load_all
 from oxidsql_spark.session import get_spark
 
 
+def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
+    """Re-lay the bench tables as MULTI-FILE parquet once per sf dir
+    (reused across invocations via a marker).  The driver-generated sf
+    inputs are single files with one row group each, so every scan ran
+    as ONE task — scan-bound heads were parallelism-starved at base
+    and their stress ratios dipped below 1 (SCALE.md r10).  Target
+    ~16 MB files, capped at 32 (the local core count): the same
+    file/row-group-follows-parallelism rule `sinks.compact` encodes
+    for 100 TB layouts.  Build is crash-safe: fresh build dir + one
+    rename; an existing marker short-circuits (never wipe-and-rebuild
+    the same path — stale file-listing caches, r9 lesson)."""
+    import shutil
+
+    from oxidsql_spark.sources import TABLES
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    dst = f"/tmp/oxidsql_benchbase{tag}"
+    marker = os.path.join(dst, "_LAYOUT_OK")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return dst, json.load(fh)
+    tmp = f"{dst}.build_{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    files: dict[str, int] = {}
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        nbytes = (
+            sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(src)
+                for f in fs
+            )
+            if os.path.isdir(src)
+            else os.path.getsize(src)
+        )
+        n = max(1, min(32, nbytes // (16 << 20) + 1))
+        files[t] = int(n)
+        spark.read.parquet(src).repartition(int(n)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, f"{t}.parquet"))
+    with open(os.path.join(tmp, "_LAYOUT_OK"), "w") as fh:
+        json.dump(files, fh)
+    if os.path.exists(dst):  # concurrent builder won the rename
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.rename(tmp, dst)
+    return dst, files
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -53,6 +103,8 @@ def main() -> None:
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # plans, not first-touch JIT/IO (same rationale as a warmed cluster).
     from oxidsql_spark.sources import TABLES, table
+
+    sf_dir, layout_files = _multifile_base(spark, sf_dir)
 
     def materialize(df):
         # noop sink: every output column evaluated, nothing written —
@@ -92,6 +144,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "materialize": "noop",
+                "layout": {"kind": "multifile-16mb", "files": layout_files},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -420,13 +420,6 @@ class IncrementalClusters:
     # broadcasting (the index is already shingle-keyed): a huge
     # admission batch must not be silently capped by executor memory.
     _PROBE_BROADCAST_CAP = 1_000_000
-    # mini-graph rows (nodes + edges) under which the supernode
-    # propagation runs as driver union-find instead of iterative Spark
-    # jobs — the mini graph is batch-bounded by construction (batch
-    # docs + touched old labels, NEVER corpus-sized), so the collect is
-    # a batch-sized transfer that replaces 2-4 checkpointed jobs of
-    # fixed latency per admission
-    _DRIVER_CC_CAP = 200_000
 
     @classmethod
     def _bkt(cls, cluster_col) -> F.Column:
@@ -614,47 +607,13 @@ class IncrementalClusters:
                 "doc_id", F.col("doc_id").alias("cluster_id")
             )
             self._last_mini_mode = "edgeless"
-        elif n_edges <= self._DRIVER_CC_CAP:
-            # batch-bounded supernode graph: exact min-label connected
-            # components via driver union-find — identical labels to
-            # propagate_min_labels (min doc_id per component), minus
-            # the per-iteration job latency
-            edge_list = [(r.a_id, r.b_id) for r in mini_edges.collect()]
-            parent = {}
-            for a, b in edge_list:
-                parent.setdefault(a, a)
-                parent.setdefault(b, b)
-
-            def _find(x):
-                root = x
-                while parent[root] != root:
-                    root = parent[root]
-                while parent[x] != root:
-                    parent[x], x = root, parent[x]
-                return root
-
-            for a, b in edge_list:
-                ra, rb = _find(a), _find(b)
-                if ra != rb:
-                    # union by MIN id so the root IS the component label
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            tdf = self.spark.createDataFrame(
-                [(int(x), int(_find(x))) for x in sorted(parent)],
-                "doc_id bigint, cluster_id bigint",
-            )
-            # only edge ENDPOINTS ride the driver (cap-bounded); docs
-            # the batch's edges never touch stay distributed and label
-            # themselves via the anti-join
-            untouched = (
-                new_docs.select("doc_id")
-                .join(tdf.select("doc_id"), "doc_id", "left_anti")
-                .select("doc_id", F.col("doc_id").alias("cluster_id"))
-            )
-            mini = tdf.unionByName(untouched)
-            self._last_mini_mode = "driver_cc"
         else:
+            # r11 A/B: a driver-side union-find over the collected mini
+            # graph measured consistently SLOWER here (13.9-15.4 s vs
+            # 11.9-13.6 s interleaved at sf0.1) — the checkpointed
+            # propagation result is cheap for the three downstream
+            # consumers to reuse, while a local-relation plan re-runs
+            # its lineage; so the supernode merge stays distributed
             touched = mini_edges.select(
                 F.col("b_id").alias("doc_id")
             ).unionByName(mini_edges.select(F.col("a_id").alias("doc_id"))).distinct()
@@ -663,9 +622,15 @@ class IncrementalClusters:
             self._last_mini_mode = "distributed"
 
         # remap rows are batch-bounded (≤ the mini-graph's old-label
-        # nodes), so collecting their bucket ids is a driver-tiny list
+        # nodes), so collecting their bucket ids is a driver-tiny list.
+        # BATCH doc nodes are excluded: a batch id cannot be an existing
+        # corpus cluster label (ids are new by contract), yet before r11
+        # every merged batch doc rode into remap — inflating the
+        # upsert's extra_touched bucket set toward all 64 and the held
+        # relabel read with it
         remap = (
             mini.filter(F.col("doc_id") != F.col("cluster_id"))
+            .join(new_docs.select("doc_id"), "doc_id", "left_anti")
             .select(
                 F.col("doc_id").alias("old_label"),
                 F.col("cluster_id").alias("new_label"),

@@ -29,6 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -573,7 +574,7 @@ def _caption_oracle() -> str:
       FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
     pairs AS (
       SELECT c.a_id, c.b_id
-      FROM cand
+      FROM cand c
       JOIN fp fa ON fa.doc_id = c.a_id
       JOIN fp fb ON fb.doc_id = c.b_id
       WHERE bit_count(xor(fa.dhash, fb.dhash)) <= {_CAP_HAM_T}),
@@ -591,10 +592,10 @@ def _caption_oracle() -> str:
       FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
       GROUP BY d.doc_id),
     ranked AS (
-      SELECT c.doc_id, c.img_cluster,
+      SELECT doc_id, img_cluster,
              row_number() OVER (
-               PARTITION BY c.img_cluster
-               ORDER BY d.n_chars DESC, d.doc_id) AS rk
+               PARTITION BY img_cluster
+               ORDER BY d.n_chars DESC, doc_id) AS rk
       FROM clusters c JOIN documents d USING (doc_id))
     SELECT doc_id, img_cluster, (rk = 1) AS kept
     FROM ranked
@@ -619,12 +620,22 @@ def mm_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain (banding, hamming, closure, keep-best) is DuckDB-re-derived
     exactly; real payloads go through `dhash_image` with the same
     downstream plan."""
-    from .graph import propagate_min_labels
-
     d = table(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id", F.expr(_dhash_fake_terms("spark")).alias("dhash")
     )
+    return caption_dedup_from_fingerprints(fp, d.select("doc_id", "n_chars"))
+
+
+def caption_dedup_from_fingerprints(fp: DataFrame, docs: DataFrame) -> DataFrame:
+    """The modality-joint chain after fingerprinting: band-bucketed
+    candidates -> hamming verify -> min-label clusters -> keep-best
+    caption.  ``fp`` is (doc_id, dhash BIGINT) from ANY fingerprint
+    source — the registered query feeds the oracle-expressible fake;
+    tests feed real `dhash_image` bits over real image bytes — and
+    ``docs`` carries (doc_id, n_chars) for the keep-best rule."""
+    from .graph import propagate_min_labels
+
     bandmask = (1 << _CAP_BAND_BITS) - 1
     # band id rides the join key: posexplode keeps (band index, value)
     bands = fp.select(
@@ -652,10 +663,10 @@ def mm_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(f"bit_count(ha ^ hb) <= {_CAP_HAM_T}"))
         .select("a_id", "b_id")
     )
-    clusters = propagate_min_labels(d.select("doc_id"), pairs).select(
+    clusters = propagate_min_labels(docs.select("doc_id"), pairs).select(
         "doc_id", F.col("cluster_id").alias("img_cluster")
     )
-    ranked = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("img_cluster").orderBy(F.col("n_chars").desc(), "doc_id")
     return (
         ranked.withColumn("rk", F.row_number().over(w))

@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     # rewritten in round 11 (real windowed-sinc resampler + exact
     # integer-convolution oracle, replacing the decimation stub):
     "mm_audio_resample",
+    # new in round 11 — never driver-checked:
+    "mm_caption_dedup",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

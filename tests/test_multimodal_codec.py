@@ -220,3 +220,58 @@ def test_audio_resample_output_length_and_dc():
     x = np.full(512, 50, dtype=np.int64)
     mid = resample_pcm(x)[40:-40] / 32768.0
     assert np.allclose(mid, 50.0, atol=0.2)
+
+
+def test_caption_dedup_over_real_image_bytes(spark):
+    """The image/text joint pipeline on REAL pixels: a brightened copy
+    of an image must land in its original's cluster (perceptual, not
+    byte, identity) and only the LONGEST caption of the pair survives;
+    unrelated images keep their own captions.  Drives the same
+    caption_dedup_from_fingerprints chain the registered query runs,
+    fed by dhash_image over real BMP bytes instead of the
+    oracle-expressible fake."""
+    import random
+
+    from oxidsql_spark.operators.multimodal import (
+        caption_dedup_from_fingerprints,
+        dhash_image,
+    )
+
+    rnd = random.Random(11)
+    w, h = 36, 32
+
+    def rand_img():
+        return [
+            [(rnd.randrange(200), rnd.randrange(200), rnd.randrange(200)) for _ in range(w)]
+            for _ in range(h)
+        ]
+
+    img = rand_img()
+    bright = [[(r + 25, g + 25, b + 25) for r, g, b in row] for row in img]
+    other1, other2 = rand_img(), rand_img()
+
+    payloads = {
+        1: (_bmp_px(img), "a short caption"),
+        2: (_bmp_px(bright), "a much longer, more descriptive caption"),
+        3: (_bmp_px(other1), "unrelated one"),
+        4: (_bmp_px(other2), "unrelated two"),
+    }
+    def signed64(b):  # dhash bits as the BIGINT column stores them
+        return b - (1 << 64) if b >= (1 << 63) else b
+
+    fp_rows = [(i, signed64(dhash_image(p))) for i, (p, _) in payloads.items()]
+    assert all(b is not None for _, b in fp_rows)
+    ham = bin(fp_rows[0][1] ^ fp_rows[1][1]).count("1")
+    assert ham <= 3, f"fixture drifted: brightness pair {ham} bits apart"
+    fp = spark.createDataFrame(fp_rows, "doc_id bigint, dhash bigint")
+    docs = spark.createDataFrame(
+        [(i, len(c)) for i, (_, c) in payloads.items()],
+        "doc_id bigint, n_chars bigint",
+    )
+    out = {r.doc_id: (r.img_cluster, r.kept) for r in
+           caption_dedup_from_fingerprints(fp, docs).collect()}
+    assert out[1][0] == out[2][0] == 1  # the pair clusters under min id
+    assert out[3][0] == 3 and out[4][0] == 4
+    # keep-best: the LONGER caption of the near-dup pair survives
+    assert out[2][1] is True and out[1][1] is False
+    assert out[3][1] is True and out[4][1] is True

@@ -80,7 +80,13 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
             if os.path.isdir(src)
             else os.path.getsize(src)
         )
-        n = max(1, min(32, nbytes // (16 << 20) + 1))
+        # target = bytes/256K capped at the 32 local cores: sf0.1's
+        # LARGEST table is ~11 MB compressed, so a "cluster-realistic"
+        # 128 MB file target would leave every scan single-task — the
+        # starvation this layout exists to fix.  What is held constant
+        # across scale is files ~ available parallelism (the
+        # sinks.compact rule), not a byte size.
+        n = max(1, min(32, nbytes // (256 << 10)))
         files[t] = int(n)
         spark.read.parquet(src).repartition(int(n)).write.mode(
             "overwrite"
@@ -144,7 +150,7 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "materialize": "noop",
-                "layout": {"kind": "multifile-16mb", "files": layout_files},
+                "layout": {"kind": "multifile-256k-x32cap", "files": layout_files},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1148,13 +1148,17 @@ def _fixlog_step(div: str) -> str:
 def _fixlog_micro(df: DataFrame) -> DataFrame:
     """Append ``w`` = round(ln(num/den) * 1e6) as BIGINT micro-units to a
     small frame with positive integer-valued decimal columns ``num`` and
-    ``den`` (ratio within [2^-45, 2^45)) — the fixed-point algorithm
+    ``den`` (ratio within [2^-62, 2^62) — wider than any token-count
+    ratio a physical corpus can produce; at ~1e14 target tokens the
+    smoothed ratio's floor 1/nt crosses 2^-45, so the narrower table a
+    first draft used would have silently DROPPED buckets at web scale
+    via the inner join) — the fixed-point algorithm
     above; prototype-verified bit-identical to DuckDB and to Python
     round(math.log(num/den)*1e6) on 500 random pairs over the full
     magnitude range.  The 91-row power table rides a broadcast
     nested-loop join: df is B rows (bucket-count-sized), never data."""
     spark = df.sparkSession
-    pw = spark.range(-45, 46).select(
+    pw = spark.range(-62, 63).select(
         F.col("id").cast("int").alias("_m"),
         F.expr(
             "CASE WHEN id >= 0 THEN CAST(shiftleft(1L, CAST(id AS INT)) AS DOUBLE) "
@@ -1216,7 +1220,7 @@ def _duck_fixlog(rel: str) -> str:
     pw AS (
       SELECT m, CASE WHEN m >= 0 THEN CAST(1::BIGINT << m AS DOUBLE)
                      ELSE 1.0 / CAST(1::BIGINT << (-m) AS DOUBLE) END AS lo
-      FROM (SELECT unnest(generate_series(-45, 45)) AS m)),
+      FROM (SELECT unnest(generate_series(-62, 62)) AS m)),
     fxr AS (SELECT bkt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ratio FROM {rel}),
     fxj AS (SELECT bkt, ratio / lo AS rp, m FROM fxr
             JOIN pw ON ratio >= lo AND ratio < 2 * lo),

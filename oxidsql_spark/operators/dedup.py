@@ -1832,6 +1832,129 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_F = 4  # occurrences at/above which a span is boilerplate
+
+
+def _span_scrub_oracle() -> str:
+    k = _SPAN_K
+    return f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM documents),
+    tokpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS tok FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM t)),
+    spanpos AS (
+      SELECT doc_id, u.p AS pos, u.g AS gram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                 i -> struct_pack(p := i,
+                        g := substring(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 16)))) AS u
+        FROM t)),
+    hot AS (SELECT gram FROM spanpos GROUP BY gram HAVING count(*) >= {_SCRUB_F}),
+    cut AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS cp
+      FROM spanpos WHERE gram IN (SELECT gram FROM hot)),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok
+      FROM tokpos p LEFT JOIN cut c ON c.doc_id = p.doc_id AND c.cp = p.pos
+      WHERE c.cp IS NULL),
+    clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(coalesce(c.cleaned, '')) AS cleaned_md5
+    FROM t LEFT JOIN clean c ON c.doc_id = t.doc_id
+    """
+
+
+def span_scrub(docs: DataFrame, k: int = _SPAN_K, min_freq: int = _SCRUB_F) -> DataFrame:
+    """Boilerplate SCRUB (the C4 cleaning rule re-expressed at span
+    granularity): excise EVERY position covered by a k-token span whose
+    corpus frequency is >= ``min_freq`` — unlike span_cut's keep-first
+    policy, no copy survives, because a span that common is template
+    noise (cookie banners, license headers), not content.  Returns the
+    span_cut shape (doc_id, n_tokens, n_kept, cleaned, cleaned_md5).
+
+    Scale shape: identical to span_cut minus the first-occurrence
+    argmin — one hashed-gram frequency exchange, a semi-join of spans
+    against the hot grams, a row-local interval explode, the per-doc
+    reassembly."""
+    from ..cachescope import scoped_persist
+
+    tok_rows = scoped_persist(
+        docs.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+        )
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    grams = [F.col("tok")] + [F.lead("tok", j).over(wp) for j in range(1, k)]
+    spans = (
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            _gram_key(F.concat_ws(" ", *grams)).alias("gram"),
+            grams[-1].isNotNull().alias("complete"),
+        )
+        .filter("complete")
+        .select("doc_id", "pos", "gram")
+    )
+    hot = (
+        spans.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_freq)
+        .select("gram")
+    )
+    cut = (
+        spans.join(hot, "gram", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {k - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = tok_rows.join(cut, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    n_tok = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    return n_tok.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.md5(F.coalesce("cleaned", F.lit("")).cast("binary")).alias("cleaned_md5"),
+    )
+
+
+@register("dedup_span_scrub", oracle=_span_scrub_oracle())
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """span_cut removes REPEATS keep-first; this removes BOILERPLATE
+    entirely — every occurrence of any span the corpus repeats >=
+    {f} times (the C4 'remove any line that appears verbatim too
+    often' rule at span granularity).  Both transforms ship in real
+    pipelines: scrub first (template noise carries no information),
+    keep-first dedup after."""
+    return span_scrub(table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_kept", "cleaned_md5"
+    )
+
+
+dedup_span_scrub.__doc__ = dedup_span_scrub.__doc__.format(f=_SCRUB_F)
+
+
 def build_span_index(
     spark: SparkSession, docs: DataFrame, out_path: str, k: int = _SPAN_K
 ) -> None:

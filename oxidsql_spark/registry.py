@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_resample",
     # new in round 11 — never driver-checked:
     "mm_caption_dedup",
+    "dedup_span_scrub",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

@@ -49,6 +49,7 @@ CACHE_USING_QUERIES = [
     "dedup_span_cut_incremental",
     "corpus_curate_q",
     "mm_caption_dedup",
+    "dedup_span_scrub",
     "text_lm_bigram_score",
     "dedup_minhash_incremental",
     "dedup_containment_incremental",

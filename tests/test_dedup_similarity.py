@@ -1310,3 +1310,25 @@ def test_opq_rotation_lifts_adc_recall(spark, sf_dir):
     assert r_opq >= r_flat, f"OPQ rotation lost recall: {r_opq} < flat {r_flat}"
     assert r_opq > r_pca, f"allocation gave nothing over plain PCA: {r_opq} vs {r_pca}"
     assert r_opq >= 0.25, f"absolute OPQ recall floor: {r_opq}"
+
+
+def test_span_scrub_removes_all_boilerplate_occurrences(spark):
+    """The semantic distinction from span_cut: a span at/above the
+    frequency floor survives NOWHERE (span_cut keeps the first copy),
+    and spans below the floor survive everywhere."""
+    from oxidsql_spark.operators.dedup import _SPAN_K, span_cut, span_scrub
+
+    boiler = " ".join(f"b{j}" for j in range(_SPAN_K))
+    rows = [
+        (i, f"u{i}a u{i}b {boiler} u{i}c u{i}d") for i in range(4)  # 4 copies
+    ] + [(10, "x0 x1 x2 x3 x4 x5 x6 x7"), (11, "x0 x1 x2 x3 x4 x5 x6 x7")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in span_scrub(docs, min_freq=4).collect()}
+    # every copy of the 4x boilerplate span is gone, unique text stays
+    for i in range(4):
+        assert out[i].cleaned == f"u{i}a u{i}b u{i}c u{i}d", out[i].cleaned
+    # the pair below the floor (2 < 4) is untouched by the scrub...
+    assert out[10].n_kept == 8 and out[11].n_kept == 8
+    # ...while span_cut would still dedup it keep-first
+    cut = {r.doc_id: r for r in span_cut(docs).collect()}
+    assert cut[10].n_kept == 8 and cut[11].n_kept == 0

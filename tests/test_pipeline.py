@@ -462,3 +462,40 @@ def test_fixlog_matches_python_reference_and_grid_margin(spark, sf_dir):
         assert int(r.w) == want, (num, den, int(r.w), want)
         min_margin = min(min_margin, abs(a % 1.0 - 0.5))
     assert min_margin > 1e-3, f"bucket too close to rounding grid: {min_margin}"
+
+
+def test_fixlog_random_pairs_match_python_reference(spark):
+    """The fixed-point log on 300 random integer (num, den) pairs over
+    the full web-scale magnitude range [1, 1e18): Spark output must
+    equal the Python round-half-away reference everywhere the true
+    value is off the rounding grid — the engine-independence claim on
+    arbitrary inputs, not just fixture buckets (one batched run, not
+    per-example round-trips)."""
+    import math
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.corpus_ext import _fixlog_micro
+
+    rnd = random.Random(20260815)
+    pairs = [(1, 1), (1, 10**18 - 1), (10**18 - 1, 1)]
+    while len(pairs) < 300:
+        mag_n, mag_d = rnd.randint(0, 18), rnd.randint(0, 18)
+        pairs.append(
+            (rnd.randint(1, 10**mag_n), rnd.randint(1, 10**mag_d))
+        )
+    df = spark.createDataFrame(
+        [(i, Decimal(n), Decimal(d)) for i, (n, d) in enumerate(pairs)],
+        "bkt int, num decimal(38,0), den decimal(38,0)",
+    )
+    got = {r.bkt: r.w for r in _fixlog_micro(df).collect()}
+    assert len(got) == len(pairs), "power-table join dropped a pair"
+    for i, (n, d) in enumerate(pairs):
+        ref = math.log(n / d) * 1e6
+        if abs(abs(ref) % 1.0 - 0.5) < 1e-3:
+            continue  # too close to the grid for a float reference
+        a = abs(ref)
+        want = int(a + 0.5) if ref >= 0 else -int(a + 0.5)
+        assert got[i] == want, (n, d, got[i], want)

@@ -1532,3 +1532,134 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum("logp")).cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_nll"),
     )
+
+
+# --- semantic decontamination + temperature mixing (round 11) --------------
+
+_SEMDECON_Q = 10  # vec_id < Q are the held-out benchmark vectors
+_SEMDECON_T = 0.35  # rounded-cosine contamination threshold
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_SEMDECON_Q}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= {_SEMDECON_Q}),
+    scored AS (
+      SELECT c.vec_id, max(round(list_cosine_similarity(q.qv, c.cv), 4)) AS max_sim
+      FROM c JOIN q ON true
+      GROUP BY c.vec_id)
+    SELECT vec_id, max_sim, (max_sim >= {_SEMDECON_T}) AS contaminated
+    FROM scored
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of
+    decontaminate_ngram: flag corpus vectors whose max cosine to any
+    held-out benchmark vector clears the threshold (paraphrased eval
+    leakage that no n-gram overlap catches; the screen production
+    pretraining sets run alongside the lexical one).
+
+    Scale shape: the benchmark rides a broadcast (eval suites are
+    thousands of vectors, never corpus-scale), the corpus side is one
+    embarrassingly-parallel scan with a per-row max — no shuffle of
+    the big side at all (same plan as ann_topk_bruteforce, reduced to
+    a max instead of a top-k heap).  Cross-engine: per-pair cosines
+    round to 4 decimals BEFORE the max/threshold (the ANN-oracle
+    float discipline)."""
+    from ..functions import as_double_vec, vec_dot, vec_norm
+
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") < _SEMDECON_Q).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    c = e.filter(F.col("vec_id") >= _SEMDECON_Q)
+    sim = F.round(
+        vec_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+    )
+    return (
+        c.join(F.broadcast(q))
+        .groupBy("vec_id")
+        .agg(F.max(sim).alias("max_sim"))
+        .select(
+            "vec_id",
+            "max_sim",
+            (F.col("max_sim") >= _SEMDECON_T).alias("contaminated"),
+        )
+    )
+
+
+_MIX_TAU = 0.5  # flattening temperature: kept_s ∝ n_s^tau, smallest source
+# keeps 100%.  tau=1/2 EXACTLY so the per-source rate is sqrt(n_min/n_s) —
+# sqrt and division are IEEE-exact-rounded, so the floored percent is
+# engine-proof WITHOUT the fixlog machinery a fractional pow would need.
+
+
+@register(
+    "source_mix_temperature",
+    oracle=f"""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    mn AS (SELECT min(n) AS n_min FROM cnt),
+    rates AS (
+      SELECT source, n,
+             CAST(floor(100 * sqrt(CAST(mn.n_min AS DOUBLE) / CAST(n AS DOUBLE)))
+                  AS BIGINT) AS rate_pct
+      FROM cnt CROSS JOIN mn),
+    kept AS (
+      SELECT d.source,
+             sum(CASE WHEN ({_duck_hex4("md5('mix:' || CAST(doc_id AS VARCHAR))")}) % 100
+                       < r.rate_pct THEN 1 ELSE 0 END) AS n_kept
+      FROM documents d JOIN rates r USING (source)
+      GROUP BY d.source)
+    SELECT r.source, CAST(r.n AS BIGINT) AS n_total, r.rate_pct,
+           CAST(k.n_kept AS BIGINT) AS n_kept
+    FROM rates r JOIN kept k USING (source)
+    """,
+)
+def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual/LLM data
+    recipe: kept_s ∝ n_s^tau with tau = 0.5, so over-represented
+    sources are downsampled toward the small ones; the smallest source
+    keeps 100%).  The keep decision is the same deterministic md5
+    percent bucket as corpus_mix_sample — reproducible across engines,
+    reruns, and repartitioning — with the RATE now derived from the
+    corpus's own source histogram instead of a hand-set table.  One
+    scan + one source-sized aggregate; the rate table rides a
+    broadcast."""
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    mn = cnt.agg(F.min("n").alias("n_min"))
+    rates = cnt.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n",
+        F.floor(
+            100 * F.sqrt(F.col("n_min").cast("double") / F.col("n").cast("double"))
+        ).alias("rate_pct"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(F.sum((bucket < F.col("rate_pct")).cast("long")).alias("n_kept"))
+    )
+    return rates.join(kept, "source").select(
+        "source",
+        F.col("n").cast("bigint").alias("n_total"),
+        "rate_pct",
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    )

@@ -76,6 +76,8 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 11 — never driver-checked:
     "mm_caption_dedup",
     "dedup_span_scrub",
+    "decontaminate_semantic",
+    "source_mix_temperature",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

@@ -2170,3 +2170,189 @@ def ann_opq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_N_QUERIES, _TOP_K, flat_hits, rot_hits >= _OPQ_HIT_FLOOR)],
         "n_queries bigint, k bigint, flat_hits bigint, rot_hits_ge_floor boolean",
     )
+
+
+# --- OPQ + IVFADC: the rotated composed index ------------------------------
+
+_OPQIVF_HIT_FLOOR = 50  # reranked rotated-index hits (of 100) the query asserts
+
+
+def _rotation_path(index_path: str) -> str:
+    return os.path.join(index_path, "_rotation")
+
+
+def build_opq_ivfadc_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
+    """Persist the OPQ-rotated IVFADC index: the corpus is rotated into
+    the eigen-allocated PCA basis FIRST (opq_train/opq_rotate), then the
+    standard IVFADC structures are built over the rotated vectors —
+    cell-partitioned PQ codes + both codebooks — plus the ROTATION
+    itself (`_rotation`: d rows of the basis + the mean vector) so
+    searches rotate queries with the frozen trained basis, never by
+    retraining.  Same write-once layout discipline as
+    build_ivfadc_index; the only new artifact is d x (d+1) floats."""
+    e = _km_quantized(spark, sf_dir)
+    comps, mu = opq_train(e)
+    rot = opq_rotate(e, comps, mu)
+    from ..cachescope import scoped_persist
+
+    rot = scoped_persist(rot)
+    cents = _km_train(rot)
+    books = pq_train(rot)
+    assigned = _km_assigned_batch(rot, cents).select(
+        "vec_id", F.col("cluster").alias("cell")
+    )
+    codes = pq_encode(rot, books).join(assigned, "vec_id")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+    spark.createDataFrame(
+        [(int(c), [int(x) for x in cents[c]]) for c in sorted(cents)],
+        "cell int, qcent array<bigint>",
+    ).write.mode("overwrite").parquet(_codebook_path(out_path))
+    spark.createDataFrame(
+        [
+            (m, int(c), [int(x) for x in books[m][c]])
+            for m in range(_PQ_M)
+            for c in sorted(books[m])
+        ],
+        "sub int, code bigint, cent array<bigint>",
+    ).write.mode("overwrite").parquet(_pqbooks_path(out_path))
+    rows = [(-1, [float(x) for x in mu])] + [
+        (i, [float(x) for x in comps[i]]) for i in range(len(comps))
+    ]
+    spark.createDataFrame(rows, "i int, row array<double>").write.mode(
+        "overwrite"
+    ).parquet(_rotation_path(out_path))
+
+
+def ann_opq_ivfadc_search(
+    spark: SparkSession, sf_dir: str, index_path: str
+) -> DataFrame:
+    """Search the rotated composed index: rotate the query vectors with
+    the index's FROZEN basis (driver-side numpy over <= nq rows), then
+    the standard IVFADC probe — cell ranking on the rotated km
+    codebook, partition-pruned code scan, fused ADC — and the exact
+    float-cosine rerank on the ORIGINAL vectors (the rotation is
+    orthonormal, so original-space cosine is the right final metric
+    and needs no rotation)."""
+    import numpy as np
+
+    rot_rows = spark.read.parquet(_rotation_path(index_path)).collect()
+    mu = np.array(next(r.row for r in rot_rows if r.i == -1), dtype=np.float64)
+    comps = np.stack(
+        [np.array(r.row, dtype=np.float64) for r in sorted(
+            (r for r in rot_rows if r.i >= 0), key=lambda r: r.i
+        )]
+    )
+    cents, books = _load_ivfadc_books(spark, index_path)
+    qraw = (
+        _km_quantized(spark, sf_dir).filter(F.col("vec_id") < _N_QUERIES).collect()
+    )
+    qrows = [
+        {
+            "vec_id": r.vec_id,
+            "qv": [
+                int(v)
+                for v in np.floor(
+                    (np.array(r.qv, dtype=np.float64) - mu) @ comps.T
+                ).astype(np.int64)
+            ],
+        }
+        for r in qraw
+    ]
+    q_ids, Q, luts, code_ids = _pq_lut(books, qrows)
+    cids = sorted(cents)
+    C = np.array([cents[c] for c in cids], dtype=np.int64)
+    d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probe_cells = {
+        int(q): {int(cids[j]) for j in np.lexsort((np.array(cids), d[qi]))[:_IVF_PROBE]}
+        for qi, q in enumerate(q_ids)
+    }
+    all_cells = sorted(set().union(*probe_cells.values()))
+    idx = spark.read.parquet(index_path).filter(F.col("cell").isin(all_cells))
+    adc = _adc_scan(idx, q_ids, luts, code_ids, probe_cells=probe_cells)
+    return _exact_rerank(spark, sf_dir, _adc_shortlist(adc))
+
+
+@register(
+    "ann_opq_ivfadc",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT q.q_id, c.vec_id,
+             CAST(round(list_cosine_similarity(q.qv, c.cv), 4) AS DECIMAL(10,4)) AS sim
+      FROM q JOIN c ON q.q_id <> c.vec_id),
+    exact AS (
+      SELECT q_id, vec_id, sim FROM (
+        SELECT q_id, vec_id, sim,
+               row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= {_TOP_K})
+    SELECT CAST({_N_QUERIES} AS BIGINT) AS n_queries,
+           CAST({_TOP_K} AS BIGINT) AS k,
+           CAST(sum(sim) AS DECIMAL(18,4)) AS exact_sim_sum,
+           true AS rot_hits_ge_floor
+    FROM exact
+    """,
+)
+def ann_opq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE rotated index path (VERDICT r10 task 4's full
+    shape): OPQ rotation -> IVF cells -> PQ codes, persisted with the
+    frozen basis, searched via partition-pruned probes + exact rerank.
+    Self-verifying row (the ann_opq_adc pattern): the oracle re-derives
+    the exact-cosine top-k and its decimal sim-sum fully in SQL — the
+    Spark side must reproduce that sum from its own ground-truth
+    machinery — and pins the rotated index's reranked recall floor as
+    a boolean the query must earn.  Build-once/query-many lifecycle
+    identical to ann_ivfadc."""
+    import atexit
+    import shutil
+
+    out = os.path.join(
+        "/tmp",
+        f"oxidsql_opqivf_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    marker = os.path.join(out, "_IVFADC_READY")
+    if not os.path.exists(marker):
+        tmp = out + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        build_opq_ivfadc_index(spark, sf_dir, tmp)
+        open(os.path.join(tmp, "_IVFADC_READY"), "w").close()
+        try:
+            os.rename(tmp, out)
+            atexit.register(shutil.rmtree, out, ignore_errors=True)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    res = ann_opq_ivfadc_search(spark, sf_dir, out)
+    got = res.select(
+        "q_id", "vec_id", F.col("cos_sim").cast("decimal(10,4)").alias("sim")
+    )
+    ev = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    qv = ev.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    exact = (
+        ev.join(F.broadcast(qv), F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                vec_dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+            ).cast("decimal(10,4)"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_K)
+        .select("q_id", "vec_id", "sim")
+    )
+    from ..cachescope import scoped_persist
+
+    exact = scoped_persist(exact)
+    hits = got.join(exact.select("q_id", "vec_id"), ["q_id", "vec_id"]).count()
+    sim_sum = exact.agg(F.sum("sim").cast("decimal(18,4)").alias("s")).collect()[0].s
+    return spark.createDataFrame(
+        [(_N_QUERIES, _TOP_K, sim_sum, hits >= _OPQIVF_HIT_FLOOR)],
+        "n_queries bigint, k bigint, exact_sim_sum decimal(18,4), rot_hits_ge_floor boolean",
+    )

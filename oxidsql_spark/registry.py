@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_scrub",
     "decontaminate_semantic",
     "source_mix_temperature",
+    "ann_opq_ivfadc",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

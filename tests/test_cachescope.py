@@ -50,6 +50,7 @@ CACHE_USING_QUERIES = [
     "corpus_curate_q",
     "mm_caption_dedup",
     "dedup_span_scrub",
+    "ann_opq_ivfadc",
     "text_lm_bigram_score",
     "dedup_minhash_incremental",
     "dedup_containment_incremental",

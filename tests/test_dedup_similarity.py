@@ -1332,3 +1332,25 @@ def test_span_scrub_removes_all_boilerplate_occurrences(spark):
     # ...while span_cut would still dedup it keep-first
     cut = {r.doc_id: r for r in span_cut(docs).collect()}
     assert cut[10].n_kept == 8 and cut[11].n_kept == 0
+
+
+def test_ann_opq_ivfadc_pruned_and_recall(spark, sf_dir, tmp_path):
+    """The rotated composed index end-to-end: the probe scan must prune
+    to the probed cells' partitions (same contract as plain IVFADC),
+    and the reranked top-k must clear the recall floor vs the exact
+    cosine brute force."""
+    from oxidsql_spark.operators.similarity import (
+        ann_opq_ivfadc_search,
+        ann_topk_bruteforce,
+        build_opq_ivfadc_index,
+    )
+
+    idx = str(tmp_path / "opqivf")
+    build_opq_ivfadc_index(spark, sf_dir, idx)
+    res = ann_opq_ivfadc_search(spark, sf_dir, idx)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower()
+    got = {(r.q_id, r.vec_id) for r in res.collect()}
+    exact = {(r.q_id, r.vec_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, f"rotated IVFADC rerank recall {recall}"

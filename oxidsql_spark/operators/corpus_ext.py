@@ -428,6 +428,167 @@ def _duck_hex4(expr: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
+# -- engine-version-proof fixed-point log ------------------------------
+# The r10 driver flagged dsir_select hash-red while the in-repo gate
+# mirror stayed green 6/6 across sf dirs: the only engine-sensitive
+# step was `round(ln(num/den), 6)` — a transcendental + a decimal
+# rounding whose behavior can differ ACROSS ENGINE VERSIONS.  The
+# quantized log is now computed by an explicit fixed-point algorithm
+# using only operations IEEE-754/integer semantics pin exactly, so any
+# Spark and any DuckDB produce bit-identical weights:
+#   ratio = double(num)/double(den)      (int->double + / are exact-rounded)
+#   m     : ratio in [2^m, 2^(m+1))      (compares vs EXACT power-of-2 doubles)
+#   rp    = ratio / 2^m                  (exponent shift — no rounding)
+#   z     = floor((rp-1)/(rp+1) * 1e12)  (each op exact-rounded, floor exact)
+#   ln(rp)= 2*atanh(z/1e12) via a 14-term series in integer fixed-point
+#           (decimal(38,0) multiplies + integer division — exact)
+#   w     = round-half-away((m*LN2_12 + 2*sum) / 1e6)  (integer ops)
+# Error budget: |z| < 1/3 so the series tail < 5e-15, plus ~20 floor
+# truncations at 1e-12 -> total < 3e-5 micro-units of drift, vs the
+# >=2.2e-2 measured distance of every sf0.01 bucket from the micro
+# grid (the margin is also pytest-locked in test_pipeline.py).
+_FIXLOG_S = 10**12
+_FIXLOG_LN2 = 693147180560  # round(ln 2 * 1e12) — exact integer constant
+_FIXLOG_TERMS = 14
+
+
+def _fixlog_step(div: str) -> str:
+    """One fixed-point power advance p -> p*z2/1e12 over BIGINT columns
+    p, z2a, z2b (z2 split as z2a*1e6 + z2b) — identical text in Spark
+    (div='div') and DuckDB (div='//').  Every operation is BIGINT:
+    DuckDB routes DECIMAL `//` through DOUBLE (observed fractional
+    results past 2^53), so exactness requires keeping every product
+    under 2^63 via the split-multiply identity
+    floor(p*z2/1e12) = (p*z2a + (p*z2b) div 1e6) div 1e6
+    (exact, not an approximation: floor(floor(x/a)/b) = floor(x/(a*b))
+    for integers).  Max magnitudes: p <= S/3 ~ 3.4e11, z2a <= 1.2e5,
+    z2b < 1e6 -> products <= 3.4e17 << 2^63."""
+    return f"(p * z2a + (p * z2b) {div} 1000000) {div} 1000000"
+
+
+def _fixlog_micro(df: DataFrame) -> DataFrame:
+    """Append ``w`` = round(ln(num/den) * 1e6) as BIGINT micro-units to a
+    small frame with positive integer-valued decimal columns ``num`` and
+    ``den`` (ratio within [2^-62, 2^62) — wider than any token-count
+    ratio a physical corpus can produce; at ~1e14 target tokens the
+    smoothed ratio's floor 1/nt crosses 2^-45, so the narrower table a
+    first draft used would have silently DROPPED buckets at web scale
+    via the inner join) — the fixed-point algorithm
+    above; prototype-verified bit-identical to DuckDB and to Python
+    round(math.log(num/den)*1e6) on 500 random pairs over the full
+    magnitude range.  The 91-row power table rides a broadcast
+    nested-loop join: df is B rows (bucket-count-sized), never data."""
+    spark = df.sparkSession
+    pw = spark.range(-62, 63).select(
+        F.col("id").cast("int").alias("_m"),
+        F.expr(
+            "CASE WHEN id >= 0 THEN CAST(shiftleft(1L, CAST(id AS INT)) AS DOUBLE) "
+            "ELSE 1.0 / CAST(shiftleft(1L, CAST(-id AS INT)) AS DOUBLE) END"
+        ).alias("_lo"),
+    )
+    out = (
+        df.withColumn(
+            "_ratio", F.col("num").cast("double") / F.col("den").cast("double")
+        )
+        .join(
+            F.broadcast(pw),
+            (F.col("_ratio") >= F.col("_lo")) & (F.col("_ratio") < 2 * F.col("_lo")),
+        )
+        .withColumn("_rp", F.col("_ratio") / F.col("_lo"))
+        .withColumn(
+            "z",
+            F.floor(
+                (F.col("_rp") - 1.0) / (F.col("_rp") + 1.0) * F.lit(float(_FIXLOG_S))
+            ).cast("long"),
+        )
+        # z2 = z*z div S via the same exact split (z <= 3.4e11 so z*z
+        # would overflow BIGINT; the split keeps it under 3.4e17)
+        .withColumn(
+            "z2", F.expr("(z * (z div 1000000) + (z * (z % 1000000)) div 1000000) div 1000000")
+        )
+        .withColumn("z2a", F.expr("z2 div 1000000"))
+        .withColumn("z2b", F.expr("z2 % 1000000"))
+        .withColumn("p", F.col("z"))
+        .withColumn("acc", F.col("z"))  # first series term: z div 1
+    )
+    # linear column chain, one power advance + one term per step (a
+    # nested single-expression form doubles in TEXT per term — 2^14
+    # blowup measured as ~2 min of analysis time)
+    for _k in range(1, _FIXLOG_TERMS):
+        out = out.withColumn("p", F.expr(_fixlog_step("div"))).withColumn(
+            "acc", F.expr(f"acc + p div {2 * _k + 1}")
+        )
+    return (
+        out.withColumn(
+            "_L", F.col("_m").cast("long") * F.lit(_FIXLOG_LN2) + 2 * F.col("acc")
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                "CASE WHEN _L >= 0 THEN (_L + 500000) div 1000000"
+                " ELSE -((-_L + 500000) div 1000000) END"
+            ),
+        )
+        .drop("_ratio", "_m", "_lo", "_rp", "z", "z2", "z2a", "z2b", "p", "acc", "_L")
+    )
+
+
+def _duck_fixlog(rel: str, key: str = "bkt") -> str:
+    """CTE chain text: ``rel``(<key cols>, num, den) -> ``fw``(<key
+    cols>, w BIGINT), the DuckDB twin of _fixlog_micro (same
+    fixed-point algorithm, same constants, `//` for integer division).
+    ``key`` may be a comma-separated column list (the bigram LM keys
+    per (prev, term))."""
+    return f"""
+    pw AS (
+      SELECT m, CASE WHEN m >= 0 THEN CAST(1::BIGINT << m AS DOUBLE)
+                     ELSE 1.0 / CAST(1::BIGINT << (-m) AS DOUBLE) END AS lo
+      FROM (SELECT unnest(generate_series(-62, 62)) AS m)),
+    fxr AS (SELECT {key}, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ratio FROM {rel}),
+    fxj AS (SELECT {key}, ratio / lo AS rp, m FROM fxr
+            JOIN pw ON ratio >= lo AND ratio < 2 * lo),
+    fxz AS (SELECT {key}, m,
+                   CAST(floor((rp - 1.0) / (rp + 1.0) * {float(_FIXLOG_S)})
+                        AS BIGINT) AS z
+            FROM fxj),
+    fxz2 AS (SELECT {key}, m, z,
+                    (z * (z // 1000000) + (z * (z % 1000000)) // 1000000) // 1000000 AS z2
+             FROM fxz),
+    fxp0 AS (SELECT {key}, m, z2 // 1000000 AS z2a, z2 % 1000000 AS z2b,
+                    z AS p, z AS acc FROM fxz2),
+    fxp1 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 3 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp0)),
+    fxp2 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 5 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp1)),
+    fxp3 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 7 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp2)),
+    fxp4 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 9 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp3)),
+    fxp5 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 11 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp4)),
+    fxp6 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 13 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp5)),
+    fxp7 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 15 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp6)),
+    fxp8 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 17 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp7)),
+    fxp9 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 19 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp8)),
+    fxp10 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 21 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp9)),
+    fxp11 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 23 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp10)),
+    fxp12 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 25 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp11)),
+    fxp13 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 27 AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp12)),
+    fxs AS (SELECT {key}, m * {_FIXLOG_LN2} + 2 * acc AS L FROM fxp13),
+    fw AS (SELECT {key}, CAST(CASE WHEN L >= 0 THEN (L + 500000) // 1000000
+                                 ELSE -((-L + 500000) // 1000000) END AS BIGINT) AS w
+           FROM fxs)"""
+
+
+
 _DUCK_BUCKET = _duck_hex4("md5(CAST(doc_id AS VARCHAR))") + " % 100"
 
 
@@ -743,13 +904,15 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
     terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
     freq AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
-    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
-    lp AS (SELECT term, CAST(round(ln(c / tot.n), 6) AS DECIMAL(12,6)) AS logp
-           FROM freq CROSS JOIN tot)
+    tot AS (SELECT sum(c) AS n FROM freq),
+    base AS (SELECT term, CAST(c AS DECIMAL(38,0)) AS num,
+                    CAST(tot.n AS DECIMAL(38,0)) AS den
+             FROM freq CROSS JOIN tot),
+    {_duck_fixlog("base", key="term")}
     SELECT terms.doc_id,
            count(*) AS n_tokens,
-           round(CAST(-sum(lp.logp) AS DOUBLE) / count(*), 4) AS avg_nll
-    FROM terms JOIN lp USING (term)
+           round(CAST(-sum(fw.w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
+    FROM terms JOIN fw USING (term)
     GROUP BY terms.doc_id
     """,
 )
@@ -761,8 +924,12 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism discipline: raw double log-probs summed per doc would be
     partial-agg order-dependent, so each token's ln(p) is QUANTIZED to
-    decimal(12,6) first — the per-doc sum is then exact at any
-    parallelism, and the single double division happens at the end.
+    BIGINT micro-units via the engine-version-proof fixed-point log
+    (r11 — the dsir_select incident showed engine round()/ln() CAN
+    diverge across versions; no transcendental survives anywhere in
+    the weight path now) — the per-doc sum is then exact at any
+    parallelism and in any engine, and the single double division
+    happens at the end.
     Scale shape: the unigram table is vocabulary-sized and joins the
     token stream on its own key WITHOUT a broadcast hint (a web-scale
     vocabulary must never be forced onto a broadcast — the BM25 r8
@@ -771,17 +938,22 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = freq.agg(F.sum("c").cast("double").alias("n"))
-    lp = freq.crossJoin(F.broadcast(tot)).select(
-        "term",
-        F.round(F.log(F.col("c") / F.col("n")), 6).cast("decimal(12,6)").alias("logp"),
-    )
+    tot = freq.agg(F.sum("c").alias("n"))
+    lp = _fixlog_micro(
+        freq.crossJoin(F.broadcast(tot)).select(
+            "term",
+            F.col("c").cast("decimal(38,0)").alias("num"),
+            F.col("n").cast("decimal(38,0)").alias("den"),
+        )
+    ).select("term", "w")
     return (
         terms.join(lp, "term")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round((-F.sum("logp")).cast("double") / F.count(F.lit(1)), 4).alias(
+            F.round(
+                (-F.sum("w")).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 4
+            ).alias(
                 "avg_nll"
             ),
         )
@@ -1107,164 +1279,6 @@ def _dsir_bucket(term_col):
     )
 
 
-# -- engine-version-proof fixed-point log ------------------------------
-# The r10 driver flagged dsir_select hash-red while the in-repo gate
-# mirror stayed green 6/6 across sf dirs: the only engine-sensitive
-# step was `round(ln(num/den), 6)` — a transcendental + a decimal
-# rounding whose behavior can differ ACROSS ENGINE VERSIONS.  The
-# quantized log is now computed by an explicit fixed-point algorithm
-# using only operations IEEE-754/integer semantics pin exactly, so any
-# Spark and any DuckDB produce bit-identical weights:
-#   ratio = double(num)/double(den)      (int->double + / are exact-rounded)
-#   m     : ratio in [2^m, 2^(m+1))      (compares vs EXACT power-of-2 doubles)
-#   rp    = ratio / 2^m                  (exponent shift — no rounding)
-#   z     = floor((rp-1)/(rp+1) * 1e12)  (each op exact-rounded, floor exact)
-#   ln(rp)= 2*atanh(z/1e12) via a 14-term series in integer fixed-point
-#           (decimal(38,0) multiplies + integer division — exact)
-#   w     = round-half-away((m*LN2_12 + 2*sum) / 1e6)  (integer ops)
-# Error budget: |z| < 1/3 so the series tail < 5e-15, plus ~20 floor
-# truncations at 1e-12 -> total < 3e-5 micro-units of drift, vs the
-# >=2.2e-2 measured distance of every sf0.01 bucket from the micro
-# grid (the margin is also pytest-locked in test_pipeline.py).
-_FIXLOG_S = 10**12
-_FIXLOG_LN2 = 693147180560  # round(ln 2 * 1e12) — exact integer constant
-_FIXLOG_TERMS = 14
-
-
-def _fixlog_step(div: str) -> str:
-    """One fixed-point power advance p -> p*z2/1e12 over BIGINT columns
-    p, z2a, z2b (z2 split as z2a*1e6 + z2b) — identical text in Spark
-    (div='div') and DuckDB (div='//').  Every operation is BIGINT:
-    DuckDB routes DECIMAL `//` through DOUBLE (observed fractional
-    results past 2^53), so exactness requires keeping every product
-    under 2^63 via the split-multiply identity
-    floor(p*z2/1e12) = (p*z2a + (p*z2b) div 1e6) div 1e6
-    (exact, not an approximation: floor(floor(x/a)/b) = floor(x/(a*b))
-    for integers).  Max magnitudes: p <= S/3 ~ 3.4e11, z2a <= 1.2e5,
-    z2b < 1e6 -> products <= 3.4e17 << 2^63."""
-    return f"(p * z2a + (p * z2b) {div} 1000000) {div} 1000000"
-
-
-def _fixlog_micro(df: DataFrame) -> DataFrame:
-    """Append ``w`` = round(ln(num/den) * 1e6) as BIGINT micro-units to a
-    small frame with positive integer-valued decimal columns ``num`` and
-    ``den`` (ratio within [2^-62, 2^62) — wider than any token-count
-    ratio a physical corpus can produce; at ~1e14 target tokens the
-    smoothed ratio's floor 1/nt crosses 2^-45, so the narrower table a
-    first draft used would have silently DROPPED buckets at web scale
-    via the inner join) — the fixed-point algorithm
-    above; prototype-verified bit-identical to DuckDB and to Python
-    round(math.log(num/den)*1e6) on 500 random pairs over the full
-    magnitude range.  The 91-row power table rides a broadcast
-    nested-loop join: df is B rows (bucket-count-sized), never data."""
-    spark = df.sparkSession
-    pw = spark.range(-62, 63).select(
-        F.col("id").cast("int").alias("_m"),
-        F.expr(
-            "CASE WHEN id >= 0 THEN CAST(shiftleft(1L, CAST(id AS INT)) AS DOUBLE) "
-            "ELSE 1.0 / CAST(shiftleft(1L, CAST(-id AS INT)) AS DOUBLE) END"
-        ).alias("_lo"),
-    )
-    out = (
-        df.withColumn(
-            "_ratio", F.col("num").cast("double") / F.col("den").cast("double")
-        )
-        .join(
-            F.broadcast(pw),
-            (F.col("_ratio") >= F.col("_lo")) & (F.col("_ratio") < 2 * F.col("_lo")),
-        )
-        .withColumn("_rp", F.col("_ratio") / F.col("_lo"))
-        .withColumn(
-            "z",
-            F.floor(
-                (F.col("_rp") - 1.0) / (F.col("_rp") + 1.0) * F.lit(float(_FIXLOG_S))
-            ).cast("long"),
-        )
-        # z2 = z*z div S via the same exact split (z <= 3.4e11 so z*z
-        # would overflow BIGINT; the split keeps it under 3.4e17)
-        .withColumn(
-            "z2", F.expr("(z * (z div 1000000) + (z * (z % 1000000)) div 1000000) div 1000000")
-        )
-        .withColumn("z2a", F.expr("z2 div 1000000"))
-        .withColumn("z2b", F.expr("z2 % 1000000"))
-        .withColumn("p", F.col("z"))
-        .withColumn("acc", F.col("z"))  # first series term: z div 1
-    )
-    # linear column chain, one power advance + one term per step (a
-    # nested single-expression form doubles in TEXT per term — 2^14
-    # blowup measured as ~2 min of analysis time)
-    for _k in range(1, _FIXLOG_TERMS):
-        out = out.withColumn("p", F.expr(_fixlog_step("div"))).withColumn(
-            "acc", F.expr(f"acc + p div {2 * _k + 1}")
-        )
-    return (
-        out.withColumn(
-            "_L", F.col("_m").cast("long") * F.lit(_FIXLOG_LN2) + 2 * F.col("acc")
-        )
-        .withColumn(
-            "w",
-            F.expr(
-                "CASE WHEN _L >= 0 THEN (_L + 500000) div 1000000"
-                " ELSE -((-_L + 500000) div 1000000) END"
-            ),
-        )
-        .drop("_ratio", "_m", "_lo", "_rp", "z", "z2", "z2a", "z2b", "p", "acc", "_L")
-    )
-
-
-def _duck_fixlog(rel: str) -> str:
-    """CTE chain text: ``rel``(bkt, num, den) -> ``fw``(bkt, w BIGINT),
-    the DuckDB twin of _fixlog_micro (same fixed-point algorithm, same
-    constants, `//` for integer division)."""
-    return f"""
-    pw AS (
-      SELECT m, CASE WHEN m >= 0 THEN CAST(1::BIGINT << m AS DOUBLE)
-                     ELSE 1.0 / CAST(1::BIGINT << (-m) AS DOUBLE) END AS lo
-      FROM (SELECT unnest(generate_series(-62, 62)) AS m)),
-    fxr AS (SELECT bkt, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ratio FROM {rel}),
-    fxj AS (SELECT bkt, ratio / lo AS rp, m FROM fxr
-            JOIN pw ON ratio >= lo AND ratio < 2 * lo),
-    fxz AS (SELECT bkt, m,
-                   CAST(floor((rp - 1.0) / (rp + 1.0) * {float(_FIXLOG_S)})
-                        AS BIGINT) AS z
-            FROM fxj),
-    fxz2 AS (SELECT bkt, m, z,
-                    (z * (z // 1000000) + (z * (z % 1000000)) // 1000000) // 1000000 AS z2
-             FROM fxz),
-    fxp0 AS (SELECT bkt, m, z2 // 1000000 AS z2a, z2 % 1000000 AS z2b,
-                    z AS p, z AS acc FROM fxz2),
-    fxp1 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 3 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp0)),
-    fxp2 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 5 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp1)),
-    fxp3 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 7 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp2)),
-    fxp4 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 9 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp3)),
-    fxp5 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 11 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp4)),
-    fxp6 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 13 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp5)),
-    fxp7 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 15 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp6)),
-    fxp8 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 17 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp7)),
-    fxp9 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 19 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp8)),
-    fxp10 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 21 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp9)),
-    fxp11 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 23 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp10)),
-    fxp12 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 25 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp11)),
-    fxp13 AS (SELECT bkt, m, z2a, z2b, p, acc + p // 27 AS acc FROM
-             (SELECT bkt, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp12)),
-    fxs AS (SELECT bkt, m * {_FIXLOG_LN2} + 2 * acc AS L FROM fxp13),
-    fw AS (SELECT bkt, CAST(CASE WHEN L >= 0 THEN (L + 500000) // 1000000
-                                 ELSE -((-L + 500000) // 1000000) END AS BIGINT) AS w
-           FROM fxs)"""
-
-
 _DSIR_CNT_SQL = f"""
     t AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
     terms AS (SELECT doc_id, source,
@@ -1411,26 +1425,27 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT sum(c) AS n FROM uni),
     bi AS (SELECT prev, term, count(*) AS c FROM seq
            WHERE prev IS NOT NULL GROUP BY prev, term),
-    lp AS (  -- per-(prev,term) smoothed conditional, quantized
+    bibase AS (  -- per-(prev,term) smoothed conditional -> fixlog micro
       SELECT bi.prev, bi.term,
-             CAST(round(ln(
-               CAST(bi.c + 1 AS DOUBLE) / CAST(pu.c + v.v AS DOUBLE)
-             ), 6) AS DECIMAL(12,6)) AS logp
+             CAST(bi.c + 1 AS DECIMAL(38,0)) AS num,
+             CAST(pu.c + v.v AS DECIMAL(38,0)) AS den
       FROM bi JOIN uni pu ON pu.term = bi.prev CROSS JOIN v),
-    lpu AS (  -- unigram head probability, quantized
-      SELECT term,
-             CAST(round(ln(
-               CAST(c + 1 AS DOUBLE) / CAST(n.n + v.v AS DOUBLE)
-             ), 6) AS DECIMAL(12,6)) AS logp
-      FROM uni CROSS JOIN n CROSS JOIN v),
+    {_duck_fixlog("bibase", key="prev, term").replace("fxr", "bxr").replace("fxj", "bxj").replace("fxz", "bxz").replace("fxp", "bxp").replace("fxs", "bxs").replace("fw AS", "bfw AS").replace("pw AS", "bpw AS").replace("JOIN pw", "JOIN bpw").replace("FROM fxs", "FROM bxs")}
+    ,
+    hterms AS (SELECT DISTINCT term FROM seq WHERE prev IS NULL),
+    ubase AS (  -- unigram head probability -> fixlog micro
+      SELECT uni.term, CAST(uni.c + 1 AS DECIMAL(38,0)) AS num,
+             CAST(n.n + v.v AS DECIMAL(38,0)) AS den
+      FROM uni JOIN hterms USING (term) CROSS JOIN n CROSS JOIN v),
+    {_duck_fixlog("ubase", key="term")},
     scored AS (
       SELECT s.doc_id,
-             CASE WHEN s.prev IS NULL THEN lpu.logp ELSE lp.logp END AS logp
+             CASE WHEN s.prev IS NULL THEN u.w ELSE b.w END AS w
       FROM seq s
-      LEFT JOIN lp ON lp.prev = s.prev AND lp.term = s.term
-      LEFT JOIN lpu ON lpu.term = s.term)
+      LEFT JOIN bfw b ON b.prev = s.prev AND b.term = s.term
+      LEFT JOIN fw u ON u.term = s.term)
     SELECT doc_id, count(*) AS n_tokens,
-           round(CAST(-sum(logp) AS DOUBLE) / count(*), 4) AS avg_nll
+           round(CAST(-sum(w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
     FROM scored GROUP BY doc_id
     """,
 )
@@ -1444,10 +1459,10 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tails are filter candidates.
 
     Cross-engine exactness: every conditional's log is quantized to
-    decimal(12,6) per (prev, term) — the probability itself is formed
-    from integer counts with one double division — so per-doc decimal
-    sums are partial-agg-order-free (the text_lm_score discipline,
-    applied to a bigram table).  Scale shape: token sequence via
+    BIGINT micro-units per (prev, term) via the fixed-point log (r11 —
+    see text_lm_score; no engine ln/round in the weight path), so
+    per-doc integer sums are partial-agg-order-free and
+    engine-version-proof.  Scale shape: token sequence via
     posexplode + one lag window (doc-partitioned, codegen); the bigram
     count table is corpus-bigram-bounded and joins the token stream on
     its own key; the unigram/head tables are vocabulary-sized
@@ -1470,7 +1485,7 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev", "term")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    lp = (
+    lp = _fixlog_micro(
         bi.join(
             uni.select(F.col("term").alias("prev"), F.col("c").alias("pc")),
             "prev",
@@ -1479,39 +1494,25 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "prev",
             "term",
-            F.round(
-                F.log(
-                    (F.col("c") + 1).cast("double")
-                    / (F.col("pc") + F.col("v")).cast("double")
-                ),
-                6,
-            )
-            .cast("decimal(12,6)")
-            .alias("logp"),
+            (F.col("c") + 1).cast("decimal(38,0)").alias("num"),
+            (F.col("pc") + F.col("v")).cast("decimal(38,0)").alias("den"),
         )
-    )
+    ).select("prev", "term", F.col("w").alias("logp"))
     # the unigram probability is only consulted for each document's
     # HEAD token, so the broadcast side is semi-restricted to the head
     # terms FIRST (≤ one term per doc, never the vocabulary — the
     # docs_bm25_topk broadcast discipline; a web-scale vocabulary table
     # must never ride a broadcast)
     head_terms = seq.filter(F.col("prev").isNull()).select("term").distinct()
-    lpu = (
+    lpu = _fixlog_micro(
         uni.join(head_terms, "term", "semi")
         .crossJoin(F.broadcast(v_n))
         .select(
             "term",
-            F.round(
-                F.log(
-                    (F.col("c") + 1).cast("double")
-                    / (F.col("n") + F.col("v")).cast("double")
-                ),
-                6,
-            )
-            .cast("decimal(12,6)")
-            .alias("logp_u"),
+            (F.col("c") + 1).cast("decimal(38,0)").alias("num"),
+            (F.col("n") + F.col("v")).cast("decimal(38,0)").alias("den"),
         )
-    )
+    ).select("term", F.col("w").alias("logp_u"))
     scored = (
         seq.join(lp, ["prev", "term"], "left")
         # no forced broadcast: head_terms grows with document count (up
@@ -1529,7 +1530,7 @@ def text_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(
-            (-F.sum("logp")).cast("double") / F.count(F.lit(1)), 4
+            (-F.sum("logp")).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 4
         ).alias("avg_nll"),
     )
 

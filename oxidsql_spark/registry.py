@@ -84,8 +84,10 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_span_cut",
     "dedup_span_cut_incremental",
     "dedup_span_coverage",
-    # plan-level change r11 (forced head-term broadcast dropped):
+    # rewritten r11: LM quantization moved onto the fixed-point log
+    # (plus the forced head-term broadcast drop on the bigram):
     "text_lm_bigram_score",
+    "text_lm_score",
 )
 
 

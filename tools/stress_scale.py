@@ -71,6 +71,11 @@ STRESS_QUERIES = [
     # of the coverage scan)
     "dedup_clusters_incremental_q",
     "dedup_span_cut",
+    # r11 additions: boilerplate scrub (the hot-gram semi-join variant
+    # of the span exchange) and the image/text joint dedup (band join
+    # + hamming verify + closure)
+    "dedup_span_scrub",
+    "mm_caption_dedup",
 ]
 
 

@@ -1832,13 +1832,26 @@ def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCRUB_F = 4  # occurrences at/above which a span is boilerplate
+_SCRUB_F = 3  # occurrences at/above which a span is boilerplate (3 bites
+# on the sf fixtures — 73 hot spans at sf0.01; 4 would be a NO-OP there,
+# and a green oracle over a no-op proves nothing about the excision)
 
 
-def _span_scrub_oracle() -> str:
+def _span_scrub_oracle(
+    rel: str = "documents", with_text: bool = False, min_freq: int = _SCRUB_F
+) -> str:
+    """DuckDB twin of span_scrub over any (doc_id, text) relation; set
+    ``with_text`` to emit the cleaned STRING itself (the curation
+    capstone feeds it to the downstream span-cut stage) instead of its
+    md5."""
     k = _SPAN_K
+    cleaned_col = (
+        "coalesce(c.cleaned, '') AS cleaned"
+        if with_text
+        else "md5(coalesce(c.cleaned, '')) AS cleaned_md5"
+    )
     return f"""
-    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM documents),
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS_DD} AS toks FROM {rel}),
     tokpos AS (
       SELECT doc_id, u.p AS pos, u.tk AS tok FROM (
         SELECT doc_id,
@@ -1853,7 +1866,7 @@ def _span_scrub_oracle() -> str:
                  i -> struct_pack(p := i,
                         g := substring(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 16)))) AS u
         FROM t)),
-    hot AS (SELECT gram FROM spanpos GROUP BY gram HAVING count(*) >= {_SCRUB_F}),
+    hot AS (SELECT gram FROM spanpos GROUP BY gram HAVING count(*) >= {min_freq}),
     cut AS (
       SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS cp
       FROM spanpos WHERE gram IN (SELECT gram FROM hot)),
@@ -1868,7 +1881,7 @@ def _span_scrub_oracle() -> str:
     SELECT t.doc_id,
            CAST(len(t.toks) AS BIGINT) AS n_tokens,
            CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
-           md5(coalesce(c.cleaned, '')) AS cleaned_md5
+           {cleaned_col}
     FROM t LEFT JOIN clean c ON c.doc_id = t.doc_id
     """
 

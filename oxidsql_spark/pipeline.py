@@ -314,6 +314,7 @@ def curate_corpus(
     nll_ceiling: float = 12.0,
     min_kept_tokens: int = 5,
     token_budget: int | None = None,
+    scrub_min_freq: int | None = None,
     observation: Optional[Observation] = None,
 ) -> DataFrame:
     """The round-10 curation capstone — the full modern training-data
@@ -373,6 +374,23 @@ def curate_corpus(
     # 3. bigram-LM fluency ceiling
     nll = text_lm_bigram_score(spark, sf_dir).select("doc_id", "avg_nll")
     docs = docs.join(nll, "doc_id").filter(F.col("avg_nll") <= nll_ceiling)
+
+    # 3b. optional boilerplate scrub: span frequencies are counted over
+    # the FULL RAW POOL — a template span's count includes the near-dup
+    # copies keep-best already removed, which is precisely what lets a
+    # surviving representative's boilerplate clear the threshold (among
+    # survivors alone nothing repeats, by dedup's own success) — and
+    # the excision is applied to the survivors' text before keep-first
+    # dedup of what remains
+    if scrub_min_freq is not None:
+        from .operators.dedup import span_scrub
+        from .sources import table as _table
+
+        scrubbed = span_scrub(
+            _table(spark, sf_dir, "documents").select("doc_id", "text"),
+            min_freq=scrub_min_freq,
+        ).select("doc_id", F.col("cleaned").alias("text"))
+        docs = docs.drop("text").join(scrubbed, "doc_id")
 
     # 4. substring dedup on the survivors; drop cut-to-nothing husks
     cut = span_cut(docs.select("doc_id", "text")).select(
@@ -503,3 +521,94 @@ def _register_curate() -> None:
 
 
 _register_curate()
+
+
+_CURATE_SCRUB_F = 2  # must BITE at sf0.01 (raw-pool counts: 47 docs scrubbed) or the chaining is untested
+
+
+def _curate_scrub_oracle() -> str:
+    """The scrubbed capstone variant: identical funnel with the
+    boilerplate scrub inserted between the fluency ceiling and the
+    keep-first span cut — the cut then tokenizes the SCRUBBED text
+    (reassembled with single spaces, so retokenization is exact)."""
+    from .operators import corpus_ext as _ce  # registers its oracles
+    from .operators import graph as _graph
+    from .operators.dedup import _span_cut_oracle, _span_scrub_oracle
+    from .registry import QUERIES
+
+    bigram = QUERIES["text_lm_bigram_score"].oracle
+    dsir = QUERIES["dsir_select"].oracle
+    clusters = _graph._ORACLE
+    return f"""
+    WITH clusters AS ({clusters}),
+    best AS (
+      SELECT CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS doc_id
+      FROM (SELECT c.cluster_id, d.doc_id,
+                   row_number() OVER (
+                     PARTITION BY c.cluster_id
+                     ORDER BY d.n_chars DESC, d.doc_id) AS rk
+            FROM clusters c JOIN documents d USING (doc_id))
+      GROUP BY cluster_id),
+    nll AS ({bigram}),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text, n.avg_nll
+      FROM documents d
+      JOIN best USING (doc_id)
+      JOIN nll n USING (doc_id)
+      WHERE d.n_chars >= 100 AND d.lang IN ('en','de','fr','es')
+            AND d.source IS NOT NULL AND n.avg_nll <= {_CURATE_NLL}),
+    scrubres AS ({_span_scrub_oracle("documents", with_text=True, min_freq=_CURATE_SCRUB_F)}),
+    surv2 AS (
+      SELECT s.doc_id, s.source, s.avg_nll, r.cleaned AS text
+      FROM surv s JOIN scrubres r USING (doc_id)),
+    cutres AS ({_span_cut_oracle("surv2")}),
+    husked AS (
+      SELECT s.doc_id, s.source, s.avg_nll, c.n_kept, c.cleaned_md5
+      FROM surv2 s JOIN cutres c USING (doc_id)
+      WHERE c.n_kept >= {_CURATE_MIN_KEPT}),
+    picked AS ({dsir}),
+    ordered AS (
+      SELECT h.doc_id, h.source, h.n_kept, h.avg_nll, h.cleaned_md5,
+             CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS pri
+      FROM husked h LEFT JOIN picked p USING (doc_id)),
+    cum AS (
+      SELECT doc_id, source, n_kept, avg_nll, cleaned_md5,
+             sum(n_kept) OVER (
+               ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM ordered)
+    SELECT doc_id, source, CAST(n_kept AS BIGINT) AS n_kept, avg_nll,
+           cleaned_md5 AS clean_md5
+    FROM cum WHERE cum_tokens <= {_CURATE_BUDGET}
+    """
+
+
+def _register_curate_scrub() -> None:
+    from .registry import register
+
+    @register("corpus_curate_scrub_q", oracle=_curate_scrub_oracle())
+    def corpus_curate_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The capstone with the r11 boilerplate SCRUB stage composed
+        in: keep-best -> gate -> NLL ceiling -> scrub (all occurrences
+        of spans repeating >= 2x in the RAW pool — dup copies inflate the counts, so surviving representatives' template spans clear the bar) -> keep-first span
+        cut OVER THE SCRUBBED TEXT -> husk floor -> DSIR-first budget.
+        Proves the text-transform CHAINING (cut retokenizes scrub's
+        reassembled output) cross-engine, not just each transform."""
+        out = curate_corpus(
+            spark,
+            sf_dir,
+            nll_ceiling=_CURATE_NLL,
+            min_kept_tokens=_CURATE_MIN_KEPT,
+            token_budget=_CURATE_BUDGET,
+            scrub_min_freq=_CURATE_SCRUB_F,
+        )
+        return out.select(
+            "doc_id",
+            "source",
+            "n_kept",
+            "avg_nll",
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        )
+
+
+_register_curate_scrub()

@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "decontaminate_semantic",
     "source_mix_temperature",
     "ann_opq_ivfadc",
+    "corpus_curate_scrub_q",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

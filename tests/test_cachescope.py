@@ -51,6 +51,7 @@ CACHE_USING_QUERIES = [
     "mm_caption_dedup",
     "dedup_span_scrub",
     "ann_opq_ivfadc",
+    "corpus_curate_scrub_q",
     "text_lm_bigram_score",
     "dedup_minhash_incremental",
     "dedup_containment_incremental",

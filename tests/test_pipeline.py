@@ -499,3 +499,37 @@ def test_fixlog_random_pairs_match_python_reference(spark):
         a = abs(ref)
         want = int(a + 0.5) if ref >= 0 else -int(a + 0.5)
         assert got[i] == want, (n, d, got[i], want)
+
+
+def test_curate_scrub_variant_bites(spark, sf_dir):
+    """The scrubbed capstone must differ from the plain funnel on the
+    fixture — otherwise its oracle proves a no-op chain.  Scrub
+    frequencies count the RAW pool (dup copies inflate template spans
+    past the threshold), so surviving docs lose tokens vs the
+    unscrubbed run."""
+    from oxidsql_spark.pipeline import (
+        _CURATE_BUDGET,
+        _CURATE_MIN_KEPT,
+        _CURATE_NLL,
+        _CURATE_SCRUB_F,
+        curate_corpus,
+    )
+
+    plain = {
+        r.doc_id: r.n_kept
+        for r in curate_corpus(
+            spark, sf_dir, nll_ceiling=_CURATE_NLL,
+            min_kept_tokens=_CURATE_MIN_KEPT, token_budget=_CURATE_BUDGET,
+        ).collect()
+    }
+    scrubbed = {
+        r.doc_id: r.n_kept
+        for r in curate_corpus(
+            spark, sf_dir, nll_ceiling=_CURATE_NLL,
+            min_kept_tokens=_CURATE_MIN_KEPT, token_budget=_CURATE_BUDGET,
+            scrub_min_freq=_CURATE_SCRUB_F,
+        ).collect()
+    }
+    shorter = [d for d in plain if scrubbed.get(d, 0) < plain[d]]
+    assert shorter, "scrub stage was a no-op on the fixture"
+    assert all(scrubbed.get(d, 0) <= plain[d] for d in plain)

@@ -1664,3 +1664,144 @@ def source_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_pct",
         F.col("n_kept").cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "decontaminate_report",
+    oracle=f"""
+    WITH lex AS (
+      SELECT doc_id FROM (
+        WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - {_DECON_N - 1}, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS grams
+          FROM t),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 10 = 0),
+        corp AS (SELECT doc_id, unnest(grams) AS gram FROM sh WHERE doc_id % 10 <> 0)
+        SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (gram))),
+    sem AS (
+      SELECT vec_id AS doc_id FROM (
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < {_SEMDECON_Q}),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id >= {_SEMDECON_Q})
+        SELECT c.vec_id, max(round(list_cosine_similarity(q.qv, c.cv), 4)) AS ms
+        FROM c JOIN q ON true GROUP BY c.vec_id)
+      WHERE ms >= {_SEMDECON_T})
+    SELECT d.doc_id,
+           (l.doc_id IS NOT NULL) AS lexical_hit,
+           (s.doc_id IS NOT NULL) AS semantic_hit
+    FROM documents d
+    LEFT JOIN lex l ON l.doc_id = d.doc_id
+    LEFT JOIN sem s ON s.doc_id = d.doc_id
+    WHERE l.doc_id IS NOT NULL OR s.doc_id IS NOT NULL
+    """,
+)
+def decontaminate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination REPORT a data audit ships: every document
+    flagged by EITHER screen — lexical 5-gram overlap with the
+    benchmark split, or embedding cosine against the benchmark vectors
+    (documents and embeddings share the id space in the fixtures) —
+    with per-screen booleans, so reviewers see WHICH screen fired
+    (paraphrased leakage is semantic-only; verbatim leakage usually
+    trips both).  Composes the two registered screens by id; both
+    benchmark sides ride broadcasts, the corpus is scanned once per
+    modality."""
+    lex = decontaminate_ngram(spark, sf_dir).select("doc_id")
+    sem = (
+        decontaminate_semantic(spark, sf_dir)
+        .filter(F.col("contaminated"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        d.join(lex.withColumn("lex", F.lit(True)), "doc_id", "left")
+        .join(sem.withColumn("sem", F.lit(True)), "doc_id", "left")
+        .filter(F.col("lex").isNotNull() | F.col("sem").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce("lex", F.lit(False)).alias("lexical_hit"),
+            F.coalesce("sem", F.lit(False)).alias("semantic_hit"),
+        )
+    )
+
+
+_QRANK_KEEP_PCT = 90  # keep the best 90% by fluency rank
+
+
+@register(
+    "quality_rank_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    freq AS (SELECT term, count(*) AS c FROM terms GROUP BY term),
+    tot AS (SELECT sum(c) AS n FROM freq),
+    base AS (SELECT term, CAST(c AS DECIMAL(38,0)) AS num,
+                    CAST(tot.n AS DECIMAL(38,0)) AS den
+             FROM freq CROSS JOIN tot),
+    {_duck_fixlog("base", key="term")},
+    nll AS (
+      SELECT terms.doc_id, count(*) AS n_tokens,
+             (CAST(-sum(fw.w) AS BIGINT) * 1000) // count(*) AS qscore
+      FROM terms JOIN fw USING (term)
+      GROUP BY terms.doc_id),
+    ranked AS (
+      SELECT doc_id, n_tokens, qscore,
+             row_number() OVER (ORDER BY qscore, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM nll)
+    SELECT doc_id, n_tokens, qscore
+    FROM ranked WHERE rk <= (n * {_QRANK_KEEP_PCT}) // 100
+    """,
+)
+def quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality filtering — keep the best {pct}% of the corpus
+    by fluency rank instead of a hand-set ceiling (the form production
+    filters actually use: absolute thresholds go stale as the corpus
+    mix shifts; a rank cut self-calibrates).  The score is the
+    unigram-LM per-token NLL in integer milli-micro units
+    ((total_micro_nll * 1000) div n_tokens — an exact integer, so the
+    (qscore, doc_id) order is total and identical in every engine; no
+    float average ever exists).
+
+    Scale shape: the global rank runs as the TWO-PHASE distributed
+    row_number (range-partition by the order key, per-partition local
+    windows + broadcast prefix offsets — distwindow.global_row_number),
+    never a single-partition window; the cutoff count is one tiny
+    aggregate."""
+    from .distwindow import global_row_number
+
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    lp = _fixlog_micro(
+        freq.crossJoin(F.broadcast(tot)).select(
+            "term",
+            F.col("c").cast("decimal(38,0)").alias("num"),
+            F.col("n").cast("decimal(38,0)").alias("den"),
+        )
+    ).select("term", "w")
+    nll = (
+        terms.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.expr("(CAST(-sum(w) AS BIGINT) * 1000) div count(*)").alias("qscore"),
+        )
+    )
+    ranked, n = global_row_number(
+        nll, [F.col("qscore").asc(), F.col("doc_id").asc()], "rk"
+    )
+    cutoff = (n * _QRANK_KEEP_PCT) // 100
+    return ranked.filter(F.col("rk") <= cutoff).select(
+        "doc_id", "n_tokens", "qscore"
+    )
+
+
+quality_rank_filter.__doc__ = quality_rank_filter.__doc__.format(
+    pct=_QRANK_KEEP_PCT
+)

@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "source_mix_temperature",
     "ann_opq_ivfadc",
     "corpus_curate_scrub_q",
+    "decontaminate_report",
+    "quality_rank_filter",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

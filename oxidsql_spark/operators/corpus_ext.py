@@ -1805,3 +1805,105 @@ def quality_rank_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 quality_rank_filter.__doc__ = quality_rank_filter.__doc__.format(
     pct=_QRANK_KEEP_PCT
 )
+
+
+# --- frozen bigram LM artifact (the streaming-curation scorer) -------------
+
+
+def build_bigram_lm(spark: SparkSession, docs: DataFrame, lm_dir: str) -> None:
+    """Train the add-1 bigram LM on ``docs`` and FREEZE it as parquet:
+    ``lp`` (prev, term, w) conditional micro-log-probs, ``lpu``
+    (term, w) unigram micro-log-probs over the FULL vocabulary (the
+    in-query head-term restriction is a same-corpus optimization a
+    frozen artifact must not bake in — any future head term may need
+    the table), and ``consts`` (one row: n, v, and the out-of-
+    vocabulary weight fixlog(1, n+v) — the add-1 mass an unseen term
+    gets).  All weights ride the engine-proof fixed-point log, so the
+    artifact scores identically wherever it is read."""
+    import os
+
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    seq = pos.select("doc_id", "term", F.lag("term").over(wp).alias("prev"))
+    from ..cachescope import scoped_persist
+
+    uni = scoped_persist(pos.groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+    v_n = uni.agg(F.count(F.lit(1)).alias("v"), F.sum("c").alias("n"))
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lp = _fixlog_micro(
+        bi.join(
+            uni.select(F.col("term").alias("prev"), F.col("c").alias("pc")), "prev"
+        )
+        .crossJoin(F.broadcast(v_n))
+        .select(
+            "prev",
+            "term",
+            (F.col("c") + 1).cast("decimal(38,0)").alias("num"),
+            (F.col("pc") + F.col("v")).cast("decimal(38,0)").alias("den"),
+        )
+    ).select("prev", "term", "w")
+    lpu = _fixlog_micro(
+        uni.crossJoin(F.broadcast(v_n)).select(
+            "term",
+            (F.col("c") + 1).cast("decimal(38,0)").alias("num"),
+            (F.col("n") + F.col("v")).cast("decimal(38,0)").alias("den"),
+        )
+    ).select("term", "w")
+    oov = _fixlog_micro(
+        v_n.select(
+            F.lit(1).cast("decimal(38,0)").alias("num"),
+            (F.col("n") + F.col("v")).cast("decimal(38,0)").alias("den"),
+        )
+    )
+    lp.write.mode("overwrite").parquet(os.path.join(lm_dir, "lp"))
+    lpu.write.mode("overwrite").parquet(os.path.join(lm_dir, "lpu"))
+    v_n.crossJoin(oov.select(F.col("w").alias("w_oov"))).select(
+        "v", F.col("n").cast("bigint").alias("n"), "w_oov"
+    ).write.mode("overwrite").parquet(os.path.join(lm_dir, "consts"))
+
+
+def bigram_nll_against(
+    spark: SparkSession, docs: DataFrame, lm_dir: str
+) -> DataFrame:
+    """Score (doc_id, text) rows against a FROZEN bigram LM: seen
+    bigram -> its conditional; unseen bigram or head token -> the
+    term's unigram (stupid-backoff-style, weight 1 — a screening
+    scorer, not a normalized LM); unseen term -> the frozen OOV
+    weight.  Returns (doc_id, n_tokens, avg_nll).  Scale shape: the
+    batch's token stream joins the bigram table on its own key and the
+    unigram table hint-free (vocabulary-sized sides never forced onto
+    broadcasts); integer micro sums, one double division at the end."""
+    import os
+
+    lp = spark.read.parquet(os.path.join(lm_dir, "lp")).select(
+        "prev", "term", F.col("w").alias("w_bi")
+    )
+    lpu = spark.read.parquet(os.path.join(lm_dir, "lpu")).select(
+        "term", F.col("w").alias("w_uni")
+    )
+    w_oov = spark.read.parquet(os.path.join(lm_dir, "consts")).collect()[0].w_oov
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    wp = W.partitionBy("doc_id").orderBy("pos")
+    seq = pos.select("doc_id", "term", F.lag("term").over(wp).alias("prev"))
+    scored = (
+        seq.join(lp, ["prev", "term"], "left")
+        .join(lpu, "term", "left")
+        .select(
+            "doc_id",
+            F.coalesce("w_bi", "w_uni", F.lit(int(w_oov))).alias("w"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            (-F.sum("w")).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 4
+        ).alias("avg_nll"),
+    )

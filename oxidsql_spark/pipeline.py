@@ -612,3 +612,129 @@ def _register_curate_scrub() -> None:
 
 
 _register_curate_scrub()
+
+
+# ---------------------------------------------------------------------------
+# streaming curation: the funnel as a continuous ingest face
+# ---------------------------------------------------------------------------
+
+
+def build_curation_state(spark: SparkSession, corpus: DataFrame, state_dir: str) -> None:
+    """Freeze the batch-trained curation state a streaming ingest
+    scores against: the bigram LM tables (corpus fluency model) and
+    the corpus span index (substring-dedup memory).  Both artifacts
+    are write-once; the span store then grows one committed segment
+    per admitted batch."""
+    import os
+
+    from .operators.corpus_ext import build_bigram_lm
+    from .operators.dedup import SpanIndexStore
+
+    build_bigram_lm(spark, corpus, os.path.join(state_dir, "lm"))
+    SpanIndexStore(spark, os.path.join(state_dir, "spans")).build(corpus)
+
+
+def curate_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_dir: str,
+    out_dir: str,
+    reject_dir: str,
+    checkpoint_dir: str,
+    nll_ceiling: float = 12.0,
+    min_kept_tokens: int = 5,
+):
+    """The curation funnel as a Structured Streaming ingest: each
+    micro-batch of (doc_id, source, lang, n_chars, text) rows flows
+    through (1) the row-level quality gate, (2) the FROZEN bigram-LM
+    fluency ceiling (stupid-backoff scoring against
+    ``state_dir/lm``), (3) incremental substring dedup against the
+    rolling span index (``state_dir/spans`` — corpus spans and every
+    PRIOR batch's shipped spans cut; this batch's cleaned grams commit
+    as its segment), and (4) the husk floor.  Survivors land under
+    ``out_dir/batch=<id>/`` carrying (doc_id, source, avg_nll, n_kept,
+    cleaned); every rejected row lands under ``reject_dir/batch=<id>/``
+    with the stage that dropped it — nothing disappears silently.
+
+    Exactly-once under foreachBatch's at-least-once contract: the cut
+    is deterministic-idempotent (a replayed tag skips its committed
+    segment and excludes it from its own cut), and both landings are
+    batch-keyed tmp-write + rename swaps (with stranded-.old
+    reclamation).  Returns the ready DataStreamWriter."""
+    import os
+    import shutil
+
+    from .operators.corpus_ext import bigram_nll_against
+    from .operators.dedup import SpanIndexStore
+    from .operators.quality import gate_rows
+
+    store = SpanIndexStore(spark, os.path.join(state_dir, "spans"))
+    lm_dir = os.path.join(state_dir, "lm")
+
+    def _land(df, root: str, batch_id: int) -> None:
+        dest = os.path.join(root, f"batch={batch_id}")
+        tmp = os.path.join(root, f".batch_{batch_id}.tmp")
+        old = os.path.join(root, f".batch_{batch_id}.old")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(dest):
+            os.rename(dest, old)
+            os.rename(tmp, dest)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.makedirs(root, exist_ok=True)
+            os.rename(tmp, dest)
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        b = int(batch_id)
+        flagged = gate_rows(
+            batch_df,
+            {
+                "min_length": "n_chars >= 100",
+                "known_lang": "lang IN ('en','de','fr','es')",
+            },
+            not_null=["source"],
+        )
+        gate_bad = (
+            flagged.filter(F.size("_violations") > 0)
+            .select(
+                "doc_id",
+                F.concat(F.lit("gate:"), F.array_join("_violations", ",")).alias(
+                    "reject_reason"
+                ),
+            )
+        )
+        good = flagged.filter(F.size("_violations") == 0).drop("_violations")
+        nll = bigram_nll_against(
+            spark, good.select("doc_id", "text"), lm_dir
+        ).select("doc_id", "avg_nll")
+        good = good.join(nll, "doc_id", "left")
+        fluent = good.filter(F.col("avg_nll") <= nll_ceiling)
+        nll_bad = good.filter(
+            ~(F.col("avg_nll") <= nll_ceiling)
+        ).select("doc_id", F.lit("fluency:nll_over_ceiling").alias("reject_reason"))
+        cleaned = store.cut_admit(fluent.select("doc_id", "text"), f"b{b:08d}")
+        out = (
+            fluent.drop("text")
+            .join(cleaned.select("doc_id", "n_kept", "cleaned"), "doc_id")
+        )
+        husks = out.filter(F.col("n_kept") < min_kept_tokens).select(
+            "doc_id", F.lit("dedup:husk_below_floor").alias("reject_reason")
+        )
+        keep = out.filter(F.col("n_kept") >= min_kept_tokens).select(
+            "doc_id", "source", "avg_nll", "n_kept", "cleaned"
+        )
+        _land(keep, out_dir, b)
+        _land(gate_bad.unionByName(nll_bad).unionByName(husks), reject_dir, b)
+
+    return (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

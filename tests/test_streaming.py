@@ -1190,3 +1190,84 @@ def test_cut_ingest_stream_exactly_once_and_cross_batch(spark, tmp_path):
     r1 = {r.doc_id: r for r in store.cut_admit(b1, "b00000001").collect()}
     assert r1[20].cleaned == "second arrival"  # batch-0's SHIPPED span now cuts
     assert r1[21].n_kept == r1[21].n_tokens  # fresh text unscathed
+
+
+def test_curate_ingest_stream_funnel_and_exactly_once(spark, tmp_path):
+    """The streaming curation face end-to-end on a real stream: corpus
+    state frozen once; two file-batches flow through gate -> frozen-LM
+    ceiling -> incremental span cut -> husk floor.  Checks: (1) a
+    gate-violating row and a gibberish (all-OOV) row land in the
+    reject dir with their stage names; (2) a corpus span is cut and a
+    batch-2 copy of a span SHIPPED by batch 1 is cut (the rolling
+    index grew); (3) rerunning the stream from a FRESH checkpoint
+    (same source, same state) replaces batch dirs and appends no
+    duplicate index segments — outputs identical."""
+    import os
+
+    from oxidsql_spark.operators.dedup import _SPAN_K, SpanIndexStore
+    from oxidsql_spark.pipeline import build_curation_state, curate_ingest_stream
+
+    vocab = "key agg row scan slow fast table value part hash".split()
+
+    def fwd(rot):  # forward rotation — corpus orders
+        return " ".join(vocab[rot:] + vocab[:rot])
+
+    # batch docs use fixed PERMUTATIONS of the corpus vocabulary with
+    # pairwise-disjoint 6-gram sets, also disjoint from every corpus
+    # rotation (verified at authoring time) — rotations of one sequence
+    # share nearly all their 6-grams, so naive reorders cut each other
+    perm = [
+        "value row key part fast agg slow scan hash table",
+        "part key row fast value scan hash agg table slow",
+        "slow hash key row part value agg scan table fast",
+    ]
+
+    boiler = " ".join(f"c{j}" for j in range(_SPAN_K))
+    corpus_text = " ".join(fwd(r) for r in range(5)) + " " + boiler
+    corpus = spark.createDataFrame(
+        [(1, corpus_text)], "doc_id bigint, text string"
+    )
+    state = str(tmp_path / "state")
+    build_curation_state(spark, corpus, state)
+
+    novel = " ".join(f"n{j}" for j in range(_SPAN_K))
+    gibberish = " ".join(f"zq{j}" for j in range(30))  # all OOV, no repeats
+    rows0 = [
+        (10, perm[0] + " " + novel, "en", "src1", 300),  # survives, ships novel
+        (11, perm[1] + " " + boiler, "en", "src1", 300),  # corpus span cut
+        (12, perm[0], "xx", "src1", 300),  # gate: unknown lang
+        (13, gibberish, "en", "src1", 300),  # fluency: OOV gibberish
+    ]
+    rows1 = [
+        (20, perm[2] + " " + novel, "en", "src2", 300),  # batch-0's span now cuts
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows0, schema).coalesce(1).write.parquet(src + "/f0")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(src + "/f1")
+
+    out, rej = str(tmp_path / "out"), str(tmp_path / "rej")
+
+    def run(ck):
+        q = curate_ingest_stream(
+            spark, src + "/f*", state, out, rej, str(tmp_path / ck),
+            nll_ceiling=3.5,  # fluent-reorder ~2.4, fluent+6-OOV-novel ~3.1, all-OOV ~4.2
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(300)
+
+    run("ck1")
+    kept = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    rejected = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
+    assert 10 in kept and kept[10].n_kept == len(vocab) + _SPAN_K
+    assert 11 in kept and boiler not in kept[11].cleaned  # corpus span excised
+    assert kept[11].n_kept == len(vocab)
+    assert rejected[12].startswith("gate:")
+    assert rejected[13].startswith("fluency:")
+    assert 20 in kept and novel not in kept[20].cleaned  # cross-batch cut
+    store = SpanIndexStore(spark, os.path.join(state, "spans"))
+    n_segs = len(store._segments())
+
+    run("ck2")  # full REPLAY from a fresh checkpoint
+    kept2 = {r.doc_id: (r.n_kept, r.cleaned) for r in spark.read.parquet(out).collect()}
+    assert kept2 == {d: (r.n_kept, r.cleaned) for d, r in kept.items()}
+    assert len(store._segments()) == n_segs  # no duplicate segments

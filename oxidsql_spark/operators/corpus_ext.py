@@ -1907,3 +1907,95 @@ def bigram_nll_against(
             (-F.sum("w")).cast("double") / F.lit(1000000.0) / F.count(F.lit(1)), 4
         ).alias("avg_nll"),
     )
+
+
+_LMF_BATCH_SRCS = ("src15", "src16", "src17", "src18", "src19")
+_LMF_BATCH_IN = ", ".join(f"'{s}'" for s in _LMF_BATCH_SRCS)
+
+
+@register(
+    "text_lm_frozen_score",
+    oracle=f"""
+    WITH tall AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    cpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM tall WHERE source NOT IN ({_LMF_BATCH_IN}))),
+    cseq AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM cpos),
+    uni AS (SELECT term, count(*) AS c FROM cpos GROUP BY term),
+    v AS (SELECT count(*) AS v FROM uni),
+    n AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT prev, term, count(*) AS c FROM cseq
+           WHERE prev IS NOT NULL GROUP BY prev, term),
+    bibase AS (
+      SELECT bi.prev, bi.term,
+             CAST(bi.c + 1 AS DECIMAL(38,0)) AS num,
+             CAST(pu.c + v.v AS DECIMAL(38,0)) AS den
+      FROM bi JOIN uni pu ON pu.term = bi.prev CROSS JOIN v),
+    {_duck_fixlog("bibase", key="prev, term").replace("fxr", "bxr").replace("fxj", "bxj").replace("fxz", "bxz").replace("fxp", "bxp").replace("fxs", "bxs").replace("fw AS", "bfw AS").replace("pw AS", "bpw AS").replace("JOIN pw", "JOIN bpw").replace("FROM fxs", "FROM bxs")}
+    ,
+    ubase AS (
+      SELECT uni.term, CAST(uni.c + 1 AS DECIMAL(38,0)) AS num,
+             CAST(n.n + v.v AS DECIMAL(38,0)) AS den
+      FROM uni CROSS JOIN n CROSS JOIN v),
+    {_duck_fixlog("ubase", key="term")},
+    oovbase AS (SELECT 0 AS bkt, CAST(1 AS DECIMAL(38,0)) AS num,
+                       CAST(n.n + v.v AS DECIMAL(38,0)) AS den
+                FROM n CROSS JOIN v),
+    {_duck_fixlog("oovbase", key="bkt").replace("fxr", "oxr").replace("fxj", "oxj").replace("fxz", "oxz").replace("fxp", "oxp").replace("fxs", "oxs").replace("fw AS", "ofw AS").replace("pw AS", "opw AS").replace("JOIN pw", "JOIN opw").replace("FROM fxs", "FROM oxs")}
+    ,
+    bpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM tall WHERE source IN ({_LMF_BATCH_IN}))),
+    bseq AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM bpos),
+    scored AS (
+      SELECT s.doc_id,
+             coalesce(b.w, u.w, (SELECT w FROM ofw)) AS w
+      FROM bseq s
+      LEFT JOIN bfw b ON b.prev = s.prev AND b.term = s.term
+      LEFT JOIN fw u ON u.term = s.term)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(CAST(-sum(w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_lm_frozen_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN-LM scoring path driver-checked end-to-end: train the
+    bigram LM on the corpus split, persist it as the parquet artifact
+    (`build_bigram_lm` — exactly what the streaming curation face
+    scores against), and score the BATCH split against the frozen
+    tables with stupid-backoff: seen bigram -> conditional, unseen ->
+    the term's unigram, unseen term -> the frozen OOV mass.  The
+    oracle re-derives train+backoff+score fully in SQL on the same
+    split, so the artifact build -> read -> score path is proven
+    semantics-preserving (the build_span_index precedent, for the LM
+    artifact)."""
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(~F.col("source").isin(*_LMF_BATCH_SRCS)).select(
+        "doc_id", "text"
+    )
+    batch = d.filter(F.col("source").isin(*_LMF_BATCH_SRCS)).select(
+        "doc_id", "text"
+    )
+    lm_dir = _artifact_tmp("lmfroz", sf_dir)
+    import os
+
+    # consts is written LAST by build_bigram_lm and parquet writes its
+    # _SUCCESS marker last, so this is the committed-build sentinel —
+    # a crashed partial build rebuilds instead of being read torn
+    if not os.path.exists(os.path.join(lm_dir, "consts", "_SUCCESS")):
+        build_bigram_lm(spark, corpus, lm_dir)
+    return bigram_nll_against(spark, batch, lm_dir)

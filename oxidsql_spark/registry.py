@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_curate_scrub_q",
     "decontaminate_report",
     "quality_rank_filter",
+    "text_lm_frozen_score",
     # rewritten in round 11 (16-char md5 gram shuffle keys — same
     # semantics, re-prove against the re-keyed oracles):
     "dedup_span_cut",

@@ -33,6 +33,7 @@ oxidsql_spark.cachescope).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -50,28 +51,20 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
     inputs are single files with one row group each, so every scan ran
     as ONE task — scan-bound heads were parallelism-starved at base
     and their stress ratios dipped below 1 (SCALE.md r10).  Target
-    ~16 MB files, capped at 32 (the local core count): the same
-    file/row-group-follows-parallelism rule `sinks.compact` encodes
-    for 100 TB layouts.  Build is crash-safe: fresh build dir + one
-    rename; an existing marker short-circuits (never wipe-and-rebuild
-    the same path — stale file-listing caches, r9 lesson)."""
+    ~256 KB per file, capped at 32 files (the local core count): the
+    same file/row-group-follows-parallelism rule `sinks.compact`
+    encodes for 100 TB layouts.  Build is crash-safe: fresh build dir
+    + one rename; an existing marker short-circuits ONLY when its
+    recorded source fingerprint (per-table sizes+mtimes) still matches
+    the sf dir, so a regenerated sf dir triggers a rebuild (never
+    wipe-and-rebuild the same path — stale file-listing caches, r9
+    lesson; a stale fingerprint builds a FRESH suffixed dir)."""
     import shutil
 
     from oxidsql_spark.sources import TABLES
 
-    tag = sf_dir.rstrip("/").replace("/", "_")
-    dst = f"/tmp/oxidsql_benchbase{tag}"
-    marker = os.path.join(dst, "_LAYOUT_OK")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return dst, json.load(fh)
-    tmp = f"{dst}.build_{os.getpid()}"
-    shutil.rmtree(tmp, ignore_errors=True)
-    os.makedirs(tmp)
-    files: dict[str, int] = {}
-    for t in TABLES:
-        src = os.path.join(sf_dir, f"{t}.parquet")
-        nbytes = (
+    def _tbytes(src: str) -> int:
+        return (
             sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(src)
@@ -80,6 +73,33 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
             if os.path.isdir(src)
             else os.path.getsize(src)
         )
+
+    def _fingerprint() -> dict[str, list[int]]:
+        fp = {}
+        for t in TABLES:
+            src = os.path.join(sf_dir, f"{t}.parquet")
+            fp[t] = [_tbytes(src), int(os.path.getmtime(src))]
+        return fp
+
+    src_fp = _fingerprint()
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    # fingerprint participates in the path: a regenerated sf dir gets a
+    # FRESH base dir rather than an in-place rebuild of the old one
+    fp_tag = hashlib.md5(json.dumps(src_fp, sort_keys=True).encode()).hexdigest()[:8]
+    dst = f"/tmp/oxidsql_benchbase{tag}_{fp_tag}"
+    marker = os.path.join(dst, "_LAYOUT_OK")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            meta = json.load(fh)
+        if meta.get("src_fp") == src_fp:
+            return dst, meta["files"]
+    tmp = f"{dst}.build_{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    files: dict[str, int] = {}
+    for t in TABLES:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        nbytes = _tbytes(src)
         # target = bytes/256K capped at the 32 local cores: sf0.1's
         # LARGEST table is ~11 MB compressed, so a "cluster-realistic"
         # 128 MB file target would leave every scan single-task — the
@@ -92,7 +112,7 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
             "overwrite"
         ).parquet(os.path.join(tmp, f"{t}.parquet"))
     with open(os.path.join(tmp, "_LAYOUT_OK"), "w") as fh:
-        json.dump(files, fh)
+        json.dump({"files": files, "src_fp": src_fp}, fh)
     if os.path.exists(dst):  # concurrent builder won the rename
         shutil.rmtree(tmp, ignore_errors=True)
     else:

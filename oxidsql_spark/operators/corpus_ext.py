@@ -533,59 +533,44 @@ def _fixlog_micro(df: DataFrame) -> DataFrame:
     )
 
 
-def _duck_fixlog(rel: str, key: str = "bkt") -> str:
-    """CTE chain text: ``rel``(<key cols>, num, den) -> ``fw``(<key
-    cols>, w BIGINT), the DuckDB twin of _fixlog_micro (same
-    fixed-point algorithm, same constants, `//` for integer division).
-    ``key`` may be a comma-separated column list (the bigram LM keys
-    per (prev, term))."""
+def _duck_fixlog(rel: str, key: str = "bkt", prefix: str = "fx") -> str:
+    """CTE chain text: ``rel``(<key cols>, num, den) ->
+    ``{prefix}w``(<key cols>, w BIGINT), the DuckDB twin of
+    _fixlog_micro (same fixed-point algorithm, same constants, `//`
+    for integer division).  ``key`` may be a comma-separated column
+    list (the bigram LM keys per (prev, term)).  ``prefix`` names
+    EVERY generated CTE (``{prefix}pw``, ``{prefix}r`` ...
+    ``{prefix}w``) so one oracle can nest several chains without the
+    order-sensitive string .replace() renames this helper used to
+    force on callers (r11 ADVICE)."""
+    p = prefix
+    series = "\n".join(
+        f"""    {p}p{i + 1} AS (SELECT {key}, m, z2a, z2b, p, acc + p // {2 * i + 3} AS acc FROM
+             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM {p}p{i})),"""
+        for i in range(13)
+    )
     return f"""
-    pw AS (
+    {p}pw AS (
       SELECT m, CASE WHEN m >= 0 THEN CAST(1::BIGINT << m AS DOUBLE)
                      ELSE 1.0 / CAST(1::BIGINT << (-m) AS DOUBLE) END AS lo
       FROM (SELECT unnest(generate_series(-62, 62)) AS m)),
-    fxr AS (SELECT {key}, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ratio FROM {rel}),
-    fxj AS (SELECT {key}, ratio / lo AS rp, m FROM fxr
-            JOIN pw ON ratio >= lo AND ratio < 2 * lo),
-    fxz AS (SELECT {key}, m,
+    {p}r AS (SELECT {key}, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ratio FROM {rel}),
+    {p}j AS (SELECT {key}, ratio / lo AS rp, m FROM {p}r
+            JOIN {p}pw ON ratio >= lo AND ratio < 2 * lo),
+    {p}z AS (SELECT {key}, m,
                    CAST(floor((rp - 1.0) / (rp + 1.0) * {float(_FIXLOG_S)})
                         AS BIGINT) AS z
-            FROM fxj),
-    fxz2 AS (SELECT {key}, m, z,
+            FROM {p}j),
+    {p}z2 AS (SELECT {key}, m, z,
                     (z * (z // 1000000) + (z * (z % 1000000)) // 1000000) // 1000000 AS z2
-             FROM fxz),
-    fxp0 AS (SELECT {key}, m, z2 // 1000000 AS z2a, z2 % 1000000 AS z2b,
-                    z AS p, z AS acc FROM fxz2),
-    fxp1 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 3 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp0)),
-    fxp2 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 5 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp1)),
-    fxp3 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 7 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp2)),
-    fxp4 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 9 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp3)),
-    fxp5 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 11 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp4)),
-    fxp6 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 13 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp5)),
-    fxp7 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 15 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp6)),
-    fxp8 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 17 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp7)),
-    fxp9 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 19 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp8)),
-    fxp10 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 21 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp9)),
-    fxp11 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 23 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp10)),
-    fxp12 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 25 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp11)),
-    fxp13 AS (SELECT {key}, m, z2a, z2b, p, acc + p // 27 AS acc FROM
-             (SELECT {key}, m, z2a, z2b, (p * z2a + (p * z2b) // 1000000) // 1000000 AS p, acc FROM fxp12)),
-    fxs AS (SELECT {key}, m * {_FIXLOG_LN2} + 2 * acc AS L FROM fxp13),
-    fw AS (SELECT {key}, CAST(CASE WHEN L >= 0 THEN (L + 500000) // 1000000
+             FROM {p}z),
+    {p}p0 AS (SELECT {key}, m, z2 // 1000000 AS z2a, z2 % 1000000 AS z2b,
+                    z AS p, z AS acc FROM {p}z2),
+{series}
+    {p}s AS (SELECT {key}, m * {_FIXLOG_LN2} + 2 * acc AS L FROM {p}p13),
+    {p}w AS (SELECT {key}, CAST(CASE WHEN L >= 0 THEN (L + 500000) // 1000000
                                  ELSE -((-L + 500000) // 1000000) END AS BIGINT) AS w
-           FROM fxs)"""
+           FROM {p}s)"""
 
 
 
@@ -911,8 +896,8 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_duck_fixlog("base", key="term")}
     SELECT terms.doc_id,
            count(*) AS n_tokens,
-           round(CAST(-sum(fw.w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
-    FROM terms JOIN fw USING (term)
+           round(CAST(-sum(fxw.w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
+    FROM terms JOIN fxw USING (term)
     GROUP BY terms.doc_id
     """,
 )
@@ -1333,7 +1318,7 @@ def _dsir_terms_and_weights(spark: SparkSession, sf_dir: str):
     oracle=f"""
     WITH {_DSIR_CNT_SQL},
     {_duck_fixlog("base")}
-    SELECT base.bkt, tc, rc, w AS w_micro FROM base JOIN fw USING (bkt)
+    SELECT base.bkt, tc, rc, w AS w_micro FROM base JOIN fxw USING (bkt)
     """,
 )
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1355,8 +1340,8 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_duck_fixlog("base")},
     scored AS (
       SELECT terms.doc_id, count(*) AS n_tokens,
-             CAST(sum(fw.w) AS BIGINT) AS dsir_weight_micro
-      FROM terms JOIN fw USING (bkt)
+             CAST(sum(fxw.w) AS BIGINT) AS dsir_weight_micro
+      FROM terms JOIN fxw USING (bkt)
       WHERE terms.source NOT IN ({_DSIR_TGT_IN})
       GROUP BY terms.doc_id)
     SELECT doc_id, n_tokens, dsir_weight_micro FROM (
@@ -1430,7 +1415,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(bi.c + 1 AS DECIMAL(38,0)) AS num,
              CAST(pu.c + v.v AS DECIMAL(38,0)) AS den
       FROM bi JOIN uni pu ON pu.term = bi.prev CROSS JOIN v),
-    {_duck_fixlog("bibase", key="prev, term").replace("fxr", "bxr").replace("fxj", "bxj").replace("fxz", "bxz").replace("fxp", "bxp").replace("fxs", "bxs").replace("fw AS", "bfw AS").replace("pw AS", "bpw AS").replace("JOIN pw", "JOIN bpw").replace("FROM fxs", "FROM bxs")}
+    {_duck_fixlog("bibase", key="prev, term", prefix="bx")}
     ,
     hterms AS (SELECT DISTINCT term FROM seq WHERE prev IS NULL),
     ubase AS (  -- unigram head probability -> fixlog micro
@@ -1442,8 +1427,8 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.doc_id,
              CASE WHEN s.prev IS NULL THEN u.w ELSE b.w END AS w
       FROM seq s
-      LEFT JOIN bfw b ON b.prev = s.prev AND b.term = s.term
-      LEFT JOIN fw u ON u.term = s.term)
+      LEFT JOIN bxw b ON b.prev = s.prev AND b.term = s.term
+      LEFT JOIN fxw u ON u.term = s.term)
     SELECT doc_id, count(*) AS n_tokens,
            round(CAST(-sum(w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
     FROM scored GROUP BY doc_id
@@ -1745,8 +1730,8 @@ _QRANK_KEEP_PCT = 90  # keep the best 90% by fluency rank
     {_duck_fixlog("base", key="term")},
     nll AS (
       SELECT terms.doc_id, count(*) AS n_tokens,
-             (CAST(-sum(fw.w) AS BIGINT) * 1000) // count(*) AS qscore
-      FROM terms JOIN fw USING (term)
+             (CAST(-sum(fxw.w) AS BIGINT) * 1000) // count(*) AS qscore
+      FROM terms JOIN fxw USING (term)
       GROUP BY terms.doc_id),
     ranked AS (
       SELECT doc_id, n_tokens, qscore,
@@ -1937,7 +1922,7 @@ _LMF_BATCH_IN = ", ".join(f"'{s}'" for s in _LMF_BATCH_SRCS)
              CAST(bi.c + 1 AS DECIMAL(38,0)) AS num,
              CAST(pu.c + v.v AS DECIMAL(38,0)) AS den
       FROM bi JOIN uni pu ON pu.term = bi.prev CROSS JOIN v),
-    {_duck_fixlog("bibase", key="prev, term").replace("fxr", "bxr").replace("fxj", "bxj").replace("fxz", "bxz").replace("fxp", "bxp").replace("fxs", "bxs").replace("fw AS", "bfw AS").replace("pw AS", "bpw AS").replace("JOIN pw", "JOIN bpw").replace("FROM fxs", "FROM bxs")}
+    {_duck_fixlog("bibase", key="prev, term", prefix="bx")}
     ,
     ubase AS (
       SELECT uni.term, CAST(uni.c + 1 AS DECIMAL(38,0)) AS num,
@@ -1947,7 +1932,7 @@ _LMF_BATCH_IN = ", ".join(f"'{s}'" for s in _LMF_BATCH_SRCS)
     oovbase AS (SELECT 0 AS bkt, CAST(1 AS DECIMAL(38,0)) AS num,
                        CAST(n.n + v.v AS DECIMAL(38,0)) AS den
                 FROM n CROSS JOIN v),
-    {_duck_fixlog("oovbase", key="bkt").replace("fxr", "oxr").replace("fxj", "oxj").replace("fxz", "oxz").replace("fxp", "oxp").replace("fxs", "oxs").replace("fw AS", "ofw AS").replace("pw AS", "opw AS").replace("JOIN pw", "JOIN opw").replace("FROM fxs", "FROM oxs")}
+    {_duck_fixlog("oovbase", key="bkt", prefix="ox")}
     ,
     bpos AS (
       SELECT doc_id, u.p AS pos, u.tk AS term FROM (
@@ -1961,10 +1946,10 @@ _LMF_BATCH_IN = ", ".join(f"'{s}'" for s in _LMF_BATCH_SRCS)
       FROM bpos),
     scored AS (
       SELECT s.doc_id,
-             coalesce(b.w, u.w, (SELECT w FROM ofw)) AS w
+             coalesce(b.w, u.w, (SELECT w FROM oxw)) AS w
       FROM bseq s
-      LEFT JOIN bfw b ON b.prev = s.prev AND b.term = s.term
-      LEFT JOIN fw u ON u.term = s.term)
+      LEFT JOIN bxw b ON b.prev = s.prev AND b.term = s.term
+      LEFT JOIN fxw u ON u.term = s.term)
     SELECT doc_id, count(*) AS n_tokens,
            round(CAST(-sum(w) AS DOUBLE) / 1000000.0 / count(*), 4) AS avg_nll
     FROM scored GROUP BY doc_id

@@ -189,31 +189,48 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", n_bpeish.alias("n_bpeish"), n_ws.alias("n_ws"))
 
 
-@register(
-    "text_redact_pii",
-    oracle=r"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
-           length(text) - length(
-             regexp_replace(
-               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g')) AS delta_chars
-    FROM documents
-    """,
-)
+# The production PII pattern set (C4/Dolma-style breadth), applied in a
+# FIXED order so the patterns cannot bite each other's matches:
+#   email first (its local part may contain digits the number patterns
+#   would chew), then the 16-digit card run (before phone: a spaced card
+#   contains phone-shaped digit groups), then SSN (3-2-4 — disjoint from
+#   phone's 3-3/4-4 but scrubbed before any loosening of phone), then
+#   IPv4 (before phone: phone's dot separator would eat dotted quads
+#   whose last octet is 4 digits... it can't, but order makes it moot),
+#   then phone.  All RE2-safe (no backrefs/lookarounds) so the DuckDB
+#   oracle runs the IDENTICAL patterns.
+_PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "<CC>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def _pii_oracle() -> str:
+    expr = "text"
+    for pat, tok in _PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    return f"""
+    WITH r AS (SELECT doc_id, text, {expr} AS redacted FROM documents)
+    SELECT doc_id, redacted, length(text) - length(redacted) AS delta_chars
+    FROM r
+    """
+
+
+@register("text_redact_pii", oracle=_pii_oracle())
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub for a training corpus: emails and phone-shaped numbers
-    replaced by typed placeholder tokens. Pure regexp_replace — JVM-side,
-    embarrassingly parallel, no shuffle; the regexes are RE2-safe so the
-    DuckDB oracle runs the identical patterns. delta_chars doubles as a
-    cheap 'how much PII was here' audit metric."""
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-    phone = r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b"
-    redacted = F.regexp_replace(
-        F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>"
-    )
+    """PII scrub for a training corpus: emails, 16-digit card runs,
+    SSN-shaped ids, IPv4 addresses, and phone-shaped numbers replaced
+    by typed placeholder tokens (the C4/Dolma production pattern set).
+    Pure regexp_replace chain — JVM-side, embarrassingly parallel, no
+    shuffle; the regexes are RE2-safe so the DuckDB oracle runs the
+    identical patterns in the identical order. delta_chars doubles as
+    a cheap 'how much PII was here' audit metric."""
+    redacted = F.col("text")
+    for pat, tok in _PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, tok)
     return table(spark, sf_dir, "documents").select(
         "doc_id",
         redacted.alias("redacted"),

@@ -710,9 +710,17 @@ def curate_ingest_stream(
             spark, good.select("doc_id", "text"), lm_dir
         ).select("doc_id", "avg_nll")
         good = good.join(nll, "doc_id", "left")
+        # A doc whose text tokenizes to zero tokens (e.g. whitespace-only
+        # text under a lying n_chars) gets NO row from bigram_nll_against,
+        # so avg_nll is NULL after the left join and fails BOTH the <= and
+        # the ~(<=) filter — route it explicitly so nothing disappears
+        # silently (the funnel's contract).
         fluent = good.filter(F.col("avg_nll") <= nll_ceiling)
+        unscorable = good.filter(F.col("avg_nll").isNull()).select(
+            "doc_id", F.lit("fluency:unscorable").alias("reject_reason")
+        )
         nll_bad = good.filter(
-            ~(F.col("avg_nll") <= nll_ceiling)
+            F.col("avg_nll") > nll_ceiling
         ).select("doc_id", F.lit("fluency:nll_over_ceiling").alias("reject_reason"))
         cleaned = store.cut_admit(fluent.select("doc_id", "text"), f"b{b:08d}")
         out = (
@@ -726,7 +734,11 @@ def curate_ingest_stream(
             "doc_id", "source", "avg_nll", "n_kept", "cleaned"
         )
         _land(keep, out_dir, b)
-        _land(gate_bad.unionByName(nll_bad).unionByName(husks), reject_dir, b)
+        _land(
+            gate_bad.unionByName(unscorable).unionByName(nll_bad).unionByName(husks),
+            reject_dir,
+            b,
+        )
 
     return (
         spark.readStream.schema(

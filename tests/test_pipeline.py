@@ -533,3 +533,40 @@ def test_curate_scrub_variant_bites(spark, sf_dir):
     shorter = [d for d in plain if scrubbed.get(d, 0) < plain[d]]
     assert shorter, "scrub stage was a no-op on the fixture"
     assert all(scrubbed.get(d, 0) <= plain[d] for d in plain)
+
+
+def test_redact_pii_pattern_breadth(spark, tmp_path):
+    """One fixture per PII pattern (email, 16-digit card — spaced,
+    dashed, and bare — SSN, IPv4, phone), plus an interaction row
+    carrying several at once, pushed through the registered query's own
+    regex chain.  Locks the pattern ORDER contract: a spaced card must
+    become ONE <CC>, not a <PHONE> bite out of its middle, and a dotted
+    quad must become <IP>, not a dotted-phone match."""
+    from oxidsql_spark.operators.textops import _PII_PATTERNS
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.org today"),
+        (2, "card 1234-5678-9012-3456 on file"),
+        (3, "card 1234 5678 9012 3456 on file"),
+        (4, "card 1234567890123456 on file"),
+        (5, "ssn 123-45-6789 leaked"),
+        (6, "host 192.168.0.1 responded"),
+        (7, "call 555-867-5309 or 555.867.5309"),
+        (8, "jane@ex.org ip 10.0.0.7 cc 4111 1111 1111 1111 ssn 987-65-4321 tel 212-555-0199"),
+        (9, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    red = F.col("text")
+    for pat, tok in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    out = {r.doc_id: r.redacted for r in df.select("doc_id", red.alias("redacted")).collect()}
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "card <CC> on file"
+    assert out[3] == "card <CC> on file"  # spaced card is ONE token, no <PHONE> bite
+    assert out[4] == "card <CC> on file"
+    assert out[5] == "ssn <SSN> leaked"
+    assert out[6] == "host <IP> responded"
+    assert out[7] == "call <PHONE> or <PHONE>"
+    assert out[8] == "<EMAIL> ip <IP> cc <CC> ssn <SSN> tel <PHONE>"
+    assert out[9] == "no pii here at all"

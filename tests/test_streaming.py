@@ -1237,6 +1237,10 @@ def test_curate_ingest_stream_funnel_and_exactly_once(spark, tmp_path):
         (11, perm[1] + " " + boiler, "en", "src1", 300),  # corpus span cut
         (12, perm[0], "xx", "src1", 300),  # gate: unknown lang
         (13, gibberish, "en", "src1", 300),  # fluency: OOV gibberish
+        # metadata lies: n_chars passes the gate but the text tokenizes to
+        # ZERO tokens -> bigram_nll_against emits no row -> avg_nll NULL.
+        # Must land in the reject dir as fluency:unscorable, not vanish.
+        (14, "   ", "en", "src1", 300),
     ]
     rows1 = [
         (20, perm[2] + " " + novel, "en", "src2", 300),  # batch-0's span now cuts
@@ -1263,7 +1267,12 @@ def test_curate_ingest_stream_funnel_and_exactly_once(spark, tmp_path):
     assert kept[11].n_kept == len(vocab)
     assert rejected[12].startswith("gate:")
     assert rejected[13].startswith("fluency:")
+    assert rejected[14] == "fluency:unscorable"  # NULL-scored row not dropped
     assert 20 in kept and novel not in kept[20].cleaned  # cross-batch cut
+    # nothing disappears silently: every input doc is in exactly one side
+    all_ids = {r[0] for r in rows0} | {r[0] for r in rows1}
+    assert set(kept) | set(rejected) == all_ids
+    assert set(kept) & set(rejected) == set()
     store = SpanIndexStore(spark, os.path.join(state, "spans"))
     n_segs = len(store._segments())
 

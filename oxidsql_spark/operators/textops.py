@@ -673,3 +673,266 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(win))
     )
     return top.select("pair", "cnt", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# iterative BPE tokenizer training (Sennrich et al. 2016) — the frozen
+# merge-table artifact a real tokenizer build produces, not just one
+# round's pair counts (bpe_pair_counts above).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 12  # rounds for the registered queries (oracle unrolls them)
+
+# Training universe: lowercase alnum word TYPES of length >= 2 (standard
+# normalization; single-symbol words carry no pairs).  The symbol
+# alphabet therefore never contains '(' or ')', which makes the wrapped
+# string encoding below collision-free.
+_BPE_WORD_RE = "^[a-z0-9]+$"
+
+
+def _bpe_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the training universe — the word-TYPE table
+    every round operates on.  Vocabulary-bounded: its size is the
+    distinct-word count, independent of corpus size, which is what
+    makes N-round training tractable at 100 TB (one corpus-sized
+    tokenize+count, then N rounds over the type table)."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter((F.length("word") >= 2) & F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _bpe_syms_of(enc_col) -> "F.Column":
+    """Symbol array from the wrapped encoding '(a)(b)(c)' -> [a,b,c]."""
+    body = enc_col.substr(F.lit(2), F.length(enc_col) - 2)
+    return F.split(body, r"\)\(")
+
+
+def _bpe_syms(enc: str) -> "F.Column":
+    return _bpe_syms_of(F.col(enc))
+
+
+def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES):
+    """Train a byte-pair-encoding merge table: per round, count adjacent
+    symbol pairs weighted by word frequency, pick the argmax pair
+    (count DESC, then (left, right) ASC — fully deterministic), merge
+    it greedily left-to-right in every word, repeat.  Returns the list
+    of merge rules [(rank, left, right, merged, cnt), ...], stopping
+    early if a round finds no pairs.
+
+    Greedy-merge representation: each word rides as the wrapped string
+    '(s1)(s2)...' and the merge of pair (a, b) is the literal
+    non-overlapping left-to-right replace of '(a)(b)' with '(ab)' —
+    exactly BPE's scan semantics ('(a)(a)(a)' -> '(aa)(a)'), and the
+    wrapping makes a mid-symbol false match impossible (the pattern's
+    leading '(' must sit at a symbol start).  DuckDB's replace() has
+    identical semantics, so the oracle unrolls the same rounds.
+
+    Scale shape: every round is ONE pair-count aggregation over the
+    vocabulary-sized type table (shuffle bounded by distinct pairs, not
+    corpus tokens) + ONE driver-collected argmax row (the trainer's
+    control decision — the k-means-centroid precedent) + ONE string
+    replace projection.  Each generation is scoped_local_checkpoint'd:
+    the frame is referenced twice per round (count + merge), so lineage
+    must truncate (cachescope discipline)."""
+    from ..cachescope import free_local_checkpoint, scoped_local_checkpoint
+
+    wf = scoped_local_checkpoint(
+        _bpe_word_freqs(docs).withColumn(
+            "enc", F.regexp_replace("word", "(.)", r"($1)")
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = wf
+    for rnd in range(1, n_merges + 1):
+        syms = _bpe_syms("enc")
+        m = F.greatest(F.size(syms) - 1, F.lit(0))
+        pair = F.explode(
+            F.zip_with(
+                F.slice(syms, 1, m),
+                F.slice(syms, 2, m),
+                lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+            )
+        ).alias("p")
+        top = (
+            cur.select("freq", pair)
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
+        merges.append((rnd, l, r, l + r, cnt))
+        nxt = scoped_local_checkpoint(
+            cur.withColumn(
+                "enc", F.replace("enc", F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+            )
+        )
+        if cur is not wf:
+            free_local_checkpoint(cur)
+        cur = nxt
+    return merges, cur
+
+
+def bpe_build(
+    spark: SparkSession, docs: DataFrame, out_dir: str, n_merges: int = _BPE_MERGES
+) -> None:
+    """Train and FREEZE the merge table as a parquet artifact at
+    ``out_dir/merges`` (rank, left, right, merged, cnt) — the
+    build_bigram_lm discipline: the parquet _SUCCESS marker of the
+    single table is the committed-build sentinel."""
+    import os
+
+    merges, _ = bpe_train(spark, docs, n_merges)
+    spark.createDataFrame(
+        merges, "rnk int, l string, r string, merged string, cnt bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "merges"))
+
+
+def bpe_encode(spark: SparkSession, docs: DataFrame, bpe_dir: str) -> DataFrame:
+    """Encode documents against a FROZEN merge artifact: load the
+    ranked merges (artifact-sized driver collect — n_merges rows),
+    apply them in rank order to each distinct word's wrapped encoding
+    (applying frozen merges in training order over training-universe
+    words reproduces the trainer's final state — the BPE replay
+    property), then join word types back to per-doc word occurrences.
+    Returns (doc_id, word, n_syms): the per-occurrence symbol count.
+
+    Scale shape: the merge chain runs over the vocabulary-sized type
+    table (N literal replaces in ONE projection — no per-round jobs at
+    encode time); the join back to occurrences is word-keyed and AQE
+    broadcasts the type table while it is genuinely small."""
+    import os
+
+    rules = (
+        spark.read.parquet(os.path.join(bpe_dir, "merges"))
+        .orderBy("rnk")
+        .collect()
+    )
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter((F.length("word") >= 2) & F.col("word").rlike(_BPE_WORD_RE))
+    enc = F.regexp_replace("word", "(.)", r"($1)")
+    for m in rules:
+        enc = F.replace(enc, F.lit(f"({m.l})({m.r})"), F.lit(f"({m.merged})"))
+    types = words.select("word").distinct().select(
+        "word", F.size(_bpe_syms_of(enc)).alias("n_syms")
+    )
+    return words.join(types, "word").select("doc_id", "word", "n_syms")
+
+
+_DUCK_BPE_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END"
+)
+
+
+def _bpe_oracle_chain(n: int) -> str:
+    """Unrolled N-round BPE training as a linear CTE chain (the fused
+    Lloyd-chain oracle precedent, similarity.py): per round, pair
+    counts from the current encodings, the deterministic argmax, and
+    the greedy merge via DuckDB's replace() (identical non-overlapping
+    left-to-right semantics to Spark's).  Every CTE references its
+    predecessor BY NAME — linear SQL text, never nested f-strings (the
+    r11 fixlog 2^N-blowup lesson).  An exhausted round's t{{k}} is
+    empty; the coalesce keeps the merge a no-op instead of NULLing the
+    corpus (chr(1) never occurs in an encoding)."""
+    parts = [
+        f"""wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest({_DUCK_BPE_TOKS}) AS word FROM documents)
+      WHERE length(word) >= 2 AND regexp_matches(word, '{_BPE_WORD_RE}')
+      GROUP BY word),
+    w0 AS MATERIALIZED (SELECT word, freq, regexp_replace(word, '(.)', '(\\1)', 'g') AS enc FROM wf)"""
+    ]
+    for k in range(n):
+        parts.append(
+            f"""s{k} AS (SELECT freq, str_split(substring(enc, 2, length(enc) - 2), ')(') AS syms FROM w{k}),
+    p{k} AS (
+      SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS u
+        FROM s{k}) GROUP BY u.l, u.r),
+    t{k} AS (SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    w{k + 1} AS MATERIALIZED (SELECT word, freq,
+      replace(enc, coalesce((SELECT '(' || l || ')(' || r || ')' FROM t{k}), chr(1)),
+                   coalesce((SELECT '(' || l || r || ')' FROM t{k}), chr(1))) AS enc
+      FROM w{k})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_oracle(n: int = _BPE_MERGES) -> str:
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {k + 1} AS rnk, l, r, l || r AS merged, cnt FROM t{k}"
+        for k in range(n)
+    )
+    return f"""
+    WITH {_bpe_oracle_chain(n)}
+    SELECT rnk, l, r, merged, cnt FROM ({rows})
+    """
+
+
+@register("bpe_train_merges", oracle=_bpe_merges_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked iterative BPE training: the ranked merge table
+    after {n} rounds over the documents corpus — rank, left symbol,
+    right symbol, merged symbol, and the weighted pair count that won
+    the round.  The oracle unrolls the same rounds in SQL, so argmax
+    tie-breaks, greedy-merge scan semantics, and frequency weighting
+    are all proven cross-engine."""
+    d = table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(spark, d.select("text"), _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rnk int, l string, r string, merged string, cnt bigint"
+    )
+
+
+def _bpe_encode_oracle(n: int = _BPE_MERGES) -> str:
+    return f"""
+    WITH {_bpe_oracle_chain(n)},
+    fin AS (SELECT word,
+                   len(str_split(substring(enc, 2, length(enc) - 2), ')(')) AS n_syms
+            FROM w{n}),
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest({_DUCK_BPE_TOKS}) AS word FROM documents)
+      WHERE length(word) >= 2 AND regexp_matches(word, '{_BPE_WORD_RE}'))
+    SELECT doc_id,
+           count(*) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN fin USING (word)
+    GROUP BY doc_id
+    """
+
+
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The freeze -> load -> apply chain driver-checked end-to-end:
+    train the BPE merge table on the corpus, persist it as the parquet
+    artifact, ENCODE the same corpus against the frozen artifact (the
+    replay property: applying frozen merges in rank order over
+    training-universe words reproduces the trainer's final state), and
+    report per-doc token-budget stats — qualifying word count, char
+    count, and the post-BPE token count an LLM data pipeline budgets
+    by.  The oracle re-derives train + encode fully in SQL."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    bdir = _artifact_tmp("bpe", sf_dir)
+    if not os.path.exists(os.path.join(bdir, "merges", "_SUCCESS")):
+        bpe_build(spark, d.select("text"), bdir, _BPE_MERGES)
+    enc = bpe_encode(spark, d.select("doc_id", "text"), bdir)
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
+    )

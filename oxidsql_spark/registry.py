@@ -58,40 +58,16 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-11 start: 13 of the 14 round-10 priority names went
-    # driver-green in CORRECTNESS_r10.json and retire to the stable
-    # rotation.  dsir_select stays (its r10 row was hash-red in the
-    # driver env only — the weight pipeline is now rebuilt on the
-    # engine-version-proof fixed-point log) and gains its diagnostic
-    # companion.  The list is kept lean so the stable pool's
-    # stalest-first ordering rotates the 14 remaining <=r6 rows
-    # (VERDICT r10 task 2) through this window's ~40 stable slots.
-    "dsir_select",
-    "dsir_weights",
-    "corpus_curate_q",
-    "ann_opq_adc",
-    # rewritten in round 11 (real windowed-sinc resampler + exact
-    # integer-convolution oracle, replacing the decimation stub):
-    "mm_audio_resample",
-    # new in round 11 — never driver-checked:
-    "mm_caption_dedup",
-    "dedup_span_scrub",
-    "decontaminate_semantic",
-    "source_mix_temperature",
-    "ann_opq_ivfadc",
-    "corpus_curate_scrub_q",
-    "decontaminate_report",
-    "quality_rank_filter",
-    "text_lm_frozen_score",
-    # rewritten in round 11 (16-char md5 gram shuffle keys — same
-    # semantics, re-prove against the re-keyed oracles):
-    "dedup_span_cut",
-    "dedup_span_cut_incremental",
-    "dedup_span_coverage",
-    # rewritten r11: LM quantization moved onto the fixed-point log
-    # (plus the forced head-term broadcast drop on the bigram):
-    "text_lm_bigram_score",
-    "text_lm_score",
+    # round-12 start: all 19 round-11 priority names were driver-green
+    # in CORRECTNESS_r11.json and retire to the stable rotation, which
+    # now fronts the 26 r7-stale rows (VERDICT r11 missing #5).  Kept
+    # lean so they all fit the 50-row window.
+    # new in round 12 — never driver-checked:
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    # rewritten in round 12 (IPv4/SSN/credit-card patterns added in a
+    # fixed order; oracle rebuilt from the same pattern list):
+    "text_redact_pii",
 )
 
 

@@ -1,0 +1,78 @@
+"""Iterative BPE tokenizer training: greedy-merge semantics, argmax
+tie-breaks, the prefix property (an N-merge train's first k rules equal
+the k-merge train — round-count invariance), early stop on exhaustion,
+and the freeze -> load -> apply replay property.
+"""
+
+from __future__ import annotations
+
+from oxidsql_spark.operators.textops import bpe_build, bpe_encode, bpe_train
+
+
+def _docs(spark, words_with_freq):
+    """One doc per word occurrence — freq via repetition."""
+    rows = []
+    i = 0
+    for w, n in words_with_freq:
+        for _ in range(n):
+            rows.append((i, w))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_bpe_toy_merge_sequence(spark):
+    """Hand-computed 4-round sequence on the Sennrich-style toy corpus.
+    Round 1 is a count TIE ((e,s)=9 vs (s,t)=9) resolved by the (l, r)
+    ascending tie-break; round 3 ties (l,o)=(o,w)=7 the same way."""
+    docs = _docs(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    merges, _ = bpe_train(spark, docs, n_merges=4)
+    assert merges == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+    ]
+
+
+def test_bpe_greedy_overlap_and_early_stop(spark):
+    """Overlapping pair occurrences merge greedily left-to-right:
+    'aaaa' has THREE (a,a) adjacencies but only TWO non-overlapping
+    merges ((aa)(aa), never (a)(aa)(a)); and once every word is a
+    single symbol the trainer stops early instead of emitting junk."""
+    docs = _docs(spark, [("aaaa", 3)])
+    merges, final = bpe_train(spark, docs, n_merges=5)
+    assert merges == [
+        (1, "a", "a", "aa", 9),  # 3 occurrences x 3 adjacencies
+        (2, "aa", "aa", "aaaa", 3),
+    ]
+    assert [r.enc for r in final.collect()] == ["(aaaa)"]
+
+
+def test_bpe_prefix_property(spark):
+    """Round-count invariance: training with MORE rounds never changes
+    the earlier rules — merges(8)[:4] == merges(4)."""
+    docs = _docs(
+        spark,
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3), ("wide", 4)],
+    )
+    m8, _ = bpe_train(spark, docs, n_merges=8)
+    m4, _ = bpe_train(spark, docs, n_merges=4)
+    assert m8[:4] == m4
+
+
+def test_bpe_encode_replays_training_state(spark, tmp_path):
+    """bpe_build freezes the artifact; bpe_encode against it must
+    reproduce the trainer's final symbol counts for every training
+    word (the replay property the frozen artifact exists for)."""
+    docs = _docs(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    out = str(tmp_path / "bpe")
+    bpe_build(spark, docs, out, n_merges=4)
+    enc = bpe_encode(spark, docs, out)
+    per_word = {
+        r.word: r.n_syms for r in enc.select("word", "n_syms").distinct().collect()
+    }
+    # after merges es, est, lo, low: low->[low]=1, lower->[low,e,r]=3,
+    # newest->[n,e,w,est]=4, widest->[w,i,d,est]=4
+    assert per_word == {"low": 1, "lower": 3, "newest": 4, "widest": 4}
+    # occurrence-level: one row per (doc, word) occurrence
+    assert enc.count() == 5 + 2 + 6 + 3

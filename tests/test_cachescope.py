@@ -65,6 +65,9 @@ CACHE_USING_QUERIES = [
     "ann_opq_adc",
     "dedup_semantic",
     "retrieval_hybrid_ivfadc",
+    # BPE trainer checkpoints each merge generation
+    "bpe_train_merges",
+    "bpe_encode_stats",
 ]
 
 

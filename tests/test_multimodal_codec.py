@@ -275,3 +275,63 @@ def test_caption_dedup_over_real_image_bytes(spark):
     # keep-best: the LONGER caption of the near-dup pair survives
     assert out[2][1] is True and out[1][1] is False
     assert out[3][1] is True and out[4][1] is True
+
+
+def test_video_keyframes_over_real_p5_frames(spark):
+    """The video path on REAL pixels: a concatenated-P5 container is
+    split into frames without a codec, each frame is dHashed, and the
+    scene-cut rule flags exactly the content changes — a repeated frame
+    and a uniformly BRIGHTENED frame (perceptual, not byte, identity)
+    are not keyframes; a genuine scene change is."""
+    import random
+
+    from oxidsql_spark.operators.multimodal import (
+        dhash_image,
+        split_p5_frames,
+        video_keyframes_from_fingerprints,
+    )
+
+    rnd = random.Random(7)
+    w, h = 36, 32
+
+    def p5(pixels):
+        return f"P5 {w} {h} 255 ".encode() + bytes(
+            v for row in pixels for v in row
+        )
+
+    def rand_gray():
+        return [[rnd.randrange(200) for _ in range(w)] for _ in range(h)]
+
+    scene_a = rand_gray()
+    scene_a_bright = [[v + 30 for v in row] for row in scene_a]
+    scene_b = rand_gray()
+    # frames: A, A (repeat), A+30 (brightened — same perceptual hash),
+    # B (CUT), B (repeat)
+    container = b"".join(
+        p5(px) for px in (scene_a, scene_a, scene_a_bright, scene_b, scene_b)
+    )
+    frames = split_p5_frames(container)
+    assert frames is not None and len(frames) == 5
+    # a truncated container must refuse, not mis-split
+    assert split_p5_frames(container[:-1]) is None
+
+    def signed64(b):
+        return b - (1 << 64) if b >= (1 << 63) else b
+
+    fp_rows = []
+    for i, fb in enumerate(frames):
+        bits = dhash_image(fb)
+        assert bits is not None
+        fp_rows.append((1, i, signed64(bits)))
+    # fixture sanity: the cut really moves the hash, brightness doesn't
+    assert bin(fp_rows[2][2] ^ fp_rows[1][2]).count("1") <= 3
+    assert bin(fp_rows[3][2] ^ fp_rows[2][2]).count("1") > 3
+
+    fh = spark.createDataFrame(
+        fp_rows, "doc_id bigint, frame_idx int, dhash bigint"
+    )
+    out = {
+        r.frame_idx: r.is_keyframe
+        for r in video_keyframes_from_fingerprints(fh).collect()
+    }
+    assert out == {0: True, 1: False, 2: False, 3: True, 4: False}

@@ -1688,15 +1688,35 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer-exact, so the whole chain is oracle-checkable.  Output:
     one row per pruned vector with its cluster and its lowest-id
     retained duplicate."""
+    from ..cachescope import scoped_persist
     from .dedup import _COS_T
 
     e = _km_quantized(spark, sf_dir)
     cents = _km_train(e)
-    assigned = _km_assigned_batch(e, cents).select(
-        "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+    assigned = scoped_persist(
+        _km_assigned_batch(e, cents).select(
+            "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+        )
     )
     ev = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     members = ev.join(assigned, "vec_id")
+    # hot-cluster TIME bound: oversized cells (none at fixture/bench SF,
+    # so the oracle stays exact) are sub-clustered before pairing and the
+    # ORIGINAL cluster id is restored on the output rows
+    refined = split_oversized_cells(e.join(assigned, "vec_id"))
+    if refined is not None:
+        cells = members.join(refined, "vec_id", "left").withColumn(
+            "cluster", F.coalesce("cell", "cluster")
+        )
+        pruned = semantic_prune(
+            cells.select("vec_id", "cluster", "embedding"), _COS_T
+        )
+        return (
+            pruned.drop("cluster")
+            .join(assigned, "vec_id")
+            .select("vec_id", "cluster", "dup_of", "cos_sim")
+            .orderBy("vec_id")
+        )
     return semantic_prune(members, _COS_T).orderBy("vec_id")
 
 
@@ -1817,6 +1837,67 @@ def semantic_prune(
         F.min("dup_of").alias("dup_of"),
         F.round(F.min_by("sim", "dup_of"), 4).alias("cos_sim"),
     ).select("vec_id", "cluster", "dup_of", "cos_sim")
+
+
+_SEM_SPLIT_CAP = 4096  # clusters above this get a sub-codebook before pairing
+_SEM_SPLIT_BASE = 1 << 40  # refined-cell id space, disjoint from cluster ids
+
+
+def split_oversized_cells(
+    members_q: DataFrame, cap: int = _SEM_SPLIT_CAP
+) -> DataFrame | None:
+    """SemDeDup's production K-grows-with-corpus rule, applied locally:
+    a cluster whose member count exceeds ``cap`` is re-clustered with
+    its own small sub-codebook (integer Lloyd on the members, the
+    `_km_train` trainer) BEFORE pairing, so the within-cell pair count
+    drops from O(n_c²) to O(Σ n_sub²) — the blocked GEMM already
+    bounds per-task MEMORY, this bounds hot-cluster TIME (the
+    STRESS_r11 salted 4.07→5.31 trend).  ``members_q`` is (vec_id,
+    cluster, qv); returns a (vec_id, cell) refined-id mapping for hot
+    clusters' members only, or None when no cluster is oversized (the
+    common production-sized case — one codebook-sized count aggregate
+    and nothing else).
+
+    Sub-codebook size targets ~cap/2 members per sub-cell (2·⌈n/cap⌉,
+    capped at 64); init = the cluster's first k_sub members by vec_id
+    (deterministic).  The driver loop is bounded by the CLUSTER count,
+    and each iteration's traffic by k_sub·dim — the k-means trainer's
+    own contract.  Semantics: near-dup pairs straddling two sub-cells
+    are no longer scored — exactly the approximation SemDeDup makes
+    when it raises K, and why the fixture-scale cap (4096 ≥ any sf0.1
+    cluster) keeps the registered query oracle-exact."""
+    counts = members_q.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    hot = {
+        int(r["cluster"]): int(r["n_c"])
+        for r in counts.filter(F.col("n_c") > cap).collect()
+    }
+    if not hot:
+        return None
+    from ..cachescope import scoped_persist
+
+    parts = []
+    for c, n in sorted(hot.items()):
+        sub = scoped_persist(
+            members_q.filter(F.col("cluster") == c).select("vec_id", "qv")
+        )
+        k_sub = min(64, 2 * (-(-n // cap)))
+        init_rows = sub.orderBy("vec_id").limit(k_sub).collect()
+        init = {i: list(r["qv"]) for i, r in enumerate(init_rows)}
+        cents = _km_train(
+            sub, k=k_sub, iters=2, init=init, dim=len(init[0])
+        )
+        cell = (
+            F.lit(_SEM_SPLIT_BASE)
+            + F.lit(int(c)) * F.lit(1 << 20)
+            + F.col("cluster").cast("bigint")
+        )
+        parts.append(
+            _km_assigned_batch(sub, cents).select("vec_id", cell.alias("cell"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @register("ann_ivfadc", oracle=_ivfadc_oracle(), bench=True)

@@ -69,6 +69,9 @@ _PRIORITY: tuple[str, ...] = (
     # rewritten in round 12 (IPv4/SSN/credit-card patterns added in a
     # fixed order; oracle rebuilt from the same pattern list):
     "text_redact_pii",
+    # rewritten in round 12 (oversized-cell splitting ahead of the
+    # pairing — a no-op at fixture scale, re-prove the unchanged path):
+    "dedup_semantic",
 )
 
 

@@ -1354,3 +1354,70 @@ def test_ann_opq_ivfadc_pruned_and_recall(spark, sf_dir, tmp_path):
     exact = {(r.q_id, r.vec_id) for r in ann_topk_bruteforce(spark, sf_dir).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, f"rotated IVFADC rerank recall {recall}"
+
+
+def test_split_oversized_cells_bounds_pair_work(spark):
+    """Hot-cluster TIME bound for semantic dedup: a cluster over the cap
+    is re-clustered with its own sub-codebook, pair work drops from
+    n_c² to Σ n_sub², and near-dup pairs WITHIN a blob are still found
+    through the refined cells.  An under-cap layout returns None (zero
+    extra machinery on the production-sized path)."""
+    from collections import Counter
+
+    from oxidsql_spark.operators.similarity import (
+        semantic_prune,
+        split_oversized_cells,
+    )
+
+    # 4 well-separated blobs, 60 members each, ALL forced into cluster 0
+    # (vec_id % 4 = blob, so the deterministic first-k init spans blobs);
+    # each blob plants verbatim duplicate pairs.
+    dim = 8
+    corners = [
+        [1000 if d < 2 else 0 for d in range(dim)],
+        [1000 if 2 <= d < 4 else 0 for d in range(dim)],
+        [1000 if 4 <= d < 6 else 0 for d in range(dim)],
+        [1000 if d >= 6 else 0 for d in range(dim)],
+    ]
+    state = 99
+
+    def rnd():
+        nonlocal state
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        return (state >> 40) % 40  # small jitter
+
+    rows = []
+    for i in range(240):
+        blob = i % 4
+        if i >= 8 and i % 8 == 5:
+            v = rows[i - 4][2]  # same blob (i-4 ≡ i mod 4), verbatim dup
+        else:
+            v = [c + rnd() for c in corners[blob]]
+        rows.append((i, 0, v))
+    mq = spark.createDataFrame(
+        [(i, c, [int(x) for x in v]) for i, c, v in rows],
+        "vec_id bigint, cluster bigint, qv array<bigint>",
+    )
+
+    assert split_oversized_cells(mq, cap=512) is None  # under cap
+
+    refined = split_oversized_cells(mq, cap=64)
+    assert refined is not None
+    cells = {r.vec_id: r.cell for r in refined.collect()}
+    assert set(cells) == {i for i, _, _ in rows}  # every hot member mapped
+    sizes = Counter(cells.values())
+    n_c = len(rows)
+    assert sum(s * s for s in sizes.values()) < n_c * n_c / 2  # work dropped
+    # no refined cell holds more than one blob's worth of vectors (+dups)
+    assert max(sizes.values()) <= 90
+    # blob coherence: a verbatim-dup pair must share a refined cell, so
+    # the downstream prune still catches it
+    members = spark.createDataFrame(
+        [(i, cells[i], [float(x) for x in v]) for i, _, v in rows],
+        "vec_id bigint, cluster bigint, embedding array<double>",
+    )
+    pruned = {r.vec_id: r.dup_of for r in semantic_prune(members, 0.999).collect()}
+    planted = {i: i - 4 for i in range(8, 240) if i % 8 == 5}
+    for hi, lo in planted.items():
+        assert cells[hi] == cells[lo], f"dup pair {lo},{hi} split across cells"
+        assert pruned.get(hi) is not None  # the duplicate was still pruned

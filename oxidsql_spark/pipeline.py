@@ -750,3 +750,236 @@ def curate_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel ROUTING driver-checked: per-doc terminal disposition
+# ---------------------------------------------------------------------------
+
+_FNA_CEIL_MICRO = 3_450_000  # fluency ceiling: 3.45 micro-NLL per token
+_FNA_MIN_KEPT = 12  # husk floor (fixture 10% quantile of survivor n_kept)
+
+
+def _funnel_audit_oracle() -> str:
+    """One WITH-pipeline re-deriving the funnel's ROUTING: the frozen-LM
+    chain (text_lm_frozen_score's oracle, verbatim structure), the gate
+    predicate, the survivor-restricted span cut (corpus grams always
+    win; keep-first among SURVIVOR occurrences only — exactly what the
+    stream cuts, since gate/fluency rejects never reach the cut), and
+    the terminal CASE with the stream's precedence."""
+    from .operators.corpus_ext import _DUCK_TOKS, _LMF_BATCH_IN, _duck_fixlog
+    from .operators.dedup import _SPAN_K as k
+
+    return f"""
+    WITH tall AS (SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents),
+    cpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM tall WHERE source NOT IN ({_LMF_BATCH_IN}))),
+    cseq AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM cpos),
+    uni AS (SELECT term, count(*) AS c FROM cpos GROUP BY term),
+    v AS (SELECT count(*) AS v FROM uni),
+    n AS (SELECT sum(c) AS n FROM uni),
+    bi AS (SELECT prev, term, count(*) AS c FROM cseq
+           WHERE prev IS NOT NULL GROUP BY prev, term),
+    bibase AS (
+      SELECT bi.prev, bi.term,
+             CAST(bi.c + 1 AS DECIMAL(38,0)) AS num,
+             CAST(pu.c + v.v AS DECIMAL(38,0)) AS den
+      FROM bi JOIN uni pu ON pu.term = bi.prev CROSS JOIN v),
+    {_duck_fixlog("bibase", key="prev, term", prefix="bx")}
+    ,
+    ubase AS (
+      SELECT uni.term, CAST(uni.c + 1 AS DECIMAL(38,0)) AS num,
+             CAST(n.n + v.v AS DECIMAL(38,0)) AS den
+      FROM uni CROSS JOIN n CROSS JOIN v),
+    {_duck_fixlog("ubase", key="term")},
+    oovbase AS (SELECT 0 AS bkt, CAST(1 AS DECIMAL(38,0)) AS num,
+                       CAST(n.n + v.v AS DECIMAL(38,0)) AS den
+                FROM n CROSS JOIN v),
+    {_duck_fixlog("oovbase", key="bkt", prefix="ox")}
+    ,
+    bpos AS (
+      SELECT doc_id, u.p AS pos, u.tk AS term FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i, tk := toks[i]))) AS u
+        FROM tall WHERE source IN ({_LMF_BATCH_IN}))),
+    bseq AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM bpos),
+    scored AS (
+      SELECT s.doc_id,
+             coalesce(b.w, u.w, (SELECT w FROM oxw)) AS w
+      FROM bseq s
+      LEFT JOIN bxw b ON b.prev = s.prev AND b.term = s.term
+      LEFT JOIN fxw u ON u.term = s.term),
+    dsc AS (SELECT doc_id, count(*) AS n_tok,
+                   CAST(sum(w) AS BIGINT) AS sum_w
+            FROM scored GROUP BY doc_id),
+    gate AS (
+      SELECT doc_id,
+             (n_chars >= 100 AND lang IN ('en','de','fr','es')
+              AND source IS NOT NULL) AS gate_ok
+      FROM documents WHERE source IN ({_LMF_BATCH_IN})),
+    surv AS (
+      SELECT g.doc_id FROM gate g JOIN dsc s USING (doc_id)
+      WHERE g.gate_ok AND -s.sum_w <= {_FNA_CEIL_MICRO} * s.n_tok),
+    spanpos AS (
+      SELECT doc_id, source, u.p AS pos, u.g AS gram FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - {k - 1}, 0) + 1),
+                 i -> struct_pack(p := i,
+                        g := substring(md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')), 1, 16)))) AS u
+        FROM tall)),
+    cg AS (SELECT DISTINCT gram FROM spanpos
+           WHERE source NOT IN ({_LMF_BATCH_IN})),
+    occ AS (
+      SELECT doc_id, pos, gram,
+             count(*) OVER (PARTITION BY gram) AS n,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      FROM spanpos WHERE doc_id IN (SELECT doc_id FROM surv)),
+    cut AS (
+      SELECT DISTINCT doc_id, unnest(range(pos, pos + {k})) AS cp
+      FROM occ
+      WHERE gram IN (SELECT gram FROM cg) OR (n > 1 AND rk > 1)),
+    tokpos AS (
+      SELECT doc_id, u.p AS pos FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1),
+                      i -> struct_pack(p := i))) AS u
+        FROM tall WHERE doc_id IN (SELECT doc_id FROM surv))),
+    kept AS (
+      SELECT p.doc_id, p.pos
+      FROM tokpos p LEFT JOIN cut c ON c.doc_id = p.doc_id AND c.cp = p.pos
+      WHERE c.cp IS NULL),
+    clean AS (SELECT doc_id, count(*) AS n_kept FROM kept GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN NOT g.gate_ok THEN 'gate'
+                WHEN s.sum_w IS NULL THEN 'fluency:unscorable'
+                WHEN -s.sum_w > {_FNA_CEIL_MICRO} * s.n_tok
+                  THEN 'fluency:nll_over_ceiling'
+                WHEN coalesce(c.n_kept, 0) < {_FNA_MIN_KEPT}
+                  THEN 'dedup:husk_below_floor'
+                ELSE 'kept' END AS stage,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM surv)
+                THEN CAST(coalesce(c.n_kept, 0) AS BIGINT) END AS n_kept
+    FROM documents d
+    JOIN gate g USING (doc_id)
+    LEFT JOIN dsc s ON s.doc_id = d.doc_id
+    LEFT JOIN clean c ON c.doc_id = d.doc_id
+    WHERE d.source IN ({_LMF_BATCH_IN})
+    """
+
+
+def _register_funnel_audit() -> None:
+    from .registry import register
+
+    @register("curate_funnel_audit", oracle=_funnel_audit_oracle())
+    def curate_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The streaming curation funnel's ROUTING driver-checked: for
+        every doc in the batch split, its terminal disposition under the
+        exact stream precedence (`curate_ingest_stream`) — gate violation,
+        NULL fluency score (the r11 silent-drop defect class, now an
+        explicit reject), over the frozen-LM ceiling, span-cut husk below
+        the floor, or kept — plus the survivor's post-cut token count.
+        The LM is trained on the corpus split and FROZEN as the parquet
+        artifact (what the stream scores against); the span cut runs over
+        gate+fluency SURVIVORS only, because in the stream rejected rows
+        never reach the cut and keep-first winners depend on who does.
+        The ceiling comparison is pure integer (-sum_w vs ceil_micro *
+        n_tok) so no float crosses the engine boundary.  'fluency:
+        unscorable' is fixture-dead (every fixture doc tokenizes) — its
+        routing is pytest-live in test_streaming's whitespace-text row.
+
+        Scale shape: one corpus tokenize for LM + span index (write-once
+        artifacts), one batch tokenize scored against vocabulary-keyed
+        joins, the survivor-restricted cut, and a four-way CASE — every
+        stage is the registered standalone operator's own plan."""
+        import os
+
+        from .operators.corpus_ext import _LMF_BATCH_SRCS, build_bigram_lm
+        from .operators.dedup import (
+            _artifact_tmp,
+            build_span_index,
+            span_cut_incremental,
+        )
+
+        d = table(spark, sf_dir, "documents")
+        corpus = d.filter(~F.col("source").isin(*_LMF_BATCH_SRCS))
+        batch = d.filter(F.col("source").isin(*_LMF_BATCH_SRCS))
+
+        lm_dir = _artifact_tmp("fnaud_lm", sf_dir)
+        if not os.path.exists(os.path.join(lm_dir, "consts", "_SUCCESS")):
+            build_bigram_lm(spark, corpus.select("doc_id", "text"), lm_dir)
+        idx = _artifact_tmp("fnaud_span", sf_dir)
+        if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+            build_span_index(spark, corpus.select("doc_id", "text"), idx)
+
+        # integer frozen-LM score (bigram_nll_against's joins, micro sums)
+        lp = spark.read.parquet(os.path.join(lm_dir, "lp")).select(
+            "prev", "term", F.col("w").alias("w_bi")
+        )
+        lpu = spark.read.parquet(os.path.join(lm_dir, "lpu")).select(
+            "term", F.col("w").alias("w_uni")
+        )
+        w_oov = spark.read.parquet(os.path.join(lm_dir, "consts")).collect()[0].w_oov
+        from .functions import tokens
+        from pyspark.sql import Window as W
+
+        pos = batch.select(
+            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+        )
+        wp = W.partitionBy("doc_id").orderBy("pos")
+        seq = pos.select("doc_id", "term", F.lag("term").over(wp).alias("prev"))
+        dsc = (
+            seq.join(lp, ["prev", "term"], "left")
+            .join(lpu, "term", "left")
+            .select("doc_id", F.coalesce("w_bi", "w_uni", F.lit(int(w_oov))).alias("w"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tok"),
+                F.sum("w").cast("bigint").alias("sum_w"),
+            )
+        )
+        gate_ok = (
+            (F.col("n_chars") >= 100)
+            & F.col("lang").isin("en", "de", "fr", "es")
+            & F.col("source").isNotNull()
+        )
+        flags = batch.select("doc_id", "text", gate_ok.alias("gate_ok")).join(
+            dsc, "doc_id", "left"
+        )
+        surv = flags.filter(
+            F.col("gate_ok")
+            & F.col("sum_w").isNotNull()
+            & (-F.col("sum_w") <= F.lit(_FNA_CEIL_MICRO) * F.col("n_tok"))
+        )
+        cut = span_cut_incremental(spark, surv.select("doc_id", "text"), idx).select(
+            "doc_id", "n_kept"
+        )
+        stage = (
+            F.when(~F.col("gate_ok"), F.lit("gate"))
+            .when(F.col("sum_w").isNull(), F.lit("fluency:unscorable"))
+            .when(
+                -F.col("sum_w") > F.lit(_FNA_CEIL_MICRO) * F.col("n_tok"),
+                F.lit("fluency:nll_over_ceiling"),
+            )
+            .when(F.col("n_kept") < _FNA_MIN_KEPT, F.lit("dedup:husk_below_floor"))
+            .otherwise(F.lit("kept"))
+        )
+        return (
+            flags.join(cut, "doc_id", "left")
+            .select("doc_id", stage.alias("stage"), F.col("n_kept").cast("bigint"))
+        )
+
+
+
+_register_funnel_audit()

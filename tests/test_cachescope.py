@@ -68,6 +68,8 @@ CACHE_USING_QUERIES = [
     # BPE trainer checkpoints each merge generation
     "bpe_train_merges",
     "bpe_encode_stats",
+    # survivor-restricted span cut persists its token rows
+    "curate_funnel_audit",
 ]
 
 

@@ -1862,7 +1862,14 @@ def split_oversized_cells(
     capped at 64); init = the cluster's first k_sub members by vec_id
     (deterministic).  The driver loop is bounded by the CLUSTER count,
     and each iteration's traffic by k_sub·dim — the k-means trainer's
-    own contract.  Semantics: near-dup pairs straddling two sub-cells
+    own contract.  Cap calibration (r12 A/B at 10× sf0.1 =
+    20k vectors, warm runs): cap=2048 fires on every cluster and LOSES
+    — 11.4 s vs 7.6 s unsplit — because the serialized per-cluster
+    trainer jobs (~4 tiny jobs each) cost more than the seconds of
+    pair work they save; at 4096 nothing at test scale splits.  The
+    split pays only where it is designed to: clusters of 10^5+ members
+    whose pair stage is hours, against which the trainer's fixed job
+    count amortizes to nothing.  Semantics: near-dup pairs straddling two sub-cells
     are no longer scored — exactly the approximation SemDeDup makes
     when it raises K, and why the fixture-scale cap (4096 ≥ any sf0.1
     cluster) keeps the registered query oracle-exact."""

@@ -76,3 +76,75 @@ def test_bpe_encode_replays_training_state(spark, tmp_path):
     assert per_word == {"low": 1, "lower": 3, "newest": 4, "widest": 4}
     # occurrence-level: one row per (doc, word) occurrence
     assert enc.count() == 5 + 2 + 6 + 3
+
+
+# --- property: the distributed trainer equals a pure-Python reference ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _bpe_py(words_freq: dict, n_merges: int):
+    """Pure-Python reference BPE: per round, weighted adjacent-pair
+    counts, argmax (count desc, pair asc), greedy left-to-right
+    non-overlapping merge.  Independent of both the Spark string-
+    replace formulation and the DuckDB oracle."""
+    syms = {w: list(w) for w in words_freq}
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict = {}
+        for w, f in words_freq.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, l, r, l + r, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+_WORDS = st.dictionaries(
+    keys=st.text(alphabet="abc", min_size=2, max_size=7),
+    values=st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    derandomize=True,
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=_WORDS)
+def test_bpe_train_equals_python_reference(spark, words):
+    """On random tiny corpora over a 3-letter alphabet (dense tie and
+    overlap territory), the distributed trainer's merge table AND final
+    per-word symbol sequences equal the pure-Python reference."""
+    rows = []
+    i = 0
+    for w, f in words.items():
+        for _ in range(f):
+            rows.append((i, w))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got_merges, final = bpe_train(spark, docs, n_merges=5)
+    ref_merges, ref_syms = _bpe_py(words, 5)
+    assert got_merges == ref_merges
+    got_syms = {
+        r.word: r.enc.strip("()").split(")(") if r.enc else []
+        for r in final.select("word", "enc").collect()
+    }
+    assert got_syms == {w: s for w, s in ref_syms.items()}

@@ -714,13 +714,33 @@ def _bpe_syms(enc: str) -> "F.Column":
     return _bpe_syms_of(F.col(enc))
 
 
-def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES):
+def bpe_train(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int = _BPE_MERGES,
+    pairs_per_round: int = 1,
+):
     """Train a byte-pair-encoding merge table: per round, count adjacent
     symbol pairs weighted by word frequency, pick the argmax pair
     (count DESC, then (left, right) ASC — fully deterministic), merge
     it greedily left-to-right in every word, repeat.  Returns the list
     of merge rules [(rank, left, right, merged, cnt), ...], stopping
     early if a round finds no pairs.
+
+    ``pairs_per_round > 1`` is the PRODUCTION round-count cut: a real
+    vocabulary is ~32k merges, and one Spark job per merge is 32k
+    driver round-trips — not a credible trainer.  The batched mode
+    admits up to that many SYMBOL-DISJOINT pairs per round, scanned in
+    (count desc, pair asc) order (a pair joins the batch only if
+    neither symbol appears in any already-admitted pair — disjoint
+    merges cannot rewrite each other's occurrences, so each admitted
+    pair's own count is exactly its sequential value).  This is the
+    standard distributed-BPE approximation: a pair CREATED by an
+    admitted merge could have outranked a later admission, so the rule
+    ORDER may differ from the strictly sequential trainer's; the
+    registered oracle queries therefore run pairs_per_round=1, and the
+    pytest pins batched == sequential on corpora whose top pairs stay
+    disjoint and stable.
 
     Greedy-merge representation: each word rides as the wrapped string
     '(s1)(s2)...' and the merge of pair (a, b) is the literal
@@ -746,7 +766,7 @@ def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     cur = wf
-    for rnd in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         syms = _bpe_syms("enc")
         m = F.greatest(F.size(syms) - 1, F.lit(0))
         pair = F.explode(
@@ -756,23 +776,35 @@ def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = _BPE_MERGES)
                 lambda a, b: F.struct(a.alias("l"), b.alias("r")),
             )
         ).alias("p")
+        want = min(pairs_per_round, n_merges - len(merges))
+        # over-fetch so disjointness filtering rarely starves a round
         top = (
             cur.select("freq", pair)
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(1)
+            .limit(4 * want)
             .collect()
         )
         if not top:
             break
-        l, r, cnt = top[0].l, top[0].r, int(top[0].cnt)
-        merges.append((rnd, l, r, l + r, cnt))
-        nxt = scoped_local_checkpoint(
-            cur.withColumn(
-                "enc", F.replace("enc", F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
-            )
-        )
+        used: set[str] = set()
+        admitted = []
+        for row in top:
+            if len(admitted) == want:
+                break
+            if row.l in used or row.r in used:
+                continue
+            # reserving the merged token too keeps a pair CREATED by an
+            # admitted merge from being consumed in the same round (the
+            # one same-round interaction string-disjointness misses)
+            used.update((row.l, row.r, row.l + row.r))
+            admitted.append((row.l, row.r, int(row.cnt)))
+        enc = F.col("enc")
+        for l, r, cnt in admitted:
+            merges.append((len(merges) + 1, l, r, l + r, cnt))
+            enc = F.replace(enc, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+        nxt = scoped_local_checkpoint(cur.withColumn("enc", enc))
         if cur is not wf:
             free_local_checkpoint(cur)
         cur = nxt

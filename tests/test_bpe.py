@@ -148,3 +148,26 @@ def test_bpe_train_equals_python_reference(spark, words):
         for r in final.select("word", "enc").collect()
     }
     assert got_syms == {w: s for w, s in ref_syms.items()}
+
+
+def test_bpe_batched_rounds_match_sequential_when_disjoint(spark):
+    """The production pairs_per_round cut: on a corpus whose top pairs
+    are symbol-disjoint and rank-stable (separate alphabets per word
+    family), batched training produces the SAME merge table in a
+    fraction of the rounds; and on the overlap-heavy toy corpus the
+    batched result is still a valid prefix-consistent table (rule 1
+    always equals the sequential argmax)."""
+    # single-pair words: each merge consumes its whole word, so no
+    # created pair can outrank a later admission — the regime where
+    # batched IS sequential
+    disjoint = _docs(spark, [("ab", 9), ("cd", 7), ("ef", 5), ("gh", 3)])
+    seq, _ = bpe_train(spark, disjoint, n_merges=4, pairs_per_round=1)
+    bat, _ = bpe_train(spark, disjoint, n_merges=4, pairs_per_round=4)
+    assert bat == seq
+    assert [m[1:3] for m in seq] == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+
+    toy = _docs(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    seq_t, _ = bpe_train(spark, toy, n_merges=4, pairs_per_round=1)
+    bat_t, _ = bpe_train(spark, toy, n_merges=4, pairs_per_round=4)
+    assert bat_t[0] == seq_t[0]  # first rule is always the true argmax
+    assert len(bat_t) == 4 and len({m[3] for m in bat_t}) == 4

@@ -455,6 +455,82 @@ def seq_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seq_pack_boundaries",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS s
+      FROM (SELECT * FROM sized WHERE n_tokens > 0)
+    ),
+    ex AS (
+      SELECT doc_id, s, s + n_tokens - 1 AS e,
+             unnest(generate_series(s // {_SEQ_LEN},
+                                    (s + n_tokens - 1) // {_SEQ_LEN})) AS seq_id
+      FROM pos
+    )
+    SELECT seq_id, doc_id,
+           CAST(greatest(s, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN} AS BIGINT) AS beg,
+           CAST(least(e, (seq_id + 1) * {_SEQ_LEN} - 1) - seq_id * {_SEQ_LEN} AS BIGINT) AS fin,
+           s >= seq_id * {_SEQ_LEN} AS is_start,
+           e <= (seq_id + 1) * {_SEQ_LEN} - 1 AS is_end
+    FROM ex
+    """,
+)
+def seq_pack_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed-batch BOUNDARY TABLE itself — what seq_pack_stats
+    aggregates away: one row per (sequence, document) span with the
+    doc's 0-based token offsets INSIDE the sequence and whether the doc
+    starts/ends there.  This is the artifact a pretraining loader
+    materializes next to the packed token shards to build cross-document
+    attention masks (tokens must not attend across a boundary) and to
+    recover per-doc loss attribution.
+
+    Scale shape: identical to seq_pack_stats up to the explode — the
+    two-phase global_cumsum for offsets, then a pure projection (no
+    aggregation at all: the boundary table is the exploded rows).  All
+    integer arithmetic, so the oracle matches at any parallelism."""
+    from .distwindow import global_cumsum
+
+    L = _SEQ_LEN
+    d = table(spark, sf_dir, "documents")
+    toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    sized = d.select("doc_id", toks.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    cum, _total = global_cumsum(sized, "n_tokens", ["doc_id"], "_cum")
+    spans = cum.select(
+        "doc_id",
+        (F.col("_cum") - F.col("n_tokens")).alias("s"),
+        (F.col("_cum") - 1).alias("e"),
+    )
+    ex = spans.select(
+        "doc_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.expr(f"s div {L}"), F.expr(f"e div {L}"))
+        ).alias("seq_id"),
+    )
+    base = F.col("seq_id") * L
+    return ex.select(
+        "seq_id",
+        "doc_id",
+        (F.greatest(F.col("s"), base) - base).cast("bigint").alias("beg"),
+        (F.least(F.col("e"), base + L - 1) - base).cast("bigint").alias("fin"),
+        (F.col("s") >= base).alias("is_start"),
+        (F.col("e") <= base + L - 1).alias("is_end"),
+    )
+
+
 # Winnowing fingerprint parameters (Schleimer/Wilkerson/Aiken, SIGMOD'03
 # — the standard document-fingerprint scheme MOSS uses). Rolling k-gram
 # polynomial hashes, then the minimum of every w consecutive hashes; the

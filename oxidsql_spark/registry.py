@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_encode_stats",
     "mm_video_keyframes",
     "curate_funnel_audit",
+    "seq_pack_boundaries",
     # rewritten in round 12 (IPv4/SSN/credit-card patterns added in a
     # fixed order; oracle rebuilt from the same pattern list):
     "text_redact_pii",

@@ -171,3 +171,48 @@ def test_bpe_batched_rounds_match_sequential_when_disjoint(spark):
     bat_t, _ = bpe_train(spark, toy, n_merges=4, pairs_per_round=4)
     assert bat_t[0] == seq_t[0]  # first rule is always the true argmax
     assert len(bat_t) == 4 and len({m[3] for m in bat_t}) == 4
+
+
+def test_seq_pack_boundaries_reaggregate_to_stats(spark, sf_dir):
+    """The boundary table is the stats table's pre-aggregation: grouping
+    boundaries by seq_id must reproduce seq_pack_stats exactly (n_docs,
+    n_starts, and token fill = sum of span widths), and within every
+    sequence the spans must tile [0, L) without gap or overlap except
+    the final partial sequence."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.textops import (
+        _SEQ_LEN,
+        seq_pack_boundaries,
+        seq_pack_stats,
+    )
+
+    b = seq_pack_boundaries(spark, sf_dir)
+    agg = {
+        r.seq_id: (r.n_docs, r.n_starts, r.n_tokens)
+        for r in b.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_start").cast("int")).alias("n_starts"),
+            F.sum(F.col("fin") - F.col("beg") + 1).alias("n_tokens"),
+        )
+        .collect()
+    }
+    stats = {
+        r.seq_id: (r.n_docs, r.n_starts, r.n_tokens)
+        for r in seq_pack_stats(spark, sf_dir).collect()
+    }
+    assert agg == stats
+    rows = sorted(
+        ((r.seq_id, r.beg, r.fin) for r in b.collect())
+    )
+    last_seq = max(s for s, _, _ in rows)
+    by_seq: dict = {}
+    for s, beg, fin in rows:
+        by_seq.setdefault(s, []).append((beg, fin))
+    for s, spans in by_seq.items():
+        expect = 0
+        for beg, fin in spans:  # sorted by beg already
+            assert beg == expect and fin >= beg
+            expect = fin + 1
+        assert expect == _SEQ_LEN or s == last_seq  # full tiling

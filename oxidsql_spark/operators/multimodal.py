@@ -767,7 +767,7 @@ def _video_oracle() -> str:
     """
 
 
-@register("mm_video_keyframes", oracle=_video_oracle())
+@register("mm_video_keyframes", oracle=_video_oracle(), bench=True)
 def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video keyframe / scene-change detection, driver-checked: explode
     each payload into frames (scenes shown {rep} frames each — the

@@ -457,6 +457,7 @@ def seq_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "seq_pack_boundaries",
+    bench=True,
     oracle=f"""
     WITH sized AS (
       SELECT doc_id,
@@ -1020,7 +1021,7 @@ def _bpe_encode_oracle(n: int = _BPE_MERGES) -> str:
     """
 
 
-@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle(), bench=True)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The freeze -> load -> apply chain driver-checked end-to-end:
     train the BPE merge table on the corpus, persist it as the parquet

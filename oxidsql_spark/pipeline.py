@@ -882,7 +882,7 @@ def _funnel_audit_oracle() -> str:
 def _register_funnel_audit() -> None:
     from .registry import register
 
-    @register("curate_funnel_audit", oracle=_funnel_audit_oracle())
+    @register("curate_funnel_audit", oracle=_funnel_audit_oracle(), bench=True)
     def curate_funnel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The streaming curation funnel's ROUTING driver-checked: for
         every doc in the batch split, its terminal disposition under the

@@ -70,6 +70,8 @@ CACHE_USING_QUERIES = [
     "bpe_encode_stats",
     # survivor-restricted span cut persists its token rows
     "curate_funnel_audit",
+    # global_cumsum range-partitions through scoped persists
+    "seq_pack_boundaries",
 ]
 
 

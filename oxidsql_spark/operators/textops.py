@@ -192,19 +192,39 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The production PII pattern set (C4/Dolma-style breadth), applied in a
 # FIXED order so the patterns cannot bite each other's matches:
 #   email first (its local part may contain digits the number patterns
-#   would chew), then the 16-digit card run (before phone: a spaced card
+#   would chew), then the 16-digit card (before phone: a spaced card
 #   contains phone-shaped digit groups), then SSN (3-2-4 — disjoint from
 #   phone's 3-3/4-4 but scrubbed before any loosening of phone), then
 #   IPv4 (before phone: phone's dot separator would eat dotted quads
 #   whose last octet is 4 digits... it can't, but order makes it moot),
 #   then phone.  All RE2-safe (no backrefs/lookarounds) so the DuckDB
 #   oracle runs the IDENTICAL patterns.
+#
+# Exact shapes covered (and deliberately not covered):
+#   <CC>    16 digits led by a major-industry IIN digit [3-6]
+#           (Amex/Visa/MC/Discover space), bare or with CONSISTENT
+#           dash/space separators.  Mixed separators and non-[3-6]
+#           leads stay unredacted — a full Luhn check needs arithmetic
+#           a regex can't express, and the IIN guard already stops the
+#           worst over-redaction (arbitrary bare 16-digit ids).
+#           Consistent separators are spelled as an alternation: a
+#           backreference would break RE2, hence DuckDB parity.
+#   <PHONE> NANP-ish 3-3/4-4 groups with dash/dot/space separators,
+#           optionally a parenthesized area code ("(555) 867-5309")
+#           and/or a +1- country prefix.  Bare 10-digit runs and other
+#           country codes stay unredacted.
 _PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "<CC>"),
+    (
+        r"\b[3-6]\d{3}-\d{4}-\d{4}-\d{4}\b|\b[3-6]\d{3} \d{4} \d{4} \d{4}\b|\b[3-6]\d{15}\b",
+        "<CC>",
+    ),
     (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b", "<PHONE>"),
+    (
+        r"(?:\+1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3,4}[-. ]\d{4}\b",
+        "<PHONE>",
+    ),
 ]
 
 
@@ -221,9 +241,12 @@ def _pii_oracle() -> str:
 
 @register("text_redact_pii", oracle=_pii_oracle())
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub for a training corpus: emails, 16-digit card runs,
-    SSN-shaped ids, IPv4 addresses, and phone-shaped numbers replaced
-    by typed placeholder tokens (the C4/Dolma production pattern set).
+    """PII scrub for a training corpus: emails, IIN-guarded 16-digit
+    card numbers (bare or consistently dash/space separated), SSN-shaped
+    ids, IPv4 addresses, and NANP phone numbers (dash/dot/space groups,
+    optional parenthesized area code, optional +1 prefix) replaced by
+    typed placeholder tokens — the exact shape contract is spelled out
+    at ``_PII_PATTERNS``.
     Pure regexp_replace chain — JVM-side, embarrassingly parallel, no
     shuffle; the regexes are RE2-safe so the DuckDB oracle runs the
     identical patterns in the identical order. delta_chars doubles as
@@ -791,6 +814,28 @@ def _bpe_syms(enc: str) -> "F.Column":
     return _bpe_syms_of(F.col(enc))
 
 
+def _bpe_admit(top, want: int) -> list[tuple[str, str, int]]:
+    """Greedy SYMBOL-DISJOINT admission over an ordered candidate list:
+    scan in (count desc, pair asc) order, admit a pair only if neither
+    of its symbols appears in any already-admitted pair.  Reserving the
+    merged token too keeps a pair CREATED by an admitted merge from
+    being consumed in the same round (the one same-round interaction
+    string-disjointness misses).  Because rejection depends only on
+    previously ADMITTED pairs, scanning the ordered list equals taking
+    the best non-conflicting candidate at every step — which is exactly
+    what the unrolled batched oracle expresses per admission slot."""
+    used: set[str] = set()
+    admitted: list[tuple[str, str, int]] = []
+    for row in top:
+        if len(admitted) == want:
+            break
+        if row.l in used or row.r in used:
+            continue
+        used.update((row.l, row.r, row.l + row.r))
+        admitted.append((row.l, row.r, int(row.cnt)))
+    return admitted
+
+
 def bpe_train(
     spark: SparkSession,
     docs: DataFrame,
@@ -814,10 +859,15 @@ def bpe_train(
     pair's own count is exactly its sequential value).  This is the
     standard distributed-BPE approximation: a pair CREATED by an
     admitted merge could have outranked a later admission, so the rule
-    ORDER may differ from the strictly sequential trainer's; the
-    registered oracle queries therefore run pairs_per_round=1, and the
-    pytest pins batched == sequential on corpora whose top pairs stay
-    disjoint and stable.
+    ORDER may differ from the strictly sequential trainer's.  Both
+    configurations are driver-oracled: ``bpe_train_merges`` unrolls the
+    sequential rounds, ``bpe_train_merges_batched`` unrolls the batched
+    rounds INCLUDING the greedy disjoint-admission rule itself; the
+    pytest additionally pins batched == sequential on corpora whose top
+    pairs stay disjoint and stable.  Admission starving inside the
+    over-fetch window triggers a wider re-fetch, so the implemented
+    rule is greedy admission over the FULL ordered candidate list —
+    window size is a performance knob, never a semantics knob.
 
     Greedy-merge representation: each word rides as the wrapped string
     '(s1)(s2)...' and the merge of pair (a, b) is the literal
@@ -854,29 +904,31 @@ def bpe_train(
             )
         ).alias("p")
         want = min(pairs_per_round, n_merges - len(merges))
-        # over-fetch so disjointness filtering rarely starves a round
-        top = (
-            cur.select("freq", pair)
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "l", "r")
-            .limit(4 * want)
-            .collect()
+        # Over-fetch, then WIDEN the window and re-admit whenever
+        # disjointness filtering starved the round while candidates
+        # remained beyond the truncated fetch (symbol-dense corpora
+        # where the top pairs share symbols).  The fixed point is
+        # greedy admission over the FULL ordered candidate list — the
+        # exact rule the batched oracle unrolls in SQL — never a
+        # window-dependent approximation.
+        limit = 4 * want
+        counts = cur.select("freq", pair).groupBy("p.l", "p.r").agg(
+            F.sum("freq").alias("cnt")
         )
+        while True:
+            top = (
+                counts.orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(limit)
+                .collect()
+            )
+            admitted = _bpe_admit(top, want)
+            if len(admitted) == want or len(top) < limit:
+                # got the full batch, or the window already held every
+                # candidate (nothing past it to re-fetch)
+                break
+            limit *= 4
         if not top:
             break
-        used: set[str] = set()
-        admitted = []
-        for row in top:
-            if len(admitted) == want:
-                break
-            if row.l in used or row.r in used:
-                continue
-            # reserving the merged token too keeps a pair CREATED by an
-            # admitted merge from being consumed in the same round (the
-            # one same-round interaction string-disjointness misses)
-            used.update((row.l, row.r, row.l + row.r))
-            admitted.append((row.l, row.r, int(row.cnt)))
         enc = F.col("enc")
         for l, r, cnt in admitted:
             merges.append((len(merges) + 1, l, r, l + r, cnt))
@@ -891,31 +943,82 @@ def bpe_train(
 def bpe_build(
     spark: SparkSession, docs: DataFrame, out_dir: str, n_merges: int = _BPE_MERGES
 ) -> None:
-    """Train and FREEZE the merge table as a parquet artifact at
-    ``out_dir/merges`` (rank, left, right, merged, cnt) — the
-    build_bigram_lm discipline: the parquet _SUCCESS marker of the
-    single table is the committed-build sentinel."""
+    """Train and FREEZE the tokenizer as a parquet artifact — the
+    build_bigram_lm discipline (each table's parquet _SUCCESS marker is
+    its committed-build sentinel):
+
+    * ``out_dir/merges`` (rank, left, right, merged, cnt) — the ranked
+      merge rules, for encoding words the training never saw;
+    * ``out_dir/vocab`` (word, n_syms) — the trainer's FINAL word-type
+      state.  This is the table that makes encode scale: every
+      training-universe word is encoded by a plain equi-join against
+      it, ZERO replay of the (production ~32k-deep) merge chain."""
     import os
 
-    merges, _ = bpe_train(spark, docs, n_merges)
+    from ..cachescope import free_local_checkpoint
+
+    merges, final = bpe_train(spark, docs, n_merges)
     spark.createDataFrame(
         merges, "rnk int, l string, r string, merged string, cnt bigint"
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "merges"))
+    final.select("word", F.size(_bpe_syms("enc")).alias("n_syms")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "vocab"))
+    free_local_checkpoint(final)
+
+
+# Frozen merges applied per projection SEGMENT on the out-of-vocabulary
+# encode path.  Expression-tree depth and whole-stage-codegen method
+# size both scale with the replace count folded into one projection; a
+# 32k-merge production vocabulary folded whole is an analysis-time
+# blowup plus a guaranteed codegen fallback (64 KB JVM method cap).
+# 128 keeps every segment comfortably inside codegen while needing only
+# ~250 checkpointed segments at 32k merges — and the OOV TYPE table a
+# real encode runs them over is tiny (training-universe words take the
+# zero-replay vocab join instead).
+_BPE_ENC_SEGMENT = 128
+
+
+def _bpe_apply_merges(types: DataFrame, rules) -> DataFrame:
+    """Replay frozen merge rules in rank order over a (…, enc) frame,
+    at most ``_BPE_ENC_SEGMENT`` literal replaces per projection with a
+    ``scoped_local_checkpoint`` between segments — the trainer's own
+    batched-round discipline (lineage and expression depth both
+    truncate at every segment boundary), applied to the encoder."""
+    from ..cachescope import free_local_checkpoint, scoped_local_checkpoint
+
+    cur, prev = types, None
+    for i in range(0, len(rules), _BPE_ENC_SEGMENT):
+        enc = F.col("enc")
+        for m in rules[i : i + _BPE_ENC_SEGMENT]:
+            enc = F.replace(enc, F.lit(f"({m.l})({m.r})"), F.lit(f"({m.merged})"))
+        cur = cur.withColumn("enc", enc)
+        if i + _BPE_ENC_SEGMENT < len(rules):
+            cur = scoped_local_checkpoint(cur)
+            if prev is not None:
+                free_local_checkpoint(prev)
+            prev = cur
+    return cur
 
 
 def bpe_encode(spark: SparkSession, docs: DataFrame, bpe_dir: str) -> DataFrame:
-    """Encode documents against a FROZEN merge artifact: load the
-    ranked merges (artifact-sized driver collect — n_merges rows),
-    apply them in rank order to each distinct word's wrapped encoding
-    (applying frozen merges in training order over training-universe
-    words reproduces the trainer's final state — the BPE replay
-    property), then join word types back to per-doc word occurrences.
-    Returns (doc_id, word, n_syms): the per-occurrence symbol count.
+    """Encode documents against a FROZEN tokenizer artifact.  Returns
+    (doc_id, word, n_syms): the per-occurrence symbol count.
 
-    Scale shape: the merge chain runs over the vocabulary-sized type
-    table (N literal replaces in ONE projection — no per-round jobs at
-    encode time); the join back to occurrences is word-keyed and AQE
-    broadcasts the type table while it is genuinely small."""
+    Scale shape — two paths, split by artifact membership:
+
+    * words in the frozen ``vocab`` table (the training universe — in
+      a self-encode, all of them) take a word-keyed equi-join against
+      the artifact: ZERO merge replays, independent of merge count.
+      AQE broadcasts the side that is genuinely small.
+    * out-of-vocabulary word TYPES replay the ranked merges (the BPE
+      replay property), SEGMENTED at ``_BPE_ENC_SEGMENT`` replaces per
+      projection with a checkpoint between segments — bounded
+      expression depth and codegen-sized methods at any merge count,
+      unlike folding all (production ~32k) merges into one projection.
+
+    Pre-vocab artifacts (merges only) degrade to the segmented replay
+    for every word — still correct, still depth-bounded."""
     import os
 
     rules = (
@@ -926,13 +1029,20 @@ def bpe_encode(spark: SparkSession, docs: DataFrame, bpe_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter((F.length("word") >= 2) & F.col("word").rlike(_BPE_WORD_RE))
-    enc = F.regexp_replace("word", "(.)", r"($1)")
-    for m in rules:
-        enc = F.replace(enc, F.lit(f"({m.l})({m.r})"), F.lit(f"({m.merged})"))
-    types = words.select("word").distinct().select(
-        "word", F.size(_bpe_syms_of(enc)).alias("n_syms")
-    )
-    return words.join(types, "word").select("doc_id", "word", "n_syms")
+    types = words.select("word").distinct()
+    vocab_dir = os.path.join(bpe_dir, "vocab")
+    if os.path.exists(os.path.join(vocab_dir, "_SUCCESS")):
+        vocab = spark.read.parquet(vocab_dir)
+        known = types.join(vocab, "word")
+        oov = types.join(vocab.select("word"), "word", "left_anti")
+    else:
+        known = None
+        oov = types
+    oov_syms = _bpe_apply_merges(
+        oov.withColumn("enc", F.regexp_replace("word", "(.)", r"($1)")), rules
+    ).select("word", F.size(_bpe_syms("enc")).alias("n_syms"))
+    typed = oov_syms if known is None else known.unionByName(oov_syms)
+    return words.join(typed, "word").select("doc_id", "word", "n_syms")
 
 
 _DUCK_BPE_TOKS = (
@@ -997,6 +1107,93 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all proven cross-engine."""
     d = table(spark, sf_dir, "documents")
     merges, _ = bpe_train(spark, d.select("text"), _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "rnk int, l string, r string, merged string, cnt bigint"
+    )
+
+
+_BPE_PPR = 4  # pairs per round for the registered batched-trainer query
+
+
+def _bpe_batched_oracle(n: int = _BPE_MERGES, ppr: int = _BPE_PPR) -> str:
+    """Unrolled BATCHED BPE training: per round, the full pair-count
+    table, then ``ppr`` admission slots — each slot is the best
+    (count desc, pair asc) candidate whose symbols conflict with no
+    earlier-admitted pair in the round (conflict = either symbol equals
+    an admitted pair's left, right, OR merged token).  Because a
+    candidate is rejected only against previously ADMITTED pairs, the
+    per-slot argmin over non-conflicting candidates is exactly the
+    sequential greedy scan the Spark trainer runs — proven over the
+    FULL candidate list on both engines (the trainer re-fetches with a
+    wider window whenever admission starves inside a truncated one).
+    The round then applies the admitted replaces in admission order."""
+    parts = [
+        f"""wf AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest({_DUCK_BPE_TOKS}) AS word FROM documents)
+      WHERE length(word) >= 2 AND regexp_matches(word, '{_BPE_WORD_RE}')
+      GROUP BY word),
+    w0 AS MATERIALIZED (SELECT word, freq, regexp_replace(word, '(.)', '(\\1)', 'g') AS enc FROM wf)"""
+    ]
+    n_rounds = (n + ppr - 1) // ppr
+    for k in range(n_rounds):
+        want = min(ppr, n - k * ppr)
+        parts.append(
+            f"""s{k} AS (SELECT freq, str_split(substring(enc, 2, length(enc) - 2), ')(') AS syms FROM w{k}),
+    p{k} AS MATERIALIZED (
+      SELECT u.l AS l, u.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+                 i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS u
+        FROM s{k}) GROUP BY u.l, u.r)"""
+        )
+        for j in range(1, want + 1):
+            conflicts = " OR ".join(
+                f"EXISTS (SELECT 1 FROM a{k}_{i} a WHERE c.l IN (a.l, a.r, a.l || a.r) OR c.r IN (a.l, a.r, a.l || a.r))"
+                for i in range(1, j)
+            )
+            where = f"WHERE NOT ({conflicts})" if conflicts else ""
+            parts.append(
+                f"""a{k}_{j} AS (SELECT c.l, c.r, c.cnt FROM p{k} c {where}
+      ORDER BY c.cnt DESC, c.l, c.r LIMIT 1)"""
+            )
+        enc_expr = "enc"
+        for j in range(1, want + 1):
+            enc_expr = (
+                f"replace({enc_expr}, "
+                f"coalesce((SELECT '(' || l || ')(' || r || ')' FROM a{k}_{j}), chr(1)), "
+                f"coalesce((SELECT '(' || l || r || ')' FROM a{k}_{j}), chr(1)))"
+            )
+        parts.append(
+            f"w{k + 1} AS MATERIALIZED (SELECT word, freq, {enc_expr} AS enc FROM w{k})"
+        )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {k} AS k, {j} AS j, l, r, cnt FROM a{k}_{j}"
+        for k in range(n_rounds)
+        for j in range(1, min(ppr, n - k * ppr) + 1)
+    )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT rnk, l, r, merged, cnt FROM (
+      SELECT CAST(row_number() OVER (ORDER BY k, j) AS INTEGER) AS rnk,
+             l, r, l || r AS merged, cnt
+      FROM ({rows}))
+    WHERE rnk <= {n}
+    """
+
+
+@register("bpe_train_merges_batched", oracle=_bpe_batched_oracle())
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION trainer configuration driver-checked: batched
+    rounds admitting up to {ppr} SYMBOL-DISJOINT pairs each — the only
+    credible shape for a ~32k-merge vocabulary (32k sequential rounds =
+    32k driver round-trips).  Same merge budget as ``bpe_train_merges``
+    so the two tables are directly comparable; the oracle unrolls every
+    round's pair counts, the per-slot greedy disjoint admission, and
+    the in-order batched replaces — proving the admission rule itself
+    cross-engine, not just on toy pytest corpora."""
+    d = table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(spark, d.select("text"), _BPE_MERGES, pairs_per_round=_BPE_PPR)
     return spark.createDataFrame(
         merges, "rnk int, l string, r string, merged string, cnt bigint"
     )

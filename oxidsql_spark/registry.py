@@ -58,22 +58,19 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-12 start: all 19 round-11 priority names were driver-green
-    # in CORRECTNESS_r11.json and retire to the stable rotation, which
-    # now fronts the 26 r7-stale rows (VERDICT r11 missing #5).  Kept
-    # lean so they all fit the 50-row window.
-    # new in round 12 — never driver-checked:
-    "bpe_train_merges",
+    # round-13 start: all 7 round-12 priority names were driver-green in
+    # CORRECTNESS_r12.json and retire to the stable rotation, which now
+    # fronts the 31 r8-stale rows (VERDICT r12 missing #4).  Kept lean
+    # so the stale cohort fits the 50-row window behind them.
+    # new in round 13 — never driver-checked:
+    "bpe_train_merges_batched",
+    # rewritten in round 13 (encode now joins the frozen vocab artifact
+    # — zero merge replay for training-universe words — with a
+    # segmented replay only for out-of-vocabulary types):
     "bpe_encode_stats",
-    "mm_video_keyframes",
-    "curate_funnel_audit",
-    "seq_pack_boundaries",
-    # rewritten in round 12 (IPv4/SSN/credit-card patterns added in a
-    # fixed order; oracle rebuilt from the same pattern list):
+    # rewritten in round 13 (CC pattern IIN-guarded with consistent
+    # separators; phone pattern covers parenthesized and +1 forms):
     "text_redact_pii",
-    # rewritten in round 12 (oversized-cell splitting ahead of the
-    # pairing — a no-op at fixture scale, re-prove the unchanged path):
-    "dedup_semantic",
 )
 
 

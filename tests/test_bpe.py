@@ -173,6 +173,75 @@ def test_bpe_batched_rounds_match_sequential_when_disjoint(spark):
     assert len(bat_t) == 4 and len({m[3] for m in bat_t}) == 4
 
 
+def test_bpe_encode_vocab_fast_path_and_oov_replay(spark, tmp_path):
+    """The frozen artifact now carries the trainer's final word->n_syms
+    vocab table: training-universe words encode by the vocab join (no
+    merge replay), while a word the training never saw falls to the
+    out-of-vocabulary replay path — both in one encode call, and the
+    OOV result equals hand-replaying the frozen rules."""
+    docs = _docs(spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)])
+    out = str(tmp_path / "bpe")
+    bpe_build(spark, docs, out, n_merges=4)
+    import os
+
+    assert os.path.exists(os.path.join(out, "vocab", "_SUCCESS"))
+    # encode a corpus = training words + one OOV word sharing their grams
+    mixed = _docs(spark, [("low", 1), ("newest", 1), ("slowest", 1)])
+    per_word = {
+        r.word: r.n_syms
+        for r in bpe_encode(spark, mixed, out)
+        .select("word", "n_syms")
+        .distinct()
+        .collect()
+    }
+    # frozen rules: es, est, lo, low.  slowest -> s|low|est = 3 via replay
+    assert per_word == {"low": 1, "newest": 4, "slowest": 3}
+
+
+def test_bpe_encode_completes_at_production_merge_depth(spark, tmp_path):
+    """The What's-wrong-#1 lock: encoding against a frozen artifact of
+    2,100 merge rules (production-vocabulary order of magnitude) must
+    COMPLETE, apply rules across segment boundaries in rank order, and
+    keep the final plan's expression depth bounded by the segment size
+    — never fold all rules into one projection (the 64 KB-codegen /
+    analysis-blowup failure mode this test exists to prevent)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.textops import _BPE_ENC_SEGMENT, bpe_encode
+
+    n_rules = 2100
+    rules = [(1, "a", "b", "ab", 9)]
+    # a LATE rule consuming an EARLY rule's output proves ordering
+    # survives segmentation (rule 1 fires in segment 0, this one ~12
+    # segments later on rule 1's merged symbol)
+    late = n_rules - 50
+    for i in range(2, n_rules + 1):
+        if i == late:
+            rules.append((i, "ab", "c", "abc", 1))
+        else:
+            rules.append((i, f"q{i}", "z", f"q{i}z", 1))
+    bdir = str(tmp_path / "bpe_deep")
+    spark.createDataFrame(
+        rules, "rnk int, l string, r string, merged string, cnt bigint"
+    ).coalesce(1).write.parquet(os.path.join(bdir, "merges"))
+    # no vocab table -> every word takes the segmented replay path
+    docs = _docs(spark, [("abc", 2), ("abd", 1)])
+    enc = bpe_encode(spark, docs, bdir)
+    per_word = {
+        r.word: r.n_syms
+        for r in enc.select("word", "n_syms").distinct().collect()
+    }
+    # abc: (a)(b)(c) -[r1]-> (ab)(c) -[late]-> (abc); abd: (ab)(d)
+    assert per_word == {"abc": 1, "abd": 2}
+    # depth bound: checkpoints truncate lineage per segment, so the
+    # final analyzed plan may carry at most ONE segment's replaces
+    plan = enc._jdf.queryExecution().analyzed().toString()
+    n_replace = plan.count("replace(")
+    assert 0 < n_replace <= _BPE_ENC_SEGMENT + 8, n_replace
+
+
 def test_seq_pack_boundaries_reaggregate_to_stats(spark, sf_dir):
     """The boundary table is the stats table's pre-aggregation: grouping
     boundaries by seq_id must reproduce seq_pack_stats exactly (n_docs,

@@ -536,25 +536,31 @@ def test_curate_scrub_variant_bites(spark, sf_dir):
 
 
 def test_redact_pii_pattern_breadth(spark, tmp_path):
-    """One fixture per PII pattern (email, 16-digit card — spaced,
-    dashed, and bare — SSN, IPv4, phone), plus an interaction row
-    carrying several at once, pushed through the registered query's own
-    regex chain.  Locks the pattern ORDER contract: a spaced card must
-    become ONE <CC>, not a <PHONE> bite out of its middle, and a dotted
-    quad must become <IP>, not a dotted-phone match."""
+    """One fixture per PII pattern shape (email; IIN-led card — spaced,
+    dashed, and bare; SSN; IPv4; phone — plain, dotted, parenthesized,
+    and +1-prefixed), plus an interaction row carrying several at once,
+    pushed through the registered query's own regex chain.  Locks the
+    pattern ORDER contract (a spaced card must become ONE <CC>, not a
+    <PHONE> bite out of its middle; a dotted quad must become <IP>) AND
+    the negative space of the shape contract (mixed-separator and
+    non-IIN 16-digit ids stay unredacted)."""
     from oxidsql_spark.operators.textops import _PII_PATTERNS
     from pyspark.sql import functions as F
 
     rows = [
         (1, "mail me at jane.doe+x@sub.example.org today"),
-        (2, "card 1234-5678-9012-3456 on file"),
-        (3, "card 1234 5678 9012 3456 on file"),
-        (4, "card 1234567890123456 on file"),
+        (2, "card 4234-5678-9012-3456 on file"),
+        (3, "card 4234 5678 9012 3456 on file"),
+        (4, "card 4234567890123456 on file"),
         (5, "ssn 123-45-6789 leaked"),
         (6, "host 192.168.0.1 responded"),
         (7, "call 555-867-5309 or 555.867.5309"),
         (8, "jane@ex.org ip 10.0.0.7 cc 4111 1111 1111 1111 ssn 987-65-4321 tel 212-555-0199"),
         (9, "no pii here at all"),
+        (10, "call (555) 867-5309 or (555)867-5309 today"),
+        (11, "intl +1-555-867-5309 or +1 (555) 867-5309"),
+        (12, "order id 7234567890123456 is not a card"),
+        (13, "mixed 4234-5678 9012 3456 separators stay put"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     red = F.col("text")
@@ -570,3 +576,7 @@ def test_redact_pii_pattern_breadth(spark, tmp_path):
     assert out[7] == "call <PHONE> or <PHONE>"
     assert out[8] == "<EMAIL> ip <IP> cc <CC> ssn <SSN> tel <PHONE>"
     assert out[9] == "no pii here at all"
+    assert out[10] == "call <PHONE> or <PHONE> today"
+    assert out[11] == "intl <PHONE> or <PHONE>"
+    assert out[12] == "order id 7234567890123456 is not a card"
+    assert out[13] == "mixed 4234-5678 9012 3456 separators stay put"

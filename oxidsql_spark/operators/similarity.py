@@ -1843,67 +1843,241 @@ _SEM_SPLIT_CAP = 4096  # clusters above this get a sub-codebook before pairing
 _SEM_SPLIT_BASE = 1 << 40  # refined-cell id space, disjoint from cluster ids
 
 
+def _km_update_partials_keyed(
+    e: DataFrame, cents: dict[int, dict[int, list[int]]]
+) -> DataFrame:
+    """One Lloyd iteration for MANY independent sub-codebooks in a
+    single fused Arrow pass: ``e`` is (cluster, qv) over every hot
+    cluster at once, ``cents`` maps cluster -> {sub -> centroid}.  Each
+    batch groups its rows by cluster, assigns against that cluster's
+    own sub-centroids (np.argmin first-minimum = the (dist, sub)
+    tie-break), and scatters partial sums keyed (cluster, sub, dim) —
+    the fused PQ trainer's 8-subspaces-in-one-pass shape
+    (`_km_update_partials`), with the subspace axis replaced by the
+    hot-cluster axis.  Per-cluster results are bit-identical to
+    training each cluster alone: groups never mix, and integer partial
+    sums are associative."""
+    import numpy as np
+    import pandas as pd
+
+    groups = {
+        int(g): (
+            np.array(sorted(subs), dtype=np.int64),
+            np.array([subs[s] for s in sorted(subs)], dtype=np.int64),
+        )
+        for g, subs in cents.items()
+    }
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for g, gpdf in pdf.groupby("cluster"):
+                ids, C = groups[int(g)]
+                K, dim = C.shape
+                M = np.stack(gpdf["qv"].to_numpy()).astype(np.int64)
+                d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                idx = np.argmin(d, axis=1)
+                sums = np.zeros((K, dim), dtype=np.int64)
+                np.add.at(sums, idx, M)
+                counts = np.bincount(idx, minlength=K).astype(np.int64)
+                live = np.flatnonzero(counts)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.full(len(live) * dim, g, dtype=np.int64),
+                            "sub": np.repeat(ids[live], dim),
+                            "dim": np.tile(np.arange(dim, dtype=np.int64), len(live)),
+                            "s": sums[live].ravel(),
+                            "n": np.repeat(counts[live], dim),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    return (
+        e.select("cluster", "qv")
+        .mapInPandas(partials, "cluster bigint, sub bigint, dim int, s bigint, n bigint")
+        .groupBy("cluster", "sub", "dim")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+
+
+def _km_train_keyed(
+    e: DataFrame,
+    init: dict[int, dict[int, list[int]]],
+    iters: int = 2,
+) -> dict[int, dict[int, list[int]]]:
+    """Lloyd over many independent groups at once — ONE partials job
+    per iteration regardless of group count (the de-serialization the
+    per-hot-cluster loop needed).  Update rule per (cluster, sub) is
+    `_km_train`'s exactly: integer sums, Python floor division, and a
+    sub-centroid whose cell empties vanishes from its group's dict."""
+    dim = len(next(iter(next(iter(init.values())).values())))
+    cents = init
+    for _ in range(iters):
+        sums = _km_update_partials_keyed(e, cents).collect()
+        new: dict[int, dict[int, list[int]]] = {}
+        for r in sums:
+            sub = new.setdefault(int(r["cluster"]), {}).setdefault(
+                int(r["sub"]), [0] * dim
+            )
+            sub[r["dim"]] = r["s"] // r["n"]
+        cents = new
+    return cents
+
+
+def _km_assigned_batch_keyed(
+    e: DataFrame, cents: dict[int, dict[int, list[int]]]
+) -> DataFrame:
+    """(vec_id, cluster, qv) -> (vec_id, cluster, sub, qv): nearest
+    sub-centroid WITHIN the row's own cluster's codebook, one Arrow
+    pass over all hot clusters together (keyed twin of
+    `_km_assigned_batch`, same first-minimum tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    groups = {
+        int(g): (
+            np.array(sorted(subs), dtype=np.int64),
+            np.array([subs[s] for s in sorted(subs)], dtype=np.int64),
+        )
+        for g, subs in cents.items()
+    }
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for g, gpdf in pdf.groupby("cluster"):
+                ids, C = groups[int(g)]
+                M = np.stack(gpdf["qv"].to_numpy()).astype(np.int64)
+                d = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": gpdf["vec_id"],
+                            "cluster": gpdf["cluster"],
+                            "sub": ids[np.argmin(d, axis=1)],
+                            "qv": gpdf["qv"],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    return e.select("vec_id", "cluster", "qv").mapInPandas(
+        assign, "vec_id bigint, cluster bigint, sub bigint, qv array<bigint>"
+    )
+
+
 def split_oversized_cells(
-    members_q: DataFrame, cap: int = _SEM_SPLIT_CAP
+    members_q: DataFrame, cap: int = _SEM_SPLIT_CAP, max_depth: int = 6
 ) -> DataFrame | None:
     """SemDeDup's production K-grows-with-corpus rule, applied locally:
     a cluster whose member count exceeds ``cap`` is re-clustered with
-    its own small sub-codebook (integer Lloyd on the members, the
-    `_km_train` trainer) BEFORE pairing, so the within-cell pair count
-    drops from O(n_c²) to O(Σ n_sub²) — the blocked GEMM already
-    bounds per-task MEMORY, this bounds hot-cluster TIME (the
-    STRESS_r11 salted 4.07→5.31 trend).  ``members_q`` is (vec_id,
-    cluster, qv); returns a (vec_id, cell) refined-id mapping for hot
-    clusters' members only, or None when no cluster is oversized (the
-    common production-sized case — one codebook-sized count aggregate
-    and nothing else).
+    its own small sub-codebook (integer Lloyd on the members) BEFORE
+    pairing, so the within-cell pair count drops from O(n_c²) to
+    O(Σ n_sub²) — the blocked GEMM already bounds per-task MEMORY,
+    this bounds hot-cluster TIME (the STRESS_r11 salted 4.07→5.31
+    trend).  ``members_q`` is (vec_id, cluster, qv); returns a
+    (vec_id, cell) refined-id mapping for hot clusters' members only,
+    or None when no cluster is oversized (the common production-sized
+    case — one codebook-sized count aggregate and nothing else).
+
+    Job-count shape: ALL hot clusters train together through the keyed
+    Lloyd pass (`_km_train_keyed`) — per level, one count aggregate,
+    one init collect (Σ k_sub rows), `iters` partials jobs, and one
+    assignment pass, INDEPENDENT of how many clusters are hot.  The
+    r12 design serialized a 4-job trainer per hot cluster, which is
+    exactly the fixed cost its own cap=2048 A/B showed losing (11.4 s
+    vs 7.6 s unsplit at 20k vectors); with hundreds of hot cells at
+    production scale the serialized loop would dominate the time it
+    exists to save.
 
     Sub-codebook size targets ~cap/2 members per sub-cell (2·⌈n/cap⌉,
-    capped at 64); init = the cluster's first k_sub members by vec_id
-    (deterministic).  The driver loop is bounded by the CLUSTER count,
-    and each iteration's traffic by k_sub·dim — the k-means trainer's
-    own contract.  Cap calibration (r12 A/B at 10× sf0.1 =
-    20k vectors, warm runs): cap=2048 fires on every cluster and LOSES
-    — 11.4 s vs 7.6 s unsplit — because the serialized per-cluster
-    trainer jobs (~4 tiny jobs each) cost more than the seconds of
-    pair work they save; at 4096 nothing at test scale splits.  The
-    split pays only where it is designed to: clusters of 10^5+ members
-    whose pair stage is hours, against which the trainer's fixed job
-    count amortizes to nothing.  Semantics: near-dup pairs straddling two sub-cells
-    are no longer scored — exactly the approximation SemDeDup makes
-    when it raises K, and why the fixture-scale cap (4096 ≥ any sf0.1
-    cluster) keeps the registered query oracle-exact."""
-    counts = members_q.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
-    hot = {
-        int(r["cluster"]): int(r["n_c"])
-        for r in counts.filter(F.col("n_c") > cap).collect()
-    }
-    if not hot:
-        return None
+    capped at 64 per level); init = the cluster's first k_sub members
+    by vec_id (deterministic).  A cluster larger than 64·cap can leave
+    sub-cells still above the cap, so the split RECURSES on them —
+    each level is the same bounded job set, level L handles clusters
+    up to cap·64^(L+1), and ``max_depth`` (6 ≈ 2·10^14·cap members) is
+    an unreachable backstop, not a working limit.  Refined ids stay
+    injective across levels without overflow: level L's cells live at
+    ``_SEM_SPLIT_BASE << L`` plus a DENSE index over that level's hot
+    clusters (hot counts are driver-known) — never the raw parent id,
+    whose own refined ids would overflow int64 when re-multiplied.
+    Cell ids are opaque grouping keys; `dedup_semantic` restores the
+    ORIGINAL cluster id on output rows.
+
+    Cap calibration (r12 A/B at 10× sf0.1 = 20k vectors, warm runs):
+    at 4096 nothing at test scale splits, keeping the registered query
+    oracle-exact; the split pays where it is designed to — clusters of
+    10^5+ members whose pair stage is hours.  Semantics: near-dup
+    pairs straddling two sub-cells are no longer scored — exactly the
+    approximation SemDeDup makes when it raises K."""
     from ..cachescope import scoped_persist
 
-    parts = []
-    for c, n in sorted(hot.items()):
-        sub = scoped_persist(
-            members_q.filter(F.col("cluster") == c).select("vec_id", "qv")
+    out: DataFrame | None = None
+    cur = members_q.select("vec_id", "cluster", "qv")
+    for depth in range(max_depth):
+        counts = cur.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+        hot = {
+            int(r["cluster"]): int(r["n_c"])
+            for r in counts.filter(F.col("n_c") > cap).collect()
+        }
+        if not hot:
+            break
+        hm = scoped_persist(
+            cur.filter(F.col("cluster").isin(list(hot))).select(
+                "vec_id", "cluster", "qv"
+            )
         )
-        k_sub = min(64, 2 * (-(-n // cap)))
-        init_rows = sub.orderBy("vec_id").limit(k_sub).collect()
-        init = {i: list(r["qv"]) for i, r in enumerate(init_rows)}
-        cents = _km_train(
-            sub, k=k_sub, iters=2, init=init, dim=len(init[0])
+        k_sub = {c: min(64, 2 * (-(-n // cap))) for c, n in hot.items()}
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("cluster").orderBy("vec_id")
+        # keys cast to bigint: depth>=1 cluster ids are refined cell ids
+        # (>= _SEM_SPLIT_BASE), far outside int range
+        k_map = F.create_map(
+            *[F.lit(v).cast("bigint") for kv in sorted(k_sub.items()) for v in kv]
         )
+        init_rows = (
+            hm.withColumn("rn", F.row_number().over(w) - 1)
+            .filter(F.col("rn") < F.element_at(k_map, F.col("cluster")))
+            .select("cluster", "rn", "qv")
+            .collect()
+        )
+        init: dict[int, dict[int, list[int]]] = {}
+        for r in init_rows:
+            init.setdefault(int(r["cluster"]), {})[int(r["rn"])] = list(r["qv"])
+        cents = _km_train_keyed(hm, init, iters=2)
+        dense = {c: i for i, c in enumerate(sorted(hot))}
+        dense_map = F.create_map(
+            *[F.lit(v).cast("bigint") for kv in sorted(dense.items()) for v in kv]
+        )
+        assigned = _km_assigned_batch_keyed(hm, cents)
         cell = (
-            F.lit(_SEM_SPLIT_BASE)
-            + F.lit(int(c)) * F.lit(1 << 20)
-            + F.col("cluster").cast("bigint")
+            F.lit(_SEM_SPLIT_BASE << depth)
+            + F.element_at(dense_map, F.col("cluster")) * F.lit(1 << 20)
+            + F.col("sub")
         )
-        parts.append(
-            _km_assigned_batch(sub, cents).select("vec_id", cell.alias("cell"))
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        new = assigned.select("vec_id", cell.alias("cell"), "qv")
+        if out is None:
+            out = new.select("vec_id", "cell")
+        else:
+            # a deeper level's assignment supersedes its parent's
+            out = (
+                out.join(
+                    new.select("vec_id", F.col("cell").alias("cell2")),
+                    "vec_id",
+                    "left",
+                )
+                .select("vec_id", F.coalesce("cell2", "cell").alias("cell"))
+            )
+        cur = new.select("vec_id", F.col("cell").alias("cluster"), "qv")
     return out
 
 

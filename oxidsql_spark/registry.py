@@ -71,6 +71,10 @@ _PRIORITY: tuple[str, ...] = (
     # rewritten in round 13 (CC pattern IIN-guarded with consistent
     # separators; phone pattern covers parenthesized and +1 forms):
     "text_redact_pii",
+    # rewritten in round 13 (oversized-cell sub-training folded into
+    # one keyed Lloyd pass per iteration + recursion past the k_sub
+    # ceiling — still a no-op at fixture scale, re-prove the path):
+    "dedup_semantic",
 )
 
 

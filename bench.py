@@ -75,11 +75,41 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
         )
 
     def _fingerprint() -> dict[str, list[int]]:
+        # ns-resolution mtimes: a same-second, same-size regeneration of
+        # the sf dir must NOT short-circuit into the stale base
         fp = {}
         for t in TABLES:
             src = os.path.join(sf_dir, f"{t}.parquet")
-            fp[t] = [_tbytes(src), int(os.path.getmtime(src))]
+            if os.path.isdir(src):
+                stats = [
+                    os.stat(os.path.join(r, f))
+                    for r, _, fs in os.walk(src)
+                    for f in fs
+                ]
+                fp[t] = [
+                    sum(s.st_size for s in stats),
+                    max((s.st_mtime_ns for s in stats), default=0),
+                ]
+            else:
+                st = os.stat(src)
+                fp[t] = [st.st_size, st.st_mtime_ns]
         return fp
+
+    def _prune_stale_bases(tag: str, keep_fp: str) -> None:
+        """Old fingerprinted bases (and their orphaned .build_ dirs)
+        accumulate across fixture regenerations; once a base for the
+        CURRENT fingerprint exists, every sibling with a different
+        fp_tag is garbage.  Same-fp build dirs are left alone — a
+        concurrent builder may own them."""
+        import re
+
+        pat = re.compile(
+            rf"^oxidsql_benchbase{re.escape(tag)}_([0-9a-f]{{8}})(\.build_\d+)?$"
+        )
+        for name in os.listdir("/tmp"):
+            m = pat.match(name)
+            if m and m.group(1) != keep_fp:
+                shutil.rmtree(os.path.join("/tmp", name), ignore_errors=True)
 
     src_fp = _fingerprint()
     tag = sf_dir.rstrip("/").replace("/", "_")
@@ -92,6 +122,7 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
         with open(marker) as fh:
             meta = json.load(fh)
         if meta.get("src_fp") == src_fp:
+            _prune_stale_bases(tag, fp_tag)
             return dst, meta["files"]
     tmp = f"{dst}.build_{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -117,6 +148,7 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
         shutil.rmtree(tmp, ignore_errors=True)
     else:
         os.rename(tmp, dst)
+    _prune_stale_bases(tag, fp_tag)
     return dst, files
 
 

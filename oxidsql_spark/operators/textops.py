@@ -1029,20 +1029,25 @@ def bpe_encode(spark: SparkSession, docs: DataFrame, bpe_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("word")
     ).filter((F.length("word") >= 2) & F.col("word").rlike(_BPE_WORD_RE))
-    types = words.select("word").distinct()
     vocab_dir = os.path.join(bpe_dir, "vocab")
     if os.path.exists(os.path.join(vocab_dir, "_SUCCESS")):
+        # occurrences join the vocab DIRECTLY (no distinct shuffle on
+        # the hot path — the join is map-side while vocab broadcasts);
+        # only the out-of-vocabulary remainder pays a type-level distinct
         vocab = spark.read.parquet(vocab_dir)
-        known = types.join(vocab, "word")
-        oov = types.join(vocab.select("word"), "word", "left_anti")
+        known = words.join(vocab, "word").select("doc_id", "word", "n_syms")
+        oov_w = words.join(vocab.select("word"), "word", "left_anti")
     else:
         known = None
-        oov = types
+        oov_w = words
     oov_syms = _bpe_apply_merges(
-        oov.withColumn("enc", F.regexp_replace("word", "(.)", r"($1)")), rules
+        oov_w.select("word")
+        .distinct()
+        .withColumn("enc", F.regexp_replace("word", "(.)", r"($1)")),
+        rules,
     ).select("word", F.size(_bpe_syms("enc")).alias("n_syms"))
-    typed = oov_syms if known is None else known.unionByName(oov_syms)
-    return words.join(typed, "word").select("doc_id", "word", "n_syms")
+    oov_full = oov_w.join(oov_syms, "word").select("doc_id", "word", "n_syms")
+    return oov_full if known is None else known.unionByName(oov_full)
 
 
 _DUCK_BPE_TOKS = (

@@ -117,9 +117,9 @@ def main() -> None:
 
     --json writes (or merges into) a round-artifact JSON: one
     ``salted`` / ``verbatim`` section per invocation, each holding
-    {query: {base_sec, stress_sec, ratio}} — the trendable form the
-    per-round STRESS_rN.json files carry, same methodology as SCALE.md's
-    round-6 prose tables."""
+    {query: {base_sec, stress_sec, ratio, base_spread, stress_spread}}
+    — medians of 3 warm runs with [min, max] spreads (round 13), the
+    trendable form the per-round STRESS_rN.json files carry."""
     import json
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
@@ -135,12 +135,33 @@ def main() -> None:
     t0 = time.time()
     synthesize(spark, k, out_dir, salt_docs=salt)
     print(f"synthesized in {time.time() - t0:.0f}s")
-    def admit_only_sec(d: str, tag: str) -> float:
+    # Measurement discipline (round 13): one warm-up run + median of 3
+    # timed runs with the [min, max] spread recorded per head — the
+    # bench.py protocol.  Three straight rounds of SCALE.md prose had to
+    # explain single-measurement cold/warm swings (r10 salted floor, r11
+    # jaccard/clusters, r12 re-measures); the artifact now carries its
+    # own variance so a ratio can be read against it directly.
+    def timed_median(run) -> tuple[float, list[float]]:
+        run()  # warm-up: plan construction + codegen + cache build
+        release_scoped_caches()
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.time()
+            run()
+            runs.append(time.time() - t0)
+            release_scoped_caches()
+        return round(sorted(runs)[1], 2), [round(min(runs), 2), round(max(runs), 2)]
+
+    def admit_only_sec(d: str, tag: str) -> tuple[float, list[float]]:
         """Time ONLY IncrementalClusters.admit (build excluded): the
         O(batch + touched buckets) claim says this should grow with
         the BATCH and the touched buckets' size (corpus/64 per
         bucket), never with corpus-wide scans — so 10× corpus must
-        cost far less than 10× admission time."""
+        cost far less than 10× admission time.  Admission MUTATES the
+        state, so each rep is a fresh build + one timed admit (a
+        warm-up rep, then median of 3 — matching timed_median's shape
+        at the cost of rebuilding; the r12 single-measurement artifact
+        recorded one cold run and had to be re-measured by hand)."""
         import shutil as _sh
 
         from pyspark.sql import functions as _F
@@ -155,50 +176,64 @@ def main() -> None:
         corpus = docs.filter(~_F.col("source").isin(*_BATCH_SRCS)).select(
             "doc_id", "text"
         )
-        path = os.path.join("/tmp", f"oxid_admitonly_{tag}_{os.getpid()}")
-        _sh.rmtree(path, ignore_errors=True)
-        state = IncrementalClusters(spark, path)
-        state.build(corpus)
-        t0 = time.time()
-        state.admit(batch)
-        sec = round(time.time() - t0, 2)
-        release_scoped_caches()
-        _sh.rmtree(path, ignore_errors=True)
-        return sec
+
+        secs: list[float] = []
+        for rep in range(4):  # rep 0 = warm-up
+            path = os.path.join("/tmp", f"oxid_admitonly_{tag}_{rep}_{os.getpid()}")
+            _sh.rmtree(path, ignore_errors=True)
+            state = IncrementalClusters(spark, path)
+            state.build(corpus)
+            t0 = time.time()
+            state.admit(batch)
+            if rep:
+                secs.append(time.time() - t0)
+            release_scoped_caches()
+            _sh.rmtree(path, ignore_errors=True)
+        return round(sorted(secs)[1], 2), [round(min(secs), 2), round(max(secs), 2)]
 
     results: dict[str, dict] = {}
-    base_a = admit_only_sec(SRC, "base")
-    big_a = admit_only_sec(out_dir, "stress")
+    base_a, base_sp = admit_only_sec(SRC, "base")
+    big_a, big_sp = admit_only_sec(out_dir, "stress")
     results["cluster_admit_only"] = {
         "base_sec": base_a,
         "stress_sec": big_a,
         "ratio": round(big_a / base_a, 2) if base_a > 0 else None,
+        "base_spread": base_sp,
+        "stress_spread": big_sp,
     }
     print(f"{'cluster_admit_only':28s} sf0.1={base_a:>8} {k}x={big_a:>8} "
           f"ratio={results['cluster_admit_only']['ratio'] or '-'}")
     for name in STRESS_QUERIES:
-        row = {}
+        row: dict = {}
+        sp: dict = {}
         for label, d in [("sf0.1", SRC), (f"{k}x", out_dir)]:
-            t0 = time.time()
             try:
                 # noop sink, not count(): count lets Catalyst prune
                 # unreferenced aggregate columns and left-joined
                 # subtrees — it under-measured dedup_span_coverage 8×
                 # (see bench.py's module note, fixed the same round)
-                queries[name].fn(spark, d).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                row[label] = round(time.time() - t0, 2)
+                def run(d=d):
+                    queries[name].fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+
+                row[label], sp[label] = timed_median(run)
             except Exception as ex:  # noqa: BLE001 — survey run
-                row[label] = f"ERR {str(ex)[:60]}"
-            release_scoped_caches()
+                row[label], sp[label] = f"ERR {str(ex)[:60]}", None
+                release_scoped_caches()
         base, big = row["sf0.1"], row[f"{k}x"]
         ratio = (
             round(big / base, 2)
             if isinstance(base, float) and isinstance(big, float) and base > 0
             else None
         )
-        results[name] = {"base_sec": base, "stress_sec": big, "ratio": ratio}
+        results[name] = {
+            "base_sec": base,
+            "stress_sec": big,
+            "ratio": ratio,
+            "base_spread": sp["sf0.1"],
+            "stress_spread": sp[f"{k}x"],
+        }
         print(f"{name:28s} sf0.1={base:>8} {k}x={big:>8} ratio={ratio or '-'}")
     if json_path:
         blob = {}

@@ -748,9 +748,11 @@ def _vid_frame_sql(idiv: str) -> str:
     return f"substring(text, {start}, {flen})"
 
 
-def _video_oracle() -> str:
-    return f"""
-    WITH fr0 AS (
+def _vid_fh_cte() -> str:
+    """The shared synthetic frame-fingerprint chain (frame explode +
+    per-frame fake dHash) as WITH-parts; `_video_oracle` and
+    `_video_dedup_oracle` both build on it."""
+    return f"""fr0 AS (
       SELECT doc_id, text, s, unnest(range(0, {_VID_REP} * s)) AS frame_idx
       FROM (SELECT doc_id, text,
                    2 + (length(text) % {_VID_SCENES_MOD}) AS s
@@ -758,7 +760,12 @@ def _video_oracle() -> str:
     fr AS (SELECT doc_id, frame_idx, {_vid_frame_sql("//")} AS ft FROM fr0),
     fh AS (SELECT doc_id, frame_idx,
                   {_dhash_fake_terms("duckdb", "ft")} AS dhash
-           FROM fr)
+           FROM fr)"""
+
+
+def _video_oracle() -> str:
+    return f"""
+    WITH {_vid_fh_cte()}
     SELECT doc_id, frame_idx, dhash,
            coalesce(bit_count(xor(dhash,
                lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) > {_VID_HAM_T},
@@ -808,3 +815,190 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 mm_video_keyframes.__doc__ = mm_video_keyframes.__doc__.format(
     rep=_VID_REP, t=_VID_HAM_T
 )
+
+
+# --- video near-dup: keyframe-SET matching across videos ------------------
+# The video analog of mm_caption_dedup (r12 VERDICT missing #2): two
+# videos are copies of the same footage when the keyframe hash set of
+# the SMALLER one is mostly contained (hamming <= t per keyframe) in the
+# other's — re-encoding and uniform brightening leave dHashes within t,
+# trimming only shrinks the smaller set, so the containment denominator
+# least(|A|, |B|) is what makes truncated copies match.
+
+_VID_CONT_NUM = 1  # matched keyframes >= 1/2 of the smaller set
+_VID_CONT_DEN = 2  # (integer cross-multiplied — no float compare)
+
+
+def video_dedup_from_fingerprints(
+    fh: DataFrame, docs: DataFrame, t: int = _CAP_HAM_T
+) -> DataFrame:
+    """The cross-video chain after per-frame fingerprinting: keyframe
+    hash SETS -> band-bucketed candidate keyframe pairs -> hamming
+    verify -> per-video-pair containment vote -> min-label clusters ->
+    keep-best.  ``fh`` is (doc_id, frame_idx, dhash BIGINT) from ANY
+    fingerprint source — the registered query feeds the
+    oracle-expressible fake; the real-bytes pytest feeds `dhash_image`
+    bits over `split_p5_frames` output — and ``docs`` carries
+    (doc_id, n_chars) for the keep-best rule.
+
+    Scale shape: videos collapse to their keyframe hash sets FIRST
+    (distinct 8-byte hashes per video — the only rows that ever
+    shuffle; within-scene frames are already gone), the candidate join
+    is keyed on {b} 12-bit bands (complete for hamming <= {t} by
+    pigeonhole), the containment vote is one integer aggregate per
+    candidate video pair, and clustering is the shared min-label
+    propagation.  Hub risk (a black-frame band value shared by many
+    videos) is the caption-dedup candidate-join profile, bounded by
+    banding on the full 48-bit fake / 64-bit real hash rather than any
+    frame content."""
+    from .graph import propagate_min_labels
+
+    kf = (
+        video_keyframes_from_fingerprints(fh)
+        .filter(F.col("is_keyframe"))
+        .select("doc_id", "dhash")
+        .distinct()
+    )
+    sizes = kf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_k"))
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+    bands = kf.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}")
+                for b in range(_CAP_BANDS)
+            ])
+        ).alias("b", "v"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("dhash").alias("ha"), "b", "v"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("dhash").alias("hb"), "b", "v"
+    )
+    cand = (
+        a.join(bb, ["b", "v"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+        .distinct()
+    )
+    matched = (
+        cand.filter(F.expr(f"bit_count(ha ^ hb) <= {t}"))
+        .groupBy("a_id", "b_id")
+        .agg(F.countDistinct("ha").alias("m"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_k").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_k").alias("n_b"))
+    pairs = (
+        matched.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(
+            F.col("m") * _VID_CONT_DEN
+            >= F.least("n_a", "n_b") * _VID_CONT_NUM
+        )
+        .select("a_id", "b_id")
+    )
+    clusters = propagate_min_labels(docs.select("doc_id"), pairs).select(
+        "doc_id", F.col("cluster_id").alias("vid_cluster")
+    )
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("vid_cluster").orderBy(F.col("n_chars").desc(), "doc_id")
+    return ranked.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "vid_cluster", (F.col("rk") == 1).alias("kept")
+    )
+
+
+video_dedup_from_fingerprints.__doc__ = video_dedup_from_fingerprints.__doc__.format(
+    b=_CAP_BANDS, t=_CAP_HAM_T
+)
+
+
+def _video_dedup_oracle() -> str:
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+    return f"""
+    WITH {_vid_fh_cte()},
+    kfl AS (
+      SELECT doc_id, dhash,
+             coalesce(bit_count(xor(dhash,
+                 lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) > {_VID_HAM_T},
+                 TRUE) AS is_keyframe
+      FROM fh),
+    kf AS (SELECT DISTINCT doc_id, dhash FROM kfl WHERE is_keyframe),
+    nk AS (SELECT doc_id, count(*) AS n_k FROM kf GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, dhash, b, (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+      FROM kf, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v
+                              AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT a_id, b_id, count(DISTINCT ha) AS m
+      FROM cand WHERE bit_count(xor(ha, hb)) <= {_CAP_HAM_T}
+      GROUP BY a_id, b_id),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM m JOIN nk na ON na.doc_id = m.a_id
+             JOIN nk nb ON nb.doc_id = m.b_id
+      WHERE m * {_VID_CONT_DEN} >= least(na.n_k, nb.n_k) * {_VID_CONT_NUM}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+      SELECT * FROM r),
+    clusters AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS vid_cluster
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id),
+    ranked AS (
+      SELECT doc_id, vid_cluster,
+             row_number() OVER (
+               PARTITION BY vid_cluster
+               ORDER BY d.n_chars DESC, doc_id) AS rk
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT doc_id, vid_cluster, (rk = 1) AS kept
+    FROM ranked
+    """
+
+
+@register("mm_video_dedup", oracle=_video_dedup_oracle())
+def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection — the composition that catches
+    re-encoded, brightened, or TRIMMED copies of the same footage:
+    every video collapses to its keyframe dHash set, keyframe pairs
+    are band-bucket candidates verified by hamming, and two videos are
+    duplicates when at least half the smaller keyframe set matches
+    (containment, so a truncated copy still pairs with its source);
+    duplicate groups close transitively and one video survives per
+    cluster (longest text, doc_id tie-break — the keep-best rule).
+
+    On the synthetic text-payload corpus the frame chain is the
+    mm_video_keyframes fake, so banding, hamming, the containment
+    vote, the closure, and keep-best are all DuckDB-re-derived
+    exactly; REAL concatenated-P5 containers (including a brightened +
+    frame-dropped copy) go through `split_p5_frames` + `dhash_image`
+    into the same chain in tests/test_multimodal_codec.py."""
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+    )
+    fr = base.select(
+        "doc_id",
+        "text",
+        "s",
+        F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias("frame_idx"),
+    ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
+    fh = fr.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
+    )
+    return video_dedup_from_fingerprints(fh, d.select("doc_id", "n_chars"))

@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     # so the stale cohort fits the 50-row window behind them.
     # new in round 13 — never driver-checked:
     "bpe_train_merges_batched",
+    "mm_video_dedup",
     # rewritten in round 13 (encode now joins the frozen vocab artifact
     # — zero merge replay for training-universe words — with a
     # segmented replay only for out-of-vocabulary types):

@@ -335,3 +335,65 @@ def test_video_keyframes_over_real_p5_frames(spark):
         for r in video_keyframes_from_fingerprints(fh).collect()
     }
     assert out == {0: True, 1: False, 2: False, 3: True, 4: False}
+
+
+def test_video_dedup_over_real_p5_containers(spark):
+    """Video near-dup on REAL pixels: a brightened AND frame-dropped
+    copy of a container must cluster with its source (re-encoding
+    invariance via dHash, trimming tolerance via the containment
+    denominator), an unrelated container must stay alone, and keep-best
+    must retain exactly one video per cluster."""
+    import random
+
+    from oxidsql_spark.operators.multimodal import (
+        dhash_image,
+        split_p5_frames,
+        video_dedup_from_fingerprints,
+    )
+
+    rnd = random.Random(21)
+    w, h = 36, 32
+
+    def p5(pixels):
+        return f"P5 {w} {h} 255 ".encode() + bytes(
+            v for row in pixels for v in row
+        )
+
+    def rand_gray():
+        return [[rnd.randrange(200) for _ in range(w)] for _ in range(h)]
+
+    def brighten(px, d=25):
+        return [[v + d for v in row] for row in px]
+
+    s1, s2, s3 = rand_gray(), rand_gray(), rand_gray()
+    u1, u2 = rand_gray(), rand_gray()
+    # video 1: three scenes, two frames each; video 2: a brightened copy
+    # missing the LAST scene entirely (trimmed); video 3: unrelated
+    videos = {
+        1: b"".join(p5(px) for px in (s1, s1, s2, s2, s3, s3)),
+        2: b"".join(p5(brighten(px)) for px in (s1, s1, s2, s2)),
+        3: b"".join(p5(px) for px in (u1, u1, u2, u2)),
+    }
+
+    def signed64(b):
+        return b - (1 << 64) if b >= (1 << 63) else b
+
+    fp_rows = []
+    for vid, container in videos.items():
+        frames = split_p5_frames(container)
+        assert frames is not None
+        for i, fb in enumerate(frames):
+            bits = dhash_image(fb)
+            assert bits is not None
+            fp_rows.append((vid, i, signed64(bits)))
+    fh = spark.createDataFrame(
+        fp_rows, "doc_id bigint, frame_idx int, dhash bigint"
+    )
+    docs = spark.createDataFrame(
+        [(1, 600), (2, 400), (3, 500)], "doc_id bigint, n_chars int"
+    )
+    rows = {r.doc_id: r for r in video_dedup_from_fingerprints(fh, docs).collect()}
+    assert rows[1].vid_cluster == rows[2].vid_cluster == 1
+    assert rows[3].vid_cluster == 3
+    # keep-best: the longer source survives, the trimmed copy is dropped
+    assert rows[1].kept and not rows[2].kept and rows[3].kept

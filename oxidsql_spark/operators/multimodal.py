@@ -239,6 +239,47 @@ def mm_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def video_frame_count(payload: bytes):
+    """REAL frame count where the payload parses — a concatenated-P5
+    container's split length (`split_p5_frames`), or 1 for any single
+    image the dependency-free codec accepts — and None for
+    unrecognized bytes (the `decode_image` strictness contract, so
+    arbitrary blobs can never false-positive into a frame count)."""
+    frames = split_p5_frames(payload)
+    if frames:
+        return len(frames)
+    real = decode_image(payload)
+    return real["n_frames"] if real is not None else None
+
+
+def frame_sample_from_payloads(p: DataFrame) -> DataFrame:
+    """Frame sampling over a (doc_id, payload) frame: one Arrow pass
+    derives each payload's frame count — PARSED from the container
+    where the bytes decode (`video_frame_count`), the deterministic
+    fake (1 + n_bytes % 8) only for unknown formats, the
+    decode_image_stub dispatch discipline — then a pure JVM
+    sequence/explode emits every 2nd frame index.  Only (doc_id,
+    n_frames) crosses back over the Arrow boundary; payload bytes
+    never reach the fan-out."""
+
+    def counts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns = []
+            for b in pdf["payload"]:
+                bb = bytes(b)
+                n = video_frame_count(bb)
+                ns.append(n if n is not None else 1 + (len(bb) % 8))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_frames": ns})
+
+    nf = p.mapInPandas(counts, "doc_id bigint, n_frames int")
+    return nf.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(2))
+        ).alias("frame_idx"),
+    )
+
+
 @register(
     "mm_frame_sample",
     oracle="""
@@ -247,15 +288,16 @@ def mm_fake_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: explode every k-th frame index of a 'video' payload
-    into one row per sampled frame — the fan-out pattern (1 blob → N
-    frames) that dominates video pipelines. Pure JVM sequence/explode."""
-    p = _payloads(spark, sf_dir)
-    n_frames = F.lit(1) + (F.octet_length("payload") % 8)
-    return p.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(2))).alias("frame_idx"),
-    )
+    """Frame sampling: explode every k-th frame index of a 'video'
+    payload into one row per sampled frame — the fan-out pattern
+    (1 blob → N frames) that dominates video pipelines.  The frame
+    count comes from REALLY parsing the container where the payload
+    decodes; the synthetic corpus's text payloads never parse (the
+    strict-codec guarantee), so the oracle mirrors the fake fallback
+    arithmetic exactly, while real multi-frame P5 containers drive the
+    parsed path through the same chain in
+    tests/test_multimodal_codec.py."""
+    return frame_sample_from_payloads(_payloads(spark, sf_dir))
 
 
 # --- real 2:1 audio resampler: windowed-sinc anti-aliasing low-pass -------

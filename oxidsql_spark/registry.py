@@ -76,6 +76,9 @@ _PRIORITY: tuple[str, ...] = (
     # one keyed Lloyd pass per iteration + recursion past the k_sub
     # ceiling — still a no-op at fixture scale, re-prove the path):
     "dedup_semantic",
+    # rewritten in round 13 (sampling re-pointed at REALLY parsed frame
+    # counts; the fake is now only the unknown-format fallback):
+    "mm_frame_sample",
 )
 
 

@@ -337,6 +337,48 @@ def test_video_keyframes_over_real_p5_frames(spark):
     assert out == {0: True, 1: False, 2: False, 3: True, 4: False}
 
 
+def test_frame_sample_uses_parsed_frame_counts(spark):
+    """mm_frame_sample's r13 re-point: where a payload PARSES (a
+    5-frame P5 container, a single BMP), the sampled indices come from
+    the real frame count; only an unrecognized blob falls back to the
+    deterministic fake (1 + n_bytes % 8)."""
+    import random
+
+    from oxidsql_spark.operators.multimodal import (
+        frame_sample_from_payloads,
+        video_frame_count,
+    )
+
+    rnd = random.Random(5)
+    w, h = 12, 10
+
+    def p5(pixels):
+        return f"P5 {w} {h} 255 ".encode() + bytes(
+            v for row in pixels for v in row
+        )
+
+    def rand_gray():
+        return [[rnd.randrange(200) for _ in range(w)] for _ in range(h)]
+
+    container5 = b"".join(p5(rand_gray()) for _ in range(5))
+    single = p5(rand_gray())
+    blob = b"not an image at all, longer than a header"  # 42 bytes
+    assert video_frame_count(container5) == 5
+    assert video_frame_count(single) == 1
+    assert video_frame_count(blob) is None
+
+    p = spark.createDataFrame(
+        [(1, bytearray(container5)), (2, bytearray(single)), (3, bytearray(blob))],
+        "doc_id bigint, payload binary",
+    )
+    got: dict = {}
+    for r in frame_sample_from_payloads(p).collect():
+        got.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert sorted(got[1]) == [0, 2, 4]  # parsed 5 frames, every 2nd
+    assert sorted(got[2]) == [0]  # single image
+    assert sorted(got[3]) == list(range(0, 1 + len(blob) % 8, 2))  # fake
+
+
 def test_video_dedup_over_real_p5_containers(spark):
     """Video near-dup on REAL pixels: a brightened AND frame-dropped
     copy of a container must cluster with its source (re-encoding

@@ -1984,3 +1984,246 @@ def text_lm_frozen_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(lm_dir, "consts", "_SUCCESS")):
         build_bigram_lm(spark, corpus, lm_dir)
     return bigram_nll_against(spark, batch, lm_dir)
+
+
+# -- learned quality classifier: logistic over hashed unigram features --
+# The discriminative filter production pipelines (GPT-3, LLaMA, Dolma)
+# run alongside heuristic gates and LM scoring: a fastText-style linear
+# model over hashed word features, trained on weak labels and frozen as
+# a weight artifact.  Everything is integer fixed-point (micro-units)
+# with a HARD-SIGMOID link — clamp(1/2 + x/4, 0, 1), the standard
+# quantized-ML surrogate — because every op (sum, div-toward-zero,
+# least/greatest) has pinned identical semantics in Spark and DuckDB,
+# so the whole R-round gradient trainer unrolls into an exact SQL
+# oracle (the Lloyd-chain precedent).  Ranking is what scoring is used
+# for, and the link is monotone, so the surrogate changes no decision
+# a threshold on the score would make.
+#
+# Weak labels: the docs_quality_gate verdict (quality.py) — clean = 1,
+# any violation = 0.  Features: presence of each hashed-unigram bucket
+# (BPE word universe: lowercase alnum, len >= 2) plus a bias feature.
+# The registered config keeps D small so the unrolled oracle stays
+# readable; D is a knob (production would run 2^18+, where the weight
+# table is still a few-MB broadcast).
+
+_QC_D = 32  # hashed feature buckets in the registered config
+_QC_S = 1_000_000  # fixed-point scale: 1e6 micro-units = 1.0
+_QC_ROUNDS = 2
+_QC_LR_NUM = 4  # per-round step = trunc(gradient * LR_NUM / n_docs)
+_QC_GATE_LANGS = ("en", "de", "fr", "es")
+_QC_WORD_RE = "^[a-z0-9]+$"
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — Spark's `div` and
+    DuckDB's `//` both truncate (measured: -7/2 -> -3 in both), while
+    Python's // floors (-4).  Driver-side weight updates must match
+    the engines' semantics on negative gradients."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _qc_bucket(col: "F.Column") -> "F.Column":
+    """Cross-engine word -> feature bucket: first 4 md5 hex chars as an
+    int (the sample_stratified trick), mod D."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint") % _QC_D
+
+
+def _qc_feats(docs: DataFrame, d_buckets: int = _QC_D) -> DataFrame:
+    """(doc_id, f): distinct hashed-unigram presence features plus the
+    bias feature f = D every document carries (so zero-word documents
+    still score and the trained intercept rides the same join)."""
+    w = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter((F.length("word") >= 2) & F.col("word").rlike(_QC_WORD_RE))
+    bucket = F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % d_buckets
+    feats = w.select("doc_id", bucket.alias("f")).distinct()
+    bias = docs.select("doc_id", F.lit(d_buckets).cast("bigint").alias("f"))
+    return feats.unionByName(bias)
+
+
+def _qc_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, y): the docs_quality_gate weak label — 1 iff every gate
+    check passes (length floor, known language, non-null source)."""
+    y = (
+        F.coalesce(F.col("n_chars") >= 100, F.lit(False))
+        & F.coalesce(F.col("lang").isin(*_QC_GATE_LANGS), F.lit(False))
+        & F.col("source").isNotNull()
+    ).cast("int")
+    return docs.select("doc_id", y.alias("y"))
+
+
+def _qc_p_expr(dot_col: str = "dot") -> str:
+    """Hard-sigmoid in micro-units: clamp(S/2 + logit/4, 0, S) — the
+    identical text runs in Spark (div) and, with //, in DuckDB."""
+    return (
+        f"CAST(least({_QC_S}, greatest(0, {_QC_S // 2} + {dot_col} div 4)) AS BIGINT)"
+    )
+
+
+def qc_train(
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int = _QC_ROUNDS,
+    d_buckets: int = _QC_D,
+) -> dict[int, int]:
+    """Batch-gradient training of the hard-sigmoid logistic model;
+    returns {feature -> weight} in micro-units.
+
+    Scale shape per round: ONE broadcast join of the (D+1)-row weight
+    table onto the feature stream + a doc-keyed partial-agg sum (the
+    logit), one label join (doc-keyed), and ONE feature-keyed
+    aggregation whose output is exactly D+1 rows — the driver's only
+    collect.  Feature rows stream; nothing corpus-sized is ever held.
+    The update trunc-divides by the corpus size with engine-matching
+    semantics (`_tdiv`), so the unrolled SQL oracle reproduces every
+    weight bit-for-bit."""
+    from ..cachescope import scoped_persist
+
+    feats = scoped_persist(_qc_feats(docs, d_buckets))
+    labels = scoped_persist(_qc_labels(docs))
+    n = labels.count()
+    w = {f: 0 for f in range(d_buckets + 1)}
+    for _ in range(rounds):
+        wdf = spark.createDataFrame(sorted(w.items()), "f bigint, w bigint")
+        dot = (
+            feats.join(F.broadcast(wdf), "f")
+            .groupBy("doc_id")
+            .agg(F.sum("w").alias("dot"))
+        )
+        err = labels.join(dot, "doc_id").select(
+            "doc_id",
+            (F.col("y") * _QC_S - F.expr(_qc_p_expr())).alias("e"),
+        )
+        grads = (
+            feats.join(err, "doc_id")
+            .groupBy("f")
+            .agg(F.sum("e").alias("g"))
+            .collect()
+        )
+        for r in grads:
+            w[int(r["f"])] += _tdiv(int(r["g"]) * _QC_LR_NUM, n)
+    return w
+
+
+def qc_build(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    rounds: int = _QC_ROUNDS,
+    d_buckets: int = _QC_D,
+) -> None:
+    """Train and FREEZE the classifier as a parquet weight artifact at
+    ``out_dir/weights`` (f, w) — the build_bigram_lm discipline; the
+    single table's _SUCCESS marker is the committed-build sentinel."""
+    import os
+
+    w = qc_train(spark, docs, rounds, d_buckets)
+    spark.createDataFrame(sorted(w.items()), "f bigint, w bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "weights"))
+
+
+def qc_score(
+    spark: SparkSession, docs: DataFrame, qc_dir: str, d_buckets: int = _QC_D
+) -> DataFrame:
+    """Score documents against a FROZEN weight artifact: one broadcast
+    join of the weight table onto the hashed-feature stream, one
+    doc-keyed sum, one clamp projection — (doc_id, logit_micro,
+    p_micro).  No training state, no iteration: the production scoring
+    path is a pure map-side pipeline over the corpus scan."""
+    import os
+
+    wdf = spark.read.parquet(os.path.join(qc_dir, "weights"))
+    dot = (
+        _qc_feats(docs, d_buckets)
+        .join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("dot"))
+    )
+    return dot.select(
+        "doc_id",
+        F.col("dot").alias("logit_micro"),
+        F.expr(_qc_p_expr()).alias("p_micro"),
+    )
+
+
+def _qc_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
+    """The full trainer + scorer unrolled: per round, the logit join,
+    the hard-sigmoid error, the feature-keyed gradient, and the
+    trunc-divided weight update — every op integer-exact in both
+    engines (`_tdiv` note)."""
+    hexw = _duck_hex4("md5(word)")
+    p_of = lambda dotrel: (  # noqa: E731 — local SQL text helper
+        f"CAST(least({_QC_S}, greatest(0, {_QC_S // 2} + {dotrel} // 4)) AS BIGINT)"
+    )
+    parts = [
+        f"""toks AS (SELECT doc_id, unnest({_DUCK_TOKS}) AS word FROM documents),
+    fx AS (
+      SELECT DISTINCT doc_id, {hexw} % {d} AS f
+      FROM toks
+      WHERE length(word) >= 2 AND regexp_matches(word, '{_QC_WORD_RE}')
+      UNION ALL
+      SELECT doc_id, {d} AS f FROM documents),
+    lab AS (SELECT doc_id,
+                   CASE WHEN coalesce(n_chars >= 100, FALSE)
+                         AND coalesce(lang IN ('en', 'de', 'fr', 'es'), FALSE)
+                         AND source IS NOT NULL THEN 1 ELSE 0 END AS y
+            FROM documents),
+    nn AS (SELECT count(*) AS n FROM documents),
+    w0 AS (SELECT unnest(range(0, {d + 1})) AS f, CAST(0 AS BIGINT) AS w)"""
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"""dot{k} AS (
+      SELECT fx.doc_id, CAST(sum(w.w) AS BIGINT) AS dot
+      FROM fx JOIN w{k} w USING (f) GROUP BY fx.doc_id),
+    er{k} AS (
+      SELECT l.doc_id, l.y * {_QC_S} - {p_of("d.dot")} AS e
+      FROM lab l JOIN dot{k} d USING (doc_id)),
+    g{k} AS (
+      SELECT f, CAST(sum(e) AS BIGINT) AS g
+      FROM fx JOIN er{k} USING (doc_id) GROUP BY f),
+    w{k + 1} AS (
+      SELECT w.f,
+             w.w + (coalesce(g.g, 0) * {_QC_LR_NUM}) // (SELECT n FROM nn) AS w
+      FROM w{k} w LEFT JOIN g{k} g USING (f))"""
+        )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain},
+    dotF AS (
+      SELECT fx.doc_id, CAST(sum(w.w) AS BIGINT) AS dot
+      FROM fx JOIN w{rounds} w USING (f) GROUP BY fx.doc_id)
+    SELECT l.doc_id, l.y AS y_weak, d.dot AS logit_micro,
+           {p_of("d.dot")} AS p_micro
+    FROM lab l JOIN dotF d USING (doc_id)
+    """
+
+
+@register("quality_classifier_score", oracle=_qc_oracle())
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned-filter lifecycle driver-checked end-to-end: train
+    the hashed-unigram hard-sigmoid logistic model on the corpus's own
+    gate verdicts (weak labels), FREEZE the weights as a parquet
+    artifact, then score every document against the frozen artifact in
+    one broadcast-join projection — (doc_id, weak label, integer logit
+    and clamped probability in micro-units).  The oracle re-derives
+    the full R-round gradient trainer AND the scoring join in SQL, so
+    the update rule, the truncating division, and the clamp are all
+    proven cross-engine.  Ranking sanity (holdout separation of
+    gate-clean from gate-reject) is locked in tests/test_pipeline.py."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    qdir = _artifact_tmp("qclf", sf_dir)
+    if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
+        qc_build(spark, d, qdir)
+    scored = qc_score(spark, d, qdir)
+    return _qc_labels(d).join(scored, "doc_id").select(
+        "doc_id", F.col("y").alias("y_weak"), "logit_micro", "p_micro"
+    )

@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 13 — never driver-checked:
     "bpe_train_merges_batched",
     "mm_video_dedup",
+    "quality_classifier_score",
     # rewritten in round 13 (encode now joins the frozen vocab artifact
     # — zero merge replay for training-universe words — with a
     # segmented replay only for out-of-vocabulary types):

@@ -580,3 +580,60 @@ def test_redact_pii_pattern_breadth(spark, tmp_path):
     assert out[11] == "intl <PHONE> or <PHONE>"
     assert out[12] == "order id 7234567890123456 is not a card"
     assert out[13] == "mixed 4234-5678 9012 3456 separators stay put"
+
+
+def test_quality_classifier_ranking_and_frozen_artifact(spark, sf_dir, tmp_path):
+    """The learned filter's two contracts: (1) ranking sanity — trained
+    on one hash split's weak gate labels, the classifier scores
+    gate-CLEAN holdout docs higher on average than gate-REJECT holdout
+    docs (every step is deterministic, so this is a fixed property of
+    the fixture, not a flaky ML assertion); (2) the frozen weight
+    artifact reproduces the trainer's scores exactly (build -> read ->
+    score is semantics-preserving)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.corpus_ext import (
+        _qc_feats,
+        _qc_labels,
+        _tdiv,
+        qc_build,
+        qc_score,
+        qc_train,
+    )
+    from oxidsql_spark.sources import table
+
+    # engine-matching truncation on negatives (Spark div == DuckDB //)
+    assert _tdiv(-7, 2) == -3 and _tdiv(7, -2) == -3 and _tdiv(-7, -2) == 3
+
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    train, hold = d.filter(bucket < 80), d.filter(bucket >= 80)
+
+    w = qc_train(spark, train)
+    wdf = spark.createDataFrame(sorted(w.items()), "f bigint, w bigint")
+    dot = (
+        _qc_feats(hold)
+        .join(F.broadcast(wdf), "f")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("dot"))
+    )
+    means = {
+        r.y: r.m
+        for r in _qc_labels(hold)
+        .join(dot, "doc_id")
+        .groupBy("y")
+        .agg(F.avg("dot").alias("m"))
+        .collect()
+    }
+    assert means[1] > means[0], f"no holdout separation: {means}"
+
+    # frozen artifact == direct weights, doc for doc
+    out = str(tmp_path / "qclf")
+    qc_build(spark, train, out)
+    frozen = {
+        r.doc_id: r.logit_micro for r in qc_score(spark, hold, out).collect()
+    }
+    direct = {r.doc_id: r.dot for r in dot.collect()}
+    assert frozen == direct

@@ -2203,7 +2203,7 @@ def _qc_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
     """
 
 
-@register("quality_classifier_score", oracle=_qc_oracle())
+@register("quality_classifier_score", oracle=_qc_oracle(), bench=True)
 def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned-filter lifecycle driver-checked end-to-end: train
     the hashed-unigram hard-sigmoid logistic model on the corpus's own

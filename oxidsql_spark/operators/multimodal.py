@@ -1009,7 +1009,7 @@ def _video_dedup_oracle() -> str:
     """
 
 
-@register("mm_video_dedup", oracle=_video_dedup_oracle())
+@register("mm_video_dedup", oracle=_video_dedup_oracle(), bench=True)
 def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection — the composition that catches
     re-encoded, brightened, or TRIMMED copies of the same footage:

@@ -315,6 +315,7 @@ def curate_corpus(
     min_kept_tokens: int = 5,
     token_budget: int | None = None,
     scrub_min_freq: int | None = None,
+    clf_floor_micro: int | None = None,
     observation: Optional[Observation] = None,
 ) -> DataFrame:
     """The round-10 curation capstone — the full modern training-data
@@ -375,6 +376,28 @@ def curate_corpus(
     nll = text_lm_bigram_score(spark, sf_dir).select("doc_id", "avg_nll")
     docs = docs.join(nll, "doc_id").filter(F.col("avg_nll") <= nll_ceiling)
 
+    # 3c. optional LEARNED quality floor: the discriminative screen
+    # production pipelines run beside the generative LM ceiling — the
+    # classifier is trained on the RAW pool's own gate labels (weak
+    # supervision; frozen as a weight artifact, the streaming funnel's
+    # frozen-LM discipline) and survivors below the integer logit floor
+    # drop.  Gate-clean docs whose VOCABULARY looks like gate-reject
+    # material are exactly what this stage removes and the gate cannot.
+    if clf_floor_micro is not None:
+        import os
+
+        from .operators.corpus_ext import qc_build, qc_score
+        from .operators.dedup import _artifact_tmp
+
+        raw = table(spark, sf_dir, "documents")
+        qdir = _artifact_tmp("qclf", sf_dir)
+        if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
+            qc_build(spark, raw, qdir)
+        scores = qc_score(spark, raw, qdir).select("doc_id", "logit_micro")
+        docs = docs.join(scores, "doc_id").filter(
+            F.col("logit_micro") >= clf_floor_micro
+        )
+
     # 3b. optional boilerplate scrub: span frequencies are counted over
     # the FULL RAW POOL — a template span's count includes the near-dup
     # copies keep-best already removed, which is precisely what lets a
@@ -420,7 +443,10 @@ def curate_corpus(
             "pri", "cum_tokens"
         )
 
-    out = docs.select("doc_id", "source", "n_kept", "avg_nll", "clean_text")
+    cols = ["doc_id", "source", "n_kept", "avg_nll"]
+    if clf_floor_micro is not None:
+        cols.append("logit_micro")
+    out = docs.select(*cols, "clean_text")
     if observation is not None:
         out = out.observe(
             observation,
@@ -612,6 +638,106 @@ def _register_curate_scrub() -> None:
 
 
 _register_curate_scrub()
+
+
+_CURATE_CLF_FLOOR = 6_000_000  # logit micro-units; drops ~20-25% of the
+# gate-clean pool at fixture scale (p25 of the logit distribution), so
+# the stage BITES in the driver check instead of passing vacuously
+
+
+def _curate_clf_oracle() -> str:
+    """The capstone with the r13 LEARNED-classifier floor composed in
+    between the fluency ceiling and the span cut.  The classifier CTE
+    is the registered quality_classifier_score oracle verbatim (its own
+    nested WITH is scoped), so the unrolled gradient trainer, the
+    frozen-artifact scoring join, and the funnel's composition are all
+    one DuckDB pipeline."""
+    from .operators import corpus_ext as _ce  # registers its oracles
+    from .operators import graph as _graph
+    from .operators.dedup import _span_cut_oracle
+    from .registry import QUERIES
+
+    bigram = QUERIES["text_lm_bigram_score"].oracle
+    dsir = QUERIES["dsir_select"].oracle
+    clf = QUERIES["quality_classifier_score"].oracle
+    clusters = _graph._ORACLE
+    return f"""
+    WITH clusters AS ({clusters}),
+    best AS (
+      SELECT CAST(max(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS doc_id
+      FROM (SELECT c.cluster_id, d.doc_id,
+                   row_number() OVER (
+                     PARTITION BY c.cluster_id
+                     ORDER BY d.n_chars DESC, d.doc_id) AS rk
+            FROM clusters c JOIN documents d USING (doc_id))
+      GROUP BY cluster_id),
+    nll AS ({bigram}),
+    clf AS ({clf}),
+    surv AS (
+      SELECT d.doc_id, d.source, d.text, n.avg_nll, q.logit_micro
+      FROM documents d
+      JOIN best USING (doc_id)
+      JOIN nll n USING (doc_id)
+      JOIN clf q USING (doc_id)
+      WHERE d.n_chars >= 100 AND d.lang IN ('en','de','fr','es')
+            AND d.source IS NOT NULL AND n.avg_nll <= {_CURATE_NLL}
+            AND q.logit_micro >= {_CURATE_CLF_FLOOR}),
+    cutres AS ({_span_cut_oracle("surv")}),
+    husked AS (
+      SELECT s.doc_id, s.source, s.avg_nll, s.logit_micro,
+             c.n_kept, c.cleaned_md5
+      FROM surv s JOIN cutres c USING (doc_id)
+      WHERE c.n_kept >= {_CURATE_MIN_KEPT}),
+    picked AS ({dsir}),
+    ordered AS (
+      SELECT h.*, CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS pri
+      FROM husked h LEFT JOIN picked p USING (doc_id)),
+    cum AS (
+      SELECT doc_id, source, n_kept, avg_nll, logit_micro, cleaned_md5,
+             sum(n_kept) OVER (
+               ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM ordered)
+    SELECT doc_id, source, CAST(n_kept AS BIGINT) AS n_kept, avg_nll,
+           logit_micro, cleaned_md5 AS clean_md5
+    FROM cum WHERE cum_tokens <= {_CURATE_BUDGET}
+    """
+
+
+def _register_curate_clf() -> None:
+    from .registry import register
+
+    @register("corpus_curate_clf_q", oracle=_curate_clf_oracle())
+    def corpus_curate_clf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The capstone with the LEARNED quality floor composed in:
+        keep-best -> gate -> NLL ceiling -> classifier logit floor
+        (hard-sigmoid logistic over hashed unigrams, trained on the
+        raw pool's own gate labels and scored from the frozen weight
+        artifact) -> keep-first span cut -> husk floor -> DSIR-first
+        budget.  The generative (LM) and discriminative (classifier)
+        screens intersect: a gate-clean, fluent document whose
+        vocabulary resembles gate-reject material drops HERE and
+        nowhere else.  This row proves that composition — including
+        the trainer's unrolled gradient rounds — in one oracle."""
+        out = curate_corpus(
+            spark,
+            sf_dir,
+            nll_ceiling=_CURATE_NLL,
+            min_kept_tokens=_CURATE_MIN_KEPT,
+            token_budget=_CURATE_BUDGET,
+            clf_floor_micro=_CURATE_CLF_FLOOR,
+        )
+        return out.select(
+            "doc_id",
+            "source",
+            "n_kept",
+            "avg_nll",
+            "logit_micro",
+            F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+        )
+
+
+_register_curate_clf()
 
 
 # ---------------------------------------------------------------------------

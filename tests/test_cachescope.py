@@ -76,6 +76,8 @@ CACHE_USING_QUERIES = [
     "bpe_train_merges_batched",
     # gradient trainer persists its feature/label frames per build
     "quality_classifier_score",
+    # the classifier-composed capstone rides the same persisting stages
+    "corpus_curate_clf_q",
 ]
 
 

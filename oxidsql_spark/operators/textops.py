@@ -434,14 +434,21 @@ def seq_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no corpus tooling at all; this extends its
     aggregation surface (plan.rs HashAggregate intent) the way the other
     training-data operators do."""
-    from .distwindow import global_cumsum
-
-    L = _SEQ_LEN
     d = table(spark, sf_dir, "documents")
     toks = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim("text"), r"\s+"))
     )
     sized = d.select("doc_id", toks.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    return pack_stats_from_sizes(sized)
+
+
+def pack_stats_from_sizes(sized: DataFrame, L: int = _SEQ_LEN) -> DataFrame:
+    """The packing chain over a (doc_id, n_tokens) frame FROM ANY token
+    accounting (whitespace tokens, BPE tokens, ...): two-phase global
+    cumsum for offsets, per-doc explode into only the sequences the doc
+    spans, map-side-combining per-sequence aggregation."""
+    from .distwindow import global_cumsum
+
     cum, _total = global_cumsum(sized, "n_tokens", ["doc_id"], "_cum")
     spans = cum.select(
         "doc_id",
@@ -1247,3 +1254,69 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("word")).alias("n_chars"),
         F.sum("n_syms").alias("n_bpe_tokens"),
     )
+
+
+def _seq_pack_bpe_oracle(n: int = _BPE_MERGES, L: int = _SEQ_LEN) -> str:
+    return f"""
+    WITH {_bpe_oracle_chain(n)},
+    fin AS (SELECT word,
+                   len(str_split(substring(enc, 2, length(enc) - 2), ')(')) AS n_syms
+            FROM w{n}),
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest({_DUCK_BPE_TOKS}) AS word FROM documents)
+      WHERE length(word) >= 2 AND regexp_matches(word, '{_BPE_WORD_RE}')),
+    sized AS (
+      SELECT doc_id, CAST(sum(n_syms) AS BIGINT) AS n_tokens
+      FROM dw JOIN fin USING (word) GROUP BY doc_id),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS BIGINT) AS s
+      FROM (SELECT * FROM sized WHERE n_tokens > 0)
+    ),
+    ex AS (
+      SELECT doc_id, s, s + n_tokens - 1 AS e,
+             s // {L} AS first_seq,
+             unnest(generate_series(s // {L},
+                                    (s + n_tokens - 1) // {L})) AS seq_id
+      FROM pos
+    )
+    SELECT seq_id,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN first_seq = seq_id THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(sum(least(e, (seq_id + 1) * {L} - 1)
+                    - greatest(s, seq_id * {L}) + 1) AS BIGINT) AS n_tokens
+    FROM ex GROUP BY seq_id ORDER BY seq_id
+    """
+
+
+@register("seq_pack_bpe_stats", oracle=_seq_pack_bpe_oracle())
+def seq_pack_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by TOKENIZER tokens — the unit a real
+    pretraining loader packs by (a 512-token context holds 512 BPE
+    tokens, not 512 whitespace words): per-doc token counts come from
+    encoding against the FROZEN BPE artifact (train → freeze → vocab
+    join, the bpe_encode_stats chain), then the identical concat-and-
+    chop packing as `seq_pack_stats` — two-phase global cumsum, span
+    explode, map-side-combined per-sequence stats.  Proves the two
+    frozen-artifact chains COMPOSE: the oracle re-derives BPE train +
+    encode + packing in one SQL pipeline.  Docs with no qualifying
+    words contribute zero tokens and drop, exactly as zero-whitespace
+    docs drop from the whitespace variant."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    bdir = _artifact_tmp("bpe", sf_dir)
+    if not os.path.exists(os.path.join(bdir, "merges", "_SUCCESS")):
+        bpe_build(spark, d.select("text"), bdir, _BPE_MERGES)
+    enc = bpe_encode(spark, d.select("doc_id", "text"), bdir)
+    sized = (
+        enc.groupBy("doc_id")
+        .agg(F.sum("n_syms").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    return pack_stats_from_sizes(sized)

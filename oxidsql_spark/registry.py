@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_video_dedup",
     "quality_classifier_score",
     "corpus_curate_clf_q",
+    "seq_pack_bpe_stats",
     # rewritten in round 13 (encode now joins the frozen vocab artifact
     # — zero merge replay for training-universe words — with a
     # segmented replay only for out-of-vocabulary types):

@@ -2227,3 +2227,102 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qc_labels(d).join(scored, "doc_id").select(
         "doc_id", F.col("y").alias("y_weak"), "logit_micro", "p_micro"
     )
+
+
+# -- data-constrained scaling: capped duplicate copies ------------------
+# Full dedup (one copy per cluster) is optimal in the data-rich regime;
+# when data is the constraint, repeating good documents a FEW times
+# beats dropping them (the data-constrained scaling-law result) — the
+# curation knob is "at most N copies per near-dup cluster", not "one".
+
+_CAP_COPIES = 2
+
+
+def _cap_copies_oracle() -> str:
+    from .graph import _ORACLE as _CLUSTER_ORACLE
+
+    return f"""
+    WITH clusters AS ({_CLUSTER_ORACLE}),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             CAST(row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY d.n_chars DESC, c.doc_id) AS BIGINT) AS copy_rank
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT doc_id, cluster_id, copy_rank,
+           (copy_rank <= {_CAP_COPIES}) AS kept
+    FROM ranked
+    """
+
+
+@register("dedup_cap_copies", oracle=_cap_copies_oracle())
+def dedup_cap_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped-copy dedup: keep the BEST min(n, {cap}) copies per
+    near-dup cluster (quality order = n_chars desc, doc_id tie-break —
+    the dedup_keep_best rule generalized from rank 1 to rank <= cap).
+    Every doc is returned with its cluster, its copy rank, and the
+    keep verdict, so downstream sampling can weight by rank instead of
+    hard-dropping.  Scale shape: rides dedup_clusters
+    (collapse-first label propagation); the cap itself is one
+    cluster-partitioned rank window — no new shuffle shape."""
+    from .graph import dedup_clusters
+
+    c = dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        c.join(d, "doc_id")
+        .withColumn("copy_rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "copy_rank",
+            (F.col("copy_rank") <= _CAP_COPIES).alias("kept"),
+        )
+    )
+
+
+dedup_cap_copies.__doc__ = dedup_cap_copies.__doc__.format(cap=_CAP_COPIES)
+
+
+# -- deterministic global training-order shuffle + shard assignment ----
+
+_SHUF_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                AS BIGINT) AS ord_rank,
+           CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+                % {_SHUF_SHARDS} AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: documents ordered by
+    md5(doc_id) (reproducible across engines, reruns, and partitionings
+    — unlike rand()) and dealt round-robin into {n} shards, so every
+    shard is an unbiased 1/{n} sample of the shuffled order and a
+    data-parallel trainer reads disjoint, equally-mixed streams.
+
+    Scale shape: the global rank runs through the two-phase
+    ``distwindow.global_row_number`` (range-partition on the hash →
+    parallel local row_number → O(partitions) offset broadcast) —
+    never an Exchange SinglePartition over the corpus."""
+    from .distwindow import global_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    ranked, _n = global_row_number(d, ["_h", "doc_id"], "ord_rank")
+    return ranked.select(
+        "doc_id",
+        "ord_rank",
+        ((F.col("ord_rank") - 1) % _SHUF_SHARDS).alias("shard"),
+    )
+
+
+corpus_shuffle_shards.__doc__ = corpus_shuffle_shards.__doc__.format(n=_SHUF_SHARDS)

@@ -68,6 +68,8 @@ _PRIORITY: tuple[str, ...] = (
     "quality_classifier_score",
     "corpus_curate_clf_q",
     "seq_pack_bpe_stats",
+    "dedup_cap_copies",
+    "corpus_shuffle_shards",
     # rewritten in round 13 (encode now joins the frozen vocab artifact
     # — zero merge replay for training-universe words — with a
     # segmented replay only for out-of-vocabulary types):

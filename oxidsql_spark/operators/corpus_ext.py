@@ -2023,12 +2023,6 @@ def _tdiv(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
-def _qc_bucket(col: "F.Column") -> "F.Column":
-    """Cross-engine word -> feature bucket: first 4 md5 hex chars as an
-    int (the sample_stratified trick), mod D."""
-    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint") % _QC_D
-
-
 def _qc_feats(docs: DataFrame, d_buckets: int = _QC_D) -> DataFrame:
     """(doc_id, f): distinct hashed-unigram presence features plus the
     bias feature f = D every document carries (so zero-word documents

@@ -745,19 +745,29 @@ _register_curate_clf()
 # ---------------------------------------------------------------------------
 
 
-def build_curation_state(spark: SparkSession, corpus: DataFrame, state_dir: str) -> None:
+def build_curation_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    state_dir: str,
+    classifier_docs: DataFrame | None = None,
+) -> None:
     """Freeze the batch-trained curation state a streaming ingest
-    scores against: the bigram LM tables (corpus fluency model) and
-    the corpus span index (substring-dedup memory).  Both artifacts
+    scores against: the bigram LM tables (corpus fluency model), the
+    corpus span index (substring-dedup memory), and — when
+    ``classifier_docs`` is given (needs the gate columns doc_id, text,
+    n_chars, lang, source) — the learned-quality-classifier weight
+    artifact trained on the corpus's own gate labels.  All artifacts
     are write-once; the span store then grows one committed segment
     per admitted batch."""
     import os
 
-    from .operators.corpus_ext import build_bigram_lm
+    from .operators.corpus_ext import build_bigram_lm, qc_build
     from .operators.dedup import SpanIndexStore
 
     build_bigram_lm(spark, corpus, os.path.join(state_dir, "lm"))
     SpanIndexStore(spark, os.path.join(state_dir, "spans")).build(corpus)
+    if classifier_docs is not None:
+        qc_build(spark, classifier_docs, os.path.join(state_dir, "clf"))
 
 
 def curate_ingest_stream(
@@ -769,18 +779,23 @@ def curate_ingest_stream(
     checkpoint_dir: str,
     nll_ceiling: float = 12.0,
     min_kept_tokens: int = 5,
+    clf_floor_micro: int | None = None,
 ):
     """The curation funnel as a Structured Streaming ingest: each
     micro-batch of (doc_id, source, lang, n_chars, text) rows flows
     through (1) the row-level quality gate, (2) the FROZEN bigram-LM
     fluency ceiling (stupid-backoff scoring against
-    ``state_dir/lm``), (3) incremental substring dedup against the
-    rolling span index (``state_dir/spans`` — corpus spans and every
-    PRIOR batch's shipped spans cut; this batch's cleaned grams commit
-    as its segment), and (4) the husk floor.  Survivors land under
-    ``out_dir/batch=<id>/`` carrying (doc_id, source, avg_nll, n_kept,
-    cleaned); every rejected row lands under ``reject_dir/batch=<id>/``
-    with the stage that dropped it — nothing disappears silently.
+    ``state_dir/lm``), (2b, opt-in) the FROZEN learned-classifier
+    logit floor (``state_dir/clf`` weights scored in one broadcast
+    join; the bias feature guarantees every doc a score, so this stage
+    has no NULL-routing branch), (3) incremental substring dedup
+    against the rolling span index (``state_dir/spans`` — corpus spans
+    and every PRIOR batch's shipped spans cut; this batch's cleaned
+    grams commit as its segment), and (4) the husk floor.  Survivors
+    land under ``out_dir/batch=<id>/`` carrying (doc_id, source,
+    avg_nll, n_kept, cleaned); every rejected row lands under
+    ``reject_dir/batch=<id>/`` with the stage that dropped it —
+    nothing disappears silently.
 
     Exactly-once under foreachBatch's at-least-once contract: the cut
     is deterministic-idempotent (a replayed tag skips its committed
@@ -848,6 +863,23 @@ def curate_ingest_stream(
         nll_bad = good.filter(
             F.col("avg_nll") > nll_ceiling
         ).select("doc_id", F.lit("fluency:nll_over_ceiling").alias("reject_reason"))
+        clf_bad = None
+        if clf_floor_micro is not None:
+            from .operators.corpus_ext import qc_score
+
+            scores = qc_score(
+                spark, fluent.select("doc_id", "text"), os.path.join(state_dir, "clf")
+            ).select("doc_id", "logit_micro")
+            scored = fluent.join(scores, "doc_id")
+            clf_bad = scored.filter(
+                F.col("logit_micro") < clf_floor_micro
+            ).select(
+                "doc_id",
+                F.lit("classifier:logit_below_floor").alias("reject_reason"),
+            )
+            fluent = scored.filter(
+                F.col("logit_micro") >= clf_floor_micro
+            ).drop("logit_micro")
         cleaned = store.cut_admit(fluent.select("doc_id", "text"), f"b{b:08d}")
         out = (
             fluent.drop("text")
@@ -860,11 +892,10 @@ def curate_ingest_stream(
             "doc_id", "source", "avg_nll", "n_kept", "cleaned"
         )
         _land(keep, out_dir, b)
-        _land(
-            gate_bad.unionByName(unscorable).unionByName(nll_bad).unionByName(husks),
-            reject_dir,
-            b,
-        )
+        rejects = gate_bad.unionByName(unscorable).unionByName(nll_bad)
+        if clf_bad is not None:
+            rejects = rejects.unionByName(clf_bad)
+        _land(rejects.unionByName(husks), reject_dir, b)
 
     return (
         spark.readStream.schema(

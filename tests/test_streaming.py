@@ -1280,3 +1280,88 @@ def test_curate_ingest_stream_funnel_and_exactly_once(spark, tmp_path):
     kept2 = {r.doc_id: (r.n_kept, r.cleaned) for r in spark.read.parquet(out).collect()}
     assert kept2 == {d: (r.n_kept, r.cleaned) for d, r in kept.items()}
     assert len(store._segments()) == n_segs  # no duplicate segments
+
+
+def test_curate_ingest_stream_classifier_stage(spark, tmp_path):
+    """The opt-in learned-classifier stage of the streaming funnel: a
+    gate-clean, LM-fluent document whose vocabulary skews toward the
+    classifier's gate-reject training material must land in the reject
+    dir as classifier:logit_below_floor, while a full-vocabulary twin
+    passes; every doc lands exactly once, and a fresh-checkpoint
+    replay reproduces the routing (the stage scores against FROZEN
+    weights, so it is deterministic-idempotent by construction)."""
+    from oxidsql_spark.operators.corpus_ext import qc_score
+    from oxidsql_spark.pipeline import build_curation_state, curate_ingest_stream
+
+    good_words = "key agg row fast value part table".split()
+    bad_words = "slow hash scan".split()
+    vocab = good_words + bad_words
+
+    corpus = spark.createDataFrame(
+        [(1, " ".join(vocab[r:] + vocab[:r]))
+         for r in range(5)],
+        "doc_id bigint, text string",
+    )
+    # classifier weak labels: clean docs use the good vocabulary, the
+    # gate-reject docs (unknown lang) use the bad vocabulary
+    clf_rows = []
+    for i in range(6):
+        clf_rows.append((100 + i, " ".join(good_words), 300, "en", "s"))
+        clf_rows.append((200 + i, " ".join(bad_words * 2), 300, "xx", "s"))
+    clf_docs = spark.createDataFrame(
+        clf_rows, "doc_id bigint, text string, n_chars int, lang string, source string"
+    )
+    state = str(tmp_path / "state")
+    build_curation_state(
+        spark, corpus.select("doc_id", "text"), state, classifier_docs=clf_docs
+    )
+
+    doc_a = " ".join(vocab)  # full vocabulary — scores high
+    doc_b = " ".join(bad_words + good_words[:2])  # bad-heavy subset
+    rows = [
+        (10, doc_a, "en", "src1", 300),
+        (11, doc_b, "en", "src1", 300),
+    ]
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src + "/f0")
+
+    import os
+
+    scores = {
+        r.doc_id: r.logit_micro
+        for r in qc_score(
+            spark,
+            spark.createDataFrame(
+                [(d, t) for d, t, *_ in rows], "doc_id bigint, text string"
+            ),
+            os.path.join(state, "clf"),
+        ).collect()
+    }
+    assert scores[10] > scores[11], scores  # fixture sanity: A outranks B
+    floor = (scores[10] + scores[11]) // 2
+
+    out, rej = str(tmp_path / "out"), str(tmp_path / "rej")
+
+    def run(ck):
+        q = (
+            curate_ingest_stream(
+                spark, src + "/f*", state, out, rej, str(tmp_path / ck),
+                nll_ceiling=4.0, min_kept_tokens=2,
+                clf_floor_micro=int(floor),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run("ck1")
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    rejected = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
+    assert kept == {10}
+    assert rejected == {11: "classifier:logit_below_floor"}
+
+    run("ck2")  # fresh-checkpoint replay: identical routing
+    kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    rejected2 = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
+    assert kept2 == kept and rejected2 == rejected

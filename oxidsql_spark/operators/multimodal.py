@@ -893,9 +893,15 @@ def video_dedup_from_fingerprints(
     videos) is the caption-dedup candidate-join profile, bounded by
     banding on the full 48-bit fake / 64-bit real hash rather than any
     frame content."""
+    from ..cachescope import scoped_persist
     from .graph import propagate_min_labels
 
-    kf = (
+    # The keyframe hash set is read by THREE consumers (set sizes, and
+    # both sides of the band self-join); it is tiny (distinct 8-byte
+    # hashes per video), so it persists under cachescope — the
+    # downstream plan reads the materialized set instead of leaning on
+    # exchange reuse across consumers.
+    kf = scoped_persist(
         video_keyframes_from_fingerprints(fh)
         .filter(F.col("is_keyframe"))
         .select("doc_id", "dhash")
@@ -932,7 +938,9 @@ def video_dedup_from_fingerprints(
     )
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_k").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_k").alias("n_b"))
-    pairs = (
+    # duplicate-count-sized; read by the touched-node projection AND the
+    # propagation's edge build — persist so the band join runs once
+    pairs = scoped_persist(
         matched.join(na, "a_id")
         .join(nb, "b_id")
         .filter(
@@ -941,8 +949,25 @@ def video_dedup_from_fingerprints(
         )
         .select("a_id", "b_id")
     )
-    clusters = propagate_min_labels(docs.select("doc_id"), pairs).select(
-        "doc_id", F.col("cluster_id").alias("vid_cluster")
+    # Closure only over PAIR-TOUCHED videos: after dedup's own success
+    # almost every video is a singleton, and feeding them through the
+    # iterative propagation makes every iteration's join corpus-sized
+    # for no information — the min-label of a node with no edges is
+    # itself.  Touched nodes are duplicate-count-sized; singletons
+    # rejoin with their own id as the cluster.
+    touched = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    clustered = propagate_min_labels(touched, pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("vid_cluster"),
+        )
     )
     ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("vid_cluster").orderBy(F.col("n_chars").desc(), "doc_id")

@@ -78,6 +78,8 @@ CACHE_USING_QUERIES = [
     "quality_classifier_score",
     # the classifier-composed capstone rides the same persisting stages
     "corpus_curate_clf_q",
+    # keyframe hash set persists for its three consumers
+    "mm_video_dedup",
 ]
 
 

@@ -700,14 +700,30 @@ def caption_dedup_from_fingerprints(fp: DataFrame, docs: DataFrame) -> DataFrame
     )
     fa = fp.select(F.col("doc_id").alias("a_id"), F.col("dhash").alias("ha"))
     fb = fp.select(F.col("doc_id").alias("b_id"), F.col("dhash").alias("hb"))
-    pairs = (
+    from ..cachescope import scoped_persist
+
+    pairs = scoped_persist(
         cand.join(fa, "a_id")
         .join(fb, "b_id")
         .filter(F.expr(f"bit_count(ha ^ hb) <= {_CAP_HAM_T}"))
         .select("a_id", "b_id")
     )
-    clusters = propagate_min_labels(docs.select("doc_id"), pairs).select(
-        "doc_id", F.col("cluster_id").alias("img_cluster")
+    # closure over PAIR-TOUCHED images only (duplicate-count-sized
+    # iterations — the video-dedup discipline); singletons rejoin with
+    # their own id as the cluster
+    touched = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    clustered = propagate_min_labels(touched, pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("img_cluster"),
+        )
     )
     ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = W.partitionBy("img_cluster").orderBy(F.col("n_chars").desc(), "doc_id")

@@ -84,6 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     # rewritten in round 13 (sampling re-pointed at REALLY parsed frame
     # counts; the fake is now only the unknown-format fallback):
     "mm_frame_sample",
+    # rewritten in round 13 (closure over pair-touched images only,
+    # persisted pair list — the video-dedup discipline):
+    "mm_caption_dedup",
 )
 
 

@@ -1085,3 +1085,249 @@ def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
     )
     return video_dedup_from_fingerprints(fh, d.select("doc_id", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup detection — the last modality without a dedup face
+# (image: dhash/caption, video: keyframe sets; this closes the matrix).
+# Fingerprint: per-frame DELTA-SIGN crossing counts (sign changes of
+# the first difference), shingled over consecutive frames.  Two
+# properties make this the audio-native choice:
+#   * GAIN-INVARIANT: scaling PCM by any c > 0 preserves the sign of
+#     every sample DIFFERENCE exactly (integer scaling, no rounding),
+#     so a louder/quieter copy fingerprints identically — the classic
+#     audio-dup transformation hamming-dhash can't see and byte-exact
+#     dedup breaks on.  Plain zero-crossing of the SIGNAL would also be
+#     gain-invariant but degenerates on payloads that never cross zero
+#     (this corpus: ASCII bytes - 128 are all negative); the delta-sign
+#     keeps per-frame entropy on any non-constant signal.
+#   * TRIM-COMPATIBLE: a copy cut at frame granularity shares all its
+#     surviving shingles, so the CONTAINMENT vote (shared >= half the
+#     smaller set) still pairs it with the source — the video-dedup
+#     rule, reused verbatim.
+# ---------------------------------------------------------------------------
+
+_AUD_W = 32  # first-difference samples per frame (zcr in 0.._AUD_W-1)
+_AUD_SH = 6  # frames per shingle: 6 x 5 bits = 30-bit values
+_AUD_Q = 32  # zcr alphabet size (radix of the shingle encoding)
+_AUD_MAXDF = 64  # stop-shingle rule: drop values shared by > 64 docs
+_AUD_MIN_SHARED = 2  # never pair on a single shared shingle
+_AUD_CONT_NUM, _AUD_CONT_DEN = 1, 2  # containment threshold 1/2
+
+
+def audio_shingle_values(x) -> "list[int]":
+    """Distinct shingle values of one PCM channel (int array of
+    centered samples).  Frames are _AUD_W consecutive first
+    differences; a frame's feature is its delta-sign crossing count
+    (within-frame comparisons only, so frame f is a pure function of
+    samples [f*W, (f+1)*W]); _AUD_SH consecutive complete frames pack
+    base-_AUD_Q into one integer.  Exact integer arithmetic end-to-end
+    — the DuckDB oracle re-derives every value from the same sample
+    stream."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.int64)
+    if len(x) < 2:
+        return []
+    s = (np.diff(x) >= 0).astype(np.int8)
+    nf = len(s) // _AUD_W
+    if nf < _AUD_SH:
+        return []
+    sr = s[: nf * _AUD_W].reshape(nf, _AUD_W)
+    zcr = (sr[:, 1:] != sr[:, :-1]).sum(axis=1).astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(zcr, _AUD_SH)
+    pw = _AUD_Q ** np.arange(_AUD_SH - 1, -1, -1)
+    return sorted(set((win @ pw).tolist()))
+
+
+def audio_shingles_from_payloads(p: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, v): the distinct audio shingle
+    set, one Arrow mapInPandas pass (the resample precedent — per-row
+    numpy, zero shuffle; only the tiny (doc, 30-bit value) rows ever
+    leave the scan)."""
+    import numpy as np
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vals = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                ) - 128
+                for v in audio_shingle_values(x):
+                    ids.append(doc_id)
+                    vals.append(v)
+            yield pd.DataFrame({"doc_id": ids, "v": vals})
+
+    return p.mapInPandas(fp, schema="doc_id bigint, v bigint")
+
+
+def audio_dedup_from_shingles(vs: DataFrame, docs: DataFrame) -> DataFrame:
+    """The cross-track chain after fingerprinting: df-capped shingle
+    sets -> exact-match candidate pairs -> min-shared + containment
+    vote -> min-label clusters -> keep-best.  ``vs`` is (doc_id, v)
+    distinct shingles from ANY source — the registered query feeds the
+    text-as-PCM fake; the real-PCM pytest feeds tones through the same
+    mapInPandas path — and ``docs`` carries (doc_id, n_chars) for the
+    keep-best rule.
+
+    Scale shape: tracks collapse to DISTINCT shingle values first, the
+    stop-shingle rule (df > _AUD_MAXDF, the AllPairs stop-word
+    discipline) removes hub values BEFORE the self-join — silence and
+    other low-entropy audio would otherwise bucket millions of tracks
+    on one value — and set sizes count KEPT shingles so both vote
+    operands see the same universe.  The _AUD_MIN_SHARED floor exists
+    because one 30-bit shingle (~18 effective bits on speech-like
+    signals) is not evidence at corpus scale; a track must share at
+    least 2.  Closure runs over pair-touched tracks only (the video
+    discipline — singleton tracks never enter the iteration)."""
+    from ..cachescope import scoped_persist
+    from .graph import propagate_min_labels
+
+    dv = vs.distinct()
+    kept_vals = dv.groupBy("v").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _AUD_MAXDF
+    )
+    # read by the size aggregate AND both sides of the pair self-join
+    vk = scoped_persist(dv.join(kept_vals.select("v"), "v"))
+    sizes = vk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_v"))
+    a = vk.select(F.col("doc_id").alias("a_id"), "v")
+    b = vk.select(F.col("doc_id").alias("b_id"), "v")
+    m = (
+        a.join(b, "v")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_v").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_v").alias("n_b"))
+    pairs = scoped_persist(
+        m.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(
+            (F.col("m") >= _AUD_MIN_SHARED)
+            & (
+                F.col("m") * _AUD_CONT_DEN
+                >= F.least("n_a", "n_b") * _AUD_CONT_NUM
+            )
+        )
+        .select("a_id", "b_id")
+    )
+    touched = (
+        pairs.select(F.col("a_id").alias("doc_id"))
+        .unionByName(pairs.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    clustered = propagate_min_labels(touched, pairs)
+    clusters = (
+        docs.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("aud_cluster"),
+        )
+    )
+    ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = W.partitionBy("aud_cluster").orderBy(F.col("n_chars").desc(), "doc_id")
+    return ranked.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "aud_cluster", (F.col("rk") == 1).alias("kept")
+    )
+
+
+def _audio_dedup_oracle() -> str:
+    shingle_terms = " + ".join(
+        f"l{t} * {_AUD_Q ** (_AUD_SH - 1 - t)}" if t else f"zcr * {_AUD_Q ** (_AUD_SH - 1)}"
+        for t in range(_AUD_SH)
+    )
+    leads = ", ".join(
+        f"lead(zcr, {t}) OVER (PARTITION BY doc_id ORDER BY f) AS l{t}"
+        for t in range(1, _AUD_SH)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    x AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             ascii(substring(text, CAST(i AS INTEGER), 1)) - 128 AS x
+      FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM docs)),
+    dx AS (
+      SELECT doc_id, pos,
+             CASE WHEN lead(x) OVER (PARTITION BY doc_id ORDER BY pos) >= x
+                  THEN 1 ELSE 0 END AS s,
+             lead(x) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL AS ok
+      FROM x),
+    dd AS (SELECT doc_id, pos, s, pos // {_AUD_W} AS f FROM dx WHERE ok),
+    dl AS (
+      SELECT doc_id, f,
+             CASE WHEN s <> lag(s) OVER (PARTITION BY doc_id, f ORDER BY pos)
+                  THEN 1 ELSE 0 END AS chg
+      FROM dd),
+    zc AS (
+      SELECT doc_id, f, CAST(sum(chg) AS BIGINT) AS zcr, count(*) AS cnt
+      FROM dl GROUP BY doc_id, f),
+    zf AS (SELECT doc_id, f, zcr FROM zc WHERE cnt = {_AUD_W}),
+    sh AS (
+      SELECT doc_id, {shingle_terms} AS v
+      FROM (SELECT doc_id, f, zcr, {leads} FROM zf)
+      WHERE l{_AUD_SH - 1} IS NOT NULL),
+    vals AS (SELECT DISTINCT doc_id, v FROM sh),
+    keepv AS (SELECT v FROM vals GROUP BY v HAVING count(*) <= {_AUD_MAXDF}),
+    vk AS (SELECT vals.doc_id, vals.v FROM vals JOIN keepv USING (v)),
+    nv AS (SELECT doc_id, count(*) AS n_v FROM vk GROUP BY doc_id),
+    m AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS m
+      FROM vk a JOIN vk b ON a.v = b.v AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT a_id, b_id
+      FROM m JOIN nv na ON na.doc_id = m.a_id
+             JOIN nv nb ON nb.doc_id = m.b_id
+      WHERE m >= {_AUD_MIN_SHARED}
+        AND m * {_AUD_CONT_DEN} >= least(na.n_v, nb.n_v) * {_AUD_CONT_NUM}),
+    edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION SELECT b_id, a_id FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
+      SELECT * FROM r),
+    clusters AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS aud_cluster
+      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+      GROUP BY d.doc_id),
+    ranked AS (
+      SELECT doc_id, aud_cluster,
+             row_number() OVER (
+               PARTITION BY aud_cluster
+               ORDER BY d.n_chars DESC, doc_id) AS rk
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT doc_id, aud_cluster, (rk = 1) AS kept
+    FROM ranked
+    """
+
+
+@register("mm_audio_dedup", oracle=_audio_dedup_oracle(), bench=True)
+def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection — gain- and trim-robust copies of the
+    same track: every payload collapses to its delta-sign-crossing
+    shingle set (one Arrow mapInPandas pass, `audio_shingle_values`),
+    hub shingles are dropped by the stop-shingle df rule, tracks pair
+    on >= 2 shared values covering half the smaller set (containment,
+    so a truncated copy still pairs with its source), duplicate groups
+    close transitively, and one track survives per cluster (longest,
+    doc_id tie-break).
+
+    On the synthetic text-as-PCM corpus (the mm_audio_resample fake)
+    every stage — frame zcr, shingle packing, the df cap, the vote,
+    the closure, keep-best — is DuckDB-re-derived exactly; REAL PCM
+    tones (including a gain-doubled and a front-trimmed copy) go
+    through the same mapInPandas chain in
+    tests/test_multimodal_codec.py, which also locks the
+    gain-invariance property (c > 0 scaling preserves every first
+    difference's sign, hence the whole fingerprint)."""
+    d = table(spark, sf_dir, "documents")
+    vs = audio_shingles_from_payloads(_payloads(spark, sf_dir))
+    return audio_dedup_from_shingles(vs, d.select("doc_id", "n_chars"))

@@ -63,6 +63,7 @@ _PRIORITY: tuple[str, ...] = (
     # fronts the 31 r8-stale rows (VERDICT r12 missing #4).  Kept lean
     # so the stale cohort fits the 50-row window behind them.
     # new in round 13 — never driver-checked:
+    "mm_audio_dedup",
     "bpe_train_merges_batched",
     "mm_video_dedup",
     "quality_classifier_score",

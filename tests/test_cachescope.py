@@ -80,6 +80,8 @@ CACHE_USING_QUERIES = [
     "corpus_curate_clf_q",
     # keyframe hash set persists for its three consumers
     "mm_video_dedup",
+    # df-capped shingle set + pair list persist for their consumers
+    "mm_audio_dedup",
 ]
 
 

@@ -439,3 +439,76 @@ def test_video_dedup_over_real_p5_containers(spark):
     assert rows[3].vid_cluster == 3
     # keep-best: the longer source survives, the trimmed copy is dropped
     assert rows[1].kept and not rows[2].kept and rows[3].kept
+
+
+def test_audio_shingles_gain_invariance_and_trim_subset():
+    """The fingerprint property the face is built on, pure numpy: any
+    c > 0 gain preserves every first difference's sign, so the shingle
+    set is IDENTICAL; a front-trim at frame granularity yields a
+    SUBSET (the surviving frames are untouched)."""
+    import random
+
+    import numpy as np
+
+    from oxidsql_spark.operators.multimodal import (
+        _AUD_SH,
+        _AUD_W,
+        audio_shingle_values,
+    )
+
+    rnd = random.Random(7)
+    x = np.array([rnd.randrange(-60, 61) for _ in range(2048)], dtype=np.int64)
+    base = audio_shingle_values(x)
+    assert len(base) > 20
+    assert audio_shingle_values(2 * x) == base
+    assert audio_shingle_values(3 * x) == base
+    # trim 10 whole frames off the front (the suffix's delta sequence is
+    # d[10*W:], so its frames align with the original's frame grid)
+    trimmed = audio_shingle_values(x[10 * _AUD_W :])
+    assert len(trimmed) >= _AUD_SH
+    assert set(trimmed) <= set(base)
+    # and a genuinely different signal fingerprints differently
+    y = np.array([rnd.randrange(-60, 61) for _ in range(2048)], dtype=np.int64)
+    assert set(audio_shingle_values(y)).isdisjoint(base)
+
+
+def test_audio_dedup_over_real_pcm(spark):
+    """Audio near-dup end-to-end on REAL PCM byte payloads through the
+    same mapInPandas chain the registered query runs: a gain-doubled
+    copy and a front-trimmed copy must cluster with the source
+    (gain invariance + containment), an unrelated track stays alone,
+    keep-best retains the longest per cluster."""
+    import random
+
+    import numpy as np
+
+    from oxidsql_spark.operators.multimodal import (
+        _AUD_W,
+        audio_dedup_from_shingles,
+        audio_shingles_from_payloads,
+    )
+
+    rnd = random.Random(13)
+    x = np.array([rnd.randrange(-60, 61) for _ in range(2048)], dtype=np.int64)
+    u = np.array([rnd.randrange(-60, 61) for _ in range(2048)], dtype=np.int64)
+
+    def payload(arr):
+        return bytes((np.asarray(arr, dtype=np.int64) + 128).astype(np.uint8))
+
+    tracks = [
+        (1, payload(x)),
+        (2, payload(2 * x)),  # gain-doubled copy
+        (3, payload(x[10 * _AUD_W :])),  # front-trimmed copy
+        (4, payload(u)),  # unrelated
+    ]
+    p = spark.createDataFrame(tracks, "doc_id bigint, payload binary")
+    docs = spark.createDataFrame(
+        [(1, 2048), (2, 2048), (3, 2048 - 10 * _AUD_W), (4, 2048)],
+        "doc_id bigint, n_chars int",
+    )
+    vs = audio_shingles_from_payloads(p)
+    rows = {r.doc_id: r for r in audio_dedup_from_shingles(vs, docs).collect()}
+    assert rows[1].aud_cluster == rows[2].aud_cluster == rows[3].aud_cluster == 1
+    assert rows[4].aud_cluster == 4
+    kept = [d for d in (1, 2, 3) if rows[d].kept]
+    assert kept == [1] and rows[4].kept

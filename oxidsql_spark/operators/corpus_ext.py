@@ -2320,3 +2320,67 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 corpus_shuffle_shards.__doc__ = corpus_shuffle_shards.__doc__.format(n=_SHUF_SHARDS)
+
+
+# -- classifier operating-point sweep -----------------------------------
+# A trained filter is only usable once a THRESHOLD is chosen; the
+# operating-point table (confusion counts per candidate threshold
+# against the weak labels) is the artifact that choice is made from.
+
+_QC_THRESHOLDS = (100_000, 300_000, 500_000, 700_000, 900_000)
+
+
+def _qc_pr_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
+    thr_rows = ", ".join(f"({t})" for t in _QC_THRESHOLDS)
+    base = _qc_oracle(rounds, d)
+    return f"""
+    WITH scored AS ({base}),
+    thr AS (SELECT * FROM (VALUES {thr_rows}) AS t(thr_micro))
+    SELECT CAST(thr.thr_micro AS BIGINT) AS thr_micro,
+           CAST(sum(CASE WHEN s.p_micro >= thr.thr_micro AND s.y_weak = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s.p_micro >= thr.thr_micro AND s.y_weak = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN s.p_micro < thr.thr_micro AND s.y_weak = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(sum(CASE WHEN s.p_micro < thr.thr_micro AND s.y_weak = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM scored s CROSS JOIN thr
+    GROUP BY thr.thr_micro
+    """
+
+
+@register("quality_classifier_pr", oracle=_qc_pr_oracle())
+def quality_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen classifier's operating-point sweep: exact confusion
+    counts (tp/fp/fn/tn vs the weak gate labels) at each candidate
+    probability threshold — the table a pipeline owner reads to pick
+    the filter's production cut-off (precision = tp/(tp+fp), recall =
+    tp/(tp+fn) fall out row-wise; the INTEGER counts are what cross the
+    engine boundary, so the check is exact, never float-ratio fuzz).
+
+    Scale shape: one artifact-scoring pass (broadcast weight join +
+    doc-keyed sum), then a THRESHOLDS-sized explode per doc-row into
+    one global aggregate — |thresholds| x corpus rows through a
+    map-side-combined sum, no shuffle wider than |thresholds| groups."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    qdir = _artifact_tmp("qclf", sf_dir)
+    if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
+        qc_build(spark, d, qdir)
+    scored = _qc_labels(d).join(qc_score(spark, d, qdir), "doc_id")
+    thr = F.explode(
+        F.array(*[F.lit(t).cast("bigint") for t in _QC_THRESHOLDS])
+    ).alias("thr_micro")
+    e = scored.select("y", "p_micro", thr)
+    pos = F.col("p_micro") >= F.col("thr_micro")
+    yb = F.col("y") == 1
+    return e.groupBy("thr_micro").agg(
+        F.sum((pos & yb).cast("bigint")).alias("tp"),
+        F.sum((pos & ~yb).cast("bigint")).alias("fp"),
+        F.sum(((~pos) & yb).cast("bigint")).alias("fn"),
+        F.sum(((~pos) & ~yb).cast("bigint")).alias("tn"),
+    )

@@ -1320,3 +1320,92 @@ def seq_pack_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") > 0)
     )
     return pack_stats_from_sizes(sized)
+
+
+_FERT_SCALE = 1_000_000  # fixed-point micro-units for the two ratios
+
+
+def _bpe_fertility_oracle(n: int = _BPE_MERGES) -> str:
+    return f"""
+    WITH {_bpe_oracle_chain(n)},
+    fin AS (SELECT word,
+                   len(str_split(substring(enc, 2, length(enc) - 2), ')(')) AS n_syms
+            FROM w{n}),
+    dw AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest({_DUCK_BPE_TOKS}) AS word FROM documents)
+      WHERE length(word) >= 2 AND regexp_matches(word, '{_BPE_WORD_RE}')),
+    per_doc AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             CAST(sum(length(word)) AS BIGINT) AS n_chars,
+             CAST(sum(n_syms) AS BIGINT) AS n_tok
+      FROM dw JOIN fin USING (word)
+      GROUP BY doc_id)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_chars) AS BIGINT) AS n_chars,
+           CAST(sum(p.n_tok) AS BIGINT) AS n_bpe_tokens,
+           CAST((sum(p.n_tok) * {_FERT_SCALE}) // sum(p.n_words) AS BIGINT)
+             AS fertility_micro,
+           CAST((sum(p.n_chars) * {_FERT_SCALE}) // sum(p.n_tok) AS BIGINT)
+             AS chars_per_token_micro
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """
+
+
+@register("bpe_fertility_by_lang", oracle=_bpe_fertility_oracle())
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — the standard multilingual
+    tokenizer evaluation (tokens per word, and its inverse view chars
+    per token): languages the vocabulary under-serves show higher
+    fertility, i.e. more compute spent per unit of content, which is
+    what drives vocabulary-budget decisions in a multilingual
+    pretraining pipeline.  Encodes the corpus against the FROZEN BPE
+    artifact (train -> freeze -> vocab join, the bpe_encode_stats
+    chain), joins each doc's language tag, and reports per-language
+    integer totals plus the two fixed-point ratios (micro-units,
+    truncating division — Spark `div` and DuckDB `//` agree).  Docs
+    with no qualifying words contribute nothing, identically in both
+    engines.  Scale shape: the encode is the zero-replay vocab join;
+    everything after is one doc-keyed aggregate + one language-keyed
+    aggregate over per-doc rows."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    bdir = _artifact_tmp("bpe", sf_dir)
+    if not os.path.exists(os.path.join(bdir, "merges", "_SUCCESS")):
+        bpe_build(spark, d.select("text"), bdir, _BPE_MERGES)
+    enc = bpe_encode(spark, d.select("doc_id", "text"), bdir)
+    per_doc = enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("word")).alias("n_chars"),
+        F.sum("n_syms").alias("n_tok"),
+    )
+    return (
+        per_doc.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            F.expr(f"(n_bpe_tokens * {_FERT_SCALE}) div n_words").alias(
+                "fertility_micro"
+            ),
+            F.expr(f"(n_chars * {_FERT_SCALE}) div n_bpe_tokens").alias(
+                "chars_per_token_micro"
+            ),
+        )
+    )

@@ -64,6 +64,8 @@ _PRIORITY: tuple[str, ...] = (
     # so the stale cohort fits the 50-row window behind them.
     # new in round 13 — never driver-checked:
     "mm_audio_dedup",
+    "bpe_fertility_by_lang",
+    "quality_classifier_pr",
     "bpe_train_merges_batched",
     "mm_video_dedup",
     "quality_classifier_score",

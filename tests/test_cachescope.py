@@ -82,6 +82,9 @@ CACHE_USING_QUERIES = [
     "mm_video_dedup",
     # df-capped shingle set + pair list persist for their consumers
     "mm_audio_dedup",
+    # both ride a frozen-artifact build (persists only while building)
+    "bpe_fertility_by_lang",
+    "quality_classifier_pr",
 ]
 
 
@@ -95,7 +98,9 @@ def _n_persistent_rdds(spark) -> int:
 # makes this test's persist assertion order-independent.
 _ARTIFACT_KINDS = {
     "bpe_encode_stats": "bpe",
+    "bpe_fertility_by_lang": "bpe",
     "quality_classifier_score": "qclf",
+    "quality_classifier_pr": "qclf",
 }
 
 

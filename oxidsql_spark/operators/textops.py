@@ -1401,11 +1401,17 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
             "n_chars",
             "n_bpe_tokens",
-            F.expr(f"(n_bpe_tokens * {_FERT_SCALE}) div n_words").alias(
-                "fertility_micro"
-            ),
-            F.expr(f"(n_chars * {_FERT_SCALE}) div n_bpe_tokens").alias(
-                "chars_per_token_micro"
-            ),
+            # widen the intermediate product to decimal: a language's
+            # token total at 100 TB can exceed int64 / 1e6 (~9.2e12),
+            # and ANSI mode would throw on the bigint multiply.  The
+            # RATIO always fits (<= max word length x 1e6).
+            F.expr(
+                f"CAST((CAST(n_bpe_tokens AS DECIMAL(38,0)) * {_FERT_SCALE})"
+                " div n_words AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                f"CAST((CAST(n_chars AS DECIMAL(38,0)) * {_FERT_SCALE})"
+                " div n_bpe_tokens AS BIGINT)"
+            ).alias("chars_per_token_micro"),
         )
     )

@@ -1331,3 +1331,86 @@ def mm_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     vs = audio_shingles_from_payloads(_payloads(spark, sf_dir))
     return audio_dedup_from_shingles(vs, d.select("doc_id", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal curation capstone — the COMPOSITION a production multimodal
+# training pipeline runs: row-level quality gate + all three modality
+# dedups (image/caption, video, audio), one keep verdict per document.
+# Each stage is individually driver-proven; this face proves they
+# compose (the corpus_curate_q discipline applied to the modality
+# matrix).
+# ---------------------------------------------------------------------------
+
+
+def _mm_curate_oracle() -> str:
+    from .corpus_ext import _QC_GATE_LANGS
+
+    langs = ", ".join(f"'{lg}'" for lg in _QC_GATE_LANGS)
+    return f"""
+    WITH cap AS ({_caption_oracle()}),
+    vid AS ({_video_dedup_oracle()}),
+    aud AS ({_audio_dedup_oracle()}),
+    gate AS (
+      SELECT doc_id,
+             (coalesce(n_chars >= 100, FALSE)
+              AND coalesce(lang IN ({langs}), FALSE)
+              AND source IS NOT NULL) AS gate_ok
+      FROM documents)
+    SELECT d.doc_id, g.gate_ok,
+           c.kept AS cap_kept, v.kept AS vid_kept, a.kept AS aud_kept,
+           (g.gate_ok AND c.kept AND v.kept AND a.kept) AS kept
+    FROM documents d
+    JOIN gate g USING (doc_id)
+    JOIN cap c USING (doc_id)
+    JOIN vid v USING (doc_id)
+    JOIN aud a USING (doc_id)
+    """
+
+
+@register("mm_curate_q", oracle=_mm_curate_oracle())
+def mm_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation capstone: a document survives iff it passes
+    the row-level quality gate (length floor, known language, non-null
+    source — the docs_quality_gate rule) AND is the kept representative
+    of its image cluster, its video cluster, and its audio cluster.
+    Per-doc verdicts for every stage ride along, so the funnel is
+    auditable — which stage dropped each document is a projection, not
+    a re-run.  The oracle composes all four stage oracles in one SQL
+    pipeline, proving the COMPOSITION cross-engine (the
+    corpus_curate_q discipline).
+
+    Scale shape: each modality chain keeps its own proven shape
+    (banded candidate joins, duplicate-sized closures); the capstone
+    adds only doc-keyed equi-joins of (doc_id, flag) verdict frames."""
+    from .corpus_ext import _qc_labels
+
+    d = table(spark, sf_dir, "documents")
+    gate = _qc_labels(d).select("doc_id", (F.col("y") == 1).alias("gate_ok"))
+    cap = mm_caption_dedup(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("cap_kept")
+    )
+    vid = mm_video_dedup(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("vid_kept")
+    )
+    aud = mm_audio_dedup(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("aud_kept")
+    )
+    return (
+        gate.join(cap, "doc_id")
+        .join(vid, "doc_id")
+        .join(aud, "doc_id")
+        .select(
+            "doc_id",
+            "gate_ok",
+            "cap_kept",
+            "vid_kept",
+            "aud_kept",
+            (
+                F.col("gate_ok")
+                & F.col("cap_kept")
+                & F.col("vid_kept")
+                & F.col("aud_kept")
+            ).alias("kept"),
+        )
+    )

@@ -64,6 +64,7 @@ _PRIORITY: tuple[str, ...] = (
     # so the stale cohort fits the 50-row window behind them.
     # new in round 13 — never driver-checked:
     "mm_audio_dedup",
+    "mm_curate_q",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
     "bpe_train_merges_batched",

@@ -82,6 +82,8 @@ CACHE_USING_QUERIES = [
     "mm_video_dedup",
     # df-capped shingle set + pair list persist for their consumers
     "mm_audio_dedup",
+    # composes all three modality chains (their persists ride along)
+    "mm_curate_q",
     # both ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

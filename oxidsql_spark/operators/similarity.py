@@ -2618,3 +2618,94 @@ def ann_opq_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(_N_QUERIES, _TOP_K, sim_sum, hits >= _OPQIVF_HIT_FLOOR)],
         "n_queries bigint, k bigint, exact_sim_sum decimal(18,4), rot_hits_ge_floor boolean",
     )
+
+
+# --- contrastive pair mining ----------------------------------------------
+# Embedding-model training data: for each anchor, the most-similar
+# SAME-label vectors (positives) and the most-similar DIFFERENT-label
+# vectors (hard negatives — the pairs that actually move a contrastive
+# loss; random negatives are trivially separated and teach nothing).
+
+_CON_POS = 4  # positives per anchor
+_CON_NEG = 8  # hard negatives per anchor
+
+
+@register(
+    "embeddings_contrastive_mine",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.q_id, c.vec_id,
+                  CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind,
+                  list_cosine_similarity(q.qv, c.cv) AS sim
+           FROM q JOIN c ON q.q_id <> c.vec_id),
+         ranked AS (
+           SELECT q_id, vec_id, kind, sim,
+                  row_number() OVER (PARTITION BY q_id, kind
+                                     ORDER BY sim DESC, vec_id) AS rnk
+           FROM scored)
+    SELECT q_id, vec_id, kind, rnk, round(sim, 4) AS cos_sim
+    FROM ranked
+    WHERE (kind = 'pos' AND rnk <= {_CON_POS})
+       OR (kind = 'neg' AND rnk <= {_CON_NEG})
+    """,
+)
+def embeddings_contrastive_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised contrastive pair mining over the embedding table: per
+    anchor, the top-{p} most-similar SAME-label vectors (positives) and
+    the top-{k} most-similar DIFFERENT-label vectors (hard negatives)
+    — the (anchor, pair, kind, rank) table an embedding-model trainer
+    consumes directly.  Hard negatives are the high-similarity
+    wrong-label pairs; mining them exactly is what makes the face
+    useful (uniform negative sampling needs no engine at all).
+
+    Scale shape: the ann_topk_bruteforce plan — anchors broadcast, ONE
+    embarrassingly-parallel scoring pass over the candidate scan, then
+    per-(anchor, kind) top-k windows (TakeOrdered-sized partitions,
+    never a global sort).  At billions of vectors the scoring pass
+    swaps for the partition-pruned IVF probe (`ann_ivf_prepared`) with
+    the same downstream mining — candidate restriction, not a different
+    algorithm."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.select("vec_id", "label", F.col("v").alias("cv"), "nrm")
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .withColumn(
+            "sim",
+            vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")),
+        )
+        .withColumn(
+            "kind",
+            F.when(F.col("label") == F.col("q_label"), F.lit("pos")).otherwise(
+                F.lit("neg")
+            ),
+        )
+    )
+    w = W.partitionBy("q_id", "kind").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(
+            ((F.col("kind") == "pos") & (F.col("rnk") <= _CON_POS))
+            | ((F.col("kind") == "neg") & (F.col("rnk") <= _CON_NEG))
+        )
+        .select("q_id", "vec_id", "kind", "rnk", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
+embeddings_contrastive_mine.__doc__ = embeddings_contrastive_mine.__doc__.format(
+    p=_CON_POS, k=_CON_NEG
+)

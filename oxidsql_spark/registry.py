@@ -65,6 +65,7 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 13 — never driver-checked:
     "mm_audio_dedup",
     "mm_curate_q",
+    "embeddings_contrastive_mine",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
     "bpe_train_merges_batched",

@@ -76,6 +76,14 @@ STRESS_QUERIES = [
     # + hamming verify + closure)
     "dedup_span_scrub",
     "mm_caption_dedup",
+    # r13 additions: the two new modality dedups (keyframe-set and
+    # audio-shingle candidate joins are the quadratic-risk steps; the
+    # verbatim mode saturates them with k-1 exact copies per track)
+    # and the classifier trainer (feature-keyed gradient aggregation
+    # should scale linearly in corpus rows)
+    "mm_video_dedup",
+    "mm_audio_dedup",
+    "quality_classifier_score",
 ]
 
 

@@ -1374,3 +1374,90 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_ATTR_WINDOW_S = 7 * 24 * 3600  # attribution lookback (seconds)
+_ATTR_SCALE = 1_000_000  # one conversion = 1e6 micro-credits
+
+
+@register(
+    "events_attribution_linear",
+    oracle=f"""
+    WITH p AS (SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS cid, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+          FROM events WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.pid, c.cid
+      FROM p JOIN c ON c.user_id = p.user_id
+        AND c.c_ts <= p.p_ts
+        AND c.c_ts > p.p_ts - INTERVAL 7 DAY),
+    nt AS (SELECT pid, count(*) AS n FROM touch GROUP BY pid)
+    SELECT t.cid AS click_event_id,
+           count(*) AS n_conversions,
+           CAST(sum({_ATTR_SCALE} // nt.n) AS BIGINT) AS credit_micro
+    FROM touch t JOIN nt USING (pid)
+    GROUP BY t.cid
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's credit splits
+    equally (integer micro-units, truncating division — both engines
+    truncate) across ALL the user's clicks in the 7-day lookback;
+    per click, the total credit and the number of conversions it
+    touched.  The marketing-analytics face the as-of join (last-touch)
+    cannot express — credit lands on EVERY touch, not just the latest.
+
+    Implemented the scale-correct way: NOT the quadratic-per-user
+    inequality join the oracle states, but a time-BUCKET equi-join (the
+    range_join_bands discipline applied on the time axis): purchases
+    explode to their own and the preceding 7-day bucket, clicks carry
+    one bucket, the join runs on (user_id, bucket) — complete by
+    construction since a lookback window spans at most two buckets —
+    and the exact range filter prunes the at-most-2x candidates.  One
+    equi-shuffle on (user, bucket); per-key fan-out is bounded by a
+    user's weekly activity, never their lifetime history."""
+    e = table(spark, sf_dir, "events")
+    week = F.lit(_ATTR_WINDOW_S)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / week
+        ).alias("b"),
+    )
+    pb = p.select(
+        "pid",
+        "user_id",
+        "p_ts",
+        F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("bucket"),
+    )
+    cb = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / week
+        ).alias("bucket"),
+    )
+    touch = (
+        pb.join(cb, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.expr("p_ts - INTERVAL 7 DAY"))
+        )
+        .select("pid", "cid")
+    )
+    nt = touch.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        touch.join(nt, "pid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.expr(f"{_ATTR_SCALE} div n")).alias("credit_micro"),
+        )
+        .select(
+            F.col("cid").alias("click_event_id"), "n_conversions", "credit_micro"
+        )
+    )

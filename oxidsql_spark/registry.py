@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_dedup",
     "mm_curate_q",
     "embeddings_contrastive_mine",
+    "events_attribution_linear",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
     "bpe_train_merges_batched",

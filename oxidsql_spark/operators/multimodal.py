@@ -1236,7 +1236,10 @@ def audio_dedup_from_shingles(vs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-def _audio_dedup_oracle() -> str:
+def _audio_vals_cte() -> str:
+    """Shared oracle prefix: documents -> per-doc DISTINCT shingle
+    values (the `vals` relation) — the full sample -> delta-sign ->
+    frame zcr -> shingle chain in SQL."""
     shingle_terms = " + ".join(
         f"l{t} * {_AUD_Q ** (_AUD_SH - 1 - t)}" if t else f"zcr * {_AUD_Q ** (_AUD_SH - 1)}"
         for t in range(_AUD_SH)
@@ -1245,8 +1248,7 @@ def _audio_dedup_oracle() -> str:
         f"lead(zcr, {t}) OVER (PARTITION BY doc_id ORDER BY f) AS l{t}"
         for t in range(1, _AUD_SH)
     )
-    return f"""
-    WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    return f"""docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
     x AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
              ascii(substring(text, CAST(i AS INTEGER), 1)) - 128 AS x
@@ -1271,7 +1273,12 @@ def _audio_dedup_oracle() -> str:
       SELECT doc_id, {shingle_terms} AS v
       FROM (SELECT doc_id, f, zcr, {leads} FROM zf)
       WHERE l{_AUD_SH - 1} IS NOT NULL),
-    vals AS (SELECT DISTINCT doc_id, v FROM sh),
+    vals AS (SELECT DISTINCT doc_id, v FROM sh)"""
+
+
+def _audio_dedup_oracle() -> str:
+    return f"""
+    WITH {_audio_vals_cte()},
     keepv AS (SELECT v FROM vals GROUP BY v HAVING count(*) <= {_AUD_MAXDF}),
     vk AS (SELECT vals.doc_id, vals.v FROM vals JOIN keepv USING (v)),
     nv AS (SELECT doc_id, count(*) AS n_v FROM vk GROUP BY doc_id),
@@ -1414,3 +1421,116 @@ def mm_curate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental audio dedup — the persisted-index probe face (completing
+# the family: exact -> fingerprint table, MinHash -> band table,
+# containment -> shingle index, IVF -> cell index, audio -> shingle
+# index): a new crawl batch probes the frozen corpus index instead of
+# re-fingerprinting the corpus.
+# ---------------------------------------------------------------------------
+
+
+def build_audio_shingle_index(
+    spark: SparkSession, p: DataFrame, out_path: str
+) -> None:
+    """Persist the corpus's df-capped (doc_id, v) audio shingle rows —
+    write-once; the stop-shingle rule is baked in at BUILD time so a
+    hub value (silence) can never flood a future probe."""
+    vs = audio_shingles_from_payloads(p)
+    kept = vs.groupBy("v").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _AUD_MAXDF
+    )
+    vs.join(kept.select("v"), "v").write.mode("overwrite").parquet(out_path)
+
+
+def audio_dedup_incremental(
+    spark: SparkSession, new_p: DataFrame, index_path: str
+) -> DataFrame:
+    """Audio near-dups between a NEW batch and the persisted corpus
+    index: fingerprint only the batch (one Arrow pass), join its
+    shingles onto the index scan, count shared values per (new,
+    corpus) pair, keep pairs with >= {ms} shared covering half the NEW
+    track's set (containment of the new track in the corpus — a
+    trimmed or gain-changed re-upload of corpus audio still pairs).
+    Cost scales with the batch; the corpus is one index scan, its
+    audio never re-decoded."""
+    from .dedup import _probe_hint
+
+    nv = audio_shingles_from_payloads(new_p)
+    n_tab = nv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    nb = nv.join(n_tab, "doc_id").select(
+        F.col("doc_id").alias("new_id"), "v", "n_new"
+    )
+    corpus = spark.read.parquet(index_path).select(
+        F.col("doc_id").alias("corpus_id"), "v"
+    )
+    inter = (
+        corpus.join(_probe_hint(nb), "v")
+        .groupBy("new_id", "corpus_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared"),
+            F.any_value("n_new").alias("n_new"),
+        )
+    )
+    return inter.filter(
+        (F.col("shared") >= _AUD_MIN_SHARED)
+        & (F.col("shared") * _AUD_CONT_DEN >= F.col("n_new") * _AUD_CONT_NUM)
+    ).select("new_id", "corpus_id", "shared", "n_new")
+
+
+audio_dedup_incremental.__doc__ = audio_dedup_incremental.__doc__.format(
+    ms=_AUD_MIN_SHARED
+)
+
+
+def _audio_incr_oracle() -> str:
+    from .dedup import _BATCH_IN
+
+    return f"""
+    WITH {_audio_vals_cte()},
+    src AS (SELECT doc_id, source FROM documents),
+    cvals AS (SELECT v.doc_id, v.v FROM vals v JOIN src s USING (doc_id)
+              WHERE s.source NOT IN ({_BATCH_IN})),
+    keepv AS (SELECT v FROM cvals GROUP BY v HAVING count(*) <= {_AUD_MAXDF}),
+    idx AS (SELECT cvals.doc_id AS corpus_id, cvals.v
+            FROM cvals JOIN keepv USING (v)),
+    bvals AS (SELECT v.doc_id AS new_id, v.v FROM vals v JOIN src s USING (doc_id)
+              WHERE s.source IN ({_BATCH_IN})),
+    nn AS (SELECT new_id, count(*) AS n_new FROM bvals GROUP BY new_id),
+    inter AS (
+      SELECT b.new_id, i.corpus_id, count(*) AS shared
+      FROM bvals b JOIN idx i USING (v)
+      GROUP BY b.new_id, i.corpus_id)
+    SELECT t.new_id, t.corpus_id, t.shared, nn.n_new
+    FROM inter t JOIN nn USING (new_id)
+    WHERE t.shared >= {_AUD_MIN_SHARED}
+      AND t.shared * {_AUD_CONT_DEN} >= nn.n_new * {_AUD_CONT_NUM}
+    """
+
+
+@register("mm_audio_dedup_incremental", oracle=_audio_incr_oracle())
+def mm_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked end-to-end run of the incremental audio probe:
+    the corpus split (sources outside the batch set) freezes its
+    df-capped shingle index once per process; the batch split
+    fingerprints itself and probes the index.  The oracle re-derives
+    the split, the build-time stop-shingle rule, and the probe
+    arithmetic in one SQL pipeline."""
+    import os
+
+    from .dedup import _BATCH_SRCS, _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary").alias("payload")
+    corpus_p = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select(
+        "doc_id", payload
+    )
+    batch_p = d.filter(F.col("source").isin(*_BATCH_SRCS)).select(
+        "doc_id", payload
+    )
+    idx = os.path.join(_artifact_tmp("audidx", sf_dir), "index")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_audio_shingle_index(spark, corpus_p, idx)
+    return audio_dedup_incremental(spark, batch_p, idx)

@@ -67,6 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_curate_q",
     "embeddings_contrastive_mine",
     "events_attribution_linear",
+    "mm_audio_dedup_incremental",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
     "bpe_train_merges_batched",

@@ -2384,3 +2384,93 @@ def quality_classifier_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(((~pos) & yb).cast("bigint")).alias("fn"),
         F.sum(((~pos) & ~yb).cast("bigint")).alias("tn"),
     )
+
+
+# -- curriculum: epoch-annealed source-mixture schedule ------------------
+# The pretraining knob the static mixers (corpus_mix_sample,
+# source_temperature_mix) cannot express: EARLY epochs sample sources
+# near-uniformly (coverage), LATE epochs tilt toward measured quality
+# (the anneal-good-data-late recipe).  Integer-exact: linear
+# interpolation between the uniform share and the quality-proportional
+# share, truncating division in both engines.
+
+_CURR_EPOCHS = 4
+
+
+def _curriculum_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
+    base = _qc_oracle(rounds, d)
+    E = _CURR_EPOCHS
+    return f"""
+    WITH scored AS ({base}),
+    bysrc AS (
+      SELECT d.source, count(*) AS n_docs,
+             CAST(sum(s.p_micro) AS BIGINT) AS q_sum
+      FROM scored s JOIN documents d USING (doc_id)
+      GROUP BY d.source),
+    tot AS (SELECT count(*) AS n_src, CAST(sum(q_sum) AS BIGINT) AS q_tot
+            FROM bysrc),
+    ep AS (SELECT unnest(range(0, {E})) AS epoch)
+    SELECT CAST(ep.epoch AS BIGINT) AS epoch, b.source, b.n_docs, b.q_sum,
+           CAST((({E - 1} - ep.epoch) * ({_QC_S} // t.n_src)
+                 + ep.epoch * ((b.q_sum * {_QC_S}) // t.q_tot))
+                // {E - 1} AS BIGINT) AS weight_micro
+    FROM bysrc b CROSS JOIN tot t CROSS JOIN ep
+    """
+
+
+@register("corpus_curriculum_schedule", oracle=_curriculum_oracle())
+def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-annealed source mixture: epoch 0 samples sources uniformly
+    (coverage first), the final epoch samples proportionally to each
+    source's MEASURED quality mass (the frozen classifier's summed
+    p_micro), and intermediate epochs interpolate linearly — all in
+    integer micro-units with truncating division, so the whole
+    schedule (including the classifier training that produces the
+    quality signal) is one exact SQL oracle.  The output
+    (epoch, source, weight_micro) table is what a data loader's
+    per-epoch sampler consumes.
+
+    Scale shape: one artifact-scoring pass + one source-keyed
+    aggregate (|sources| rows), then a |sources| x |epochs| projection
+    — nothing after the score is corpus-sized.  The quality-share
+    multiply is decimal-widened: a source's p_micro mass at 100 TB
+    exceeds int64/1e6."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    qdir = _artifact_tmp("qclf", sf_dir)
+    if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
+        qc_build(spark, d, qdir)
+    scored = qc_score(spark, d, qdir)
+    bysrc = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p_micro").alias("q_sum"),
+        )
+    )
+    tot = bysrc.agg(
+        F.count(F.lit(1)).alias("n_src"), F.sum("q_sum").alias("q_tot")
+    )
+    E = _CURR_EPOCHS
+    ep = F.explode(F.array(*[F.lit(e).cast("bigint") for e in range(E)])).alias(
+        "epoch"
+    )
+    return (
+        bysrc.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", "q_sum", "n_src", "q_tot", ep)
+        .select(
+            "epoch",
+            "source",
+            "n_docs",
+            "q_sum",
+            F.expr(
+                f"CAST((({E - 1} - epoch) * ({_QC_S} div n_src)"
+                f" + epoch * ((CAST(q_sum AS DECIMAL(38,0)) * {_QC_S}) div q_tot))"
+                f" div {E - 1} AS BIGINT)"
+            ).alias("weight_micro"),
+        )
+    )

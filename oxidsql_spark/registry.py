@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     "embeddings_contrastive_mine",
     "events_attribution_linear",
     "mm_audio_dedup_incremental",
+    "corpus_curriculum_schedule",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
     "bpe_train_merges_batched",

@@ -84,9 +84,10 @@ CACHE_USING_QUERIES = [
     "mm_audio_dedup",
     # composes all three modality chains (their persists ride along)
     "mm_curate_q",
-    # both ride a frozen-artifact build (persists only while building)
+    # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
+    "corpus_curriculum_schedule",
 ]
 
 
@@ -103,6 +104,7 @@ _ARTIFACT_KINDS = {
     "bpe_fertility_by_lang": "bpe",
     "quality_classifier_score": "qclf",
     "quality_classifier_pr": "qclf",
+    "corpus_curriculum_schedule": "qclf",
 }
 
 

@@ -1534,3 +1534,174 @@ def mm_audio_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_audio_shingle_index(spark, corpus_p, idx)
     return audio_dedup_incremental(spark, batch_p, idx)
+
+
+class AudioIndexStore:
+    """Segment-committed audio shingle index for a ROLLING corpus — the
+    audio twin of dedup.SpanIndexStore: the df-capped shingle artifact
+    lives as version-named committed segments (``seg_*`` with parquet's
+    ``_SUCCESS`` written last — torn writes are invisible), and every
+    admitted batch appends ONE segment holding its ADMITTED tracks'
+    shingles (rejected dups contribute nothing; the originals they
+    duplicate are already indexed by definition).
+
+    ``probe_admit(batch, tag)`` is deterministic-idempotent: the
+    verdict is a pure function of (batch, committed segments minus the
+    tag's own), and a replayed tag skips its already-committed segment
+    — the streaming sink rides that with batch-id tags, giving
+    exactly-once admission under foreachBatch's at-least-once
+    redelivery.  The df-cap is enforced per segment; a value can drift
+    over the cap ACROSS segments (each under cap locally), which a
+    periodic compaction re-caps — the occupancy-drift note of
+    admit_ivfadc_vectors applies."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _seg_dir(self, tag: str) -> str:
+        import os
+
+        return os.path.join(self.path, f"seg_{tag}")
+
+    def _segments(self) -> "list[str]":
+        import os
+
+        return [
+            os.path.join(self.path, n)
+            for n in sorted(os.listdir(self.path))
+            if n.startswith("seg_")
+            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
+        ]
+
+    def shingles(self, exclude_tag: "str | None" = None) -> DataFrame:
+        segs = [
+            p
+            for p in self._segments()
+            if exclude_tag is None or not p.endswith(f"seg_{exclude_tag}")
+        ]
+        if not segs:
+            return self.spark.createDataFrame([], "doc_id bigint, v bigint")
+        return self.spark.read.parquet(*segs).select("doc_id", "v")
+
+    def build(self, p: DataFrame) -> None:
+        """Base corpus segment (idempotent under a replayed build)."""
+        import os
+
+        seg = self._seg_dir("base")
+        if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+            build_audio_shingle_index(self.spark, p, seg)
+
+    def probe_admit(self, batch_p: DataFrame, tag: str) -> DataFrame:
+        """Probe the batch against every committed segment (excluding
+        the tag's own — so a post-crash replay sees the identical index
+        the original run saw), commit the ADMITTED tracks' df-capped
+        shingles as segment ``tag``, and return the per-track
+        disposition (doc_id, n_shingles, is_dup).  A track with no
+        shingles (too short) admits by definition — it can never pair."""
+        import os
+
+        from ..cachescope import scoped_local_checkpoint
+
+        nv = audio_shingles_from_payloads(batch_p)
+        n_tab = nv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+        nb = nv.join(n_tab, "doc_id").select(
+            F.col("doc_id").alias("new_id"), "v", "n_new"
+        )
+        corpus = self.shingles(exclude_tag=tag).select(
+            F.col("doc_id").alias("corpus_id"), "v"
+        )
+        dup_ids = (
+            corpus.join(nb, "v")
+            .groupBy("new_id", "corpus_id")
+            .agg(
+                F.count(F.lit(1)).alias("shared"),
+                F.any_value("n_new").alias("n_new"),
+            )
+            .filter(
+                (F.col("shared") >= _AUD_MIN_SHARED)
+                & (
+                    F.col("shared") * _AUD_CONT_DEN
+                    >= F.col("n_new") * _AUD_CONT_NUM
+                )
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+        # eager checkpoint BEFORE writing under self.path: the segment
+        # append writes where the probe's lazy plan reads (the
+        # SpanIndexStore read-then-write discipline)
+        disp = scoped_local_checkpoint(
+            batch_p.select("doc_id")
+            .join(
+                n_tab.withColumnRenamed("n_new", "n_shingles"), "doc_id", "left"
+            )
+            .join(dup_ids, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            )
+        )
+        seg = self._seg_dir(tag)
+        if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+            admitted = nv.join(
+                disp.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+            )
+            kept = admitted.groupBy("v").agg(
+                F.count(F.lit(1)).alias("df")
+            ).filter(F.col("df") <= _AUD_MAXDF)
+            admitted.join(kept.select("v"), "v").write.mode(
+                "overwrite"
+            ).parquet(seg)
+        return disp
+
+
+def _make_audio_sink(store: AudioIndexStore, out_dir: str):
+    """Idempotent foreachBatch sink for streaming audio admission: the
+    probe-and-commit is deterministic-idempotent per batch tag, and the
+    disposition lands in a batch-keyed dir (overwrite — a redelivered
+    batch rewrites identical rows), so the fold is exactly-once under
+    foreachBatch's at-least-once redelivery."""
+    import os
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        from ..cachescope import release_scoped_caches
+
+        disp = store.probe_admit(batch_df, f"b{batch_id:08d}")
+        disp.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id:08d}")
+        )
+        release_scoped_caches()
+
+    return _sink
+
+
+def admit_audio_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Streaming audio-dedup admission: a file stream of
+    (doc_id, payload) tracks probes the rolling shingle index per
+    micro-batch — a gain-changed or trimmed re-upload of ANY
+    previously admitted track rejects, fresh tracks admit and their
+    shingles commit as the batch's segment.  Per-batch cost is the
+    batch fingerprint pass + one index scan; corpus audio is never
+    re-decoded.  Returns the ready DataStreamWriter (caller
+    .start()s it)."""
+    store = AudioIndexStore(spark, state_path)
+    return (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_make_audio_sink(store, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1365,3 +1365,91 @@ def test_curate_ingest_stream_classifier_stage(spark, tmp_path):
     kept2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     rejected2 = {r.doc_id: r.reject_reason for r in spark.read.parquet(rej).collect()}
     assert kept2 == kept and rejected2 == rejected
+
+
+def test_audio_admission_stream_exactly_once_and_cross_batch(spark, tmp_path):
+    """Streaming audio-dedup admission: a gain-doubled copy of a CORPUS
+    track rejects in batch 0, a trimmed copy of a track ADMITTED in
+    batch 0 rejects in batch 1 (the rolling segment grew), fresh and
+    too-short tracks admit, and a redelivered batch neither duplicates
+    its index segment nor changes its disposition."""
+    import glob
+    import os
+    import random
+    import shutil
+    import time
+
+    import numpy as np
+
+    from oxidsql_spark.operators.multimodal import (
+        _AUD_W,
+        AudioIndexStore,
+        _make_audio_sink,
+    )
+
+    rnd = random.Random(99)
+
+    def track(n=2048):
+        return np.array([rnd.randrange(-60, 61) for _ in range(n)], dtype=np.int64)
+
+    def payload(arr):
+        return bytes((np.asarray(arr, dtype=np.int64) + 128).astype(np.uint8))
+
+    a, b, c, d = track(), track(), track(), track()
+    corpus = spark.createDataFrame(
+        [(1, payload(a)), (2, payload(b))], "doc_id bigint, payload binary"
+    )
+    sp = str(tmp_path / "audstore")
+    store = AudioIndexStore(spark, sp)
+    store.build(corpus)
+
+    feed = [
+        [(10, payload(2 * a)), (11, payload(c))],  # dup-of-corpus, fresh
+        [
+            (20, payload(c[10 * _AUD_W :])),  # trimmed copy of batch-0's 11
+            (21, payload(d)),  # fresh
+            (22, payload(d[:40])),  # too short for any shingle -> admits
+        ],
+    ]
+    src = str(tmp_path / "aud_feed")
+    os.makedirs(src)
+    for i, rows in enumerate(feed):
+        tmp = str(tmp_path / f"audchunk{i}")
+        spark.createDataFrame(rows, "doc_id bigint, payload binary").coalesce(
+            1
+        ).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(tmp)
+        time.sleep(0.05)
+
+    out = str(tmp_path / "aud_out")
+    from oxidsql_spark.operators.multimodal import admit_audio_stream
+
+    q = admit_audio_stream(
+        spark, src, sp, str(tmp_path / "audckpt"), out
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    disp = {
+        r.doc_id: (r.is_dup, r.n_shingles)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert disp[10][0] is True  # gain-doubled corpus copy rejected
+    assert disp[11][0] is False  # fresh admits
+    assert disp[20][0] is True  # trimmed copy of an ADMITTED track rejected
+    assert disp[21][0] is False
+    assert disp[22] == (False, 0)  # shingle-less track admits by definition
+
+    # redelivery of batch 1: segment skip + identical disposition
+    segs_before = sorted(os.listdir(sp))
+    sink = _make_audio_sink(store, out)
+    sink(
+        spark.createDataFrame(feed[1], "doc_id bigint, payload binary"), 1
+    )
+    assert sorted(os.listdir(sp)) == segs_before
+    disp2 = {
+        r.doc_id: (r.is_dup, r.n_shingles)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert disp2 == disp

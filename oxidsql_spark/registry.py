@@ -60,8 +60,11 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # round-13 start: all 7 round-12 priority names were driver-green in
     # CORRECTNESS_r12.json and retire to the stable rotation, which now
-    # fronts the 31 r8-stale rows (VERDICT r12 missing #4).  Kept lean
-    # so the stale cohort fits the 50-row window behind them.
+    # fronts the 31 r8-stale rows (VERDICT r12 missing #4).  With the
+    # session's 9 brand-new faces the priority block holds 22 names, so
+    # the 50-row window reaches ~28 stable rows — all but ~3 of the r8
+    # cohort clear this round; the stalest-first ordering fronts the
+    # remainder in r14 automatically.
     # new in round 13 — never driver-checked:
     "mm_audio_dedup",
     "mm_curate_q",

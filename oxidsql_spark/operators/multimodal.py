@@ -1705,3 +1705,121 @@ def admit_audio_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def build_image_band_index(
+    spark: SparkSession, fp: DataFrame, out_path: str
+) -> None:
+    """Persist the corpus's (doc_id, dhash, b, v) band rows — the
+    write-once LSH index for incremental image dedup (the
+    dedup_minhash_incremental band-table discipline on perceptual
+    hashes): each new crawl batch probes this instead of re-banding
+    the corpus."""
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+    bands = fp.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(*[
+                F.expr(f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}")
+                for b in range(_CAP_BANDS)
+            ])
+        ).alias("b", "v"),
+    )
+    bands.write.mode("overwrite").parquet(out_path)
+
+
+def image_dedup_incremental(
+    spark: SparkSession, new_fp: DataFrame, index_path: str
+) -> DataFrame:
+    """Near-dup images between a NEW batch's fingerprints and the
+    persisted corpus band index: band the batch (4 x 12-bit keys per
+    hash), join the index scan on (b, v), verify candidates by exact
+    hamming — (new_id, corpus_id, hamming).  Cost scales with the
+    batch; corpus pixels are never re-decoded (the probe touches only
+    8-byte hashes)."""
+    from .dedup import _probe_hint
+
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+    nb = new_fp.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("dhash").alias("hn"),
+        F.posexplode(
+            F.array(*[
+                F.expr(f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}")
+                for b in range(_CAP_BANDS)
+            ])
+        ).alias("b", "v"),
+    )
+    corpus = spark.read.parquet(index_path).select(
+        F.col("doc_id").alias("corpus_id"), F.col("dhash").alias("hc"), "b", "v"
+    )
+    cand = (
+        corpus.join(_probe_hint(nb), ["b", "v"])
+        .filter(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id", "hn", "hc")
+        .distinct()
+    )
+    return cand.filter(F.expr(f"bit_count(hn ^ hc) <= {_CAP_HAM_T}")).select(
+        "new_id",
+        "corpus_id",
+        F.expr("CAST(bit_count(hn ^ hc) AS INT)").alias("hamming"),
+    )
+
+
+def _image_incr_oracle() -> str:
+    from .dedup import _BATCH_IN
+
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+    return f"""
+    WITH fp AS (SELECT doc_id, source, {_dhash_fake_terms('duckdb')} AS dhash
+                FROM documents),
+    cb AS (
+      SELECT doc_id AS corpus_id, dhash AS hc, b,
+             (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+      FROM fp, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)
+      WHERE source NOT IN ({_BATCH_IN})),
+    nb AS (
+      SELECT doc_id AS new_id, dhash AS hn, b,
+             (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+      FROM fp, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)
+      WHERE source IN ({_BATCH_IN})),
+    cand AS (
+      SELECT DISTINCT new_id, corpus_id, hn, hc
+      FROM nb JOIN cb USING (b, v)
+      WHERE new_id <> corpus_id)
+    SELECT new_id, corpus_id,
+           CAST(bit_count(xor(hn, hc)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(hn, hc)) <= {_CAP_HAM_T}
+    """
+
+
+@register("mm_image_dedup_incremental", oracle=_image_incr_oracle())
+def mm_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked incremental image dedup: the corpus split freezes
+    its perceptual-hash band index once per process; the batch split
+    fingerprints itself (one codegen projection) and probes the index
+    — band-bucket candidates, exact-hamming verify.  Completes the
+    incremental family across the modality matrix (text shingles,
+    MinHash bands, audio shingles, IVF cells — and now image bands).
+    The oracle re-derives the split, the banding, and the hamming
+    verify in one SQL pipeline."""
+    import os
+
+    from .dedup import _BATCH_SRCS, _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "source", F.expr(_dhash_fake_terms("spark")).alias("dhash")
+    )
+    corpus_fp = fp.filter(~F.col("source").isin(*_BATCH_SRCS)).select(
+        "doc_id", "dhash"
+    )
+    batch_fp = fp.filter(F.col("source").isin(*_BATCH_SRCS)).select(
+        "doc_id", "dhash"
+    )
+    idx = os.path.join(_artifact_tmp("imgidx", sf_dir), "index")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        build_image_band_index(spark, corpus_fp, idx)
+    return image_dedup_incremental(spark, batch_fp, idx)

@@ -2709,3 +2709,92 @@ def embeddings_contrastive_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 embeddings_contrastive_mine.__doc__ = embeddings_contrastive_mine.__doc__.format(
     p=_CON_POS, k=_CON_NEG
 )
+
+
+
+_KNN_EVAL_K = 5
+_KNN_EVAL_NQ = 50  # vec_id < 50 are the evaluation queries
+
+
+@register(
+    "embeddings_knn_eval",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {_KNN_EVAL_NQ}),
+         c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         scored AS (
+           SELECT q.q_id, q.q_label, c.label,
+                  list_cosine_similarity(q.qv, c.cv) AS sim, c.vec_id
+           FROM q JOIN c ON q.q_id <> c.vec_id),
+         topk AS (
+           SELECT q_id, q_label, label FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY sim DESC, vec_id) AS rnk
+             FROM scored) WHERE rnk <= {_KNN_EVAL_K}),
+         votes AS (
+           SELECT q_id, q_label, label, count(*) AS n
+           FROM topk GROUP BY q_id, q_label, label),
+         pred AS (
+           SELECT q_id, q_label, label AS pred_label FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY n DESC, label) AS vr
+             FROM votes) WHERE vr = 1)
+    SELECT q_label AS label,
+           count(*) AS n_queries,
+           CAST(sum(CASE WHEN pred_label = q_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred GROUP BY q_label
+    """,
+)
+def embeddings_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality evaluation by kNN label prediction: for each
+    held-out query vector, predict its label as the majority among its
+    5 nearest neighbors (cosine; vote ties break by count desc,
+    label asc — fully deterministic) and report per-label query and
+    correct counts — the standard retrieval-quality probe run after
+    every embedding-model train.  Integer counts cross the engine
+    boundary, so the check is exact.
+
+    Scale shape: the ann_topk_bruteforce plan (broadcast queries, one
+    scoring pass, per-query top-k window) + two tiny vote aggregates;
+    at billions of vectors the scoring pass swaps for the IVF probe
+    with identical downstream voting."""
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", as_double_vec("embedding").alias("v"))
+        .withColumn("nrm", vec_norm(F.col("v")))
+    )
+    q = e.filter(F.col("vec_id") < _KNN_EVAL_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.select("vec_id", "label", F.col("v").alias("cv"), "nrm")
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).withColumn(
+        "sim",
+        vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")),
+    )
+    wk = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= _KNN_EVAL_K)
+        .select("q_id", "q_label", "label")
+    )
+    votes = topk.groupBy("q_id", "q_label", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = W.partitionBy("q_id").orderBy(F.col("n").desc(), "label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", "q_label", F.col("label").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("q_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("pred_label") == F.col("q_label")).cast("bigint")).alias(
+            "n_correct"
+        ),
+    )

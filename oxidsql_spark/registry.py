@@ -72,6 +72,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_attribution_linear",
     "mm_audio_dedup_incremental",
     "corpus_curriculum_schedule",
+    "mm_image_dedup_incremental",
+    "embeddings_knn_eval",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
     "bpe_train_merges_batched",

@@ -62,7 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     # CORRECTNESS_r12.json and retire to the stable rotation, which now
     # fronts the 31 r8-stale rows (VERDICT r12 missing #4).  With the
     # session's 9 brand-new faces the priority block holds 22 names, so
-    # the 50-row window reaches ~28 stable rows — all but ~3 of the r8
+    # the 50-row window reaches ~26 stable rows — all but ~5 of the r8
     # cohort clear this round; the stalest-first ordering fronts the
     # remainder in r14 automatically.
     # new in round 13 — never driver-checked:

@@ -512,3 +512,51 @@ def test_audio_dedup_over_real_pcm(spark):
     assert rows[4].aud_cluster == 4
     kept = [d for d in (1, 2, 3) if rows[d].kept]
     assert kept == [1] and rows[4].kept
+
+
+def test_audio_dedup_silence_hub_is_df_capped(spark):
+    """The audio black-frame case: N identical silence tracks share ONE
+    shingle value — naively a single bucket with N(N-1)/2 candidate
+    pairs.  The build-time stop-shingle df rule drops the hub value, so
+    every silence track stays a singleton (byte-exact dedup upstream is
+    the face that owns literal duplicates — the collapse-first
+    discipline), while a genuine structured near-dup pair in the same
+    corpus still clusters."""
+    import random
+
+    import numpy as np
+
+    from oxidsql_spark.operators.multimodal import (
+        _AUD_MAXDF,
+        audio_dedup_from_shingles,
+        audio_shingles_from_payloads,
+    )
+
+    rnd = random.Random(5)
+    x = np.array([rnd.randrange(-60, 61) for _ in range(2048)], dtype=np.int64)
+
+    def payload(arr):
+        return bytes((np.asarray(arr, dtype=np.int64) + 128).astype(np.uint8))
+
+    n_silence = _AUD_MAXDF + 16
+    # periodic "room tone": every track is the SAME 64-sample pattern
+    # tiled — each carries >= 2 distinct shingles shared by all N, so
+    # min-shared alone would NOT stop the N-clique; only the df cap does
+    tone = np.tile(
+        np.array([rnd.randrange(-8, 9) for _ in range(64)], dtype=np.int64), 32
+    )
+    rows = [(i, payload(tone)) for i in range(n_silence)]
+    rows += [(1000, payload(x)), (1001, payload(2 * x))]  # true near-dups
+    p = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    docs = spark.createDataFrame(
+        [(i, 2048) for i, _ in rows], "doc_id bigint, n_chars int"
+    )
+    out = {
+        r.doc_id: r.aud_cluster
+        for r in audio_dedup_from_shingles(
+            audio_shingles_from_payloads(p), docs
+        ).collect()
+    }
+    assert out[1000] == out[1001] == 1000  # structure still pairs
+    for i in range(n_silence):
+        assert out[i] == i  # every silence track is its own singleton

@@ -560,3 +560,37 @@ def test_audio_dedup_silence_hub_is_df_capped(spark):
     assert out[1000] == out[1001] == 1000  # structure still pairs
     for i in range(n_silence):
         assert out[i] == i  # every silence track is its own singleton
+
+
+def test_audio_fingerprint_properties_hypothesis():
+    """Property-based locks for the two claims the audio face is built
+    on, over arbitrary PCM: (1) gain invariance — any positive integer
+    gain (clipping-free range) preserves the full shingle set exactly;
+    (2) trim compatibility — removing whole frames off the front
+    yields a SUBSET of the original set."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oxidsql_spark.operators.multimodal import (
+        _AUD_SH,
+        _AUD_W,
+        audio_shingle_values,
+    )
+
+    pcm = st.lists(
+        st.integers(min_value=-40, max_value=40),
+        min_size=(_AUD_SH + 2) * _AUD_W + 1,
+        max_size=(_AUD_SH + 8) * _AUD_W,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(pcm, st.integers(min_value=1, max_value=3), st.integers(min_value=0, max_value=2))
+    def _prop(xs, gain, trim_frames):
+        x = np.array(xs, dtype=np.int64)
+        base = audio_shingle_values(x)
+        assert audio_shingle_values(gain * x) == base
+        trimmed = audio_shingle_values(x[trim_frames * _AUD_W :])
+        assert set(trimmed) <= set(base)
+
+    _prop()

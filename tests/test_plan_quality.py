@@ -220,3 +220,33 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_audio_dedup_single_arrow_pass(spark, sf_dir):
+    """The audio face's Python is EXACTLY the fingerprint mapInPandas:
+    one Arrow pass over payloads; the df-cap, candidate join,
+    containment vote, closure, and keep-best all stay JVM-side.  Locks
+    against Python creeping into the pairing phases."""
+    from oxidsql_spark.cachescope import release_scoped_caches
+    from oxidsql_spark.operators.multimodal import (
+        _payloads,
+        audio_shingles_from_payloads,
+    )
+    from oxidsql_spark.plans import formatted_plan
+
+    import re
+
+    def arrow_passes(plan: str) -> int:
+        # the detail-section form, one per node (the tree repeats it)
+        return len(re.findall(r"\(\d+\) MapInPandas", plan))
+
+    fp = formatted_plan(audio_shingles_from_payloads(_payloads(spark, sf_dir)))
+    assert arrow_passes(fp) == 1  # the fingerprint IS one Arrow pass
+    p = formatted_plan(QUERIES["mm_audio_dedup"].fn(spark, sf_dir))
+    release_scoped_caches()
+    # the composed plan may hide the fingerprint under the persisted
+    # shingle set's InMemoryTableScan; what it must NEVER show is a
+    # second Python pass or any row-at-a-time eval
+    assert arrow_passes(p) <= 1, f"{arrow_passes(p)} Arrow passes"
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p

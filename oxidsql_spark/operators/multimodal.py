@@ -1823,3 +1823,151 @@ def mm_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         build_image_band_index(spark, corpus_fp, idx)
     return image_dedup_incremental(spark, batch_fp, idx)
+
+
+class ImageBandIndexStore:
+    """Segment-committed perceptual-hash band index for a ROLLING image
+    corpus — the image twin of AudioIndexStore: each admitted batch
+    appends one _SUCCESS-fenced segment of (doc_id, dhash, b, v) band
+    rows; probes exclude the tag's own segment, so ``probe_admit`` is
+    deterministic-idempotent and the streaming sink below is
+    exactly-once under foreachBatch redelivery."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _seg_dir(self, tag: str) -> str:
+        import os
+
+        return os.path.join(self.path, f"seg_{tag}")
+
+    def _segments(self) -> "list[str]":
+        import os
+
+        return [
+            os.path.join(self.path, n)
+            for n in sorted(os.listdir(self.path))
+            if n.startswith("seg_")
+            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
+        ]
+
+    def bands(self, exclude_tag: "str | None" = None) -> DataFrame:
+        segs = [
+            p
+            for p in self._segments()
+            if exclude_tag is None or not p.endswith(f"seg_{exclude_tag}")
+        ]
+        if not segs:
+            return self.spark.createDataFrame(
+                [], "doc_id bigint, dhash bigint, b int, v bigint"
+            )
+        return self.spark.read.parquet(*segs).select("doc_id", "dhash", "b", "v")
+
+    def build(self, fp: DataFrame) -> None:
+        import os
+
+        seg = self._seg_dir("base")
+        if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+            build_image_band_index(self.spark, fp, seg)
+
+    def probe_admit(self, batch_fp: DataFrame, tag: str) -> DataFrame:
+        """Probe the batch's fingerprints against every committed
+        segment (excluding the tag's own), commit the ADMITTED images'
+        band rows as segment ``tag``, return (doc_id, is_dup).  Dup =
+        any corpus hash within hamming {t} found via band buckets
+        (complete by pigeonhole for t < bands)."""
+        import os
+
+        from ..cachescope import scoped_local_checkpoint
+        from .dedup import _probe_hint
+
+        bandmask = (1 << _CAP_BAND_BITS) - 1
+        nb = batch_fp.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("dhash").alias("hn"),
+            F.posexplode(
+                F.array(*[
+                    F.expr(
+                        f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}"
+                    )
+                    for b in range(_CAP_BANDS)
+                ])
+            ).alias("b", "v"),
+        )
+        corpus = self.bands(exclude_tag=tag).select(
+            F.col("doc_id").alias("corpus_id"), F.col("dhash").alias("hc"), "b", "v"
+        )
+        dup_ids = (
+            corpus.join(_probe_hint(nb), ["b", "v"])
+            .filter(F.col("new_id") != F.col("corpus_id"))
+            .filter(F.expr(f"bit_count(hn ^ hc) <= {_CAP_HAM_T}"))
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+        disp = scoped_local_checkpoint(
+            batch_fp.select("doc_id")
+            .join(dup_ids, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+            )
+        )
+        seg = self._seg_dir(tag)
+        if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+            admitted = batch_fp.join(
+                disp.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+            )
+            build_image_band_index(self.spark, admitted, seg)
+        return disp
+
+
+probe_admit_doc = ImageBandIndexStore.probe_admit
+probe_admit_doc.__doc__ = probe_admit_doc.__doc__.format(t=_CAP_HAM_T)
+
+
+def _make_image_sink(store: ImageBandIndexStore, out_dir: str):
+    """Idempotent foreachBatch sink for streaming image admission (the
+    audio sink's contract: deterministic probe, fenced segment,
+    batch-keyed overwrite landing)."""
+    import os
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        from ..cachescope import release_scoped_caches
+
+        disp = store.probe_admit(batch_df, f"b{batch_id:08d}")
+        disp.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id:08d}")
+        )
+        release_scoped_caches()
+
+    return _sink
+
+
+def admit_image_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Streaming image-dedup admission: a file stream of
+    (doc_id, dhash) fingerprints — produced upstream by the one-pass
+    hashing stage (mm_dhash_fingerprint on the fake corpus,
+    `dhash_image` on real bytes) — probes the rolling band index per
+    micro-batch; perceptual near-copies (re-encoded, brightened) of
+    ANY previously admitted image reject, fresh images admit and their
+    band rows commit as the batch's segment.  Only 8-byte hashes ever
+    stream; pixels stay wherever they were decoded."""
+    store = ImageBandIndexStore(spark, state_path)
+    return (
+        spark.readStream.schema("doc_id bigint, dhash bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_make_image_sink(store, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1453,3 +1453,85 @@ def test_audio_admission_stream_exactly_once_and_cross_batch(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert disp2 == disp
+
+
+def test_image_admission_stream_over_real_bytes(spark, tmp_path):
+    """Streaming image-dedup admission on REAL pixels: a brightened
+    BMP copy of a CORPUS image rejects in batch 0 (perceptual, not
+    byte-exact), a re-encoding of an image ADMITTED in batch 0 rejects
+    in batch 1 (the rolling segment grew), fresh images admit, and a
+    redelivered batch neither duplicates its segment nor changes its
+    disposition."""
+    import glob
+    import os
+    import random
+    import shutil
+    import time
+
+    from oxidsql_spark.operators.multimodal import (
+        ImageBandIndexStore,
+        _make_image_sink,
+        admit_image_stream,
+        dhash_image,
+    )
+    from tests.test_multimodal_codec import _bmp_px
+
+    rnd = random.Random(31)
+    w, h = 36, 32
+
+    def img():
+        return [[(rnd.randrange(200), rnd.randrange(200), rnd.randrange(200))
+                 for _ in range(w)] for _ in range(h)]
+
+    def brighten(px, d=25):
+        return [[(r + d, g + d, b + d) for r, g, b in row] for row in px]
+
+    def signed64(b):
+        return b - (1 << 64) if b >= (1 << 63) else b
+
+    def fp(px):
+        bits = dhash_image(_bmp_px(px))
+        assert bits is not None
+        return signed64(bits)
+
+    c1, c2, f1, f2 = img(), img(), img(), img()
+    corpus = spark.createDataFrame(
+        [(1, fp(c1)), (2, fp(c2))], "doc_id bigint, dhash bigint"
+    )
+    sp = str(tmp_path / "imgstore")
+    store = ImageBandIndexStore(spark, sp)
+    store.build(corpus)
+
+    feed = [
+        [(10, fp(brighten(c1))), (11, fp(f1))],  # perceptual dup, fresh
+        [(20, fp(brighten(f1, 20))), (21, fp(f2))],  # dup of ADMITTED 11
+    ]
+    src = str(tmp_path / "img_feed")
+    os.makedirs(src)
+    for i, rows in enumerate(feed):
+        tmp = str(tmp_path / f"imgchunk{i}")
+        spark.createDataFrame(rows, "doc_id bigint, dhash bigint").coalesce(
+            1
+        ).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(tmp)
+        time.sleep(0.05)
+
+    out = str(tmp_path / "img_out")
+    q = admit_image_stream(
+        spark, src, sp, str(tmp_path / "imgckpt"), out
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    disp = {r.doc_id: r.is_dup for r in spark.read.parquet(out).collect()}
+    assert disp == {10: True, 11: False, 20: True, 21: False}
+
+    # redelivery: segment skip + identical disposition
+    segs_before = sorted(os.listdir(sp))
+    _make_image_sink(store, out)(
+        spark.createDataFrame(feed[1], "doc_id bigint, dhash bigint"), 1
+    )
+    assert sorted(os.listdir(sp)) == segs_before
+    disp2 = {r.doc_id: r.is_dup for r in spark.read.parquet(out).collect()}
+    assert disp2 == disp

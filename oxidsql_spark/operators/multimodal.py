@@ -1971,3 +1971,181 @@ def admit_image_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+class VideoKeyframeIndexStore:
+    """Segment-committed keyframe-hash index for a ROLLING video corpus
+    — completes the streaming admission matrix (text spans/clusters,
+    audio shingles, image bands): each admitted batch appends one
+    fenced segment of its videos' DISTINCT keyframe dHashes; a probe
+    bands the batch's keyframes, hamming-verifies candidates, and
+    takes the video-dedup containment vote (matched keyframes >= half
+    the smaller set), so a re-encoded/brightened/TRIMMED re-upload of
+    ANY previously admitted footage rejects."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _seg_dir(self, tag: str) -> str:
+        import os
+
+        return os.path.join(self.path, f"seg_{tag}")
+
+    def _segments(self) -> "list[str]":
+        import os
+
+        return [
+            os.path.join(self.path, n)
+            for n in sorted(os.listdir(self.path))
+            if n.startswith("seg_")
+            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
+        ]
+
+    def keyframes(self, exclude_tag: "str | None" = None) -> DataFrame:
+        segs = [
+            p
+            for p in self._segments()
+            if exclude_tag is None or not p.endswith(f"seg_{exclude_tag}")
+        ]
+        if not segs:
+            return self.spark.createDataFrame([], "doc_id bigint, dhash bigint")
+        return self.spark.read.parquet(*segs).select("doc_id", "dhash")
+
+    @staticmethod
+    def _kf_sets(fh: DataFrame) -> DataFrame:
+        """(doc_id, frame_idx, dhash) -> distinct keyframe hash set."""
+        return (
+            video_keyframes_from_fingerprints(fh)
+            .filter(F.col("is_keyframe"))
+            .select("doc_id", "dhash")
+            .distinct()
+        )
+
+    def build(self, fh: DataFrame) -> None:
+        import os
+
+        seg = self._seg_dir("base")
+        if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+            self._kf_sets(fh).write.mode("overwrite").parquet(seg)
+
+    def probe_admit(self, batch_fh: DataFrame, tag: str) -> DataFrame:
+        """Probe the batch's per-frame fingerprints against every
+        committed segment (excluding the tag's own), commit the
+        ADMITTED videos' keyframe sets as segment ``tag``, return
+        (doc_id, n_keyframes, is_dup)."""
+        import os
+
+        from ..cachescope import scoped_local_checkpoint, scoped_persist
+        from .dedup import _probe_hint
+
+        bandmask = (1 << _CAP_BAND_BITS) - 1
+
+        def banded(kf: DataFrame, idc: str, hc: str) -> DataFrame:
+            return kf.select(
+                F.col("doc_id").alias(idc),
+                F.col("dhash").alias(hc),
+                F.posexplode(
+                    F.array(*[
+                        F.expr(
+                            f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}"
+                        )
+                        for b in range(_CAP_BANDS)
+                    ])
+                ).alias("b", "v"),
+            )
+
+        # read by the size aggregate AND the band probe
+        nk = scoped_persist(self._kf_sets(batch_fh))
+        sizes = nk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_k"))
+        corpus = self.keyframes(exclude_tag=tag)
+        csizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+        matched = (
+            banded(corpus, "corpus_id", "hc")
+            .join(_probe_hint(banded(nk, "new_id", "hn")), ["b", "v"])
+            .filter(F.expr(f"bit_count(hn ^ hc) <= {_CAP_HAM_T}"))
+            .select("new_id", "corpus_id", "hn")
+            .distinct()
+            .groupBy("new_id", "corpus_id")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        dup_ids = (
+            matched.join(
+                sizes.select(F.col("doc_id").alias("new_id"), "n_k"), "new_id"
+            )
+            .join(
+                csizes.select(F.col("doc_id").alias("corpus_id"), "n_c"),
+                "corpus_id",
+            )
+            .filter(
+                F.col("m") * _VID_CONT_DEN
+                >= F.least("n_k", "n_c") * _VID_CONT_NUM
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+        disp = scoped_local_checkpoint(
+            batch_fh.select("doc_id")
+            .distinct()
+            .join(
+                sizes.withColumnRenamed("n_k", "n_keyframes"), "doc_id", "left"
+            )
+            .join(dup_ids, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_keyframes", F.lit(0)).alias("n_keyframes"),
+                F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+            )
+        )
+        seg = self._seg_dir(tag)
+        if not os.path.exists(os.path.join(seg, "_SUCCESS")):
+            nk.join(
+                disp.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
+            ).write.mode("overwrite").parquet(seg)
+        return disp
+
+
+def _make_video_sink(store: VideoKeyframeIndexStore, out_dir: str):
+    """Idempotent foreachBatch sink (the audio/image sinks' contract)."""
+    import os
+
+    def _sink(batch_df, batch_id):  # noqa: ANN001 — foreachBatch contract
+        from ..cachescope import release_scoped_caches
+
+        disp = store.probe_admit(batch_df, f"b{batch_id:08d}")
+        disp.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id:08d}")
+        )
+        release_scoped_caches()
+
+    return _sink
+
+
+def admit_video_stream(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Streaming video-dedup admission: a file stream of per-frame
+    fingerprints (doc_id, frame_idx, dhash) — hashed upstream by the
+    frame-decode stage — collapses each video to its keyframe set and
+    probes the rolling index per micro-batch; re-encoded, brightened,
+    or trimmed re-uploads of ANY previously admitted footage reject
+    (hamming bands + the containment vote), fresh videos admit and
+    their keyframe sets commit as the batch's segment.  Only 8-byte
+    hashes ever stream; pixels stay at the decode stage."""
+    store = VideoKeyframeIndexStore(spark, state_path)
+    return (
+        spark.readStream.schema("doc_id bigint, frame_idx int, dhash bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+        .writeStream.foreachBatch(_make_video_sink(store, out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )

@@ -1535,3 +1535,103 @@ def test_image_admission_stream_over_real_bytes(spark, tmp_path):
     assert sorted(os.listdir(sp)) == segs_before
     disp2 = {r.doc_id: r.is_dup for r in spark.read.parquet(out).collect()}
     assert disp2 == disp
+
+
+def test_video_admission_stream_over_real_containers(spark, tmp_path):
+    """Streaming video-dedup admission on REAL pixels: a brightened +
+    trimmed copy of CORPUS footage rejects in batch 0, a re-encode of
+    footage ADMITTED in batch 0 rejects in batch 1, fresh footage
+    admits, and a redelivered batch neither duplicates its segment nor
+    changes its disposition."""
+    import glob
+    import os
+    import random
+    import shutil
+    import time
+
+    from oxidsql_spark.operators.multimodal import (
+        VideoKeyframeIndexStore,
+        _make_video_sink,
+        admit_video_stream,
+        dhash_image,
+        split_p5_frames,
+    )
+
+    rnd = random.Random(41)
+    w, h = 36, 32
+
+    def p5(pixels):
+        return f"P5 {w} {h} 255 ".encode() + bytes(
+            v for row in pixels for v in row
+        )
+
+    def scene():
+        return [[rnd.randrange(200) for _ in range(w)] for _ in range(h)]
+
+    def brighten(px, d=25):
+        return [[v + d for v in row] for row in px]
+
+    def signed64(b):
+        return b - (1 << 64) if b >= (1 << 63) else b
+
+    def frames(vid, container):
+        out = []
+        for i, fb in enumerate(split_p5_frames(container)):
+            out.append((vid, i, signed64(dhash_image(fb))))
+        return out
+
+    s1, s2, s3 = scene(), scene(), scene()
+    f1a, f1b = scene(), scene()
+    f2 = scene()
+    corpus_fh = frames(1, b"".join(p5(px) for px in (s1, s1, s2, s2, s3, s3)))
+    sp = str(tmp_path / "vidstore")
+    store = VideoKeyframeIndexStore(
+        spark, sp
+    )
+    store.build(
+        spark.createDataFrame(
+            corpus_fh, "doc_id bigint, frame_idx int, dhash bigint"
+        )
+    )
+
+    fresh1 = b"".join(p5(px) for px in (f1a, f1a, f1b, f1b))
+    feed = [
+        # brightened AND last-scene-trimmed copy of corpus video 1 + fresh
+        frames(10, b"".join(p5(brighten(px)) for px in (s1, s1, s2, s2)))
+        + frames(11, fresh1),
+        # brightened re-encode of ADMITTED 11 + fresh
+        frames(20, b"".join(p5(brighten(px, 20)) for px in (f1a, f1a, f1b, f1b)))
+        + frames(21, b"".join(p5(px) for px in (f2, f2))),
+    ]
+    src = str(tmp_path / "vid_feed")
+    os.makedirs(src)
+    for i, rows in enumerate(feed):
+        tmp = str(tmp_path / f"vidchunk{i}")
+        spark.createDataFrame(
+            rows, "doc_id bigint, frame_idx int, dhash bigint"
+        ).coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/b{i}.parquet")
+        shutil.rmtree(tmp)
+        time.sleep(0.05)
+
+    out = str(tmp_path / "vid_out")
+    q = admit_video_stream(
+        spark, src, sp, str(tmp_path / "vidckpt"), out
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    disp = {r.doc_id: r.is_dup for r in spark.read.parquet(out).collect()}
+    assert disp == {10: True, 11: False, 20: True, 21: False}
+
+    # redelivery: segment skip + identical disposition
+    segs_before = sorted(os.listdir(sp))
+    _make_video_sink(store, out)(
+        spark.createDataFrame(
+            feed[1], "doc_id bigint, frame_idx int, dhash bigint"
+        ),
+        1,
+    )
+    assert sorted(os.listdir(sp)) == segs_before
+    disp2 = {r.doc_id: r.is_dup for r in spark.read.parquet(out).collect()}
+    assert disp2 == disp

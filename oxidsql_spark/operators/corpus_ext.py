@@ -2412,7 +2412,8 @@ def _curriculum_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
     ep AS (SELECT unnest(range(0, {E})) AS epoch)
     SELECT CAST(ep.epoch AS BIGINT) AS epoch, b.source, b.n_docs, b.q_sum,
            CAST((({E - 1} - ep.epoch) * ({_QC_S} // t.n_src)
-                 + ep.epoch * ((b.q_sum * {_QC_S}) // t.q_tot))
+                 + ep.epoch * (CASE WHEN t.q_tot = 0 THEN {_QC_S} // t.n_src
+                               ELSE (b.q_sum * {_QC_S}) // t.q_tot END))
                 // {E - 1} AS BIGINT) AS weight_micro
     FROM bysrc b CROSS JOIN tot t CROSS JOIN ep
     """
@@ -2467,9 +2468,13 @@ def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "q_sum",
+            # q_tot = 0 (every doc scored 0 — a pathological corpus)
+            # falls back to the uniform share instead of dividing by
+            # zero, identically in the oracle's CASE
             F.expr(
                 f"CAST((({E - 1} - epoch) * ({_QC_S} div n_src)"
-                f" + epoch * ((CAST(q_sum AS DECIMAL(38,0)) * {_QC_S}) div q_tot))"
+                f" + epoch * (CASE WHEN q_tot = 0 THEN {_QC_S} div n_src"
+                f" ELSE (CAST(q_sum AS DECIMAL(38,0)) * {_QC_S}) div q_tot END))"
                 f" div {E - 1} AS BIGINT)"
             ).alias("weight_micro"),
         )

@@ -1376,7 +1376,6 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ATTR_WINDOW_S = 7 * 24 * 3600  # attribution lookback (seconds)
 _ATTR_SCALE = 1_000_000  # one conversion = 1e6 micro-credits
 
 
@@ -1418,14 +1417,23 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-shuffle on (user, bucket); per-key fan-out is bounded by a
     user's weekly activity, never their lifetime history."""
     e = table(spark, sf_dir, "events")
-    week = F.lit(_ATTR_WINDOW_S)
+    # TZ-FREE bucketing: datediff on the NTZ date is a pure wall-clock
+    # function.  unix_timestamp(cast(ts as timestamp)) would interpret
+    # the NTZ wall-clock in the SESSION timezone — across a DST
+    # transition that shifts a 7-day epoch-bucket boundary by an hour,
+    # so a boundary touch could land 2 buckets away and be missed by
+    # the {b, b-1} probe.  Date buckets keep the pigeonhole exact:
+    # c >= p - 7d implies c_date in [p_date - 7, p_date], which spans
+    # at most two 7-day date buckets.
+    bucket = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        / F.lit(7)
+    )
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("pid"),
         "user_id",
         F.col("ts").alias("p_ts"),
-        F.floor(
-            F.unix_timestamp(F.col("ts").cast("timestamp")) / week
-        ).alias("b"),
+        bucket.alias("b"),
     )
     pb = p.select(
         "pid",
@@ -1437,9 +1445,7 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("cid"),
         "user_id",
         F.col("ts").alias("c_ts"),
-        F.floor(
-            F.unix_timestamp(F.col("ts").cast("timestamp")) / week
-        ).alias("bucket"),
+        bucket.alias("bucket"),
     )
     touch = (
         pb.join(cb, ["user_id", "bucket"])

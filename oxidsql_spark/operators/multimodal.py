@@ -2149,3 +2149,154 @@ def admit_video_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+def video_dedup_incremental(
+    spark: SparkSession, new_fh: DataFrame, index_path: str
+) -> DataFrame:
+    """Video near-dups between a NEW batch's frame fingerprints and a
+    persisted corpus keyframe index: collapse the batch to keyframe
+    sets, band + hamming-verify against the index scan, and keep
+    (new, corpus) pairs where matched keyframes cover half the SMALLER
+    set (the mm_video_dedup containment vote, so a trimmed re-upload
+    still pairs with its longer source and vice versa).  Cost scales
+    with the batch; corpus frames are never re-decoded."""
+    from ..cachescope import scoped_persist
+    from .dedup import _probe_hint
+
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+
+    def banded(kf: DataFrame, idc: str, hc: str) -> DataFrame:
+        return kf.select(
+            F.col("doc_id").alias(idc),
+            F.col("dhash").alias(hc),
+            F.posexplode(
+                F.array(*[
+                    F.expr(
+                        f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}"
+                    )
+                    for b in range(_CAP_BANDS)
+                ])
+            ).alias("b", "v"),
+        )
+
+    nk = scoped_persist(
+        video_keyframes_from_fingerprints(new_fh)
+        .filter(F.col("is_keyframe"))
+        .select("doc_id", "dhash")
+        .distinct()
+    )
+    nsz = nk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
+    corpus = spark.read.parquet(index_path).select("doc_id", "dhash")
+    csz = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_corpus"))
+    matched = (
+        banded(corpus, "corpus_id", "hc")
+        .join(_probe_hint(banded(nk, "new_id", "hn")), ["b", "v"])
+        .filter(F.expr(f"bit_count(hn ^ hc) <= {_CAP_HAM_T}"))
+        .select("new_id", "corpus_id", "hn")
+        .distinct()
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        matched.join(nsz.select(F.col("doc_id").alias("new_id"), "n_new"), "new_id")
+        .join(
+            csz.select(F.col("doc_id").alias("corpus_id"), "n_corpus"),
+            "corpus_id",
+        )
+        .filter(
+            F.col("m") * _VID_CONT_DEN
+            >= F.least("n_new", "n_corpus") * _VID_CONT_NUM
+        )
+        .select("new_id", "corpus_id", "m", "n_new", "n_corpus")
+    )
+
+
+def _video_incr_oracle() -> str:
+    from .dedup import _BATCH_IN
+
+    bandmask = (1 << _CAP_BAND_BITS) - 1
+    return f"""
+    WITH {_vid_fh_cte()},
+    kfl AS (
+      SELECT doc_id, dhash,
+             coalesce(bit_count(xor(dhash,
+                 lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) > {_VID_HAM_T},
+                 TRUE) AS is_keyframe
+      FROM fh),
+    kf AS (SELECT DISTINCT doc_id, dhash FROM kfl WHERE is_keyframe),
+    src AS (SELECT doc_id, source FROM documents),
+    ck AS (SELECT kf.doc_id AS corpus_id, kf.dhash AS hc FROM kf
+           JOIN src USING (doc_id) WHERE src.source NOT IN ({_BATCH_IN})),
+    nkf AS (SELECT kf.doc_id AS new_id, kf.dhash AS hn FROM kf
+            JOIN src USING (doc_id) WHERE src.source IN ({_BATCH_IN})),
+    nsz AS (SELECT new_id, count(*) AS n_new FROM nkf GROUP BY new_id),
+    csz AS (SELECT corpus_id, count(*) AS n_corpus FROM ck GROUP BY corpus_id),
+    cb AS (SELECT corpus_id, hc, b, (hc >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+           FROM ck, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    nb AS (SELECT new_id, hn, b, (hn >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+           FROM nkf, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    m AS (
+      SELECT new_id, corpus_id, count(DISTINCT hn) AS m
+      FROM nb JOIN cb USING (b, v)
+      WHERE bit_count(xor(hn, hc)) <= {_CAP_HAM_T}
+      GROUP BY new_id, corpus_id)
+    SELECT m.new_id, m.corpus_id, CAST(m.m AS BIGINT) AS m,
+           CAST(nsz.n_new AS BIGINT) AS n_new,
+           CAST(csz.n_corpus AS BIGINT) AS n_corpus
+    FROM m JOIN nsz USING (new_id) JOIN csz USING (corpus_id)
+    WHERE m.m * {_VID_CONT_DEN} >= least(nsz.n_new, csz.n_corpus) * {_VID_CONT_NUM}
+    """
+
+
+@register("mm_video_dedup_incremental", oracle=_video_incr_oracle())
+def mm_video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked incremental video dedup — the registered probe
+    face completing the incremental family's modality symmetry (audio
+    shingles, image bands, video keyframe sets): the corpus split
+    freezes its keyframe index once per process; the batch split runs
+    the frame chain on ITSELF only and probes the index (band
+    candidates, hamming verify, containment vote).  The oracle
+    re-derives the split, the keyframe collapse, and the vote in one
+    SQL pipeline."""
+    import os
+
+    from .dedup import _BATCH_SRCS, _artifact_tmp
+
+    d = table(spark, sf_dir, "documents")
+
+    def fh_of(docs: DataFrame) -> DataFrame:
+        base = docs.select(
+            "doc_id",
+            "text",
+            F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+        )
+        fr = base.select(
+            "doc_id",
+            "text",
+            "s",
+            F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias(
+                "frame_idx"
+            ),
+        ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
+        return fr.select(
+            "doc_id",
+            "frame_idx",
+            F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
+        )
+
+    corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select(
+        "doc_id", "text"
+    )
+    batch = d.filter(F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
+    idx = os.path.join(_artifact_tmp("vididx", sf_dir), "index")
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        (
+            video_keyframes_from_fingerprints(fh_of(corpus))
+            .filter(F.col("is_keyframe"))
+            .select("doc_id", "dhash")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(idx)
+        )
+    return video_dedup_incremental(spark, fh_of(batch), idx)

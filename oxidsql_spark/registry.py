@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "mm_audio_dedup_incremental",
     "corpus_curriculum_schedule",
     "mm_image_dedup_incremental",
+    "mm_video_dedup_incremental",
     "embeddings_knn_eval",
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

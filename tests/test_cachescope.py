@@ -84,6 +84,8 @@ CACHE_USING_QUERIES = [
     "mm_audio_dedup",
     # composes all three modality chains (their persists ride along)
     "mm_curate_q",
+    # batch keyframe set persists for the size aggregate + band probe
+    "mm_video_dedup_incremental",
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

@@ -2164,7 +2164,9 @@ class SpanIndexStore:
     skips its already-committed segment — the streaming sink below
     rides that with batch-id tags and batch-keyed output dirs, giving
     exactly-once landing under foreachBatch's at-least-once
-    redelivery."""
+    redelivery.  ``compact()`` folds the accumulated micro-batch
+    segments into ~128 MB files and dedups grams across them (the same
+    gram lands in many segments once text repeats across batches)."""
 
     def __init__(self, spark: SparkSession, path: str):
         import os
@@ -2179,14 +2181,20 @@ class SpanIndexStore:
         return os.path.join(self.path, f"seg_{tag}")
 
     def _segments(self) -> list[str]:
-        import os
+        from ..segstore import list_segments
 
-        return [
-            os.path.join(self.path, n)
-            for n in sorted(os.listdir(self.path))
-            if n.startswith("seg_")
-            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
-        ]
+        return list_segments(self.path)
+
+    def compact(self) -> int:
+        """Fold all committed segments into one, deduping grams across
+        segments (existence is the only signal the cut rule reads, so
+        distinct is lossless).  Run at a quiescent point only
+        (segstore contract)."""
+        from ..segstore import compact_segments
+
+        return compact_segments(
+            self.spark, self.path, lambda df: df.select("gram").distinct()
+        )
 
     def grams(self, exclude_tag: str | None = None) -> DataFrame:
         segs = [

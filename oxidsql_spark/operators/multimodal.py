@@ -604,23 +604,47 @@ _CAP_BANDS = 4  # 4 x 12-bit bands over the 48-bit fingerprint
 _CAP_BAND_BITS = _DH_FAKE_BITS // _CAP_BANDS
 _CAP_HAM_T = 3  # near-dup iff hamming <= 3: < bands, so banding is complete
 
+# Hub immunity for the image/video perceptual-hash joins — the audio
+# stop-shingle discipline (_AUD_MAXDF) ported to the banded family:
+#   * _MM_MAXDF: a hash VALUE shared by more docs is a hub (a literal
+#     black keyframe hashes identically across millions of videos; all
+#     4 bands collide and an uncapped candidate join goes N²/2 inside
+#     one bucket, unprunable by hamming verify since the distance is 0)
+#     — dropped from keyframe sets BEFORE any band join, and the
+#     containment denominators (n_k/n_c) count KEPT hashes only, so
+#     both vote operands see the same universe.  Image dedup doesn't
+#     need this cap: exact-equal hashes collapse to ONE representative
+#     before the band join (linear, and the blank-image mega-group
+#     still clusters — see caption_dedup_from_fingerprints).
+#   * _MM_BAND_MAXDF: a band BUCKET holding more DISTINCT hashes is a
+#     hub bucket (low-entropy imagery agreeing on one 12-bit band) —
+#     dropped before the self-join; a candidate lost this way needed
+#     its ONLY shared band inside a hub bucket.
+# Both caps are mirrored verbatim in every DuckDB oracle; at the
+# fixture scales the observed maxima are 7 docs/hash and 5 hashes/
+# bucket, so 64 is a provable no-op there (the split_oversized_cells
+# discipline: the guard is exercised by dedicated hub pytests, not by
+# perturbing the driver fixtures).
+_MM_MAXDF = 64
+_MM_BAND_MAXDF = 64
+
 
 def _caption_oracle() -> str:
     bandmask = (1 << _CAP_BAND_BITS) - 1
     return f"""
     WITH fp AS (SELECT doc_id, {_dhash_fake_terms('duckdb')} AS dhash FROM documents),
+    reps AS (SELECT dhash, min(doc_id) AS rep FROM fp GROUP BY dhash),
     bands AS (
-      SELECT doc_id, b, (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
-      FROM fp, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id),
+      SELECT rep, dhash, b, (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+      FROM reps, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    keepb AS (
+      SELECT b, v FROM bands GROUP BY b, v
+      HAVING count(*) <= {_MM_BAND_MAXDF}),
     pairs AS (
-      SELECT c.a_id, c.b_id
-      FROM cand c
-      JOIN fp fa ON fa.doc_id = c.a_id
-      JOIN fp fb ON fb.doc_id = c.b_id
-      WHERE bit_count(xor(fa.dhash, fb.dhash)) <= {_CAP_HAM_T}),
+      SELECT DISTINCT a.rep AS a_id, b.rep AS b_id
+      FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.rep < b.rep
+      JOIN keepb k ON k.b = a.b AND k.v = a.v
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {_CAP_HAM_T}),
     edges AS (SELECT a_id AS u, b_id AS v FROM pairs
               UNION SELECT b_id, a_id FROM pairs),
     reach AS (
@@ -630,10 +654,11 @@ def _caption_oracle() -> str:
         SELECT r.u, e.v FROM r JOIN edges e ON r.v = e.u)
       SELECT * FROM r),
     clusters AS (
-      SELECT d.doc_id,
-             least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS img_cluster
-      FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
-      GROUP BY d.doc_id),
+      SELECT f.doc_id,
+             least(rp.rep, coalesce(min(r.v), rp.rep)) AS img_cluster
+      FROM fp f JOIN reps rp USING (dhash)
+      LEFT JOIN reach r ON r.u = rp.rep
+      GROUP BY f.doc_id, rp.rep),
     ranked AS (
       SELECT doc_id, img_cluster,
              row_number() OVER (
@@ -671,18 +696,36 @@ def mm_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def caption_dedup_from_fingerprints(fp: DataFrame, docs: DataFrame) -> DataFrame:
-    """The modality-joint chain after fingerprinting: band-bucketed
-    candidates -> hamming verify -> min-label clusters -> keep-best
-    caption.  ``fp`` is (doc_id, dhash BIGINT) from ANY fingerprint
-    source — the registered query feeds the oracle-expressible fake;
-    tests feed real `dhash_image` bits over real image bytes — and
-    ``docs`` carries (doc_id, n_chars) for the keep-best rule."""
+    """The modality-joint chain after fingerprinting: exact-hash
+    collapse -> band-bucketed candidates over DISTINCT hashes (hub
+    buckets dropped) -> hamming verify -> min-label clusters ->
+    keep-best caption.  ``fp`` is (doc_id, dhash BIGINT) from ANY
+    fingerprint source — the registered query feeds the
+    oracle-expressible fake; tests feed real `dhash_image` bits over
+    real image bytes — and ``docs`` carries (doc_id, n_chars) for the
+    keep-best rule.
+
+    Hub immunity (r13 VERDICT #1): exact-equal hashes collapse to ONE
+    representative (min doc_id) via a linear aggregate BEFORE the band
+    join — the dedup.py exact-dup-collapse discipline — so a blank
+    image shared by millions of docs costs one join row instead of
+    N²/2 hamming-0 candidates, and the mega-group STILL clusters
+    (docs rejoin through their hash's rep).  Residual hub BUCKETS
+    (> _MM_BAND_MAXDF distinct hashes agreeing on one 12-bit band) are
+    dropped before the self-join, mirrored in the oracle."""
+    from ..cachescope import scoped_persist
     from .graph import propagate_min_labels
 
     bandmask = (1 << _CAP_BAND_BITS) - 1
+    # one rep per DISTINCT hash: read by the band self-join (both
+    # sides) and the doc->rep mapping below
+    reps = scoped_persist(
+        fp.groupBy("dhash").agg(F.min("doc_id").alias("rep"))
+    )
     # band id rides the join key: posexplode keeps (band index, value)
-    bands = fp.select(
-        "doc_id",
+    bands = reps.select(
+        "rep",
+        "dhash",
         F.posexplode(
             F.array(*[
                 F.expr(f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}")
@@ -690,26 +733,21 @@ def caption_dedup_from_fingerprints(fp: DataFrame, docs: DataFrame) -> DataFrame
             ])
         ).alias("b", "v"),
     )
-    a = bands.select(F.col("doc_id").alias("a_id"), "b", "v")
-    bb = bands.select(F.col("doc_id").alias("b_id"), "b", "v")
-    cand = (
+    keepb = bands.groupBy("b", "v").agg(F.count(F.lit(1)).alias("nh")).filter(
+        F.col("nh") <= _MM_BAND_MAXDF
+    )
+    bk = bands.join(keepb.select("b", "v"), ["b", "v"])
+    a = bk.select(F.col("rep").alias("a_id"), F.col("dhash").alias("ha"), "b", "v")
+    bb = bk.select(F.col("rep").alias("b_id"), F.col("dhash").alias("hb"), "b", "v")
+    pairs = scoped_persist(
         a.join(bb, ["b", "v"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.expr(f"bit_count(ha ^ hb) <= {_CAP_HAM_T}"))
         .select("a_id", "b_id")
         .distinct()
     )
-    fa = fp.select(F.col("doc_id").alias("a_id"), F.col("dhash").alias("ha"))
-    fb = fp.select(F.col("doc_id").alias("b_id"), F.col("dhash").alias("hb"))
-    from ..cachescope import scoped_persist
-
-    pairs = scoped_persist(
-        cand.join(fa, "a_id")
-        .join(fb, "b_id")
-        .filter(F.expr(f"bit_count(ha ^ hb) <= {_CAP_HAM_T}"))
-        .select("a_id", "b_id")
-    )
-    # closure over PAIR-TOUCHED images only (duplicate-count-sized
-    # iterations — the video-dedup discipline); singletons rejoin with
+    # closure over PAIR-TOUCHED reps only (duplicate-count-sized
+    # iterations — the video-dedup discipline); untouched reps keep
     # their own id as the cluster
     touched = (
         pairs.select(F.col("a_id").alias("doc_id"))
@@ -718,11 +756,13 @@ def caption_dedup_from_fingerprints(fp: DataFrame, docs: DataFrame) -> DataFrame
     )
     clustered = propagate_min_labels(touched, pairs)
     clusters = (
-        docs.select("doc_id")
-        .join(clustered, "doc_id", "left")
+        fp.join(reps, "dhash")
+        .join(
+            clustered.withColumnRenamed("doc_id", "rep"), "rep", "left"
+        )
         .select(
             "doc_id",
-            F.coalesce("cluster_id", F.col("doc_id")).alias("img_cluster"),
+            F.coalesce("cluster_id", F.col("rep")).alias("img_cluster"),
         )
     )
     ranked = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -901,31 +941,42 @@ def video_dedup_from_fingerprints(
 
     Scale shape: videos collapse to their keyframe hash sets FIRST
     (distinct 8-byte hashes per video — the only rows that ever
-    shuffle; within-scene frames are already gone), the candidate join
-    is keyed on {b} 12-bit bands (complete for hamming <= {t} by
+    shuffle; within-scene frames are already gone), hub hashes (shared
+    by > _MM_MAXDF videos — a literal black frame hashes identically
+    across millions, all {b} bands collide, and the candidate join
+    would emit N²/2 hamming-0 pairs inside one bucket) are dropped by
+    the stop-shingle df rule BEFORE the self-join with the set sizes
+    counted over KEPT hashes (the audio _AUD_MAXDF discipline, r13
+    VERDICT #1), hub band BUCKETS (> _MM_BAND_MAXDF distinct hashes on
+    one 12-bit band value) are likewise dropped, the candidate join is
+    keyed on {b} 12-bit bands (complete for hamming <= {t} by
     pigeonhole), the containment vote is one integer aggregate per
     candidate video pair, and clustering is the shared min-label
-    propagation.  Hub risk (a black-frame band value shared by many
-    videos) is the caption-dedup candidate-join profile, bounded by
-    banding on the full 48-bit fake / 64-bit real hash rather than any
-    frame content."""
+    propagation."""
     from ..cachescope import scoped_persist
     from .graph import propagate_min_labels
 
-    # The keyframe hash set is read by THREE consumers (set sizes, and
-    # both sides of the band self-join); it is tiny (distinct 8-byte
-    # hashes per video), so it persists under cachescope — the
-    # downstream plan reads the materialized set instead of leaning on
-    # exchange reuse across consumers.
-    kf = scoped_persist(
+    kf = (
         video_keyframes_from_fingerprints(fh)
         .filter(F.col("is_keyframe"))
         .select("doc_id", "dhash")
         .distinct()
     )
-    sizes = kf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_k"))
+    # stop-shingle df rule: a hash value shared by more videos than the
+    # cap is a hub (black frames, title cards) — dropped before the
+    # join, and n_k counts the KEPT set so both vote operands agree
+    keph = kf.groupBy("dhash").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _MM_MAXDF
+    )
+    # The kept keyframe hash set is read by THREE consumers (set sizes,
+    # and both sides of the band self-join); it is tiny (distinct
+    # 8-byte hashes per video), so it persists under cachescope — the
+    # downstream plan reads the materialized set instead of leaning on
+    # exchange reuse across consumers.
+    kfk = scoped_persist(kf.join(keph.select("dhash"), "dhash"))
+    sizes = kfk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_k"))
     bandmask = (1 << _CAP_BAND_BITS) - 1
-    bands = kf.select(
+    bands = kfk.select(
         "doc_id",
         "dhash",
         F.posexplode(
@@ -935,10 +986,14 @@ def video_dedup_from_fingerprints(
             ])
         ).alias("b", "v"),
     )
-    a = bands.select(
+    keepb = bands.groupBy("b", "v").agg(
+        F.countDistinct("dhash").alias("nh")
+    ).filter(F.col("nh") <= _MM_BAND_MAXDF)
+    bk = bands.join(keepb.select("b", "v"), ["b", "v"])
+    a = bk.select(
         F.col("doc_id").alias("a_id"), F.col("dhash").alias("ha"), "b", "v"
     )
-    bb = bands.select(
+    bb = bk.select(
         F.col("doc_id").alias("b_id"), F.col("dhash").alias("hb"), "b", "v"
     )
     cand = (
@@ -1008,15 +1063,21 @@ def _video_dedup_oracle() -> str:
                  TRUE) AS is_keyframe
       FROM fh),
     kf AS (SELECT DISTINCT doc_id, dhash FROM kfl WHERE is_keyframe),
-    nk AS (SELECT doc_id, count(*) AS n_k FROM kf GROUP BY doc_id),
+    keph AS (SELECT dhash FROM kf GROUP BY dhash
+             HAVING count(*) <= {_MM_MAXDF}),
+    kfk AS (SELECT kf.doc_id, kf.dhash FROM kf JOIN keph USING (dhash)),
+    nk AS (SELECT doc_id, count(*) AS n_k FROM kfk GROUP BY doc_id),
     bands AS (
       SELECT doc_id, dhash, b, (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
-      FROM kf, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+      FROM kfk, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    keepb AS (SELECT b, v FROM bands GROUP BY b, v
+              HAVING count(DISTINCT dhash) <= {_MM_BAND_MAXDF}),
     cand AS (
       SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
                       a.dhash AS ha, b.dhash AS hb
       FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v
-                              AND a.doc_id < b.doc_id),
+                              AND a.doc_id < b.doc_id
+      JOIN keepb k ON k.b = a.b AND k.v = a.v),
     m AS (
       SELECT a_id, b_id, count(DISTINCT ha) AS m
       FROM cand WHERE bit_count(xor(ha, hb)) <= {_CAP_HAM_T}
@@ -1551,9 +1612,10 @@ class AudioIndexStore:
     — the streaming sink rides that with batch-id tags, giving
     exactly-once admission under foreachBatch's at-least-once
     redelivery.  The df-cap is enforced per segment; a value can drift
-    over the cap ACROSS segments (each under cap locally), which a
-    periodic compaction re-caps — the occupancy-drift note of
-    admit_ivfadc_vectors applies."""
+    over the cap ACROSS segments (each under cap locally), which
+    ``compact()`` re-caps GLOBALLY while also folding the micro-batch
+    segments into ~128 MB files (segstore.compact_segments — see its
+    quiescence contract)."""
 
     def __init__(self, spark: SparkSession, path: str):
         import os
@@ -1568,14 +1630,24 @@ class AudioIndexStore:
         return os.path.join(self.path, f"seg_{tag}")
 
     def _segments(self) -> "list[str]":
-        import os
+        from ..segstore import list_segments
 
-        return [
-            os.path.join(self.path, n)
-            for n in sorted(os.listdir(self.path))
-            if n.startswith("seg_")
-            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
-        ]
+        return list_segments(self.path)
+
+    def compact(self) -> int:
+        """Fold all committed segments into one, re-applying the
+        stop-shingle df rule over the MERGED rows (a value under the
+        per-segment cap in every segment but over it globally is
+        dropped here).  Run at a quiescent point only."""
+        from ..segstore import compact_segments
+
+        def recap(df: DataFrame) -> DataFrame:
+            kept = df.groupBy("v").agg(F.count(F.lit(1)).alias("df")).filter(
+                F.col("df") <= _AUD_MAXDF
+            )
+            return df.join(kept.select("v"), "v").select("doc_id", "v")
+
+        return compact_segments(self.spark, self.path, recap)
 
     def shingles(self, exclude_tag: "str | None" = None) -> DataFrame:
         segs = [
@@ -1710,13 +1782,21 @@ def admit_audio_stream(
 def build_image_band_index(
     spark: SparkSession, fp: DataFrame, out_path: str
 ) -> None:
-    """Persist the corpus's (doc_id, dhash, b, v) band rows — the
-    write-once LSH index for incremental image dedup (the
+    """Persist the corpus's df-capped (doc_id, dhash, b, v) band rows —
+    the write-once LSH index for incremental image dedup (the
     dedup_minhash_incremental band-table discipline on perceptual
     hashes): each new crawl batch probes this instead of re-banding
-    the corpus."""
+    the corpus.  Both hub caps are baked in at BUILD time (the
+    build_audio_shingle_index discipline): hash values shared by
+    > _MM_MAXDF docs (a blank image across millions) and band buckets
+    holding > _MM_BAND_MAXDF distinct hashes are dropped, so a hub can
+    never flood a future probe's candidate join."""
+    keph = fp.groupBy("dhash").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _MM_MAXDF
+    )
+    fpk = fp.join(keph.select("dhash"), "dhash")
     bandmask = (1 << _CAP_BAND_BITS) - 1
-    bands = fp.select(
+    bands = fpk.select(
         "doc_id",
         "dhash",
         F.posexplode(
@@ -1726,7 +1806,12 @@ def build_image_band_index(
             ])
         ).alias("b", "v"),
     )
-    bands.write.mode("overwrite").parquet(out_path)
+    keepb = bands.groupBy("b", "v").agg(
+        F.countDistinct("dhash").alias("nh")
+    ).filter(F.col("nh") <= _MM_BAND_MAXDF)
+    bands.join(keepb.select("b", "v"), ["b", "v"]).write.mode(
+        "overwrite"
+    ).parquet(out_path)
 
 
 def image_dedup_incremental(
@@ -1774,11 +1859,17 @@ def _image_incr_oracle() -> str:
     return f"""
     WITH fp AS (SELECT doc_id, source, {_dhash_fake_terms('duckdb')} AS dhash
                 FROM documents),
-    cb AS (
-      SELECT doc_id AS corpus_id, dhash AS hc, b,
-             (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
-      FROM fp, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)
-      WHERE source NOT IN ({_BATCH_IN})),
+    cfp AS (SELECT doc_id, dhash FROM fp WHERE source NOT IN ({_BATCH_IN})),
+    keph AS (SELECT dhash FROM cfp GROUP BY dhash
+             HAVING count(*) <= {_MM_MAXDF}),
+    cb0 AS (
+      SELECT c.doc_id AS corpus_id, c.dhash AS hc, b,
+             (c.dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+      FROM cfp c JOIN keph USING (dhash),
+           (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    keepb AS (SELECT b, v FROM cb0 GROUP BY b, v
+              HAVING count(DISTINCT hc) <= {_MM_BAND_MAXDF}),
+    cb AS (SELECT cb0.* FROM cb0 JOIN keepb USING (b, v)),
     nb AS (
       SELECT doc_id AS new_id, dhash AS hn, b,
              (dhash >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
@@ -1829,9 +1920,12 @@ class ImageBandIndexStore:
     """Segment-committed perceptual-hash band index for a ROLLING image
     corpus — the image twin of AudioIndexStore: each admitted batch
     appends one _SUCCESS-fenced segment of (doc_id, dhash, b, v) band
-    rows; probes exclude the tag's own segment, so ``probe_admit`` is
+    rows (both hub caps baked in per segment by build_image_band_index);
+    probes exclude the tag's own segment, so ``probe_admit`` is
     deterministic-idempotent and the streaming sink below is
-    exactly-once under foreachBatch redelivery."""
+    exactly-once under foreachBatch redelivery.  ``compact()`` folds
+    segments and re-applies both caps GLOBALLY (per-segment caps drift
+    across segments)."""
 
     def __init__(self, spark: SparkSession, path: str):
         import os
@@ -1846,14 +1940,29 @@ class ImageBandIndexStore:
         return os.path.join(self.path, f"seg_{tag}")
 
     def _segments(self) -> "list[str]":
-        import os
+        from ..segstore import list_segments
 
-        return [
-            os.path.join(self.path, n)
-            for n in sorted(os.listdir(self.path))
-            if n.startswith("seg_")
-            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
-        ]
+        return list_segments(self.path)
+
+    def compact(self) -> int:
+        """Fold all committed segments into one, re-applying the hash
+        df-cap and the band-bucket cap over the MERGED rows.  Run at a
+        quiescent point only (segstore contract)."""
+        from ..segstore import compact_segments
+
+        def recap(df: DataFrame) -> DataFrame:
+            keph = df.groupBy("dhash").agg(
+                F.countDistinct("doc_id").alias("df")
+            ).filter(F.col("df") <= _MM_MAXDF)
+            r1 = df.join(keph.select("dhash"), "dhash")
+            keepb = r1.groupBy("b", "v").agg(
+                F.countDistinct("dhash").alias("nh")
+            ).filter(F.col("nh") <= _MM_BAND_MAXDF)
+            return r1.join(keepb.select("b", "v"), ["b", "v"]).select(
+                "doc_id", "dhash", "b", "v"
+            )
+
+        return compact_segments(self.spark, self.path, recap)
 
     def bands(self, exclude_tag: "str | None" = None) -> DataFrame:
         segs = [
@@ -1981,7 +2090,9 @@ class VideoKeyframeIndexStore:
     bands the batch's keyframes, hamming-verifies candidates, and
     takes the video-dedup containment vote (matched keyframes >= half
     the smaller set), so a re-encoded/brightened/TRIMMED re-upload of
-    ANY previously admitted footage rejects."""
+    ANY previously admitted footage rejects.  Segments are
+    hash-df-capped at commit (hub keyframes dropped); ``compact()``
+    folds segments and re-applies the cap GLOBALLY."""
 
     def __init__(self, spark: SparkSession, path: str):
         import os
@@ -1996,14 +2107,25 @@ class VideoKeyframeIndexStore:
         return os.path.join(self.path, f"seg_{tag}")
 
     def _segments(self) -> "list[str]":
-        import os
+        from ..segstore import list_segments
 
-        return [
-            os.path.join(self.path, n)
-            for n in sorted(os.listdir(self.path))
-            if n.startswith("seg_")
-            and os.path.exists(os.path.join(self.path, n, "_SUCCESS"))
-        ]
+        return list_segments(self.path)
+
+    def compact(self) -> int:
+        """Fold all committed segments into one, re-applying the
+        keyframe-hash df-cap over the MERGED rows.  Run at a quiescent
+        point only (segstore contract)."""
+        from ..segstore import compact_segments
+
+        def recap(df: DataFrame) -> DataFrame:
+            keph = df.groupBy("dhash").agg(
+                F.count(F.lit(1)).alias("df")
+            ).filter(F.col("df") <= _MM_MAXDF)
+            return df.join(keph.select("dhash"), "dhash").select(
+                "doc_id", "dhash"
+            )
+
+        return compact_segments(self.spark, self.path, recap)
 
     def keyframes(self, exclude_tag: "str | None" = None) -> DataFrame:
         segs = [
@@ -2030,7 +2152,8 @@ class VideoKeyframeIndexStore:
 
         seg = self._seg_dir("base")
         if not os.path.exists(os.path.join(seg, "_SUCCESS")):
-            self._kf_sets(fh).write.mode("overwrite").parquet(seg)
+            # hash-df cap baked in at build time (the audio index rule)
+            _capped_kf_sets(fh).write.mode("overwrite").parquet(seg)
 
     def probe_admit(self, batch_fh: DataFrame, tag: str) -> DataFrame:
         """Probe the batch's per-frame fingerprints against every
@@ -2063,8 +2186,15 @@ class VideoKeyframeIndexStore:
         sizes = nk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_k"))
         corpus = self.keyframes(exclude_tag=tag)
         csizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+        # segments are hash-df-capped at commit; the residual hub class
+        # (distinct near hashes agreeing on one band value) is dropped
+        # here, before the probe join
+        cb = banded(corpus, "corpus_id", "hc")
+        keepb = cb.groupBy("b", "v").agg(
+            F.countDistinct("hc").alias("nh")
+        ).filter(F.col("nh") <= _MM_BAND_MAXDF)
         matched = (
-            banded(corpus, "corpus_id", "hc")
+            cb.join(keepb.select("b", "v"), ["b", "v"])
             .join(_probe_hint(banded(nk, "new_id", "hn")), ["b", "v"])
             .filter(F.expr(f"bit_count(hn ^ hc) <= {_CAP_HAM_T}"))
             .select("new_id", "corpus_id", "hn")
@@ -2103,9 +2233,17 @@ class VideoKeyframeIndexStore:
         )
         seg = self._seg_dir(tag)
         if not os.path.exists(os.path.join(seg, "_SUCCESS")):
-            nk.join(
+            admitted = nk.join(
                 disp.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
-            ).write.mode("overwrite").parquet(seg)
+            )
+            # per-segment hash-df cap (the audio segment-commit rule);
+            # cross-segment drift is re-capped by compact()
+            keph = admitted.groupBy("dhash").agg(
+                F.count(F.lit(1)).alias("df")
+            ).filter(F.col("df") <= _MM_MAXDF)
+            admitted.join(keph.select("dhash"), "dhash").write.mode(
+                "overwrite"
+            ).parquet(seg)
         return disp
 
 
@@ -2151,6 +2289,23 @@ def admit_video_stream(
     )
 
 
+def _capped_kf_sets(fh: DataFrame) -> DataFrame:
+    """Per-frame fingerprints -> distinct keyframe hash sets with the
+    hub df rule baked in: hash values shared by > _MM_MAXDF of the
+    input's docs are dropped (the build_audio_shingle_index build-time
+    discipline), so a black frame can never flood a future probe."""
+    kf = (
+        video_keyframes_from_fingerprints(fh)
+        .filter(F.col("is_keyframe"))
+        .select("doc_id", "dhash")
+        .distinct()
+    )
+    keph = kf.groupBy("dhash").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= _MM_MAXDF
+    )
+    return kf.join(keph.select("dhash"), "dhash")
+
+
 def video_dedup_incremental(
     spark: SparkSession, new_fh: DataFrame, index_path: str
 ) -> DataFrame:
@@ -2160,7 +2315,13 @@ def video_dedup_incremental(
     (new, corpus) pairs where matched keyframes cover half the SMALLER
     set (the mm_video_dedup containment vote, so a trimmed re-upload
     still pairs with its longer source and vice versa).  Cost scales
-    with the batch; corpus frames are never re-decoded."""
+    with the batch; corpus frames are never re-decoded.  Hub immunity:
+    the index is hash-df-capped at BUILD time and hub band buckets
+    (> _MM_BAND_MAXDF distinct corpus hashes on one value) are dropped
+    before the probe join, so a corpus hub can never flood a batch's
+    candidates; the batch side stays uncapped (micro-batch-bounded,
+    the audio incremental precedent) and n_corpus counts the index's
+    KEPT hashes so the vote operands agree."""
     from ..cachescope import scoped_persist
     from .dedup import _probe_hint
 
@@ -2189,8 +2350,12 @@ def video_dedup_incremental(
     nsz = nk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_new"))
     corpus = spark.read.parquet(index_path).select("doc_id", "dhash")
     csz = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_corpus"))
+    cb = banded(corpus, "corpus_id", "hc")
+    keepb = cb.groupBy("b", "v").agg(F.countDistinct("hc").alias("nh")).filter(
+        F.col("nh") <= _MM_BAND_MAXDF
+    )
     matched = (
-        banded(corpus, "corpus_id", "hc")
+        cb.join(keepb.select("b", "v"), ["b", "v"])
         .join(_probe_hint(banded(nk, "new_id", "hn")), ["b", "v"])
         .filter(F.expr(f"bit_count(hn ^ hc) <= {_CAP_HAM_T}"))
         .select("new_id", "corpus_id", "hn")
@@ -2226,14 +2391,19 @@ def _video_incr_oracle() -> str:
       FROM fh),
     kf AS (SELECT DISTINCT doc_id, dhash FROM kfl WHERE is_keyframe),
     src AS (SELECT doc_id, source FROM documents),
-    ck AS (SELECT kf.doc_id AS corpus_id, kf.dhash AS hc FROM kf
-           JOIN src USING (doc_id) WHERE src.source NOT IN ({_BATCH_IN})),
+    ck0 AS (SELECT kf.doc_id AS corpus_id, kf.dhash AS hc FROM kf
+            JOIN src USING (doc_id) WHERE src.source NOT IN ({_BATCH_IN})),
+    keph AS (SELECT hc FROM ck0 GROUP BY hc HAVING count(*) <= {_MM_MAXDF}),
+    ck AS (SELECT ck0.* FROM ck0 JOIN keph USING (hc)),
     nkf AS (SELECT kf.doc_id AS new_id, kf.dhash AS hn FROM kf
             JOIN src USING (doc_id) WHERE src.source IN ({_BATCH_IN})),
     nsz AS (SELECT new_id, count(*) AS n_new FROM nkf GROUP BY new_id),
     csz AS (SELECT corpus_id, count(*) AS n_corpus FROM ck GROUP BY corpus_id),
-    cb AS (SELECT corpus_id, hc, b, (hc >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
-           FROM ck, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    cb0 AS (SELECT corpus_id, hc, b, (hc >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
+            FROM ck, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
+    keepb AS (SELECT b, v FROM cb0 GROUP BY b, v
+              HAVING count(DISTINCT hc) <= {_MM_BAND_MAXDF}),
+    cb AS (SELECT cb0.* FROM cb0 JOIN keepb USING (b, v)),
     nb AS (SELECT new_id, hn, b, (hn >> ({_CAP_BAND_BITS} * b)) & {bandmask} AS v
            FROM nkf, (SELECT unnest(range(0, {_CAP_BANDS})) AS b)),
     m AS (
@@ -2291,12 +2461,6 @@ def mm_video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("source").isin(*_BATCH_SRCS)).select("doc_id", "text")
     idx = os.path.join(_artifact_tmp("vididx", sf_dir), "index")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        (
-            video_keyframes_from_fingerprints(fh_of(corpus))
-            .filter(F.col("is_keyframe"))
-            .select("doc_id", "dhash")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(idx)
-        )
+        # hash-df cap baked in at build time (the audio index rule)
+        _capped_kf_sets(fh_of(corpus)).write.mode("overwrite").parquet(idx)
     return video_dedup_incremental(spark, fh_of(batch), idx)

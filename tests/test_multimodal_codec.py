@@ -7,6 +7,7 @@ formats — while arbitrary text can never false-positive.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from oxidsql_spark.operators import multimodal
 from oxidsql_spark.operators.multimodal import decode_image, decode_image_stub
@@ -594,3 +595,117 @@ def test_audio_fingerprint_properties_hypothesis():
         assert set(trimmed) <= set(base)
 
     _prop()
+
+
+def _spread48(i: int) -> int:
+    """8-bit index -> 48-bit hash with every index bit widened to 6
+    copies, so DISTINCT indexes are >= 6 hamming apart (> _CAP_HAM_T)
+    and every value is >= 6 bits from zero — the deterministic way to
+    plant hashes that never near-match each other or a black frame."""
+    v = 0
+    for j in range(8):
+        if (i >> j) & 1:
+            v |= 0x3F << (6 * j)
+    return v
+
+
+def test_video_dedup_black_frame_hub_is_df_capped(spark):
+    """The video black-frame case (r13 VERDICT #1): a literal black
+    keyframe hashes IDENTICALLY across > _MM_MAXDF videos, all 4 bands
+    collide, and without the stop-shingle df rule the candidate join
+    emits N²/2 hamming-0 pairs inside one bucket AND the containment
+    vote pairs every hub video with every other (m=1 >= half of
+    n_k=2).  With the cap: the hub hash is dropped BEFORE the join,
+    n_k counts the KEPT set, every hub video stays a singleton, and a
+    genuine near-dup pair in the same corpus (one of them carrying the
+    black frame too) still clusters."""
+    from oxidsql_spark.operators.multimodal import (
+        _MM_MAXDF,
+        video_dedup_from_fingerprints,
+    )
+
+    n_hub = _MM_MAXDF + 16
+    black = 0
+    rows = []
+    # hub videos: [black, unique] -> keyframe set {black, spread(i+1)}
+    for i in range(n_hub):
+        rows += [(i, 0, black), (i, 1, _spread48(i + 1))]
+    # planted near-dups: share two keyframes within hamming 1; video
+    # 1000 ALSO carries the black frame (its n_k must count kept only,
+    # or the 1/2-containment vote would miss the pair)
+    p, q = _spread48(120), _spread48(121)
+    rows += [(1000, 0, black), (1000, 1, p), (1000, 2, q)]
+    rows += [(1001, 0, p ^ 1), (1001, 1, q ^ 2)]
+    fh = spark.createDataFrame(rows, "doc_id bigint, frame_idx int, dhash bigint")
+    docs = spark.createDataFrame(
+        [(d, 100) for d in sorted({r[0] for r in rows})],
+        "doc_id bigint, n_chars int",
+    )
+    out = {r.doc_id: r for r in video_dedup_from_fingerprints(fh, docs).collect()}
+    assert out[1000].vid_cluster == out[1001].vid_cluster == 1000
+    assert out[1000].kept and not out[1001].kept
+    for i in range(n_hub):
+        assert out[i].vid_cluster == i and out[i].kept
+
+
+def test_caption_dedup_blank_image_hub_is_linear_and_still_clusters(spark):
+    """The image blank-page case: > _MM_MAXDF docs share ONE dhash.
+    Unlike audio/video (where hub VALUES are dropped), the image chain
+    collapses exact-equal hashes to one representative BEFORE the band
+    join — linear cost — and the mega-group STILL clusters (one kept,
+    longest caption), because exact duplicates are precisely what a
+    caption dedup must collapse.  A genuine near-dup pair (hamming 1)
+    still clusters through the banded rep join."""
+    from oxidsql_spark.operators.multimodal import (
+        _MM_MAXDF,
+        caption_dedup_from_fingerprints,
+    )
+
+    n_hub = _MM_MAXDF + 16
+    rows = [(i, 0) for i in range(n_hub)]  # blank images: dhash 0
+    p = _spread48(120)
+    rows += [(1000, p), (1001, p ^ 1)]  # near-dup pair
+    rows += [(2000, _spread48(9))]  # unrelated singleton
+    fp = spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+    docs = spark.createDataFrame(
+        [(d, 500 if d == 5 else 100 + (d % 7)) for d, _ in rows],
+        "doc_id bigint, n_chars int",
+    )
+    out = {r.doc_id: r for r in caption_dedup_from_fingerprints(fp, docs).collect()}
+    for i in range(n_hub):
+        assert out[i].img_cluster == 0  # ONE cluster, rep = min doc_id
+    assert sum(out[i].kept for i in range(n_hub)) == 1
+    assert out[5].kept  # keep-best: the longest caption survives
+    assert out[1000].img_cluster == out[1001].img_cluster == 1000
+    assert out[2000].img_cluster == 2000 and out[2000].kept
+
+
+def test_image_band_index_bakes_both_hub_caps(spark, tmp_path):
+    """build_image_band_index drops (a) hash values shared by more than
+    _MM_MAXDF docs and (b) band buckets holding more than
+    _MM_BAND_MAXDF DISTINCT hashes — at BUILD time, so no future probe
+    can flood on them (the build_audio_shingle_index discipline)."""
+    from oxidsql_spark.operators.multimodal import (
+        _MM_BAND_MAXDF,
+        _MM_MAXDF,
+        build_image_band_index,
+    )
+
+    rows = []
+    hub_hash = _spread48(200)
+    for i in range(_MM_MAXDF + 8):  # (a) one hash across too many docs
+        rows.append((i, hub_hash))
+    # (b) too many DISTINCT hashes agreeing on band 0 (low 12 bits all
+    # zero via << 12), each from a df-1 doc
+    for i in range(_MM_BAND_MAXDF + 8):
+        rows.append((10_000 + i, _spread48(i + 1) << 12))
+    rows.append((50_000, _spread48(77)))  # a normal survivor
+    fp = spark.createDataFrame(rows, "doc_id bigint, dhash bigint")
+    out = str(tmp_path / "imgidx")
+    build_image_band_index(spark, fp, out)
+    idx = spark.read.parquet(out)
+    assert idx.filter(F.col("dhash") == hub_hash).count() == 0  # (a)
+    assert idx.filter((F.col("b") == 0) & (F.col("v") == 0)).count() == 0  # (b)
+    # the capped docs' OTHER bands survive (value-level, not doc-level)
+    assert idx.filter(F.col("doc_id") == 10_000).count() == 3
+    assert idx.filter(F.col("doc_id") == 50_000).count() == 4

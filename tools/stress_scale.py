@@ -120,29 +120,106 @@ def synthesize(spark, k: int, out_dir: str, salt_docs: bool = False) -> None:
         copies.write.mode("overwrite").parquet(dst)
 
 
+def _hub_heads(spark):
+    """The adversarial fixture the df-caps exist for (r13 VERDICT Next
+    #2): the verbatim/salted modes grow duplicate CLIQUES, but the hub
+    case is ONE value shared across 30% of the corpus (a black
+    keyframe, a blank image, room tone) — uncapped, all bands collide
+    and the candidate self-join goes N²/2 inside one bucket, which no
+    clique fixture exercises.  Fingerprint-level generators (pure
+    column expressions — the chains under test start AT the
+    fingerprint hand-off), 30% hub + unique random tails, timed at
+    base N and K·N: with the caps the candidate join must scale ~N."""
+    from oxidsql_spark.operators.multimodal import (
+        audio_dedup_from_shingles,
+        caption_dedup_from_fingerprints,
+        video_dedup_from_fingerprints,
+    )
+
+    HUB = 3  # 3 of every 10 docs carry the hub value
+    M48 = (1 << 48) - 1
+
+    def docs_of(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 97 + 10).alias("n_chars")
+        )
+
+    def fp_of(n):  # caption: 30% blank images (dhash 0), rest random
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < HUB, F.lit(0))
+            .otherwise(F.xxhash64("id").bitwiseAND(F.lit(M48)))
+            .alias("dhash"),
+        )
+
+    def fh_of(n):  # video: 2 frames/doc, frame 0 = black for 30%
+        fr = spark.range(n).select(F.col("id").alias("doc_id")).crossJoin(
+            spark.range(2).select(F.col("id").cast("int").alias("frame_idx"))
+        )
+        return fr.select(
+            "doc_id",
+            "frame_idx",
+            F.when(
+                (F.col("frame_idx") == 0) & (F.col("doc_id") % 10 < HUB), F.lit(0)
+            )
+            .otherwise(F.xxhash64("doc_id", "frame_idx").bitwiseAND(F.lit(M48)))
+            .alias("dhash"),
+        )
+
+    def vs_of(n):  # audio: 8 shingles/doc, 3 shared hub values for 30%
+        base = spark.range(n).select(F.col("id").alias("doc_id")).crossJoin(
+            spark.range(8).select(F.col("id").alias("j"))
+        )
+        return base.select(
+            "doc_id",
+            F.when((F.col("j") < 3) & (F.col("doc_id") % 10 < HUB), F.col("j") + 1)
+            .otherwise(
+                F.xxhash64("doc_id", "j").bitwiseAND(F.lit((1 << 30) - 1))
+            )
+            .alias("v"),
+        )
+
+    return {
+        "hub_video_dedup": lambda n: video_dedup_from_fingerprints(
+            fh_of(n), docs_of(n)
+        ),
+        "hub_caption_dedup": lambda n: caption_dedup_from_fingerprints(
+            fp_of(n), docs_of(n)
+        ),
+        "hub_audio_dedup": lambda n: audio_dedup_from_shingles(
+            vs_of(n), docs_of(n)
+        ),
+    }
+
+
 def main() -> None:
-    """Usage: stress_scale.py [K] [out_dir] [--salt] [--json PATH]
+    """Usage: stress_scale.py [K] [out_dir] [--salt|--hub] [--json PATH]
 
     --json writes (or merges into) a round-artifact JSON: one
-    ``salted`` / ``verbatim`` section per invocation, each holding
-    {query: {base_sec, stress_sec, ratio, base_spread, stress_spread}}
-    — medians of 3 warm runs with [min, max] spreads (round 13), the
-    trendable form the per-round STRESS_rN.json files carry."""
+    ``salted`` / ``verbatim`` / ``hub`` section per invocation, each
+    holding {query: {base_sec, stress_sec, ratio, base_spread,
+    stress_spread}} — medians of 3 warm runs with [min, max] spreads
+    (round 13), the trendable form the per-round STRESS_rN.json files
+    carry.  --hub times the modality-dedup chains on generated
+    fingerprints with a 30% shared hub value instead of re-laying the
+    sf tables (see _hub_heads)."""
     import json
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     k = int(args[0]) if args else 10
     out_dir = args[1] if len(args) > 1 else "/tmp/oxidsql_stress"
     salt = "--salt" in sys.argv
+    hub = "--hub" in sys.argv
     json_path = None
     if "--json" in sys.argv:
         json_path = sys.argv[sys.argv.index("--json") + 1]
     spark = get_spark("oxidsql-stress")
     queries = load_all()
-    print(f"synthesizing {k}x sf0.1 into {out_dir} (salt_docs={salt}) ...")
-    t0 = time.time()
-    synthesize(spark, k, out_dir, salt_docs=salt)
-    print(f"synthesized in {time.time() - t0:.0f}s")
+    if not hub:
+        print(f"synthesizing {k}x sf0.1 into {out_dir} (salt_docs={salt}) ...")
+        t0 = time.time()
+        synthesize(spark, k, out_dir, salt_docs=salt)
+        print(f"synthesized in {time.time() - t0:.0f}s")
     # Measurement discipline (round 13): one warm-up run + median of 3
     # timed runs with the [min, max] spread recorded per head — the
     # bench.py protocol.  Three straight rounds of SCALE.md prose had to
@@ -200,6 +277,39 @@ def main() -> None:
         return round(sorted(secs)[1], 2), [round(min(secs), 2), round(max(secs), 2)]
 
     results: dict[str, dict] = {}
+    if hub:
+        N_BASE = 50_000
+        for name, fn in _hub_heads(spark).items():
+            row, sp = {}, {}
+            for label, n in [("sf0.1", N_BASE), (f"{k}x", N_BASE * k)]:
+                def run(n=n, fn=fn):
+                    fn(n).write.format("noop").mode("overwrite").save()
+
+                row[label], sp[label] = timed_median(run)
+            ratio = round(row[f"{k}x"] / row["sf0.1"], 2) if row["sf0.1"] else None
+            results[name] = {
+                "base_sec": row["sf0.1"],
+                "stress_sec": row[f"{k}x"],
+                "ratio": ratio,
+                "base_spread": sp["sf0.1"],
+                "stress_spread": sp[f"{k}x"],
+            }
+            print(f"{name:28s} n={N_BASE}={row['sf0.1']:>8} "
+                  f"{k}x={row[f'{k}x']:>8} ratio={ratio or '-'}")
+        if json_path:
+            blob = {}
+            if os.path.exists(json_path):
+                try:
+                    with open(json_path) as fh:
+                        blob = json.load(fh)
+                except ValueError:
+                    blob = {}
+            blob["hub"] = {"k": k, "n_base": N_BASE, "queries": results}
+            with open(json_path, "w") as fh:
+                json.dump(blob, fh, indent=1, sort_keys=True)
+            print(f"wrote {json_path}")
+        spark.stop()
+        return
     base_a, base_sp = admit_only_sec(SRC, "base")
     big_a, big_sp = admit_only_sec(out_dir, "stress")
     results["cluster_admit_only"] = {

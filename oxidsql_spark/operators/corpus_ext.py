@@ -2049,6 +2049,23 @@ def _qc_labels(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", y.alias("y"))
 
 
+def _qc_labels_curated(docs: DataFrame) -> DataFrame:
+    """(doc_id, y): the NON-CIRCULAR label source (r13 VERDICT Next
+    #4) — 1 iff the document comes from the curated exemplar sources
+    (the DSIR target distribution, _DSIR_TARGET).  A production
+    fastText-style filter's value is generalizing from a curated
+    positive SET (wiki/books-like) against raw crawl; the gate-label
+    variant (`_qc_labels`) distills a rule one projection already
+    computes, so the classifier the FUNNEL loads trains on THIS
+    signal instead: it can flag crawl documents whose vocabulary
+    diverges from curated material even when every gate check passes
+    (tests/test_pipeline.py locks exactly that separation)."""
+    y = F.coalesce(F.col("source").isin(*_DSIR_TARGET), F.lit(False)).cast(
+        "int"
+    )
+    return docs.select("doc_id", y.alias("y"))
+
+
 def _qc_p_expr(dot_col: str = "dot") -> str:
     """Hard-sigmoid in micro-units: clamp(S/2 + logit/4, 0, S) — the
     identical text runs in Spark (div) and, with //, in DuckDB."""
@@ -2062,6 +2079,7 @@ def qc_train(
     docs: DataFrame,
     rounds: int = _QC_ROUNDS,
     d_buckets: int = _QC_D,
+    labels: DataFrame | None = None,
 ) -> dict[int, int]:
     """Batch-gradient training of the hard-sigmoid logistic model;
     returns {feature -> weight} in micro-units.
@@ -2077,7 +2095,7 @@ def qc_train(
     from ..cachescope import scoped_persist
 
     feats = scoped_persist(_qc_feats(docs, d_buckets))
-    labels = scoped_persist(_qc_labels(docs))
+    labels = scoped_persist(_qc_labels(docs) if labels is None else labels)
     n = labels.count()
     w = {f: 0 for f in range(d_buckets + 1)}
     for _ in range(rounds):
@@ -2108,13 +2126,17 @@ def qc_build(
     out_dir: str,
     rounds: int = _QC_ROUNDS,
     d_buckets: int = _QC_D,
+    labels: DataFrame | None = None,
 ) -> None:
     """Train and FREEZE the classifier as a parquet weight artifact at
     ``out_dir/weights`` (f, w) — the build_bigram_lm discipline; the
-    single table's _SUCCESS marker is the committed-build sentinel."""
+    single table's _SUCCESS marker is the committed-build sentinel.
+    ``labels`` overrides the default gate weak labels (pass
+    ``_qc_labels_curated(docs)`` for the non-circular curated-source
+    signal the funnel loads)."""
     import os
 
-    w = qc_train(spark, docs, rounds, d_buckets)
+    w = qc_train(spark, docs, rounds, d_buckets, labels=labels)
     spark.createDataFrame(sorted(w.items()), "f bigint, w bigint").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "weights"))
@@ -2144,11 +2166,23 @@ def qc_score(
     )
 
 
-def _qc_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
+_QC_GATE_CASE = """CASE WHEN coalesce(n_chars >= 100, FALSE)
+                         AND coalesce(lang IN ('en', 'de', 'fr', 'es'), FALSE)
+                         AND source IS NOT NULL THEN 1 ELSE 0 END"""
+
+
+def _qc_oracle(
+    rounds: int = _QC_ROUNDS,
+    d: int = _QC_D,
+    lab_case: str = _QC_GATE_CASE,
+    y_alias: str = "y_weak",
+) -> str:
     """The full trainer + scorer unrolled: per round, the logit join,
     the hard-sigmoid error, the feature-keyed gradient, and the
     trunc-divided weight update — every op integer-exact in both
-    engines (`_tdiv` note)."""
+    engines (`_tdiv` note).  ``lab_case``/``y_alias`` select the label
+    source: the gate weak label (default) or the curated-source label
+    (`quality_classifier_curated`)."""
     hexw = _duck_hex4("md5(word)")
     p_of = lambda dotrel: (  # noqa: E731 — local SQL text helper
         f"CAST(least({_QC_S}, greatest(0, {_QC_S // 2} + {dotrel} // 4)) AS BIGINT)"
@@ -2161,10 +2195,7 @@ def _qc_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
       WHERE length(word) >= 2 AND regexp_matches(word, '{_QC_WORD_RE}')
       UNION ALL
       SELECT doc_id, {d} AS f FROM documents),
-    lab AS (SELECT doc_id,
-                   CASE WHEN coalesce(n_chars >= 100, FALSE)
-                         AND coalesce(lang IN ('en', 'de', 'fr', 'es'), FALSE)
-                         AND source IS NOT NULL THEN 1 ELSE 0 END AS y
+    lab AS (SELECT doc_id, {lab_case} AS y
             FROM documents),
     nn AS (SELECT count(*) AS n FROM documents),
     w0 AS (SELECT unnest(range(0, {d + 1})) AS f, CAST(0 AS BIGINT) AS w)"""
@@ -2191,7 +2222,7 @@ def _qc_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
     dotF AS (
       SELECT fx.doc_id, CAST(sum(w.w) AS BIGINT) AS dot
       FROM fx JOIN w{rounds} w USING (f) GROUP BY fx.doc_id)
-    SELECT l.doc_id, l.y AS y_weak, d.dot AS logit_micro,
+    SELECT l.doc_id, l.y AS {y_alias}, d.dot AS logit_micro,
            {p_of("d.dot")} AS p_micro
     FROM lab l JOIN dotF d USING (doc_id)
     """
@@ -2220,6 +2251,57 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = qc_score(spark, d, qdir)
     return _qc_labels(d).join(scored, "doc_id").select(
         "doc_id", F.col("y").alias("y_weak"), "logit_micro", "p_micro"
+    )
+
+
+_QC_CURATED_CASE = (
+    f"CASE WHEN coalesce(source IN ({_DSIR_TGT_IN}), FALSE) THEN 1 ELSE 0 END"
+)
+
+
+def _qc_curated_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once curated-label weight artifact (the qc_build
+    discipline, separate dir from the gate-label artifact)."""
+    import os
+
+    from .dedup import _artifact_tmp
+
+    qdir = _artifact_tmp("qclfcur", sf_dir)
+    if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
+        d = table(spark, sf_dir, "documents")
+        qc_build(spark, d, qdir, labels=_qc_labels_curated(d))
+    return qdir
+
+
+@register(
+    "quality_classifier_curated",
+    oracle=_qc_oracle(lab_case=_QC_CURATED_CASE, y_alias="y_curated"),
+)
+def quality_classifier_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-CIRCULAR learned filter (r13 VERDICT Next #4): the same
+    hashed-unigram hard-sigmoid trainer, but the positive set is the
+    CURATED exemplar sources (the DSIR target distribution) against
+    everything else — provenance, not the quality gate's own verdict,
+    so the model generalizes 'looks like curated material' instead of
+    distilling a rule one projection already computes.  This is the
+    weight artifact the curation funnel's classifier stage loads
+    (pipeline.curate_corpus, build_curation_state) and the quality
+    mass the curriculum schedule anneals toward; the gate-label
+    variant (`quality_classifier_score`) stays registered as the
+    weak-label-distillation face.  tests/test_pipeline.py locks the
+    value claim: gate-PASSING docs whose vocabulary diverges from
+    curated material score BELOW gate-passing curated-like docs —
+    separation the gate itself cannot express.
+
+    Scale shape: identical to quality_classifier_score (per-round
+    driver traffic = D+1 gradient rows; scoring = one broadcast join +
+    clamp); the oracle unrolls the full trainer with the curated-label
+    CTE swapped in."""
+    d = table(spark, sf_dir, "documents")
+    qdir = _qc_curated_dir(spark, sf_dir)
+    scored = qc_score(spark, d, qdir)
+    return _qc_labels_curated(d).join(scored, "doc_id").select(
+        "doc_id", F.col("y").alias("y_curated"), "logit_micro", "p_micro"
     )
 
 
@@ -2398,7 +2480,10 @@ _CURR_EPOCHS = 4
 
 
 def _curriculum_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
-    base = _qc_oracle(rounds, d)
+    # the quality signal is the CURATED-label classifier (r13 VERDICT
+    # Next #8): annealing toward the gate-distilled score would anneal
+    # toward a rule the gate already enforces upstream
+    base = _qc_oracle(rounds, d, lab_case=_QC_CURATED_CASE, y_alias="y_curated")
     E = _CURR_EPOCHS
     return f"""
     WITH scored AS ({base}),
@@ -2423,28 +2508,22 @@ def _curriculum_oracle(rounds: int = _QC_ROUNDS, d: int = _QC_D) -> str:
 def corpus_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-annealed source mixture: epoch 0 samples sources uniformly
     (coverage first), the final epoch samples proportionally to each
-    source's MEASURED quality mass (the frozen classifier's summed
-    p_micro), and intermediate epochs interpolate linearly — all in
-    integer micro-units with truncating division, so the whole
-    schedule (including the classifier training that produces the
-    quality signal) is one exact SQL oracle.  The output
-    (epoch, source, weight_micro) table is what a data loader's
-    per-epoch sampler consumes.
+    source's MEASURED quality mass (the frozen CURATED-label
+    classifier's summed p_micro — the non-circular signal; r14
+    re-pointed it off the gate-distilled score), and intermediate
+    epochs interpolate linearly — all in integer micro-units with
+    truncating division, so the whole schedule (including the
+    classifier training that produces the quality signal) is one exact
+    SQL oracle.  The output (epoch, source, weight_micro) table is
+    what a data loader's per-epoch sampler consumes.
 
     Scale shape: one artifact-scoring pass + one source-keyed
     aggregate (|sources| rows), then a |sources| x |epochs| projection
     — nothing after the score is corpus-sized.  The quality-share
     multiply is decimal-widened: a source's p_micro mass at 100 TB
     exceeds int64/1e6."""
-    import os
-
-    from .dedup import _artifact_tmp
-
     d = table(spark, sf_dir, "documents")
-    qdir = _artifact_tmp("qclf", sf_dir)
-    if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
-        qc_build(spark, d, qdir)
-    scored = qc_score(spark, d, qdir)
+    scored = qc_score(spark, d, _qc_curated_dir(spark, sf_dir))
     bysrc = (
         scored.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")

@@ -2641,14 +2641,14 @@ _CON_NEG = 8  # hard negatives per anchor
          scored AS (
            SELECT q.q_id, c.vec_id,
                   CASE WHEN c.label = q.q_label THEN 'pos' ELSE 'neg' END AS kind,
-                  list_cosine_similarity(q.qv, c.cv) AS sim
+                  round(list_cosine_similarity(q.qv, c.cv), 4) AS simr
            FROM q JOIN c ON q.q_id <> c.vec_id),
          ranked AS (
-           SELECT q_id, vec_id, kind, sim,
+           SELECT q_id, vec_id, kind, simr,
                   row_number() OVER (PARTITION BY q_id, kind
-                                     ORDER BY sim DESC, vec_id) AS rnk
+                                     ORDER BY simr DESC, vec_id) AS rnk
            FROM scored)
-    SELECT q_id, vec_id, kind, rnk, round(sim, 4) AS cos_sim
+    SELECT q_id, vec_id, kind, rnk, simr AS cos_sim
     FROM ranked
     WHERE (kind = 'pos' AND rnk <= {_CON_POS})
        OR (kind = 'neg' AND rnk <= {_CON_NEG})
@@ -2669,7 +2669,17 @@ def embeddings_contrastive_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a global sort).  At billions of vectors the scoring pass
     swaps for the partition-pruned IVF probe (`ann_ivf_prepared`) with
     the same downstream mining — candidate restriction, not a different
-    algorithm."""
+    algorithm.
+
+    Tie safety (r13 ADVICE): ranks order by the ROUNDED cosine (4
+    decimals — the face's own output precision) with vec_id as the
+    total tie-break, identically in both engines.  Raw-float ordering
+    would let a near-tie at the rank-k boundary (engines computing
+    cosine in different op orders) flip the selected row set; with
+    rounded ranking the only residual cross-engine exposure is
+    round(sim,4) itself — which the output column already carries, and
+    the fixture margins sit >= 2e-10 sim-units from every rounding
+    boundary (~6 orders above double noise)."""
     e = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", as_double_vec("embedding").alias("v"))
@@ -2685,8 +2695,11 @@ def embeddings_contrastive_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
         .withColumn(
-            "sim",
-            vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")),
+            "simr",
+            F.round(
+                vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ),
         )
         .withColumn(
             "kind",
@@ -2695,14 +2708,14 @@ def embeddings_contrastive_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = W.partitionBy("q_id", "kind").orderBy(F.col("sim").desc(), "vec_id")
+    w = W.partitionBy("q_id", "kind").orderBy(F.col("simr").desc(), "vec_id")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(
             ((F.col("kind") == "pos") & (F.col("rnk") <= _CON_POS))
             | ((F.col("kind") == "neg") & (F.col("rnk") <= _CON_NEG))
         )
-        .select("q_id", "vec_id", "kind", "rnk", F.round("sim", 4).alias("cos_sim"))
+        .select("q_id", "vec_id", "kind", "rnk", F.col("simr").alias("cos_sim"))
     )
 
 
@@ -2726,12 +2739,13 @@ _KNN_EVAL_NQ = 50  # vec_id < 50 are the evaluation queries
                FROM embeddings),
          scored AS (
            SELECT q.q_id, q.q_label, c.label,
-                  list_cosine_similarity(q.qv, c.cv) AS sim, c.vec_id
+                  round(list_cosine_similarity(q.qv, c.cv), 4) AS simr,
+                  c.vec_id
            FROM q JOIN c ON q.q_id <> c.vec_id),
          topk AS (
            SELECT q_id, q_label, label FROM (
              SELECT *, row_number() OVER (PARTITION BY q_id
-                        ORDER BY sim DESC, vec_id) AS rnk
+                        ORDER BY simr DESC, vec_id) AS rnk
              FROM scored) WHERE rnk <= {_KNN_EVAL_K}),
          votes AS (
            SELECT q_id, q_label, label, count(*) AS n
@@ -2755,7 +2769,10 @@ def embeddings_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label asc — fully deterministic) and report per-label query and
     correct counts — the standard retrieval-quality probe run after
     every embedding-model train.  Integer counts cross the engine
-    boundary, so the check is exact.
+    boundary, so the check is exact.  Tie safety (r13 ADVICE): the
+    neighbor rank orders by the ROUNDED cosine (4 decimals) + vec_id —
+    the contrastive-mine rule — so a raw-float near-tie at the rank-k
+    boundary cannot flip the neighbor set between engines.
 
     Scale shape: the ann_topk_bruteforce plan (broadcast queries, one
     scoring pass, per-query top-k window) + two tiny vote aggregates;
@@ -2774,10 +2791,12 @@ def embeddings_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = e.select("vec_id", "label", F.col("v").alias("cv"), "nrm")
     scored = c.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).withColumn(
-        "sim",
-        vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")),
+        "simr",
+        F.round(
+            vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")), 4
+        ),
     )
-    wk = W.partitionBy("q_id").orderBy(F.col("sim").desc(), "vec_id")
+    wk = W.partitionBy("q_id").orderBy(F.col("simr").desc(), "vec_id")
     topk = (
         scored.withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= _KNN_EVAL_K)

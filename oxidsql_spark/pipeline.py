@@ -378,22 +378,20 @@ def curate_corpus(
 
     # 3c. optional LEARNED quality floor: the discriminative screen
     # production pipelines run beside the generative LM ceiling — the
-    # classifier is trained on the RAW pool's own gate labels (weak
-    # supervision; frozen as a weight artifact, the streaming funnel's
-    # frozen-LM discipline) and survivors below the integer logit floor
-    # drop.  Gate-clean docs whose VOCABULARY looks like gate-reject
-    # material are exactly what this stage removes and the gate cannot.
+    # classifier is trained on the CURATED-source positives vs
+    # everything else (the non-circular signal; r14 re-pointed this
+    # stage off the gate-label distillation, whose verdict the gate
+    # already enforced in stage 2) and survivors below the integer
+    # logit floor drop.  Gate-clean docs whose VOCABULARY diverges
+    # from curated material are exactly what this stage removes and
+    # the gate cannot.
     if clf_floor_micro is not None:
-        import os
-
-        from .operators.corpus_ext import qc_build, qc_score
-        from .operators.dedup import _artifact_tmp
+        from .operators.corpus_ext import _qc_curated_dir, qc_score
 
         raw = table(spark, sf_dir, "documents")
-        qdir = _artifact_tmp("qclf", sf_dir)
-        if not os.path.exists(os.path.join(qdir, "weights", "_SUCCESS")):
-            qc_build(spark, raw, qdir)
-        scores = qc_score(spark, raw, qdir).select("doc_id", "logit_micro")
+        scores = qc_score(spark, raw, _qc_curated_dir(spark, sf_dir)).select(
+            "doc_id", "logit_micro"
+        )
         docs = docs.join(scores, "doc_id").filter(
             F.col("logit_micro") >= clf_floor_micro
         )
@@ -640,9 +638,12 @@ def _register_curate_scrub() -> None:
 _register_curate_scrub()
 
 
-_CURATE_CLF_FLOOR = 6_000_000  # logit micro-units; drops ~20-25% of the
-# gate-clean pool at fixture scale (p25 of the logit distribution), so
-# the stage BITES in the driver check instead of passing vacuously
+_CURATE_CLF_FLOOR = -20_000_000  # logit micro-units; drops ~37% of the
+# gate-clean pool at BOTH fixture scales (measured r14), so the stage
+# BITES in the driver check instead of passing vacuously.  Recalibrated
+# when the stage re-pointed to the CURATED-label classifier: its
+# positive class (src0/src1 provenance) is ~10% of docs, so logits sit
+# around -20M rather than the gate-distillation's +6M.
 
 
 def _curate_clf_oracle() -> str:
@@ -659,7 +660,7 @@ def _curate_clf_oracle() -> str:
 
     bigram = QUERIES["text_lm_bigram_score"].oracle
     dsir = QUERIES["dsir_select"].oracle
-    clf = QUERIES["quality_classifier_score"].oracle
+    clf = QUERIES["quality_classifier_curated"].oracle
     clusters = _graph._ORACLE
     return f"""
     WITH clusters AS ({clusters}),
@@ -761,13 +762,21 @@ def build_curation_state(
     per admitted batch."""
     import os
 
-    from .operators.corpus_ext import build_bigram_lm, qc_build
+    from .operators.corpus_ext import _qc_labels_curated, build_bigram_lm, qc_build
     from .operators.dedup import SpanIndexStore
 
     build_bigram_lm(spark, corpus, os.path.join(state_dir, "lm"))
     SpanIndexStore(spark, os.path.join(state_dir, "spans")).build(corpus)
     if classifier_docs is not None:
-        qc_build(spark, classifier_docs, os.path.join(state_dir, "clf"))
+        # curated-source labels — the funnel's classifier stage must
+        # carry the non-circular signal (its gate stage already
+        # enforces the gate rule)
+        qc_build(
+            spark,
+            classifier_docs,
+            os.path.join(state_dir, "clf"),
+            labels=_qc_labels_curated(classifier_docs),
+        )
 
 
 def curate_ingest_stream(

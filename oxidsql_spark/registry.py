@@ -58,49 +58,35 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-13 start: all 7 round-12 priority names were driver-green in
-    # CORRECTNESS_r12.json and retire to the stable rotation, which now
-    # fronts the 31 r8-stale rows (VERDICT r12 missing #4).  With the
-    # session's 9 brand-new faces the priority block holds 22 names, so
-    # the 50-row window reaches ~26 stable rows — all but ~5 of the r8
-    # cohort clear this round; the stalest-first ordering fronts the
-    # remainder in r14 automatically.
-    # new in round 13 — never driver-checked:
-    "mm_audio_dedup",
-    "mm_curate_q",
-    "embeddings_contrastive_mine",
-    "events_attribution_linear",
-    "mm_audio_dedup_incremental",
-    "corpus_curriculum_schedule",
+    # round-14 start: all 23 round-13 priority names were driver-green
+    # in CORRECTNESS_r13.json and retire to the stable rotation.  This
+    # round's block holds 10 names (1 new + 9 rewritten), so the 50-row
+    # window reaches ~40 stable rows — the stalest-first ordering
+    # fronts the 4 remaining r8 rows (events_dow_hour/interarrival/
+    # path_topk/pattern_match — VERDICT r13 missing #4) plus most of
+    # the 42-row r9 cohort.
+    # new in round 14 — never driver-checked:
+    "quality_classifier_curated",
+    # rewritten in round 14 — hub df-caps in every image/video band
+    # join, mirrored in the oracles (VERDICT r13 What's-wrong #1);
+    # caption dedup additionally collapses exact-equal hashes to one
+    # representative before the band join:
+    "mm_caption_dedup",
+    "mm_video_dedup",
     "mm_image_dedup_incremental",
     "mm_video_dedup_incremental",
+    # rewritten in round 14 — nests the capped caption/video oracles:
+    "mm_curate_q",
+    # rewritten in round 14 — tie-safe ranking on the ROUNDED cosine
+    # (r13 ADVICE), so a raw-float near-tie at the rank-k boundary
+    # cannot flip the selected rows cross-engine:
+    "embeddings_contrastive_mine",
     "embeddings_knn_eval",
-    "bpe_fertility_by_lang",
-    "quality_classifier_pr",
-    "bpe_train_merges_batched",
-    "mm_video_dedup",
-    "quality_classifier_score",
+    # rewritten in round 14 — quality signal re-pointed at the
+    # curated-label classifier artifact (non-circular; VERDICT Next
+    # #4/#8), capstone floor recalibrated for the new logit scale:
+    "corpus_curriculum_schedule",
     "corpus_curate_clf_q",
-    "seq_pack_bpe_stats",
-    "dedup_cap_copies",
-    "corpus_shuffle_shards",
-    # rewritten in round 13 (encode now joins the frozen vocab artifact
-    # — zero merge replay for training-universe words — with a
-    # segmented replay only for out-of-vocabulary types):
-    "bpe_encode_stats",
-    # rewritten in round 13 (CC pattern IIN-guarded with consistent
-    # separators; phone pattern covers parenthesized and +1 forms):
-    "text_redact_pii",
-    # rewritten in round 13 (oversized-cell sub-training folded into
-    # one keyed Lloyd pass per iteration + recursion past the k_sub
-    # ceiling — still a no-op at fixture scale, re-prove the path):
-    "dedup_semantic",
-    # rewritten in round 13 (sampling re-pointed at REALLY parsed frame
-    # counts; the fake is now only the unknown-format fallback):
-    "mm_frame_sample",
-    # rewritten in round 13 (closure over pair-touched images only,
-    # persisted pair list — the video-dedup discipline):
-    "mm_caption_dedup",
 )
 
 

@@ -637,3 +637,53 @@ def test_quality_classifier_ranking_and_frozen_artifact(spark, sf_dir, tmp_path)
     }
     direct = {r.doc_id: r.dot for r in dot.collect()}
     assert frozen == direct
+
+
+def test_curated_classifier_flags_gate_passing_junk(spark, tmp_path):
+    """The reason the classifier stage exists (r13 VERDICT Next #4):
+    the gate checks length/lang/source — it cannot see VOCABULARY.
+    Train on curated-source provenance labels (src0/src1 positives)
+    over a corpus where curated docs share a 'clean' vocabulary and
+    some gate-PASSING crawl docs use junk vocabulary: the curated
+    classifier must score the junk crawl docs below the curated-like
+    crawl docs, a separation the gate label cannot express (every
+    crawl doc here passes the gate, so gate-label training sees them
+    as identical positives)."""
+    from pyspark.sql import functions as F
+
+    from oxidsql_spark.operators.corpus_ext import (
+        _qc_labels_curated,
+        qc_build,
+        qc_score,
+    )
+
+    clean_words = "science history journal archive study record".split()
+    junk_words = "zzbuy zzcheap zzclick zzfree zzwin zzpills".split()
+
+    def text_of(words, seed):
+        return " ".join(words[(seed + i) % len(words)] for i in range(40))
+
+    rows = []
+    # curated positives (src0/src1), clean vocabulary
+    for i in range(30):
+        rows.append((i, text_of(clean_words, i), "en", f"src{i % 2}", 200))
+    # gate-passing crawl: half curated-LIKE, half junk vocabulary
+    for i in range(30, 60):
+        rows.append((i, text_of(clean_words, i), "en", "src9", 200))
+    for i in range(60, 90):
+        rows.append((i, text_of(junk_words, i), "en", "src9", 200))
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    out = str(tmp_path / "qcur")
+    qc_build(spark, d, out, labels=_qc_labels_curated(d))
+    scored = qc_score(spark, d, out)
+    crawl_like = scored.filter(
+        (F.col("doc_id") >= 30) & (F.col("doc_id") < 60)
+    ).agg(F.avg("logit_micro")).collect()[0][0]
+    crawl_junk = scored.filter(F.col("doc_id") >= 60).agg(
+        F.avg("logit_micro")
+    ).collect()[0][0]
+    # every crawl doc passes the gate (n_chars 200, lang en, source
+    # set), yet the curated model separates them by vocabulary
+    assert crawl_like > crawl_junk, (crawl_like, crawl_junk)

@@ -709,3 +709,60 @@ def test_image_band_index_bakes_both_hub_caps(spark, tmp_path):
     # the capped docs' OTHER bands survive (value-level, not doc-level)
     assert idx.filter(F.col("doc_id") == 10_000).count() == 3
     assert idx.filter(F.col("doc_id") == 50_000).count() == 4
+
+
+def test_capped_band_join_candidates_linear_in_hub_size(spark):
+    """The skew-measurement discipline (test_dedup_skew) applied to the
+    video band join: on a corpus where a black keyframe is shared by
+    EVERY hub video, the number of candidate rows entering the hamming
+    verify — reconstructed from the chain's own kept sets and band
+    expressions — is EXACTLY the planted pair's collisions and does
+    not grow when the hub doubles (uncapped it would grow
+    quadratically: C(n,2) hamming-0 candidates per band)."""
+    from oxidsql_spark.operators.multimodal import (
+        _CAP_BAND_BITS,
+        _CAP_BANDS,
+        _capped_kf_sets,
+    )
+
+    def all_bands(k: int) -> int:
+        """48-bit hash whose EVERY 12-bit band holds value k: distinct
+        k -> distinct value in every band, so tails never collide with
+        each other or with black in any bucket (band-disjoint by
+        construction — the naive `_spread48(i)` tails share high-band
+        zero groups and collide quadratically)."""
+        return sum(k << (12 * j) for j in range(4))
+
+    def cand_count(n_hub: int) -> int:
+        rows = []
+        for i in range(n_hub):
+            rows += [(i, 0, 0), (i, 1, all_bands(i + 1))]
+        p, q = all_bands(500), all_bands(600)
+        rows += [(1000, 0, p), (1000, 1, q)]
+        rows += [(1001, 0, p ^ 1), (1001, 1, q ^ 2)]
+        fh = spark.createDataFrame(
+            rows, "doc_id bigint, frame_idx int, dhash bigint"
+        )
+        kfk = _capped_kf_sets(fh)
+        bandmask = (1 << _CAP_BAND_BITS) - 1
+        bands = kfk.select(
+            "doc_id",
+            "dhash",
+            F.posexplode(
+                F.array(*[
+                    F.expr(f"shiftright(dhash, {_CAP_BAND_BITS * b}) & {bandmask}")
+                    for b in range(_CAP_BANDS)
+                ])
+            ).alias("b", "v"),
+        )
+        a = bands.select(F.col("doc_id").alias("a_id"), "b", "v")
+        b = bands.select(F.col("doc_id").alias("b_id"), "b", "v")
+        return (
+            a.join(b, ["b", "v"]).filter(F.col("a_id") < F.col("b_id")).count()
+        )
+
+    small, big = cand_count(80), cand_count(160)
+    assert small == big, (small, big)
+    # exactly the planted pair's band collisions: p~p^1 and q~q^2 agree
+    # on 3 of 4 bands each (hamming 1 within one 12-bit band)
+    assert small == 6, small

@@ -89,6 +89,7 @@ CACHE_USING_QUERIES = [
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",
+    "quality_classifier_curated",
     "corpus_curriculum_schedule",
 ]
 
@@ -106,7 +107,10 @@ _ARTIFACT_KINDS = {
     "bpe_fertility_by_lang": "bpe",
     "quality_classifier_score": "qclf",
     "quality_classifier_pr": "qclf",
-    "corpus_curriculum_schedule": "qclf",
+    # r14: the curriculum (and the new curated face) load the
+    # CURATED-label artifact, a separate build-once dir
+    "quality_classifier_curated": "qclfcur",
+    "corpus_curriculum_schedule": "qclfcur",
 }
 
 

@@ -1302,12 +1302,13 @@ def test_curate_ingest_stream_classifier_stage(spark, tmp_path):
          for r in range(5)],
         "doc_id bigint, text string",
     )
-    # classifier weak labels: clean docs use the good vocabulary, the
-    # gate-reject docs (unknown lang) use the bad vocabulary
+    # r14: the state builds the CURATED-label classifier — positives by
+    # PROVENANCE (the DSIR target sources), so the curated exemplars
+    # carry the good vocabulary and the crawl negatives the bad one
     clf_rows = []
     for i in range(6):
-        clf_rows.append((100 + i, " ".join(good_words), 300, "en", "s"))
-        clf_rows.append((200 + i, " ".join(bad_words * 2), 300, "xx", "s"))
+        clf_rows.append((100 + i, " ".join(good_words), 300, "en", "src0"))
+        clf_rows.append((200 + i, " ".join(bad_words * 2), 300, "xx", "crawl"))
     clf_docs = spark.createDataFrame(
         clf_rows, "doc_id bigint, text string, n_chars int, lang string, source string"
     )

@@ -956,7 +956,12 @@ def video_dedup_from_fingerprints(
     from ..cachescope import scoped_persist
     from .graph import propagate_min_labels
 
-    kf = (
+    # The raw keyframe hash set is read TWICE (the df aggregate and the
+    # kept-set join) and it sits on top of the whole frame-explode +
+    # window chain — persist it, or that chain executes once per
+    # branch (measured 2x the head's wall-clock when this lapsed in
+    # the r14 cap rewrite).
+    kf = scoped_persist(
         video_keyframes_from_fingerprints(fh)
         .filter(F.col("is_keyframe"))
         .select("doc_id", "dhash")
@@ -2294,7 +2299,10 @@ def _capped_kf_sets(fh: DataFrame) -> DataFrame:
     hub df rule baked in: hash values shared by > _MM_MAXDF of the
     input's docs are dropped (the build_audio_shingle_index build-time
     discipline), so a black frame can never flood a future probe."""
-    kf = (
+    from ..cachescope import scoped_persist
+
+    # read twice (df aggregate + kept join) atop the frame chain
+    kf = scoped_persist(
         video_keyframes_from_fingerprints(fh)
         .filter(F.col("is_keyframe"))
         .select("doc_id", "dhash")

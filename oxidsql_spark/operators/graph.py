@@ -233,6 +233,21 @@ def propagate_min_labels(
             docs.select(F.col("doc_id").alias("u"), F.col("doc_id").alias("v"))
         )
     )
+    # Size the loop's parallelism to the graph, not the session: after
+    # successful dedup the touched graph is duplicate-count-sized
+    # (hundreds of rows at bench scale), and running every round's
+    # join/agg across the full default partition fan-out makes the
+    # latency-bound loop pay ~32 task launches per stage for rows that
+    # fit in one (measured ~1 s/round in-context vs ~0.25 s isolated).
+    # The count() also eagerly materializes the edges cache, so the
+    # first round's job no longer carries the whole upstream pairs
+    # pipeline.  At real scale the clamp is a no-op: 1M+ edge rows per
+    # partition keeps the session's parallelism.
+    n_edges = edges.count()
+    cur_parts = edges.rdd.getNumPartitions()
+    want = max(1, min(cur_parts, n_edges // 1_000_000 + 1))
+    if want < cur_parts:
+        edges = scoped_persist(edges.coalesce(want))
 
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id"))
     first_labels = labels
@@ -245,29 +260,38 @@ def propagate_min_labels(
     # loop stays plain.
     for i in range(max_iters):  # O(log d) rounds with the label jump below
         obs = Observation(f"cc_sum_{i}")
-        # POINTER JUMP (hash-to-min, Rastogi et al.): augment the edge
-        # set with each node's CURRENT label pointer (u -> L(u)), so
-        # the single join-and-aggregate computes
-        #   L'(u) = min(min over N(u) of L(v),  L(L(u)))
+        # POINTER JUMP (hash-to-min, Rastogi et al.): after the
+        # neighbor-min aggregate, follow the winner's OWN label —
+        #   L'(u) = min(nbr(u), L(nbr(u))),  nbr(u) = min over N(u) of L(v)
         # — neighbor-min alone needs diameter+1 serial rounds (a
         # 10-long near-dup chain = 11 checkpoint jobs; the loop is
         # LATENCY-bound, ~1 s/job ambient in r14's measurements),
         # while the jump collapses label chains doubling-fast:
         # path-33 closes in 7 rounds instead of 33.  Correctness
-        # invariants are unchanged — L(u) <= u (the self-loop keeps
-        # L(u) in the min), L(u) stays inside u's component (L(u)=w
-        # is in comp(u), so L(w) is too), labels remain componentwise
-        # non-increasing (the convergence probe's premise), and at
-        # the fixed point labels are edge-constant with L(m)=m, which
-        # forces the component minimum.  The union adds no exchange:
-        # the round is still ONE join + ONE aggregate per checkpoint.
-        aug = edges.unionByName(
-            labels.select(F.col("doc_id").alias("u"), F.col("cluster_id").alias("v"))
+        # invariants are unchanged — nbr(u) <= L(u) via the self-loop,
+        # nbr(u) and L(nbr(u)) are both ids inside u's component, so
+        # labels remain componentwise non-increasing (the convergence
+        # probe's premise), and at the fixed point labels are
+        # edge-constant with L(m)=m, which forces the component
+        # minimum.  The jump is a second join but on the POST-AGGREGATE
+        # frame (doc-count-sized, broadcastable) and the edges⋈labels
+        # join is byte-identical to the pre-jump shape — an edges-side
+        # UNION variant was measured to break the cached-edges plan
+        # substitution and re-run the whole upstream pairs pipeline
+        # every round (dedup_clusters 1.6 s -> 4.0 s).
+        nbr = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        jmp = labels.select(
+            F.col("doc_id").alias("_jd"), F.col("cluster_id").alias("_jc")
         )
         stepped = (
-            aug.join(labels, aug.v == labels.doc_id)
-            .groupBy(F.col("u").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            nbr.join(jmp, nbr.nmin == jmp._jd)
+            .select(
+                "doc_id", F.least("nmin", "_jc").alias("cluster_id")
+            )
             .observe(
                 obs,
                 F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("lsum"),

@@ -1057,16 +1057,19 @@ video_dedup_from_fingerprints.__doc__ = video_dedup_from_fingerprints.__doc__.fo
 )
 
 
-def _video_dedup_oracle() -> str:
+def _video_dedup_oracle(fh_rel: str = "fh", extra_cte: str = "") -> str:
+    """The full video-dedup chain in SQL over the ``fh_rel`` frame
+    fingerprints; ``extra_cte`` appends derived CTEs between the shared
+    fingerprint chain and the keyframe scan (the hub face wraps fh)."""
     bandmask = (1 << _CAP_BAND_BITS) - 1
     return f"""
-    WITH {_vid_fh_cte()},
+    WITH {_vid_fh_cte()},{extra_cte}
     kfl AS (
       SELECT doc_id, dhash,
              coalesce(bit_count(xor(dhash,
                  lag(dhash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) > {_VID_HAM_T},
                  TRUE) AS is_keyframe
-      FROM fh),
+      FROM {fh_rel}),
     kf AS (SELECT DISTINCT doc_id, dhash FROM kfl WHERE is_keyframe),
     keph AS (SELECT dhash FROM kf GROUP BY dhash
              HAVING count(*) <= {_MM_MAXDF}),
@@ -1116,6 +1119,27 @@ def _video_dedup_oracle() -> str:
     """
 
 
+def _vid_fh(d: DataFrame) -> DataFrame:
+    """documents -> the synthetic per-frame fingerprint chain (frame
+    explode + per-frame fake dHash) shared by every video face."""
+    base = d.select(
+        "doc_id",
+        "text",
+        F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+    )
+    fr = base.select(
+        "doc_id",
+        "text",
+        "s",
+        F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias("frame_idx"),
+    ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
+    return fr.select(
+        "doc_id",
+        "frame_idx",
+        F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
+    )
+
+
 @register("mm_video_dedup", oracle=_video_dedup_oracle(), bench=True)
 def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection — the composition that catches
@@ -1134,22 +1158,36 @@ def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-dropped copy) go through `split_p5_frames` + `dhash_image`
     into the same chain in tests/test_multimodal_codec.py."""
     d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        "text",
-        F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
-    )
-    fr = base.select(
-        "doc_id",
-        "text",
-        "s",
-        F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias("frame_idx"),
-    ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
-    fh = fr.select(
-        "doc_id",
-        "frame_idx",
-        F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
-    )
+    return video_dedup_from_fingerprints(_vid_fh(d), d.select("doc_id", "n_chars"))
+
+
+_VID_HUB_CASE = (
+    "CASE WHEN frame_idx = 0 AND doc_id % 10 < 3 "
+    "THEN CAST(0 AS BIGINT) ELSE dhash END"
+)
+
+
+def _video_hub_oracle() -> str:
+    extra = f"""
+    fhh AS (SELECT doc_id, frame_idx, {_VID_HUB_CASE} AS dhash FROM fh),"""
+    return _video_dedup_oracle(fh_rel="fhh", extra_cte=extra)
+
+
+@register("mm_video_dedup_hub", oracle=_video_hub_oracle())
+def mm_video_dedup_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hub df-cap EXERCISED under the driver oracle: 30% of videos
+    get a literal black frame (frame 0's hash forced to 0), so the hub
+    hash's document frequency (~150 at sf0.01) exceeds _MM_MAXDF and
+    the stop-shingle rule FIRES — the fixture-scale faces prove the
+    capped chain where the caps are no-ops; this face proves the cap
+    arithmetic itself (df rule, kept-set containment denominators,
+    bucket rule) is bit-identical in both engines while active.
+    Uncapped, the planted hub alone would emit C(150,2) hamming-0
+    candidate pairs inside one bucket and weld 30% of the corpus into
+    one cluster; capped, hub videos pair only through their remaining
+    keyframes."""
+    d = table(spark, sf_dir, "documents")
+    fh = _vid_fh(d).withColumn("dhash", F.expr(_VID_HUB_CASE))
     return video_dedup_from_fingerprints(fh, d.select("doc_id", "n_chars"))
 
 

@@ -80,6 +80,7 @@ CACHE_USING_QUERIES = [
     "corpus_curate_clf_q",
     # keyframe hash set persists for its three consumers
     "mm_video_dedup",
+    "mm_video_dedup_hub",
     # df-capped shingle set + pair list persist for their consumers
     "mm_audio_dedup",
     # composes all three modality chains (their persists ride along)

@@ -430,6 +430,163 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), _JACCARD_T)
 
 
+# ---------------------------------------------------------------------------
+# MinHash-LSH parameter tuning: the (bands, rows) S-curve evaluated
+# against the exact Jaccard pair distribution on a deterministic sample
+# ---------------------------------------------------------------------------
+
+# All configs spend the same 16-hash signature budget; the knob is the
+# band split.  s50 (the similarity where detection probability crosses
+# 1/2) is a pure function of (b, r) — precomputed here and embedded as a
+# literal in BOTH engines, so no fractional pow() runs cross-engine.
+_SCURVE_GRID: tuple[tuple[int, int], ...] = ((16, 1), (8, 2), (4, 4), (2, 8))
+_SCURVE_SAMPLE = 40  # md5(doc_id) bucket < 40 → ~40% deterministic sample
+
+
+def _s50(b: int, r: int) -> float:
+    return round((1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r), 4)
+
+
+def _pow_sql(expr: str, k: int) -> str:
+    """Left-associated k-fold product — identical association order to
+    the Spark chain below, so the IEEE result is bit-equal."""
+    out = expr
+    for _ in range(k - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def _scurve_oracle() -> str:
+    # corpus_ext._duck_hex4's md5-bucket, inlined (importing corpus_ext
+    # here at module-init time is circular: corpus_ext → similarity →
+    # dedup)
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    bucket = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+            for i in range(1, 5)
+        )
+        + ") % 100"
+    )
+
+    pairs = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_JACCARD_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents
+            WHERE {bucket} < {_SCURVE_SAMPLE})
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    pairs AS (
+      SELECT round(CAST(count(*) AS DOUBLE)
+                   / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 4) AS j
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+    selects = []
+    for b, r in _SCURVE_GRID:
+        srs = _pow_sql("j", r)
+        qb = _pow_sql(f"(1.0 - {srs})", b)
+        p = f"(1.0 - {qb})"
+        selects.append(f"""
+    SELECT {b} AS bands, {r} AS rows_per_band, {_s50(b, r)} AS s50,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN j >= {_JACCARD_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+           CAST(sum(CAST(round({p} * 1000000.0) AS BIGINT)) AS BIGINT) AS exp_cand_units,
+           CAST(sum(CASE WHEN j >= {_JACCARD_T}
+                         THEN CAST(round({qb} * 1000000.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS fn_units,
+           CAST(sum(CASE WHEN j < {_JACCARD_T}
+                         THEN CAST(round({p} * 1000000.0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS fp_units
+    FROM pairs""")
+    return pairs + " UNION ALL ".join(selects)
+
+
+def _pow_col(col: F.Column, k: int) -> F.Column:
+    out = col
+    for _ in range(k - 1):
+        out = out * col
+    return out
+
+
+@register("dedup_lsh_scurve", oracle=_scurve_oracle())
+def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter tuning: for each (bands, rows-per-band)
+    split of a fixed 16-hash signature budget, evaluate the detection
+    S-curve p(s) = 1 - (1 - s^r)^b against the EXACT Jaccard pair
+    distribution — expected candidate volume, false-negative mass over
+    pairs at/above the dedup threshold, false-positive mass below it,
+    and the s50 crossover.  This is the query an operator runs BEFORE
+    committing a band config to a 100 TB dedup pass: fp_units predicts
+    the wasted exact-verify work, fn_units the duplicates a config
+    would leak.
+
+    Scale shape: the exact-pair evaluation is inherently pair-quadratic
+    in the worst case, so it runs on a DETERMINISTIC hash-sample of the
+    corpus (md5-bucket < 40), the same estimate-on-a-sample discipline
+    as statistics.py's selectivity estimator; within the sample the
+    pair set comes from the collapse-first AllPairs machinery (threshold
+    0 keeps every shingle-sharing pair — the sub-threshold region is the
+    point here, it is where fp mass lives).  The config grid is a
+    4-row literal crossed with pair-level aggregates only.
+
+    Cross-engine determinism: s = the 4-dp-rounded exact Jaccard
+    (integer operands, one division — bit-equal in both engines); the
+    S-curve polynomial is evaluated as LEFT-ASSOCIATED multiplication
+    chains (no pow()) in both engines and quantized to integer
+    micro-units per pair before summing, so partial-aggregate merge
+    order cannot perturb the totals; s50 is a Python-precomputed
+    literal embedded in both plans."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    sample = d.filter(bucket < _SCURVE_SAMPLE).select("doc_id", "text")
+    pairs = scoped_persist(ngram_jaccard_pairs(sample, threshold=0.0))
+    parts = []
+    for b, r in _SCURVE_GRID:
+        j = F.col("jaccard")
+        srs = _pow_col(j, r)
+        qb = _pow_col(F.lit(1.0) - srs, b)
+        p = F.lit(1.0) - qb
+        p_units = F.round(p * F.lit(1000000.0)).cast("long")
+        fn_units = F.round(qb * F.lit(1000000.0)).cast("long")
+        above = j >= _JACCARD_T
+        parts.append(
+            pairs.agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.when(above, 1).otherwise(0)).alias("n_above"),
+                F.sum(p_units).alias("exp_cand_units"),
+                F.sum(F.when(above, fn_units).otherwise(F.lit(0).cast("long"))).alias(
+                    "fn_units"
+                ),
+                F.sum(F.when(~above, p_units).otherwise(F.lit(0).cast("long"))).alias(
+                    "fp_units"
+                ),
+            ).select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(_s50(b, r)).alias("s50"),
+                "n_pairs",
+                "n_above",
+                "exp_cand_units",
+                "fn_units",
+                "fp_units",
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
 # Containment threshold: |A∩B| / |A| — asymmetric, so a small document
 # quoted inside a large one is caught even when Jaccard is tiny.
 _CONT_T = 0.7

@@ -60,13 +60,22 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # round-14 start: all 23 round-13 priority names were driver-green
     # in CORRECTNESS_r13.json and retire to the stable rotation.  This
-    # round's block holds 11 names (2 new + 9 rewritten), so the 50-row
-    # window reaches ~39 stable rows — the stalest-first ordering
+    # round's block holds 16 names (7 new + 9 rewritten), so the 50-row
+    # window reaches ~34 stable rows — the stalest-first ordering
     # fronts the 4 remaining r8 rows (events_dow_hour/interarrival/
     # path_topk/pattern_match — VERDICT r13 missing #4) plus most of
     # the 42-row r9 cohort.
     # new in round 14 — never driver-checked:
     "quality_classifier_curated",
+    # new in round 14 — rule-based text-quality family (textqual.py):
+    # Gopher rules, unigram entropy, langid eval, attrition funnel:
+    "text_gopher_rules",
+    "text_unigram_entropy",
+    "langid_confusion",
+    "corpus_attrition_funnel",
+    # new in round 14 — MinHash-LSH (b,r) S-curve evaluation against
+    # the exact Jaccard pair distribution on a deterministic sample:
+    "dedup_lsh_scurve",
     # new in round 14 — the video hub df-cap EXERCISED under the
     # oracle (30% planted black frames; df 154 > 64 at sf0.01):
     "mm_video_dedup_hub",
@@ -138,6 +147,7 @@ def load_all() -> dict[str, Query]:
             scd,
             similarity,
             textops,
+            textqual,
             tpch_ext,
             udtf_ops,
         )

@@ -87,6 +87,9 @@ CACHE_USING_QUERIES = [
     "mm_curate_q",
     # batch keyframe set persists for the size aggregate + band probe
     "mm_video_dedup_incremental",
+    # S-curve evaluation persists the sampled exact-pair table for the
+    # four per-config aggregates
+    "dedup_lsh_scurve",
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

@@ -143,6 +143,9 @@ _TINY_DOMAIN_WINDOWS = {
     # rnk assigned AFTER TakeOrdered cuts to the top-30 pairs — the
     # window input is 30 rows by construction, not the pair domain
     "bpe_pair_counts",
+    # cumulative survivors over the STAGE aggregate (≤ 7 rows: one per
+    # funnel rule + 'pass'), never the corpus
+    "corpus_attrition_funnel",
 }
 
 

@@ -1177,6 +1177,143 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-constrained epoch planning (the Muennighoff et al. 2023 view):
+# when the training budget EXCEEDS the corpus, sources are repeated —
+# value decays with repetition (R* ≈ 15-epoch half-life), and a repeat
+# cap bounds memorization.  Constants are knobs; the registered config
+# exercises both the capped and uncapped branches on the fixture.
+_EPOCH_BUDGET_X = 3.0  # budget = 3x the corpus token count
+_EPOCH_ALPHA = 0.6  # allocation weight ∝ (token share)^alpha
+# Repeat ceiling: 3.00 epochs — the memorization guard.  Fixture
+# epochs span ~2.84-3.22, so the ceiling BINDS for the small-token
+# sources (α<1 upweights them past the cap) and is slack for the
+# large ones: both branches are driver-exercised.
+_EPOCH_CAP_CENTI = 300
+_EPOCH_RSTAR = 15.0  # repetition-value decay constant
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             sum(len(CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END))
+               AS n_tok_s
+      FROM documents GROUP BY source),
+    tot AS (SELECT sum(n_tok_s) AS n FROM s),
+    w AS (
+      SELECT source, n_docs, n_tok_s, n,
+             CAST(round(pow(CAST(n_tok_s AS DOUBLE) / CAST(n AS DOUBLE),
+                            {_EPOCH_ALPHA}) * 1000000000) AS BIGINT) AS weight_ppb
+      FROM s, tot),
+    wsum AS (SELECT CAST(sum(weight_ppb) AS BIGINT) AS wsum FROM w),
+    plan AS (
+      SELECT source, n_docs, n_tok_s, weight_ppb,
+             CAST(floor((CAST(weight_ppb AS DOUBLE) / CAST(wsum AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * {_EPOCH_BUDGET_X})) AS BIGINT)
+               AS alloc_tokens
+      FROM w, wsum),
+    e AS (
+      SELECT *,
+             CAST(floor(CAST(alloc_tokens AS DOUBLE) * 100.0
+                        / CAST(n_tok_s AS DOUBLE)) AS INTEGER) AS epochs_centi
+      FROM plan),
+    c AS (SELECT *, least(epochs_centi, {_EPOCH_CAP_CENTI}) AS capped_centi FROM e)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tok_s AS BIGINT) AS n_tokens,
+           weight_ppb, alloc_tokens, epochs_centi, capped_centi,
+           CAST(floor(CAST(n_tok_s AS DOUBLE) * capped_centi / 100.0) AS BIGINT)
+             AS served_tokens,
+           CAST(alloc_tokens
+                - CAST(floor(CAST(n_tok_s AS DOUBLE) * capped_centi / 100.0) AS BIGINT)
+             AS BIGINT) AS deficit_tokens,
+           CAST(round(CAST(n_tok_s AS DOUBLE) * {_EPOCH_RSTAR}
+                      * (1.0 - exp(-(capped_centi / 100.0) / {_EPOCH_RSTAR})))
+             AS BIGINT) AS eff_tokens
+    FROM c
+    """,
+)
+def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition plan for a token budget LARGER than the corpus —
+    the data-constrained complement of source_temperature_mix (which
+    down-samples under a sub-corpus budget).  Per source: temperature-
+    weighted allocation, implied epochs, a repeat ceiling (4 epochs —
+    the memorization guard), the tokens actually servable under the cap
+    and the deficit the cap creates, plus repetition-discounted
+    EFFECTIVE tokens (value decays with repeats, ~15-epoch constant) —
+    the number a scaling-law budget actually buys from each source.
+    On the fixture the ceiling binds for the α-upweighted small-token
+    sources and is slack for the large ones, so both the capped and
+    uncapped branches appear in every driver check.
+
+    Scale shape: one tokenize pass → a source-cardinality aggregate;
+    everything after the first group-by operates on #sources rows
+    (broadcast totals, no corpus-sized join).  Cross-engine exactness:
+    the two transcendentals (pow for the weight, exp for the repetition
+    discount) are computed on identical operand chains and quantized —
+    weight to integer ppb BEFORE the normalizing sum (associative
+    integer sum), allocation/served floored to whole tokens, effective
+    tokens rounded to whole tokens — the source_temperature_mix
+    discipline."""
+    d = table(spark, sf_dir, "documents")
+    s = d.select("source", F.size(tokens(F.col("text"))).alias("n_tok")).groupBy(
+        "source"
+    ).agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tok_s"))
+    tot = s.agg(F.sum("n_tok_s").alias("n"))
+    w = s.crossJoin(F.broadcast(tot)).withColumn(
+        "weight_ppb",
+        F.round(
+            F.pow(
+                F.col("n_tok_s").cast("double") / F.col("n").cast("double"),
+                _EPOCH_ALPHA,
+            )
+            * 1_000_000_000
+        ).cast("bigint"),
+    )
+    wsum = w.agg(F.sum("weight_ppb").alias("wsum"))
+    plan = w.crossJoin(F.broadcast(wsum)).withColumn(
+        "alloc_tokens",
+        F.floor(
+            (F.col("weight_ppb").cast("double") / F.col("wsum").cast("double"))
+            * (F.col("n").cast("double") * _EPOCH_BUDGET_X)
+        ).cast("bigint"),
+    )
+    e = plan.withColumn(
+        "epochs_centi",
+        F.floor(
+            F.col("alloc_tokens").cast("double")
+            * 100.0
+            / F.col("n_tok_s").cast("double")
+        ).cast("int"),
+    )
+    c = e.withColumn("capped_centi", F.least("epochs_centi", F.lit(_EPOCH_CAP_CENTI)))
+    served = F.floor(
+        F.col("n_tok_s").cast("double") * F.col("capped_centi") / 100.0
+    ).cast("bigint")
+    eff = F.round(
+        F.col("n_tok_s").cast("double")
+        * _EPOCH_RSTAR
+        * (
+            F.lit(1.0)
+            - F.exp(-(F.col("capped_centi") / F.lit(100.0)) / F.lit(_EPOCH_RSTAR))
+        )
+    ).cast("bigint")
+    return c.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tok_s").cast("long").alias("n_tokens"),
+        "weight_ppb",
+        "alloc_tokens",
+        "epochs_centi",
+        "capped_centi",
+        served.alias("served_tokens"),
+        (F.col("alloc_tokens") - served).alias("deficit_tokens"),
+        eff.alias("eff_tokens"),
+    )
+
+
 @register(
     "corpus_snapshot_diff",
     oracle="""

@@ -587,6 +587,89 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH jp AS ({_JACCARD_ORACLE}),
+    src AS (SELECT doc_id, source FROM documents),
+    cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    m AS (
+      SELECT least(sa.source, sb.source) AS source_lo,
+             greatest(sa.source, sb.source) AS source_hi,
+             count(*) AS n_pairs
+      FROM jp JOIN src sa ON jp.a_id = sa.doc_id
+              JOIN src sb ON jp.b_id = sb.doc_id
+      GROUP BY 1, 2)
+    SELECT m.source_lo, m.source_hi, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           CAST(cl.n_docs AS BIGINT) AS n_docs_lo,
+           CAST(ch.n_docs AS BIGINT) AS n_docs_hi,
+           CAST(round(CAST(m.n_pairs AS DOUBLE)
+                 / (CASE WHEN m.source_lo = m.source_hi
+                         THEN CAST(cl.n_docs AS DOUBLE) * (cl.n_docs - 1) / 2
+                         ELSE CAST(cl.n_docs AS DOUBLE) * ch.n_docs END)
+                 * 1000000000) AS BIGINT) AS rate_ppb
+    FROM m JOIN cnt cl ON m.source_lo = cl.source
+           JOIN cnt ch ON m.source_hi = ch.source
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup matrix: exact Jaccard pairs rolled up by
+    unordered source pair, normalized by the pairable population
+    (C(n,2) within a source, n_a*n_b across) to parts-per-billion —
+    the provenance view of duplication that tells a pipeline owner
+    WHICH feeds copy from each other (mirror sites, syndication) vs
+    which merely self-duplicate, i.e. where to spend crawl-dedup
+    effort before paying for global near-dup.
+
+    Scale shape: rides the collapse-first AllPairs pair set (the
+    dedup_ngram_jaccard machinery — hot shingles never form
+    candidates); the source lookups are doc_id-keyed joins from the
+    pair table, the per-source count relation is source-cardinality and
+    broadcast.  The normalizing division is a fixed IEEE chain on
+    integer operands rounded to integer ppb, so partial-agg order
+    cannot perturb it."""
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, _JACCARD_T)
+    src = d.select("doc_id", "source")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = (
+        pairs.join(src.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .withColumnRenamed("source", "source_a")
+        .join(src.withColumnRenamed("doc_id", "b_id"), "b_id")
+        .withColumnRenamed("source", "source_b")
+        .select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    cl = F.broadcast(
+        cnt.select(F.col("source").alias("source_lo"), F.col("n_docs").alias("n_docs_lo"))
+    )
+    ch = F.broadcast(
+        cnt.select(F.col("source").alias("source_hi"), F.col("n_docs").alias("n_docs_hi"))
+    )
+    denom = F.when(
+        F.col("source_lo") == F.col("source_hi"),
+        F.col("n_docs_lo").cast("double") * (F.col("n_docs_lo") - 1) / 2,
+    ).otherwise(F.col("n_docs_lo").cast("double") * F.col("n_docs_hi"))
+    return (
+        m.join(cl, "source_lo")
+        .join(ch, "source_hi")
+        .select(
+            "source_lo",
+            "source_hi",
+            "n_pairs",
+            "n_docs_lo",
+            "n_docs_hi",
+            F.round(F.col("n_pairs").cast("double") / denom * F.lit(1000000000.0))
+            .cast("long")
+            .alias("rate_ppb"),
+        )
+    )
+
+
 # Containment threshold: |A∩B| / |A| — asymmetric, so a small document
 # quoted inside a large one is caught even when Jaccard is tiny.
 _CONT_T = 0.7

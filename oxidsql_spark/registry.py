@@ -76,6 +76,10 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 14 — MinHash-LSH (b,r) S-curve evaluation against
     # the exact Jaccard pair distribution on a deterministic sample:
     "dedup_lsh_scurve",
+    # new in round 14 — near-dup provenance matrix + data-constrained
+    # epoch/repetition budget planning:
+    "dedup_cross_source_matrix",
+    "corpus_epoch_plan",
     # new in round 14 — the video hub df-cap EXERCISED under the
     # oracle (30% planted black frames; df 154 > 64 at sf0.01):
     "mm_video_dedup_hub",

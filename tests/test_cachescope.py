@@ -90,6 +90,8 @@ CACHE_USING_QUERIES = [
     # S-curve evaluation persists the sampled exact-pair table for the
     # four per-config aggregates
     "dedup_lsh_scurve",
+    # rides the collapse-first pair machinery (AllPairs index persists)
+    "dedup_cross_source_matrix",
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

@@ -1415,3 +1415,176 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation
+# ---------------------------------------------------------------------------
+# The tokenizer family's second member next to BPE: score candidate
+# pieces by corpus frequency, then segment each word by MINIMUM total
+# -log p(piece) via dynamic programming.  The reference has no
+# tokenizer at all; this extends the training-data surface the same way
+# bpe_train_merges does (SURVEY §2 LLM-pipeline block).
+
+_USEG_MAXP = 4  # max piece length considered
+_USEG_VOCAB = 40  # multi-char vocab kept (all single chars always kept)
+_USEG_MAXW = 24  # words longer than this leave the universe (documented cap)
+
+
+def _useg_pieces(words: DataFrame) -> DataFrame:
+    """(word, freq, s, l, piece): every substring occurrence of length
+    1..MAXP at start position s (1-based) — the shared input of piece
+    counting and edge construction.  Rows per word <= len*MAXP, so the
+    relation stays universe-bounded (never corpus-bounded)."""
+    o1 = words.select(
+        "word", "freq", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s")
+    )
+    o2 = o1.select(
+        "word",
+        "freq",
+        "s",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.least(F.lit(_USEG_MAXP), F.length("word") - F.col("s") + 1),
+            )
+        ).alias("l"),
+    )
+    return o2.withColumn("piece", F.col("word").substr(F.col("s"), F.col("l")))
+
+
+def _useg_oracle() -> str:
+    from .corpus_ext import _duck_fixlog
+
+    return f"""
+    WITH RECURSIVE wu AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)
+               AS word
+        FROM documents)
+      WHERE length(word) BETWEEN 2 AND {_USEG_MAXW}
+        AND regexp_matches(word, '^[a-z0-9]+$')
+      GROUP BY word),
+    o1 AS (SELECT word, freq,
+                  unnest(generate_series(1, length(word))) AS s FROM wu),
+    o2 AS (SELECT word, freq, s,
+                  unnest(generate_series(1, least({_USEG_MAXP},
+                                                  length(word) - s + 1))) AS l
+           FROM o1),
+    occ AS (SELECT substr(word, s, l) AS piece, freq FROM o2),
+    pcnt AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM occ GROUP BY piece),
+    multi AS (SELECT piece, cnt FROM pcnt WHERE length(piece) > 1
+              ORDER BY cnt DESC, piece LIMIT {_USEG_VOCAB}),
+    vocab AS (SELECT * FROM multi
+              UNION ALL SELECT piece, cnt FROM pcnt WHERE length(piece) = 1),
+    vtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+    vnd AS (SELECT piece, total AS num, cnt AS den FROM vocab, vtot),
+    {_duck_fixlog('vnd', key='piece', prefix='ug')},
+    edges AS (
+      SELECT o2.word, o2.s - 1 AS j, o2.s - 1 + o2.l AS i,
+             64 * ugw.w + 1 AS ekey
+      FROM o2 JOIN ugw ON substr(o2.word, o2.s, o2.l) = ugw.piece),
+    paths AS (
+      SELECT word, 0 AS i, CAST(0 AS BIGINT) AS key FROM wu
+      UNION ALL
+      SELECT e.word, e.i, p.key + e.ekey
+      FROM paths p JOIN edges e ON e.word = p.word AND e.j = p.i),
+    best AS (
+      SELECT p.word, min(p.key) AS key
+      FROM paths p JOIN wu ON p.word = wu.word AND p.i = length(wu.word)
+      GROUP BY p.word)
+    SELECT wu.word, wu.freq,
+           CAST(length(wu.word) AS INTEGER) AS word_len,
+           CAST(b.key // 64 AS BIGINT) AS cost_micro,
+           CAST(b.key % 64 AS INTEGER) AS n_pieces
+    FROM best b JOIN wu ON b.word = wu.word
+    """
+
+
+@register("unigram_segment_stats", oracle=_useg_oracle())
+def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM segmentation: seed a piece
+    vocabulary from substring frequencies (top-40 multi-char
+    pieces of length <= 4 by corpus occurrence weight, plus every
+    single character so coverage is total), score each piece at
+    -ln p(piece) in fixed-point micro-units, and Viterbi-segment every
+    word of the training universe to its MINIMUM-cost segmentation
+    (ties broken toward fewer pieces).  Emits per word-type: corpus
+    frequency, length, optimal cost, piece count — the per-type table a
+    tokenizer-selection study aggregates into fertility/compression
+    curves next to the BPE ones (bpe_fertility_by_lang).
+
+    Viterbi as additive shortest-path: an edge (j -> i) exists where
+    word[j+1..i] is a vocab piece, with integer weight 64*cost + 1, so
+    one min over path sums is lexicographic (total cost, n_pieces) —
+    the tie-break rides INSIDE the single aggregate (n_pieces <= 24
+    < 64 by the word-length cap, so the packing is collision-free).
+
+    Scale shape: the whole computation is VOCABULARY-bounded after one
+    corpus tokenize+count (the bpe_train_merges argument): piece rows
+    <= universe x len x 4; the DP runs max-word-length (<= 24)
+    rounds, each one edge-join + min-aggregate over frontier rows, each
+    generation locally checkpointed (the BPE loop discipline — the
+    frame is referenced by join and union).  Piece costs use the
+    engine-version-proof fixed-point log (corpus_ext._fixlog_micro), so
+    Spark and the oracle's recursive-CTE path enumeration agree
+    bit-for-bit.  The oracle enumerates ALL segmentations recursively
+    (bounded: compositions of len <= 24 into parts <= 4);
+    the Spark side never enumerates — the DP frontier carries one row
+    per (word, position)."""
+    from ..cachescope import free_local_checkpoint, scoped_local_checkpoint
+    from .corpus_ext import _fixlog_micro
+
+    d = table(spark, sf_dir, "documents")
+    words = _bpe_word_freqs(d).filter(F.length("word") <= _USEG_MAXW)
+    pieces = _useg_pieces(words)
+    pcnt = pieces.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+    multi = (
+        pcnt.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), "piece")
+        .limit(_USEG_VOCAB)
+    )
+    vocab = multi.unionByName(pcnt.filter(F.length("piece") == 1))
+    tot = vocab.agg(F.sum("cnt").alias("total"))
+    vnd = vocab.crossJoin(F.broadcast(tot)).select(
+        "piece", F.col("total").alias("num"), F.col("cnt").alias("den")
+    )
+    wdf = _fixlog_micro(vnd).select("piece", "w")
+    edges = scoped_local_checkpoint(
+        pieces.join(wdf, "piece").select(
+            "word",
+            (F.col("s") - 1).alias("j"),
+            (F.col("s") - 1 + F.col("l")).alias("i"),
+            (F.lit(64) * F.col("w") + 1).alias("ekey"),
+        )
+    )
+    maxlen = words.agg(F.max(F.length("word"))).first()[0] or 0
+    # DP frontier: settled (word, position j, best packed key)
+    best = scoped_local_checkpoint(
+        words.select("word", F.lit(0).alias("j"), F.lit(0).cast("long").alias("key"))
+    )
+    for i in range(1, maxlen + 1):
+        new = (
+            edges.filter(F.col("i") == i)
+            .join(best, ["word", "j"])
+            .groupBy("word")
+            .agg(F.min(F.col("key") + F.col("ekey")).alias("key"))
+            .select("word", F.lit(i).alias("j"), "key")
+        )
+        nxt = scoped_local_checkpoint(best.unionByName(new))
+        free_local_checkpoint(best)
+        best = nxt
+    out = (
+        best.join(words, "word")
+        .filter(F.col("j") == F.length("word"))
+        .select(
+            "word",
+            "freq",
+            F.length("word").cast("int").alias("word_len"),
+            F.expr("key div 64").cast("long").alias("cost_micro"),
+            (F.col("key") % 64).cast("int").alias("n_pieces"),
+        )
+    )
+    free_local_checkpoint(edges)
+    return out

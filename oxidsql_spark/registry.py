@@ -80,6 +80,10 @@ _PRIORITY: tuple[str, ...] = (
     # epoch/repetition budget planning:
     "dedup_cross_source_matrix",
     "corpus_epoch_plan",
+    # new in round 14 — unigram-LM (SentencePiece-style) Viterbi
+    # segmentation over the word universe (the tokenizer family's
+    # second member next to BPE):
+    "unigram_segment_stats",
     # new in round 14 — the video hub df-cap EXERCISED under the
     # oracle (30% planted black frames; df 154 > 64 at sf0.01):
     "mm_video_dedup_hub",

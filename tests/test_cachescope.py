@@ -92,6 +92,8 @@ CACHE_USING_QUERIES = [
     "dedup_lsh_scurve",
     # rides the collapse-first pair machinery (AllPairs index persists)
     "dedup_cross_source_matrix",
+    # Viterbi DP checkpoints edges + each frontier generation
+    "unigram_segment_stats",
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

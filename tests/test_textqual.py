@@ -113,3 +113,27 @@ def test_scurve_tradeoff_monotone(spark):
         # expected candidates ≥ sure detections it can't miss entirely:
         # every pair contributes p ∈ [0,1]; fn+detected(above) ≈ n_above
         assert r.fn_units <= r.n_above * 1_000_000
+
+
+def test_unigram_segmentation_invariants(spark):
+    import math
+
+    from oxidsql_spark.operators.textops import (
+        _USEG_MAXP,
+        unigram_segment_stats,
+    )
+
+    rows = unigram_segment_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # coverage: a segmentation always exists (single chars are in
+        # vocab), bounded by the piece-length cap on one side and
+        # char-by-char on the other
+        assert math.ceil(r.word_len / _USEG_MAXP) <= r.n_pieces <= r.word_len
+        assert r.cost_micro > 0
+    # the vocab's multi-char pieces must actually win somewhere —
+    # otherwise the face degenerates to character segmentation
+    assert any(r.n_pieces < r.word_len for r in rows)
+    # more pieces of a word can never be cheaper than its optimum:
+    # per-word keys are unique minima, so equal words don't repeat
+    assert len({r.word for r in rows}) == len(rows)

@@ -2817,3 +2817,127 @@ def embeddings_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_correct"
         ),
     )
+
+
+# --- Matryoshka truncation evaluation -------------------------------------
+# Modern embedding models train nested (Matryoshka) representations so
+# retrieval can run on a prefix of the vector at a fraction of the
+# memory/compute; the deployment decision needs exactly this table:
+# how much recall each prefix width gives up against full-width search.
+
+_MAT_DIMS = (8, 16, 32, 64)  # prefix widths; last = full (ground truth)
+_MAT_K = 10
+_MAT_NQ = 50  # vec_id < 50 are the evaluation queries
+
+
+def _mat_oracle() -> str:
+    parts = []
+    selects = []
+    for d in _MAT_DIMS:
+        parts.append(f"""
+    s{d} AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             round(list_cosine_similarity(q.v[1:{d}], c.v[1:{d}]), 4) AS simr
+      FROM e q JOIN e c ON q.vec_id < {_MAT_NQ} AND q.vec_id <> c.vec_id),
+    t{d} AS (
+      SELECT q_id, vec_id, simr FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY simr DESC, vec_id) AS rnk
+        FROM s{d})
+      WHERE rnk <= {_MAT_K})""")
+        selects.append(f"""
+    SELECT {d} AS dim, {_MAT_K} AS k,
+           CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CAST(round(t.simr * 10000) AS BIGINT)) AS BIGINT)
+             AS sim_units
+    FROM t{d} t LEFT JOIN gt g ON t.q_id = g.q_id AND t.vec_id = g.vec_id""")
+    full = _MAT_DIMS[-1]
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),"
+        + ",".join(parts)
+        + f",\n    gt AS (SELECT q_id, vec_id FROM t{full})\n"
+        + " UNION ALL ".join(selects)
+    )
+
+
+@register("embeddings_matryoshka_eval", oracle=_mat_oracle())
+def embeddings_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation: run cosine top-k
+    retrieval with only the first d dimensions of each embedding, for
+    d in (8, 16, 32, 64), and score each prefix against the full-width
+    top-k — per width: queries, hits (= recall@10 numerator) and the
+    integer-quantized similarity mass of the selected set.  This is
+    the table that decides how narrow a deployed index can go; the
+    full-width row doubles as a built-in sanity check (hits = k x
+    queries by construction).
+
+    Scale shape: one ann_topk_bruteforce-shaped pass PER width —
+    broadcast queries, embarrassingly-parallel scoring, per-query
+    top-k windows; the ground-truth set is computed once and scope-
+    persisted, each width folds into a 1-row aggregate via a
+    pair-keyed left join against it.  At billions of vectors each pass
+    swaps for the IVF probe over an index built at that width
+    (candidate restriction only — scoring and ranking unchanged).
+
+    Tie safety (the contrastive-mine rule): ranks order by the ROUNDED
+    cosine + vec_id at EVERY width, and the fixture's sliced-dim sims
+    sit >= 2e-10 sim-units from every rounding boundary (measured at
+    all four widths — ~5 orders above double noise), so the selected
+    sets match cross-engine exactly and every output column is an
+    integer."""
+    from ..cachescope import scoped_persist
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("v")
+    )
+    topks = {}
+    for d in _MAT_DIMS:
+        ed = e.select("vec_id", F.slice("v", 1, d).alias("cv")).withColumn(
+            "nrm", vec_norm(F.col("cv"))
+        )
+        q = ed.filter(F.col("vec_id") < _MAT_NQ).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("cv").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        scored = ed.join(F.broadcast(q), F.col("q_id") != F.col("vec_id")).withColumn(
+            "simr",
+            F.round(
+                vec_dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("nrm")), 4
+            ),
+        )
+        wk = W.partitionBy("q_id").orderBy(F.col("simr").desc(), "vec_id")
+        topks[d] = (
+            scored.withColumn("rnk", F.row_number().over(wk))
+            .filter(F.col("rnk") <= _MAT_K)
+            .select("q_id", "vec_id", "simr")
+        )
+    full = _MAT_DIMS[-1]
+    gt = scoped_persist(
+        topks[full].select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    parts = []
+    for d in _MAT_DIMS:
+        parts.append(
+            topks[d]
+            .join(gt, ["q_id", "vec_id"], "left")
+            .agg(
+                F.countDistinct("q_id").alias("n_queries"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+                F.sum(F.round(F.col("simr") * 10000).cast("long")).alias("sim_units"),
+            )
+            .select(
+                F.lit(d).alias("dim"),
+                F.lit(_MAT_K).alias("k"),
+                "n_queries",
+                "n_hits",
+                "sim_units",
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out

@@ -84,6 +84,9 @@ _PRIORITY: tuple[str, ...] = (
     # segmentation over the word universe (the tokenizer family's
     # second member next to BPE):
     "unigram_segment_stats",
+    # new in round 14 — Matryoshka prefix-width retrieval evaluation
+    # (recall@10 of truncated embeddings vs full-width ground truth):
+    "embeddings_matryoshka_eval",
     # new in round 14 — the video hub df-cap EXERCISED under the
     # oracle (30% planted black frames; df 154 > 64 at sf0.01):
     "mm_video_dedup_hub",

@@ -94,6 +94,8 @@ CACHE_USING_QUERIES = [
     "dedup_cross_source_matrix",
     # Viterbi DP checkpoints edges + each frontier generation
     "unigram_segment_stats",
+    # full-width ground-truth top-k persists for the per-width joins
+    "embeddings_matryoshka_eval",
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

@@ -60,3 +60,24 @@ def test_epoch_plan_budget_and_cap(spark):
         assert r.eff_tokens <= r.served_tokens
         expect = r.n_tokens * 15.0 * (1.0 - math.exp(-(r.capped_centi / 100.0) / 15.0))
         assert abs(r.eff_tokens - expect) <= 1.0
+
+
+def test_matryoshka_recall_monotone(spark):
+    from oxidsql_spark.operators.similarity import (
+        _MAT_DIMS,
+        _MAT_K,
+        _MAT_NQ,
+        embeddings_matryoshka_eval,
+    )
+
+    rows = {r.dim: r for r in embeddings_matryoshka_eval(spark, SF_DIR).collect()}
+    assert set(rows) == set(_MAT_DIMS)
+    full = rows[_MAT_DIMS[-1]]
+    # built-in sanity: full width retrieves exactly the ground truth
+    assert full.n_hits == _MAT_K * _MAT_NQ == full.n_queries * _MAT_K
+    # wider prefixes can only help recall (nested representations)
+    hits = [rows[d].n_hits for d in _MAT_DIMS]
+    assert hits == sorted(hits)
+    for r in rows.values():
+        assert 0 < r.n_hits <= _MAT_K * _MAT_NQ
+        assert r.n_queries == _MAT_NQ

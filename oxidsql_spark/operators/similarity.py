@@ -2923,7 +2923,9 @@ def embeddings_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in _MAT_DIMS:
         parts.append(
             topks[d]
-            .join(gt, ["q_id", "vec_id"], "left")
+            # gt is k x n_queries rows at ANY corpus size — broadcast,
+            # never a sort-merge exchange
+            .join(F.broadcast(gt), ["q_id", "vec_id"], "left")
             .agg(
                 F.countDistinct("q_id").alias("n_queries"),
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),

@@ -145,19 +145,50 @@ def test_prepared_fingerprints_match_inline_incremental(spark, sf_dir, tmp_path)
     assert got == want and len(got) > 0
 
 
-def test_propagation_guard_raises_on_deep_chain(spark):
-    """An unconverged propagation must raise, never return wrong labels."""
+def test_propagation_guard_raises_on_deep_chain(spark, monkeypatch):
+    """An unconverged DISTRIBUTED propagation must raise, never return
+    wrong labels (the driver fast path is forced off — it is always
+    exact and has no iteration bound)."""
     import pytest
 
-    from oxidsql_spark.operators.graph import propagate_min_labels
+    from oxidsql_spark.operators import graph
 
+    monkeypatch.setattr(graph, "_CC_DRIVER_EDGE_CAP", -1)
     n = 8
     docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "a_id long, b_id long")
     with pytest.raises(RuntimeError, match="converge"):
-        propagate_min_labels(docs, pairs, max_iters=2)
-    labels = propagate_min_labels(docs, pairs)  # default bound suffices
+        graph.propagate_min_labels(docs, pairs, max_iters=2)
+    labels = graph.propagate_min_labels(docs, pairs)  # default bound suffices
     assert {r.cluster_id for r in labels.collect()} == {0}
+
+
+def test_propagation_driver_path_equals_distributed(spark, monkeypatch):
+    """The union-find fast path and the min-label loop are the same
+    function: identical (doc_id, cluster_id) sets on a graph mixing
+    chains, a clique, singletons, and an out-of-order component."""
+    from oxidsql_spark.operators import graph
+
+    edges = (
+        [(i, i + 1) for i in range(0, 6)]  # chain 0-6
+        + [(10, 11), (11, 12), (10, 12)]  # triangle
+        + [(20, 25), (25, 21), (21, 24)]  # min joins late
+    )
+    nodes = sorted({x for e in edges for x in e} | {30, 31})  # + singletons
+    docs = spark.createDataFrame([(i,) for i in nodes], "doc_id long")
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+
+    fast = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in graph.propagate_min_labels(docs, pairs).collect()
+    )
+    monkeypatch.setattr(graph, "_CC_DRIVER_EDGE_CAP", -1)
+    dist = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in graph.propagate_min_labels(docs, pairs).collect()
+    )
+    assert fast == dist
+    assert dict(fast)[24] == 20 and dict(fast)[6] == 0 and dict(fast)[30] == 30
 
 
 def test_propagation_empty_corpus_converges(spark):

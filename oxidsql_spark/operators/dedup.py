@@ -2534,3 +2534,110 @@ def cut_ingest_stream(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
+
+
+# Threshold sweep grid — the dedup-T knob itself, next to the (b, r)
+# knob dedup_lsh_scurve tunes.  The grid brackets the sampled fixture's
+# noise floor (pair mass 564 → 43 → 7 → 1 across 0.01..0.05, then flat
+# — a real elbow), so every driver check sees the curve actually bend.
+_SWEEP_TS = (0.01, 0.02, 0.03, 0.05, 0.2)
+
+
+def _sweep_oracle() -> str:
+    h = "md5(CAST(doc_id AS VARCHAR))"
+    bucket = (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
+            for i in range(1, 5)
+        )
+        + ") % 100"
+    )
+    pairs = f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - {_JACCARD_N - 1}, 0) + 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+            FROM documents
+            WHERE {bucket} < {_SCURVE_SAMPLE})
+    ),
+    ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sh),
+    pairs AS (
+      SELECT a_id, b_id,
+             round(CAST(inter AS DOUBLE) / (n_a + n_b - inter), 4) AS j
+      FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+               any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    )"""
+    selects = []
+    for t in _SWEEP_TS:
+        selects.append(f"""
+    SELECT CAST({t} AS DOUBLE) AS threshold,
+           CAST((SELECT count(*) FROM pairs WHERE j >= {t}) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(DISTINCT d) FROM (
+                   SELECT a_id AS d FROM pairs WHERE j >= {t}
+                   UNION ALL SELECT b_id FROM pairs WHERE j >= {t}))
+                AS BIGINT) AS n_docs_touched,
+           CAST(round((SELECT count(DISTINCT d) FROM (
+                   SELECT a_id AS d FROM pairs WHERE j >= {t}
+                   UNION ALL SELECT b_id FROM pairs WHERE j >= {t}))
+                 * 1000000.0 / n.n_docs) AS BIGINT) AS touched_ppm
+    FROM n""")
+    return pairs + " UNION ALL ".join(selects)
+
+
+@register("dedup_threshold_sweep", oracle=_sweep_oracle())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sweep: for each candidate Jaccard threshold T,
+    how many pairs and how many distinct documents the near-dup pass
+    would touch (absolute + parts-per-million of the sampled corpus) —
+    the knob-selection companion of dedup_lsh_scurve (which tunes the
+    band split FOR a chosen T; this face chooses T).  A production run
+    reads the curve's elbow: the T where touched mass stops growing is
+    where near-dup stops finding structure and starts finding noise.
+
+    Scale shape: shares the scurve face's discipline exactly — the
+    exact pair set comes from the collapse-first AllPairs machinery at
+    threshold 0 over the deterministic md5-bucket sample, is computed
+    ONCE (scope-persisted), and each threshold row folds it into three
+    integer aggregates.  touched_ppm is one fixed IEEE division chain
+    rounded to integer ppm."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int") % 100
+    sample = d.filter(bucket < _SCURVE_SAMPLE).select("doc_id", "text")
+    n_docs = sample.agg(F.count(F.lit(1)).alias("n_docs"))
+    pairs = scoped_persist(ngram_jaccard_pairs(sample, threshold=0.0))
+    parts = []
+    for t in _SWEEP_TS:
+        sub = pairs.filter(F.col("jaccard") >= t)
+        touched = sub.select(
+            F.explode(F.array("a_id", "b_id")).alias("d")
+        ).agg(F.countDistinct("d").alias("n_docs_touched"))
+        np_ = sub.agg(F.count(F.lit(1)).alias("n_pairs"))
+        parts.append(
+            np_.crossJoin(touched)
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                F.lit(t).alias("threshold"),
+                "n_pairs",
+                "n_docs_touched",
+                F.round(
+                    F.col("n_docs_touched") * F.lit(1000000.0) / F.col("n_docs")
+                )
+                .cast("long")
+                .alias("touched_ppm"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out

@@ -91,6 +91,9 @@ _PRIORITY: tuple[str, ...] = (
     # gate (peak dBFS via the fixed-point log):
     "events_ohlc",
     "mm_audio_loudness",
+    # new in round 14 — dedup-threshold selection curve over the
+    # sampled exact pair distribution:
+    "dedup_threshold_sweep",
     # new in round 14 — the video hub df-cap EXERCISED under the
     # oracle (30% planted black frames; df 154 > 64 at sf0.01):
     "mm_video_dedup_hub",

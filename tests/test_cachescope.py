@@ -92,6 +92,7 @@ CACHE_USING_QUERIES = [
     "dedup_lsh_scurve",
     # rides the collapse-first pair machinery (AllPairs index persists)
     "dedup_cross_source_matrix",
+    "dedup_threshold_sweep",
     # Viterbi DP checkpoints edges + each frontier generation
     "unigram_segment_stats",
     # full-width ground-truth top-k persists for the per-width joins

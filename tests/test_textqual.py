@@ -137,3 +137,23 @@ def test_unigram_segmentation_invariants(spark):
     # more pieces of a word can never be cheaper than its optimum:
     # per-word keys are unique minima, so equal words don't repeat
     assert len({r.word for r in rows}) == len(rows)
+
+
+def test_threshold_sweep_monotone(spark):
+    from oxidsql_spark.operators.dedup import _SWEEP_TS, dedup_threshold_sweep
+
+    rows = sorted(
+        dedup_threshold_sweep(spark, SF_DIR).collect(), key=lambda r: r.threshold
+    )
+    assert [r.threshold for r in rows] == sorted(_SWEEP_TS)
+    pairs = [r.n_pairs for r in rows]
+    touched = [r.n_docs_touched for r in rows]
+    # raising the threshold can only shrink the pair set and its doc set
+    assert pairs == sorted(pairs, reverse=True)
+    assert touched == sorted(touched, reverse=True)
+    # the grid must bracket the fixture's elbow (strictly decreasing
+    # somewhere, flat tail at the top)
+    assert pairs[0] > pairs[-1] >= 0
+    for r in rows:
+        assert r.n_docs_touched <= 2 * r.n_pairs
+        assert 0 <= r.touched_ppm <= 1_000_000

@@ -495,7 +495,8 @@ def _scurve_oracle() -> str:
         qb = _pow_sql(f"(1.0 - {srs})", b)
         p = f"(1.0 - {qb})"
         selects.append(f"""
-    SELECT {b} AS bands, {r} AS rows_per_band, {_s50(b, r)} AS s50,
+    SELECT {b} AS bands, {r} AS rows_per_band,
+           CAST({_s50(b, r)} AS DOUBLE) AS s50,
            CAST(count(*) AS BIGINT) AS n_pairs,
            CAST(sum(CASE WHEN j >= {_JACCARD_T} THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
            CAST(sum(CAST(round({p} * 1000000.0) AS BIGINT)) AS BIGINT) AS exp_cand_units,

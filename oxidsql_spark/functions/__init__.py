@@ -75,3 +75,30 @@ def word_ngrams(toks: Column, n: int) -> Column:
             grams, F.slice(toks, k + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
     return F.array_distinct(grams)
+
+
+def md5_bucket(col: Column | str, mod: int = 100, salt: str = "") -> Column:
+    """Deterministic integer bucket in [0, mod) from the md5 of a column
+    — the engine-neutral sampling/splitting hash (first 4 hex nibbles,
+    positionally parsed).  SQL twin: ``duck_md5_bucket``."""
+    col = F.col(col) if isinstance(col, str) else col
+    key = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return (
+        F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % mod
+    )
+
+
+def duck_hex4(expr: str) -> str:
+    """First-4-hex-nibbles → int, expressible in DuckDB SQL (strpos
+    parse — conv() has no DuckDB twin).  Shared by every md5-bucket
+    oracle; the Spark twin is ``md5_bucket``."""
+    digit = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+    parts = [f"({digit.format(h=expr, i=i)}) * {16 ** (4 - i)}" for i in range(1, 5)]
+    return "(" + " + ".join(parts) + ")"
+
+
+def duck_md5_bucket(id_expr: str, mod: int = 100, salt: str = "") -> str:
+    """DuckDB SQL for ``md5_bucket``: bucket in [0, mod) of an id
+    expression (optionally salted)."""
+    key = f"concat('{salt}', CAST({id_expr} AS VARCHAR))" if salt else f"CAST({id_expr} AS VARCHAR)"
+    return duck_hex4(f"md5({key})") + f" % {mod}"

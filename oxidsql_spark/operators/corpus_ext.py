@@ -418,14 +418,11 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Hex nibble -> int, expressible in both engines. Spark has conv(); the
-# DuckDB side parses 4 hex chars positionally with strpos.
-def _duck_hex4(expr: str) -> str:
-    digit = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
-    parts = [
-        f"({digit.format(h=expr, i=i)}) * {16 ** (4 - i)}" for i in range(1, 5)
-    ]
-    return "(" + " + ".join(parts) + ")"
+# Hex nibble -> int, expressible in both engines.  Canonical home is
+# the leaf ``functions`` package (importable from anywhere without the
+# corpus_ext → similarity → dedup module-init chain); re-exported here
+# under the historical name for this module's many oracle builders.
+from ..functions import duck_hex4 as _duck_hex4  # noqa: E402
 
 
 # -- engine-version-proof fixed-point log ------------------------------
@@ -1217,7 +1214,8 @@ _EPOCH_RSTAR = 15.0  # repetition-value decay constant
     e AS (
       SELECT *,
              CAST(floor(CAST(alloc_tokens AS DOUBLE) * 100.0
-                        / CAST(n_tok_s AS DOUBLE)) AS INTEGER) AS epochs_centi
+                        / CAST(greatest(n_tok_s, 1) AS DOUBLE)) AS INTEGER)
+               AS epochs_centi
       FROM plan),
     c AS (SELECT *, least(epochs_centi, {_EPOCH_CAP_CENTI}) AS capped_centi FROM e)
     SELECT source,
@@ -1239,7 +1237,7 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch/repetition plan for a token budget LARGER than the corpus —
     the data-constrained complement of source_temperature_mix (which
     down-samples under a sub-corpus budget).  Per source: temperature-
-    weighted allocation, implied epochs, a repeat ceiling (4 epochs —
+    weighted allocation, implied epochs, a repeat ceiling (3 epochs —
     the memorization guard), the tokens actually servable under the cap
     and the deficit the cap creates, plus repetition-discounted
     EFFECTIVE tokens (value decays with repeats, ~15-epoch constant) —
@@ -1282,10 +1280,14 @@ def corpus_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = plan.withColumn(
         "epochs_centi",
+        # greatest(.., 1): an all-blank-text source has n_tok_s = 0 and
+        # 0/0 would be NaN — Spark casts NaN to 0 while the oracle's
+        # INTEGER cast raises, so the guard is a cross-engine contract,
+        # not just hygiene (alloc is 0 for such a source either way)
         F.floor(
             F.col("alloc_tokens").cast("double")
             * 100.0
-            / F.col("n_tok_s").cast("double")
+            / F.greatest("n_tok_s", F.lit(1)).cast("double")
         ).cast("int"),
     )
     c = e.withColumn("capped_centi", F.least("epochs_centi", F.lit(_EPOCH_CAP_CENTI)))

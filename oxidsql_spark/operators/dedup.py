@@ -456,19 +456,18 @@ def _pow_sql(expr: str, k: int) -> str:
     return out
 
 
+def _scurve_sample(d: DataFrame) -> DataFrame:
+    """The deterministic evaluation sample shared by the S-curve and
+    threshold-sweep faces (md5-bucket < _SCURVE_SAMPLE)."""
+    from ..functions import md5_bucket
+
+    return d.filter(md5_bucket("doc_id") < _SCURVE_SAMPLE).select("doc_id", "text")
+
+
 def _scurve_oracle() -> str:
-    # corpus_ext._duck_hex4's md5-bucket, inlined (importing corpus_ext
-    # here at module-init time is circular: corpus_ext → similarity →
-    # dedup)
-    h = "md5(CAST(doc_id AS VARCHAR))"
-    bucket = (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
-            for i in range(1, 5)
-        )
-        + ") % 100"
-    )
+    from ..functions import duck_md5_bucket
+
+    bucket = duck_md5_bucket("doc_id")
 
     pairs = f"""
     WITH sh AS (
@@ -545,11 +544,7 @@ def dedup_lsh_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units per pair before summing, so partial-aggregate merge
     order cannot perturb the totals; s50 is a Python-precomputed
     literal embedded in both plans."""
-    d = table(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int") % 100
-    sample = d.filter(bucket < _SCURVE_SAMPLE).select("doc_id", "text")
+    sample = _scurve_sample(table(spark, sf_dir, "documents"))
     pairs = scoped_persist(ngram_jaccard_pairs(sample, threshold=0.0))
     parts = []
     for b, r in _SCURVE_GRID:
@@ -2545,15 +2540,9 @@ _SWEEP_TS = (0.01, 0.02, 0.03, 0.05, 0.2)
 
 
 def _sweep_oracle() -> str:
-    h = "md5(CAST(doc_id AS VARCHAR))"
-    bucket = (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1) * {16 ** (4 - i)}"
-            for i in range(1, 5)
-        )
-        + ") % 100"
-    )
+    from ..functions import duck_md5_bucket
+
+    bucket = duck_md5_bucket("doc_id")
     pairs = f"""
     WITH sh AS (
       SELECT doc_id,
@@ -2610,11 +2599,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE (scope-persisted), and each threshold row folds it into three
     integer aggregates.  touched_ppm is one fixed IEEE division chain
     rounded to integer ppm."""
-    d = table(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-    ).cast("int") % 100
-    sample = d.filter(bucket < _SCURVE_SAMPLE).select("doc_id", "text")
+    sample = _scurve_sample(table(spark, sf_dir, "documents"))
     n_docs = sample.agg(F.count(F.lit(1)).alias("n_docs"))
     pairs = scoped_persist(ngram_jaccard_pairs(sample, threshold=0.0))
     parts = []

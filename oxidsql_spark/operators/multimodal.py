@@ -2592,12 +2592,18 @@ def mm_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_samples", "peak", "sum_sq", "n_silent", "n_clip"],
             )
 
-    agg = _payloads(spark, sf_dir).mapInPandas(
-        level,
-        schema=(
-            "doc_id bigint, n_samples bigint, peak bigint, sum_sq bigint,"
-            " n_silent bigint, n_clip bigint"
-        ),
+    from ..cachescope import scoped_persist
+
+    # read twice (fixlog branch + final join): persist, or the Arrow
+    # payload-decode pass — the dominant cost — executes twice
+    agg = scoped_persist(
+        _payloads(spark, sf_dir).mapInPandas(
+            level,
+            schema=(
+                "doc_id bigint, n_samples bigint, peak bigint, sum_sq bigint,"
+                " n_silent bigint, n_clip bigint"
+            ),
+        )
     )
     w = _fixlog_micro(
         agg.select(

@@ -80,6 +80,30 @@ def _lang_score_sql(lang: str) -> str:
     )
 
 
+def langid_scores(toks: "F.Column") -> "dict[str, F.Column]":
+    """Per-language stopword hit counts from a token array — the shared
+    expression block of text_langid and langid_confusion (pure column
+    composition, so consumers stay single-scan / zero-join)."""
+
+    def stop_hits(words: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    return {lang: stop_hits(ws) for lang, ws in _LANG_STOPS.items()}
+
+
+def langid_pred(s: "dict[str, F.Column]") -> "F.Column":
+    """The deterministic tie-break chain (en > de > fr > es) over a
+    langid_scores dict."""
+    return (
+        F.when((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0), "und")
+        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+
+
 @register(
     "text_langid",
     oracle=f"""
@@ -104,21 +128,10 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
 
-    def stop_hits(words: tuple[str, ...]) -> F.Column:
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-    scores = {lang: stop_hits(ws) for lang, ws in _LANG_STOPS.items()}
+    scores = langid_scores(toks)
     d = d.select("doc_id", *[scores[lg].alias(f"s_{lg}") for lg in ("en", "de", "fr", "es")])
     s = {lg: F.col(f"s_{lg}") for lg in ("en", "de", "fr", "es")}
-    pred = (
-        F.when((s["en"] == 0) & (s["de"] == 0) & (s["fr"] == 0) & (s["es"] == 0), "und")
-        .when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
-        .when(s["fr"] >= s["es"], "fr")
-        .otherwise("es")
-    )
-    return d.withColumn("lang_pred", pred)
+    return d.withColumn("lang_pred", langid_pred(s))
 
 
 @register(
@@ -1537,7 +1550,13 @@ def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .corpus_ext import _fixlog_micro
 
     d = table(spark, sf_dir, "documents")
-    words = _bpe_word_freqs(d).filter(F.length("word") <= _USEG_MAXW)
+    # the ONE corpus-sized pass: checkpoint the universe so its four
+    # consumers (edges build, maxlen agg, DP seed, final join) read the
+    # vocabulary-sized table instead of re-tokenizing the corpus — the
+    # bpe_train discipline
+    words = scoped_local_checkpoint(
+        _bpe_word_freqs(d).filter(F.length("word") <= _USEG_MAXW)
+    )
     pieces = _useg_pieces(words)
     pcnt = pieces.groupBy("piece").agg(F.sum("freq").alias("cnt"))
     multi = (

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 from ..functions import tokens
 from ..registry import register
 from ..sources import table
-from .corpus_ext import _DUCK_TOKS
-from .textops import _STOPS, _lang_score_sql, text_langid
+from .corpus_ext import _DUCK_TOKS, _QC_GATE_LANGS
+from .textops import _STOPS, _lang_score_sql
 
 # ---------------------------------------------------------------------------
 # Gopher-style quality rules (Rae et al. 2021, table A1 — the standard
@@ -265,14 +265,17 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-word list, so zh docs land on whichever list their synthetic
     vocabulary hits.
 
-    Scale shape: the langid projection is a zero-shuffle row transform;
-    the matrix is one (lang, pred) aggregate; the normalizing window
-    partitions by lang over matrix-sized rows (#langs x #preds), never
-    corpus-sized."""
-    p = text_langid(spark, sf_dir).select("doc_id", "lang_pred")
-    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    Scale shape: lang_pred is composed INLINE next to the lang label
+    (the shared langid_scores/langid_pred expression block) — ONE
+    corpus scan, no join, straight into the (lang, pred) aggregate;
+    the normalizing window partitions by lang over matrix-sized rows
+    (#langs x #preds), never corpus-sized."""
+    from .textops import langid_pred, langid_scores
+
+    d = table(spark, sf_dir, "documents")
+    pred = langid_pred(langid_scores(tokens(F.col("text"))))
     m = (
-        d.join(p, "doc_id")
+        d.select("lang", pred.alias("lang_pred"))
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -289,7 +292,9 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # First-failing-rule attrition funnel
 # ---------------------------------------------------------------------------
 
-_GATE_LANGS = ("en", "de", "fr", "es")  # mirrors corpus_ext._QC_GATE_LANGS
+# the REAL gate's language list — imported, not copied, so the funnel's
+# known_lang stage can never drift from the quality gate it budgets
+_GATE_LANGS = _QC_GATE_LANGS
 _GATE_LANGS_SQL = ", ".join(f"'{x}'" for x in _GATE_LANGS)
 
 # (stage name, ordinal, DuckDB predicate) — evaluation ORDER is the

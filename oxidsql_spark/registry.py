@@ -60,8 +60,8 @@ _LOADED = False
 _PRIORITY: tuple[str, ...] = (
     # round-14 start: all 23 round-13 priority names were driver-green
     # in CORRECTNESS_r13.json and retire to the stable rotation.  This
-    # round's block holds 22 names (13 new + 9 rewritten), so the 50-row
-    # window reaches ~28 stable rows — the stalest-first ordering
+    # round's block holds 23 names (14 new + 9 rewritten), so the 50-row
+    # window reaches ~27 stable rows — the stalest-first ordering
     # fronts the 4 remaining r8 rows (events_dow_hour/interarrival/
     # path_topk/pattern_match — VERDICT r13 missing #4) plus most of
     # the 42-row r9 cohort.

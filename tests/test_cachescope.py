@@ -97,6 +97,8 @@ CACHE_USING_QUERIES = [
     "unigram_segment_stats",
     # full-width ground-truth top-k persists for the per-width joins
     "embeddings_matryoshka_eval",
+    # the Arrow level-stats frame persists (fixlog branch + final join)
+    "mm_audio_loudness",
     # these ride a frozen-artifact build (persists only while building)
     "bpe_fertility_by_lang",
     "quality_classifier_pr",

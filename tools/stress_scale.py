@@ -84,6 +84,11 @@ STRESS_QUERIES = [
     "mm_video_dedup",
     "mm_audio_dedup",
     "quality_classifier_score",
+    # r14 addition: the Viterbi segmentation's claim is VOCABULARY-
+    # boundedness — 10x corpus rows, near-identical word universe
+    # (verbatim) should cost ~1x after the one tokenize+count pass;
+    # the salted mode grows the universe ~k-fold and bounds that case
+    "unigram_segment_stats",
 ]
 
 

@@ -1466,11 +1466,13 @@ def _useg_pieces(words: DataFrame) -> DataFrame:
     return o2.withColumn("piece", F.col("word").substr(F.col("s"), F.col("l")))
 
 
-def _useg_oracle() -> str:
+def _useg_cte() -> str:
+    """Shared oracle prefix: word universe -> piece counts -> vocab ->
+    fixlog piece costs -> DP edge list (text of WITH members, no WITH
+    keyword) — nested by both unigram oracles."""
     from .corpus_ext import _duck_fixlog
 
-    return f"""
-    WITH RECURSIVE wu AS (
+    return f"""wu AS (
       SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
         SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END)
@@ -1497,7 +1499,12 @@ def _useg_oracle() -> str:
     edges AS (
       SELECT o2.word, o2.s - 1 AS j, o2.s - 1 + o2.l AS i,
              64 * ugw.w + 1 AS ekey
-      FROM o2 JOIN ugw ON substr(o2.word, o2.s, o2.l) = ugw.piece),
+      FROM o2 JOIN ugw ON substr(o2.word, o2.s, o2.l) = ugw.piece)"""
+
+
+def _useg_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_useg_cte()},
     paths AS (
       SELECT word, 0 AS i, CAST(0 AS BIGINT) AS key FROM wu
       UNION ALL
@@ -1546,6 +1553,28 @@ def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded: compositions of len <= 24 into parts <= 4);
     the Spark side never enumerates — the DP frontier carries one row
     per (word, position)."""
+    words, vocab, edges, best, maxlen = _useg_dp(spark, sf_dir)
+    out = (
+        best.join(words, "word")
+        .filter(F.col("j") == F.length("word"))
+        .select(
+            "word",
+            "freq",
+            F.length("word").cast("int").alias("word_len"),
+            F.expr("key div 64").cast("long").alias("cost_micro"),
+            (F.col("key") % 64).cast("int").alias("n_pieces"),
+        )
+    )
+    return out
+
+
+def _useg_dp(spark: SparkSession, sf_dir: str):
+    """Shared Viterbi forward pass: (words, vocab, edges, best, maxlen)
+    — `best` holds (word, position j, min packed key) for EVERY
+    reachable position, so consumers can read the optimum at the word
+    end (segmentation stats) or backtrack through it (EM usage
+    counting).  All frames checkpointed/vocabulary-bounded; the one
+    corpus-sized pass is the universe tokenize+count."""
     from ..cachescope import free_local_checkpoint, scoped_local_checkpoint
     from .corpus_ext import _fixlog_micro
 
@@ -1564,7 +1593,9 @@ def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "piece")
         .limit(_USEG_VOCAB)
     )
-    vocab = multi.unionByName(pcnt.filter(F.length("piece") == 1))
+    vocab = scoped_local_checkpoint(
+        multi.unionByName(pcnt.filter(F.length("piece") == 1))
+    )
     tot = vocab.agg(F.sum("cnt").alias("total"))
     vnd = vocab.crossJoin(F.broadcast(tot)).select(
         "piece", F.col("total").alias("num"), F.col("cnt").alias("den")
@@ -1594,16 +1625,159 @@ def unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = scoped_local_checkpoint(best.unionByName(new))
         free_local_checkpoint(best)
         best = nxt
-    out = (
-        best.join(words, "word")
-        .filter(F.col("j") == F.length("word"))
-        .select(
-            "word",
-            "freq",
-            F.length("word").cast("int").alias("word_len"),
-            F.expr("key div 64").cast("long").alias("cost_micro"),
-            (F.col("key") % 64).cast("int").alias("n_pieces"),
+    return words, vocab, edges, best, maxlen
+
+
+def _uem_oracle() -> str:
+    from .corpus_ext import _duck_fixlog
+
+    return f"""
+    WITH RECURSIVE {_useg_cte()},
+    paths AS (
+      SELECT word, 0 AS i, CAST(0 AS BIGINT) AS key FROM wu
+      UNION ALL
+      SELECT e.word, e.i, p.key + e.ekey
+      FROM paths p JOIN edges e ON e.word = p.word AND e.j = p.i),
+    bestpos AS (
+      SELECT word, i, min(key) AS key FROM paths GROUP BY word, i),
+    bt AS (
+      SELECT word, length(word) AS i, CAST(NULL AS VARCHAR) AS piece FROM wu
+      UNION ALL
+      SELECT b.word, e.j AS i, substr(b.word, e.j + 1, b.i - e.j) AS piece
+      FROM bt b
+      JOIN edges e ON e.word = b.word AND e.i = b.i
+      JOIN bestpos pj ON pj.word = b.word AND pj.i = e.j
+      JOIN bestpos pi ON pi.word = b.word AND pi.i = b.i
+      WHERE b.i > 0
+        AND pj.key + e.ekey = pi.key
+        AND NOT EXISTS (
+          SELECT 1 FROM edges e2
+          JOIN bestpos pj2 ON pj2.word = e2.word AND pj2.i = e2.j
+          WHERE e2.word = b.word AND e2.i = b.i AND e2.j < e.j
+            AND pj2.key + e2.ekey = pi.key)),
+    usage AS (
+      SELECT b.piece, CAST(sum(wu.freq) AS BIGINT) AS usage
+      FROM bt b JOIN wu ON b.word = wu.word
+      WHERE b.piece IS NOT NULL
+      GROUP BY b.piece),
+    em_base AS (
+      SELECT v.piece, v.cnt AS seed_cnt,
+             CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+      FROM vocab v LEFT JOIN usage u ON v.piece = u.piece),
+    emt AS (SELECT CAST(sum(usage) AS BIGINT) AS tot_u,
+                   CAST(count(*) AS BIGINT) AS v_n FROM em_base),
+    emnd AS (
+      SELECT piece, seed_cnt, usage,
+             tot_u + v_n AS num, usage + 1 AS den
+      FROM em_base, emt),
+    {_duck_fixlog('emnd', key='piece, seed_cnt, usage', prefix='em')}
+    SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len,
+           seed_cnt, usage, w AS new_w_micro
+    FROM emw
+    """
+
+
+@register("unigram_em_reestimate", oracle=_uem_oracle())
+def unigram_em_reestimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unigram-LM EM round (the SentencePiece training step after
+    seeding): Viterbi-segment every universe word under the seed piece
+    costs, count each piece's CANONICAL-path usage weighted by corpus
+    frequency, and re-estimate piece costs from usage with add-one
+    smoothing — per piece: seed count, usage, and the re-estimated
+    -ln p in fixed-point micro-units.  Pieces whose usage collapses to
+    0 are the ones a further round would prune; the usage column IS the
+    E-step statistic.
+
+    The backtrack is CANONICAL, not just optimal: among edges achieving
+    the optimum at a position, the smallest split point j wins —
+    deterministic in both engines (Spark: min(j) per backward step;
+    oracle: NOT EXISTS over smaller j inside the recursive CTE), so
+    usage counts are well-defined even when distinct segmentations tie
+    on (cost, n_pieces).
+
+    Scale shape: rides the shared _useg_dp forward pass (vocabulary-
+    bounded, checkpointed generations); the backtrack runs max-word-
+    length rounds BACKWARD over the settled position table, each one
+    edge-join + min-aggregate on frontier rows (the forward loop's
+    shape), and the M-step is two vocab-sized aggregates + the
+    fixed-point log.  The oracle reconstructs the same canonical path
+    through a recursive CTE with the min-j rule spelled as NOT EXISTS,
+    so E-step counts and re-estimated costs are bit-identical."""
+    from ..cachescope import free_local_checkpoint, scoped_local_checkpoint
+    from .corpus_ext import _fixlog_micro
+
+    words, vocab, edges, best, maxlen = _useg_dp(spark, sf_dir)
+    bj = best.select(
+        F.col("word").alias("bw"), F.col("j").alias("jj"), F.col("key").alias("kj")
+    )
+    cur = scoped_local_checkpoint(
+        words.select("word", F.length("word").cast("int").alias("i")).filter(
+            F.col("i") > 0
         )
     )
-    free_local_checkpoint(edges)
-    return out
+    steps = []
+    for p in range(maxlen, 0, -1):
+        at_p = cur.filter(F.col("i") == p).select("word")
+        kp = (
+            best.filter(F.col("j") == p)
+            .join(at_p, "word")
+            .select("word", F.col("key").alias("kp"))
+        )
+        ok = (
+            edges.filter(F.col("i") == p)
+            .join(kp, "word")
+            .join(
+                bj,
+                (F.col("word") == F.col("bw")) & (F.col("j") == F.col("jj")),
+                "inner",
+            )
+            .filter(F.col("kj") + F.col("ekey") == F.col("kp"))
+        )
+        jstar = ok.groupBy("word").agg(F.min("j").alias("j"))
+        step = scoped_local_checkpoint(
+            jstar.select(
+                "word",
+                "j",
+                F.lit(p).alias("i"),
+                F.expr(f"substr(word, j + 1, {p} - j)").alias("piece"),
+            )
+        )
+        steps.append(step)
+        nxt = scoped_local_checkpoint(
+            cur.filter(F.col("i") != p)
+            .unionByName(step.select("word", F.col("j").cast("int").alias("i")))
+            .filter(F.col("i") > 0)
+        )
+        free_local_checkpoint(cur)
+        cur = nxt
+    allsteps = steps[0]
+    for x in steps[1:]:
+        allsteps = allsteps.unionByName(x)
+    usage = (
+        allsteps.join(words, "word")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("usage"))
+    )
+    em_base = vocab.join(usage, "piece", "left").select(
+        "piece",
+        F.col("cnt").alias("seed_cnt"),
+        F.coalesce("usage", F.lit(0)).cast("long").alias("usage"),
+    )
+    emt = em_base.agg(
+        F.sum("usage").alias("tot_u"), F.count(F.lit(1)).alias("v_n")
+    )
+    emnd = em_base.crossJoin(F.broadcast(emt)).select(
+        "piece",
+        "seed_cnt",
+        "usage",
+        (F.col("tot_u") + F.col("v_n")).alias("num"),
+        (F.col("usage") + 1).alias("den"),
+    )
+    emw = _fixlog_micro(emnd)
+    return emw.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        "seed_cnt",
+        "usage",
+        F.col("w").alias("new_w_micro"),
+    )

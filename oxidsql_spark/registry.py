@@ -84,6 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     # segmentation over the word universe (the tokenizer family's
     # second member next to BPE):
     "unigram_segment_stats",
+    "unigram_em_reestimate",
     # new in round 14 — Matryoshka prefix-width retrieval evaluation
     # (recall@10 of truncated embeddings vs full-width ground truth):
     "embeddings_matryoshka_eval",

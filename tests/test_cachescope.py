@@ -95,6 +95,8 @@ CACHE_USING_QUERIES = [
     "dedup_threshold_sweep",
     # Viterbi DP checkpoints edges + each frontier generation
     "unigram_segment_stats",
+    # forward DP + canonical backtrack generations all checkpoint
+    "unigram_em_reestimate",
     # full-width ground-truth top-k persists for the per-width joins
     "embeddings_matryoshka_eval",
     # the Arrow level-stats frame persists (fixlog branch + final join)

@@ -157,3 +157,37 @@ def test_threshold_sweep_monotone(spark):
     for r in rows:
         assert r.n_docs_touched <= 2 * r.n_pairs
         assert 0 <= r.touched_ppm <= 1_000_000
+
+
+def test_unigram_em_char_conservation(spark):
+    from oxidsql_spark.operators.textops import (
+        _USEG_MAXW,
+        _bpe_word_freqs,
+        unigram_em_reestimate,
+    )
+    from oxidsql_spark.sources import table
+    from pyspark.sql import functions as F
+
+    rows = unigram_em_reestimate(spark, SF_DIR).collect()
+    assert rows
+    # every character of every (capped) word occurrence is covered by
+    # exactly one canonical-path piece: sum(usage * len) == corpus chars
+    used_chars = sum(r.usage * r.piece_len for r in rows)
+    wu = _bpe_word_freqs(table(spark, SF_DIR, "documents")).filter(
+        F.length("word") <= _USEG_MAXW
+    )
+    corpus_chars = wu.select(
+        F.sum(F.col("freq") * F.length("word")).alias("s")
+    ).first().s
+    assert used_chars == corpus_chars
+    # the M-step re-scores monotonically: more usage never costs more
+    by_usage = sorted(rows, key=lambda r: r.usage)
+    for a, b in zip(by_usage, by_usage[1:]):
+        if a.usage < b.usage:
+            assert a.new_w_micro > b.new_w_micro
+        elif a.usage == b.usage:
+            assert a.new_w_micro == b.new_w_micro
+    # some seed pieces must collapse (the prune signal) and some must
+    # survive with usage > 0
+    assert any(r.usage == 0 for r in rows)
+    assert any(r.usage > 0 for r in rows)

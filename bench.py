@@ -111,7 +111,22 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
             if m and m.group(1) != keep_fp:
                 shutil.rmtree(os.path.join("/tmp", name), ignore_errors=True)
 
+    # files ~ available parallelism, for EVERY table (r14 opt round):
+    # the 256 KB/file target left the small-bytes/heavy-derived-work
+    # tables starved — documents (584 KB -> 2 files) ran its dhash /
+    # shingle / payload chains as 2 tasks on 32 cores and embeddings
+    # (780 KB -> 3 files) its Arrow passes as 3 (measured: the video
+    # frame chain 1.43 s -> 0.58 s just from 32-way files).  At 100 TB
+    # every table is thousands of >=128 MB files and scan parallelism
+    # saturates the cluster on its own; files-per-core is how the
+    # local bench models that, which is why the cap tracks
+    # $SPARK_GRAFT_CPUS (the driver's low-core re-runs get a matching
+    # base via the fingerprint below) instead of a hard-coded 32.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     src_fp = _fingerprint()
+    # layout params participate in the fingerprint: a core-count change
+    # (or a layout-rule change like this round's) builds a fresh base
+    src_fp["_layout"] = [cpus, 16, 256]
     tag = sf_dir.rstrip("/").replace("/", "_")
     # fingerprint participates in the path: a regenerated sf dir gets a
     # FRESH base dir rather than an in-place rebuild of the old one
@@ -131,13 +146,25 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         nbytes = _tbytes(src)
-        # target = bytes/256K capped at the 32 local cores: sf0.1's
-        # LARGEST table is ~11 MB compressed, so a "cluster-realistic"
-        # 128 MB file target would leave every scan single-task — the
+        # target = bytes/256K capped at the core count: sf0.1's LARGEST
+        # table is ~11 MB compressed, so a "cluster-realistic" 128 MB
+        # file target would leave every scan single-task — the
         # starvation this layout exists to fix.  What is held constant
         # across scale is files ~ available parallelism (the
-        # sinks.compact rule), not a byte size.
-        n = max(1, min(32, nbytes // (256 << 10)))
+        # sinks.compact rule), not a byte size.  The PAYLOAD tables
+        # (documents, embeddings) get a 16K target instead (r14 opt
+        # round): their heads' cost is per-row DERIVED work (dhash /
+        # shingle / PCM chains, Arrow vector passes), not scan bytes,
+        # and the 256K rule left them at 2-3 files — 2-3 tasks on 32
+        # cores (measured: the video frame chain 1.43 s -> 0.58 s from
+        # 32-way files; a same-bytes sizing for byte-proportional
+        # relational scans stays at 256K, where finer files only add
+        # task overhead — events_hourly/dedup_exact +0.2 s each under a
+        # uniform 16K).  A 100 TB layout makes the same split: file
+        # sizing follows downstream compute density, and scans of big
+        # tables saturate parallelism from data volume alone.
+        tgt = 16 if t in ("documents", "embeddings") else 256
+        n = max(1, min(cpus, nbytes // (tgt << 10)))
         files[t] = int(n)
         spark.read.parquet(src).repartition(int(n)).write.mode(
             "overwrite"

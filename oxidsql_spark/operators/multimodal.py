@@ -555,11 +555,34 @@ def dhash_image(payload: bytes):
 
 
 def _dhash_fake_terms(engine: str, col: str = "text") -> str:
-    """The fake byte-stride fingerprint as a sum of CASE terms, emitted
-    identically for Spark SQL and DuckDB (both operate on the ASCII
-    payload): bit i compares the codepoints at stride positions
-    1 + (7i mod (len-1)) and its successor.  ``col`` names the string
-    column hashed (the video twin hashes per-FRAME substrings)."""
+    """The fake byte-stride fingerprint, emitted for Spark SQL and
+    DuckDB (both operate on the ASCII payload): bit i compares the
+    codepoints at stride positions 1 + (7i mod (len-1)) and its
+    successor.  ``col`` names the string column hashed (the video twin
+    hashes per-FRAME substrings).
+
+    The DuckDB form stays the literal 48-term CASE sum the
+    oracles have always carried.  The Spark form is the SAME integer
+    fold written as one ``aggregate`` higher-order expression: bit
+    terms are added in ascending-``i`` order with BIGINT arithmetic, so
+    the result is bit-identical (locked by test_multimodal_codec's
+    unrolled-vs-HOF equality pytest and every dhash-family oracle row).
+    The rewrite is a PLAN-SIZE optimization (r14 opt round, guide §1.2
+    step 2): the unrolled form is a ~1500-node expression tree that the
+    banded dedup self-joins replicate ~12x into one logical plan —
+    measured 2.1 s of F.expr parse per construction and ~3 s of
+    optimizer time per action at sf0.1 — while the HOF form is ~40
+    nodes (parse 0.09 s), cutting per-run plan construction,
+    optimization, and CacheManager canonicalization across the whole
+    image/video dedup family without touching a single output bit."""
+    if engine == "spark":
+        p = f"(i * 7) % greatest(length({col}) - 1, 1)"
+        return (
+            f"aggregate(sequence(0, {_DH_FAKE_BITS - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CASE WHEN ascii(substring({col}, {p} + 1, 1)) > "
+            f"ascii(substring({col}, {p} + 2, 1)) "
+            f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"
+        )
     terms = []
     for i in range(_DH_FAKE_BITS):
         p = f"(1 + (({i} * 7) % greatest(length({col}) - 1, 1)))"
@@ -890,24 +913,36 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal_codec.py.  Scale shape: the frame fan-out is
     one generate+project (codegen); only (doc_id, frame_idx, 8-byte
     hash) rows reach the window shuffle — never frame payloads."""
-    d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        "text",
-        F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+    # Scene-level derivation (r14 opt round): the lag window runs over
+    # (doc, scene) rows — 1/rep of the frame rows the generic
+    # `video_keyframes_from_fingerprints` window shuffles — and frames
+    # explode AFTER.  Frame-level equivalence: a frame is a keyframe
+    # iff it is the FIRST frame of its scene (within a scene the lag
+    # hash is identical, hamming 0 <= t) and its scene's hash jumps
+    # > t bits from the previous scene's (frame 0's NULL-lag coalesces
+    # to TRUE, which the j=0 conjunction of sc=0's NULL-lag TRUE
+    # reproduces).  Bit-identical rows, proven by the unchanged oracle
+    # and test_multimodal_codec's frame-vs-scene equality pytest.
+    sch = _vid_scene_hashes(table(spark, sf_dir, "documents"))
+    w = W.partitionBy("doc_id").orderBy("sc")
+    sck = sch.withColumn("_prev", F.lag("dhash").over(w)).withColumn(
+        "scene_kf",
+        F.when(F.col("_prev").isNull(), F.lit(True)).otherwise(
+            F.expr(f"bit_count(dhash ^ _prev) > {_VID_HAM_T}")
+        ),
     )
-    fr = base.select(
+    return sck.select(
         "doc_id",
-        "text",
-        "s",
-        F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias("frame_idx"),
-    ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
-    fh = fr.select(
+        "sc",
+        "dhash",
+        "scene_kf",
+        F.explode(F.expr(f"sequence(0, {_VID_REP} - 1)")).alias("j"),
+    ).select(
         "doc_id",
-        "frame_idx",
-        F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
+        (F.col("sc") * _VID_REP + F.col("j")).alias("frame_idx"),
+        "dhash",
+        ((F.col("j") == 0) & F.col("scene_kf")).alias("is_keyframe"),
     )
-    return video_keyframes_from_fingerprints(fh)
 
 
 mm_video_keyframes.__doc__ = mm_video_keyframes.__doc__.format(
@@ -953,20 +988,36 @@ def video_dedup_from_fingerprints(
     pigeonhole), the containment vote is one integer aggregate per
     candidate video pair, and clustering is the shared min-label
     propagation."""
+    return video_dedup_from_keyframe_sets(
+        video_keyframes_from_fingerprints(fh, t=_VID_HAM_T)
+        .filter(F.col("is_keyframe"))
+        .select("doc_id", "dhash")
+        .distinct(),
+        docs,
+        t=t,
+    )
+
+
+def video_dedup_from_keyframe_sets(
+    kf_raw: DataFrame, docs: DataFrame, t: int = _CAP_HAM_T
+) -> DataFrame:
+    """The cross-video chain from the raw keyframe hash SETS down:
+    df-cap -> band candidates -> hamming verify -> containment vote ->
+    closure -> keep-best.  Split out of
+    ``video_dedup_from_fingerprints`` (r14 opt round) so callers that
+    can derive the keyframe set more cheaply than the generic per-frame
+    lag window — the synthetic faces hash per SCENE and never explode
+    frames at all — feed the identical set without paying the frame
+    fan-out.  ``kf_raw`` is distinct (doc_id, dhash) keyframe hashes
+    from ANY derivation."""
     from ..cachescope import scoped_persist
     from .graph import propagate_min_labels
 
     # The raw keyframe hash set is read TWICE (the df aggregate and the
-    # kept-set join) and it sits on top of the whole frame-explode +
-    # window chain — persist it, or that chain executes once per
-    # branch (measured 2x the head's wall-clock when this lapsed in
-    # the r14 cap rewrite).
-    kf = scoped_persist(
-        video_keyframes_from_fingerprints(fh)
-        .filter(F.col("is_keyframe"))
-        .select("doc_id", "dhash")
-        .distinct()
-    )
+    # kept-set join) and it sits on top of the whole fingerprint chain —
+    # persist it, or that chain executes once per branch (measured 2x
+    # the head's wall-clock when this lapsed in the r14 cap rewrite).
+    kf = scoped_persist(kf_raw)
     # stop-shingle df rule: a hash value shared by more videos than the
     # cap is a hub (black frames, title cards) — dropped before the
     # join, and n_k counts the KEPT set so both vote operands agree
@@ -1119,24 +1170,58 @@ def _video_dedup_oracle(fh_rel: str = "fh", extra_cte: str = "") -> str:
     """
 
 
-def _vid_fh(d: DataFrame) -> DataFrame:
-    """documents -> the synthetic per-frame fingerprint chain (frame
-    explode + per-frame fake dHash) shared by every video face."""
-    base = d.select(
-        "doc_id",
-        "text",
-        F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+def _vid_scene_hashes(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, s, sc, dhash): ONE fake dHash per SCENE.
+
+    All {rep} frames of a scene show the same char slice by
+    construction (``_vid_frame_sql``: the slice depends only on
+    frame_idx DIV rep), so hashing per frame computes every scene hash
+    rep times and ships rep identical rows into whatever window or
+    distinct follows.  Hashing per scene and exploding frames AFTER
+    (r14 opt round, guide §2.3 "shuffle fewer bytes" + §1.2 step 1)
+    does the substring+dhash work once per scene and, for consumers
+    that only need scene-level structure (the keyframe flag, the
+    keyframe SET), never materializes frame rows at all — bit-identical
+    output by construction, locked by the keyframes/dedup oracle rows
+    and test_multimodal_codec's frame-vs-scene equality pytest."""
+    sc, ln = "sc", "length(text)"
+    start = f"(1 + ({sc} * {ln}) DIV s)"
+    flen = f"((({sc} + 1) * {ln}) DIV s - ({sc} * {ln}) DIV s)"
+    ft = f"substring(text, {start}, {flen})"
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+        )
+        .select(
+            "doc_id", "s", F.explode(F.expr("sequence(0, s - 1)")).alias("sc"), "text"
+        )
+        .select(
+            "doc_id",
+            "s",
+            "sc",
+            F.expr(_dhash_fake_terms("spark", f"({ft})")).alias("dhash"),
+        )
     )
-    fr = base.select(
+
+
+_vid_scene_hashes.__doc__ = _vid_scene_hashes.__doc__.format(rep=_VID_REP)
+
+
+def _vid_fh(d: DataFrame) -> DataFrame:
+    """documents -> the synthetic per-frame fingerprint chain shared by
+    every video face: scene-level hashes (`_vid_scene_hashes`) exploded
+    to frame granularity (frame_idx = sc * rep + j) — row-identical to
+    hashing each frame directly, at 1/rep the hash work."""
+    return _vid_scene_hashes(d).select(
         "doc_id",
-        "text",
-        "s",
-        F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias("frame_idx"),
-    ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
-    return fr.select(
-        "doc_id",
-        "frame_idx",
-        F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
+        F.explode(
+            F.expr(
+                f"sequence(sc * {_VID_REP}, sc * {_VID_REP} + {_VID_REP} - 1)"
+            )
+        ).alias("frame_idx"),
+        "dhash",
     )
 
 
@@ -1158,7 +1243,23 @@ def mm_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-dropped copy) go through `split_p5_frames` + `dhash_image`
     into the same chain in tests/test_multimodal_codec.py."""
     d = table(spark, sf_dir, "documents")
-    return video_dedup_from_fingerprints(_vid_fh(d), d.select("doc_id", "n_chars"))
+    # Scene-level keyframe SET (r14 opt round): the dedup chain only
+    # consumes distinct keyframe hashes per video, and on the synthetic
+    # chain those are exactly the scene hashes that jump > t bits from
+    # their predecessor (see mm_video_keyframes) — so the set derives
+    # from scene rows directly and the frame explode never happens.
+    sch = _vid_scene_hashes(d)
+    w = W.partitionBy("doc_id").orderBy("sc")
+    kf = (
+        sch.withColumn("_prev", F.lag("dhash").over(w))
+        .filter(
+            F.col("_prev").isNull()
+            | F.expr(f"bit_count(dhash ^ _prev) > {_VID_HAM_T}")
+        )
+        .select("doc_id", "dhash")
+        .distinct()
+    )
+    return video_dedup_from_keyframe_sets(kf, d.select("doc_id", "n_chars"))
 
 
 _VID_HUB_CASE = (
@@ -2480,27 +2581,9 @@ def mm_video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _BATCH_SRCS, _artifact_tmp
 
     d = table(spark, sf_dir, "documents")
-
-    def fh_of(docs: DataFrame) -> DataFrame:
-        base = docs.select(
-            "doc_id",
-            "text",
-            F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
-        )
-        fr = base.select(
-            "doc_id",
-            "text",
-            "s",
-            F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias(
-                "frame_idx"
-            ),
-        ).select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
-        return fr.select(
-            "doc_id",
-            "frame_idx",
-            F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
-        )
-
+    # fh_of duplicated `_vid_fh` inline before the r14 opt round; both
+    # splits now share the scene-hashed chain (same rows, 1/rep hash
+    # work — see _vid_scene_hashes).
     corpus = d.filter(~F.col("source").isin(*_BATCH_SRCS)).select(
         "doc_id", "text"
     )
@@ -2508,8 +2591,8 @@ def mm_video_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = os.path.join(_artifact_tmp("vididx", sf_dir), "index")
     if not os.path.exists(os.path.join(idx, "_SUCCESS")):
         # hash-df cap baked in at build time (the audio index rule)
-        _capped_kf_sets(fh_of(corpus)).write.mode("overwrite").parquet(idx)
-    return video_dedup_incremental(spark, fh_of(batch), idx)
+        _capped_kf_sets(_vid_fh(corpus)).write.mode("overwrite").parquet(idx)
+    return video_dedup_incremental(spark, _vid_fh(batch), idx)
 
 
 # --- loudness / level analysis over PCM payloads ---------------------------

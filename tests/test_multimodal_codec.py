@@ -766,3 +766,79 @@ def test_capped_band_join_candidates_linear_in_hub_size(spark):
     # exactly the planted pair's band collisions: p~p^1 and q~q^2 agree
     # on 3 of 4 bands each (hamming 1 within one 12-bit band)
     assert small == 6, small
+
+
+def test_dhash_hof_equals_unrolled_sum(spark, sf_dir):
+    """r14 opt round: the Spark-side fake dHash is the aggregate() HOF
+    fold; the DuckDB oracle keeps the unrolled 48-term CASE sum.  Both
+    add the same BIGINT bit terms in ascending-i order, so the values
+    must be bit-identical on the live fixture corpus — this pins the
+    equivalence the plan-size optimization rests on, engine-side only
+    (no DuckDB needed)."""
+    from oxidsql_spark.operators.multimodal import (
+        _DH_FAKE_BITS,
+        _dhash_fake_terms,
+    )
+    from oxidsql_spark.sources import table
+
+    d = table(spark, sf_dir, "documents")
+    hof = _dhash_fake_terms("spark")
+    assert "aggregate(" in hof  # the optimization is actually in place
+    unrolled = []
+    for i in range(_DH_FAKE_BITS):
+        p = f"(1 + (({i} * 7) % greatest(length(text) - 1, 1)))"
+        unrolled.append(
+            f"(CASE WHEN ascii(substring(text, {p}, 1)) > "
+            f"ascii(substring(text, {p} + 1, 1)) THEN CAST({1 << i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    got = d.select(
+        "doc_id",
+        F.expr(hof).alias("h"),
+        F.expr(" + ".join(unrolled)).alias("u"),
+    )
+    assert got.filter("h IS NULL OR h <> u").count() == 0
+    assert got.count() > 0
+
+
+def test_video_scene_hash_equals_per_frame_chain(spark, sf_dir):
+    """r14 opt round: `_vid_fh` hashes once per SCENE and explodes
+    frames after; this pins row-set equality against the original
+    per-frame formulation (explode frames first, hash each frame's
+    substring) on the live fixture corpus — the equivalence the
+    keyframe/dedup scene shortcuts rest on."""
+    from oxidsql_spark.operators.multimodal import (
+        _VID_REP,
+        _VID_SCENES_MOD,
+        _dhash_fake_terms,
+        _vid_fh,
+        _vid_frame_sql,
+    )
+    from oxidsql_spark.sources import table
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "text",
+        F.expr(f"2 + (length(text) % {_VID_SCENES_MOD})").alias("s"),
+    )
+    frame_level = (
+        base.select(
+            "doc_id",
+            "text",
+            "s",
+            F.explode(F.expr(f"sequence(0, {_VID_REP} * s - 1)")).alias(
+                "frame_idx"
+            ),
+        )
+        .select("doc_id", "frame_idx", F.expr(_vid_frame_sql("DIV")).alias("ft"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(_dhash_fake_terms("spark", "ft")).alias("dhash"),
+        )
+    )
+    a = sorted(map(tuple, _vid_fh(d).collect()))
+    b = sorted(map(tuple, frame_level.collect()))
+    assert a == b
+    assert len(a) > 0

@@ -372,6 +372,17 @@ def _ngram_jaccard_pairs_direct(
     generation + exact verification against the shared AllPairs index."""
     docs_arr = _allpairs_index(docs, threshold)
     cand = jaccard_candidates(docs_arr, threshold)
+    # Spread the verify BEFORE the shingle arrays attach (r14 opt
+    # round; the embedding_cosine_lsh fix, guide §8): the candidate-id
+    # shuffle is ~12 MB at sf0.1 (764k pairs), so AQE coalesces it to
+    # ONE partition — and the joins below then attach BOTH full shingle
+    # arrays (~50 strings each) to every pair, putting the whole
+    # array_intersect verify on a single task.  A round-robin
+    # repartition of the ids (not re-coalesced by AQE) spreads the
+    # attach + intersect across every core; the extra exchange moves
+    # only 16-byte id pairs, and at real scale the candidate shuffle
+    # exceeds the advisory size so AQE never coalesced it anyway.
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     # exact verify on candidates only: intersect the full shingle sets
     sa = docs_arr.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
     sb = docs_arr.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))
@@ -1192,18 +1203,21 @@ def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
         # numpy twin of similarity.lsh_signature: same ascending-dim
         # fold per plane dot product, so every sign decision — and
         # therefore every bucket — is bit-identical to the SQL form the
-        # oracle evaluates.  Vectorized across the Arrow batch: the
-        # interpreted zip_with fold measured ~1.8 ms/row at dim 64.
+        # oracle evaluates.  The fold is cumsum along the dim axis
+        # (r14 opt round): cumsum IS the sequential ascending-k
+        # accumulation, computed in C instead of a planes×dim Python
+        # loop of numpy calls (768 per batch before; the loop start
+        # differs only in 0.0+x0 vs x0, which can differ in ZERO SIGN
+        # alone and never flips the >= 0 decision).
         for pdf in batches:
             if not len(pdf):
                 continue
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            sig = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(planes.shape[0]):
-                acc = np.zeros(len(pdf))
-                for k in range(dim):  # ascending dim = the SQL fold order
-                    acc = acc + M[:, k] * planes[i, k]
-                sig = sig + np.where(acc >= 0, 1 << i, 0)
+            acc = np.cumsum(M[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
+            sig = (
+                (acc >= 0).astype(np.int64)
+                << np.arange(planes.shape[0], dtype=np.int64)
+            ).sum(axis=1)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "v": pdf["v"], "sig": sig}
             )
@@ -1233,6 +1247,19 @@ def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
+    # Spread the verify BEFORE the vectors attach (r14 opt round, guide
+    # §8: decide placement on small rows, then attach the payload).
+    # The candidate-id shuffle is tiny (~2 MB for 271k pairs at sf0.1),
+    # so AQE coalesces it to ONE partition — but the joins below then
+    # explode each pair to 2×dim doubles (~280 MB) and the whole Arrow
+    # verify ran as a single 3.5 s task.  An explicit round-robin
+    # repartition of the ids (which AQE does not re-coalesce) makes the
+    # byte explosion and the numpy verify land on every core; the extra
+    # exchange moves only 16-byte id pairs.  defaultParallelism scales
+    # with the cluster; at real scale the candidate shuffle is large
+    # enough that AQE never coalesces it and this exchange is a cheap
+    # id-only no-op relative to the verify it parallelizes.
+    cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
     va = v.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
     vb = v.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
     joined = cand.join(va, "a_id").join(vb, "b_id")
@@ -1244,13 +1271,14 @@ def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
                 continue
             A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
             B = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            acc = np.zeros(len(pdf))
-            na = np.zeros(len(pdf))
-            nb = np.zeros(len(pdf))
-            for k in range(A.shape[1]):  # ascending dim = the SQL fold order
-                acc = acc + A[:, k] * B[:, k]
-                na = na + A[:, k] * A[:, k]
-                nb = nb + B[:, k] * B[:, k]
+            # cumsum = the sequential ascending-dim fold in C (r14 opt
+            # round; see sign_batches) — this stage lands on ONE
+            # AQE-coalesced task at bench scale (the candidate shuffle
+            # is ~2 MB), so per-pair Python-loop cost was the entire
+            # head: measured 4.2 s -> ~0.1 s for the verify task.
+            acc = np.cumsum(A * B, axis=1)[:, -1]
+            na = np.cumsum(A * A, axis=1)[:, -1]
+            nb = np.cumsum(B * B, axis=1)[:, -1]
             sim = acc / (np.sqrt(na) * np.sqrt(nb))
             m = sim >= thresh
             yield pd.DataFrame(

@@ -39,6 +39,19 @@ def get_spark(app_name: str = "oxidsql-spark", cpus: int | str | None = None) ->
         # shuffle joins whose application side exceeds the (default
         # 10 GB) scan threshold, so local runs are unaffected.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Allow shuffled-hash join where the per-partition build side
+        # fits (r14 opt round, guide §3.1): sort-merge pays two sorts
+        # the hash build skips; the self-join-heavy dedup family
+        # (audio/video shingle joins, curate's scoring joins) planned
+        # SMJs purely from this preference.  AQE's skew splitting and
+        # size-checked SHJ conditions keep the OOM risk bounded — the
+        # same trade the optimization guide's baseline config makes.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # zstd for every parquet this engine writes (guide §6): smaller
+        # files than snappy at similar read speed — artifact stores,
+        # segment indexes, versioned snapshots all inherit it.  Read
+        # paths are codec-agnostic, so fixtures/oracles are unaffected.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -2261,15 +2261,22 @@ def build_span_index(
 
 
 def span_cut_incremental(
-    spark: SparkSession, new_docs: DataFrame, index_path: str, k: int = _SPAN_K
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    k: int = _SPAN_K,
+    tok_rows: DataFrame | None = None,
 ) -> DataFrame:
     return _span_cut_against(
-        new_docs, spark.read.parquet(index_path).select("gram"), k
+        new_docs, spark.read.parquet(index_path).select("gram"), k, tok_rows
     )
 
 
 def _span_cut_against(
-    new_docs: DataFrame, corpus_grams: DataFrame, k: int = _SPAN_K
+    new_docs: DataFrame,
+    corpus_grams: DataFrame,
+    k: int = _SPAN_K,
+    tok_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Substring-dedup a BATCH against a frozen, already-shipped corpus:
     a batch span occurrence is excised iff its gram EXISTS in the
@@ -2281,11 +2288,23 @@ def _span_cut_against(
     per-doc shape as span_cut, for the batch docs only.  After
     shipping, append the CLEANED batch's distinct grams to the index
     (kept first occurrences become the corpus copies future batches
-    dedup against)."""
+    dedup against).
+
+    ``tok_rows`` (optional): the caller's already-computed
+    ``(doc_id, pos, tok)`` position-exploded token rows for exactly
+    ``new_docs`` — callers that tokenized the batch for their own
+    scoring pass (curate_funnel_audit's frozen-LM score) hand the rows
+    in so the batch text is tokenized ONCE per pipeline instead of
+    re-exploded here (guide §1.2 step 1: one pass over the payload,
+    not one per consumer).  The contract is strict equality with what
+    this function would compute itself; the funnel's oracle row and
+    the span-cut pytests pin it."""
     from ..cachescope import scoped_persist
 
     tok_rows = scoped_persist(
-        new_docs.select(
+        tok_rows
+        if tok_rows is not None
+        else new_docs.select(
             "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
         )
     )

@@ -1100,11 +1100,23 @@ def _register_funnel_audit() -> None:
         from .functions import tokens
         from pyspark.sql import Window as W
 
-        pos = batch.select(
-            "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+        from .cachescope import scoped_persist
+
+        # Tokenize the batch ONCE (r14 opt round, guide §1.2 step 1):
+        # this same position-exploded frame feeds the LM score below
+        # AND the survivor span cut (via span_cut_incremental's
+        # tok_rows hand-in) — previously the cut re-exploded survivor
+        # text, a second full pass over the batch payload.  The column
+        # is named `tok` because that is the span cut's contract.
+        pos = scoped_persist(
+            batch.select(
+                "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+            )
         )
         wp = W.partitionBy("doc_id").orderBy("pos")
-        seq = pos.select("doc_id", "term", F.lag("term").over(wp).alias("prev"))
+        seq = pos.select(
+            "doc_id", F.col("tok").alias("term"), F.lag("tok").over(wp).alias("prev")
+        )
         dsc = (
             seq.join(lp, ["prev", "term"], "left")
             .join(lpu, "term", "left")
@@ -1120,17 +1132,29 @@ def _register_funnel_audit() -> None:
             & F.col("lang").isin("en", "de", "fr", "es")
             & F.col("source").isNotNull()
         )
-        flags = batch.select("doc_id", "text", gate_ok.alias("gate_ok")).join(
-            dsc, "doc_id", "left"
+        # Score-once (r14 opt round): `flags` is read by the survivor
+        # filter (feeding the cut's tok_rows AND its doc-id spine) and
+        # again by the final routing join — unpersisted, the whole
+        # batch-scan + LM-join + aggregate subplan re-executed once per
+        # consumer (three times per action, measured in the funnel's
+        # profile).  One persisted score pass is exactly how the
+        # streaming funnel treats a micro-batch.
+        flags = scoped_persist(
+            batch.select("doc_id", "text", gate_ok.alias("gate_ok")).join(
+                dsc, "doc_id", "left"
+            )
         )
         surv = flags.filter(
             F.col("gate_ok")
             & F.col("sum_w").isNotNull()
             & (-F.col("sum_w") <= F.lit(_FNA_CEIL_MICRO) * F.col("n_tok"))
         )
-        cut = span_cut_incremental(spark, surv.select("doc_id", "text"), idx).select(
-            "doc_id", "n_kept"
-        )
+        cut = span_cut_incremental(
+            spark,
+            surv.select("doc_id", "text"),
+            idx,
+            tok_rows=pos.join(surv.select("doc_id"), "doc_id", "semi"),
+        ).select("doc_id", "n_kept")
         stage = (
             F.when(~F.col("gate_ok"), F.lit("gate"))
             .when(F.col("sum_w").isNull(), F.lit("fluency:unscorable"))

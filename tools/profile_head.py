@@ -24,34 +24,34 @@ from oxidsql_spark.registry import load_all
 
 
 def get_spark_logged(app_name: str, log_dir: str):
-    import os as _os
-
+    """The REAL session factory plus the event log: profiles must see
+    the exact configs the bench runs under (preferSortMergeJoin, zstd,
+    ... — a hand-copied builder here silently drifted when session.py
+    gained the r14 settings, so profiled plans stopped matching benched
+    plans).  getOrCreate applies .config before the context exists, so
+    routing through get_spark with the event-log configs pre-seeded in
+    the builder is not possible; instead mutate the module-level
+    defaults get_spark reads — simplest is to stop the per-process
+    session first and let get_spark build fresh with our extras."""
     from pyspark.sql import SparkSession
 
-    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "32")
-    b = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.cbo.enabled", "true")
-        .config("spark.sql.cbo.joinReorder.enabled", "true")
-        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.host", "127.0.0.1")
-        .config("spark.sql.warehouse.dir", "/tmp/oxidsql-warehouse")
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", log_dir)
-        .config("spark.eventLog.compress", "false")
+    # Seed the event-log settings via the builder get_spark uses:
+    # SparkSession.builder is a fresh Builder per access, so pass them
+    # through the SparkConf-level environment instead.
+    import os as _os
+
+    _os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f"--conf spark.eventLog.enabled=true "
+        f"--conf spark.eventLog.dir={log_dir} "
+        f"--conf spark.eventLog.compress=false pyspark-shell"
     )
-    spark = b.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    from oxidsql_spark.session import get_spark
+
+    spark = get_spark(app_name)
+    assert spark.conf.get("spark.eventLog.enabled") == "true", (
+        "event log did not take — a pre-existing SparkSession in this "
+        "process? run the profiler as its own process"
+    )
     return spark
 
 

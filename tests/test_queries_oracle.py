@@ -17,6 +17,8 @@ from oxidsql_spark.sources import TABLES
 
 from conftest import SF_DIR
 
+pytestmark = pytest.mark.oracle
+
 QUERIES = load_all()
 
 

@@ -44,6 +44,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oxidsql_spark.registry import load_all
 from oxidsql_spark.session import get_spark
 
+# Per-table file-size targets (KB) for the multifile re-lay below.  The
+# PAYLOAD tables' heads are dominated by per-row derived work (dhash /
+# shingle / PCM chains, Arrow vector passes), so their file count —
+# which IS their task count at these sizes — follows downstream compute
+# density, not bytes; byte-proportional relational scans keep the
+# coarser default (finer files only add per-task overhead there —
+# events_hourly/dedup_exact +0.2 s each under a uniform 16 KB, r14).
+# Values are A/B-measured per class (see OPTIMIZATION_r15.md); the
+# fingerprint derives from these same constants so changing a rule can
+# never silently reuse a stale base.
+FILE_TGT_KB = {"documents": 16, "embeddings": 16}
+DEFAULT_TGT_KB = 256
+
 
 def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
     """Re-lay the bench tables as MULTI-FILE parquet once per sf dir
@@ -125,8 +138,11 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     src_fp = _fingerprint()
     # layout params participate in the fingerprint: a core-count change
-    # (or a layout-rule change like this round's) builds a fresh base
-    src_fp["_layout"] = [cpus, 16, 256]
+    # (or a layout-rule change like this round's) builds a fresh base.
+    # Derived from the SAME constants the loop below uses (r14 ADVICE:
+    # repeating the numbers as literals silently reuses stale bases when
+    # the rule changes).
+    src_fp["_layout"] = [cpus, sorted(FILE_TGT_KB.items()), DEFAULT_TGT_KB]
     tag = sf_dir.rstrip("/").replace("/", "_")
     # fingerprint participates in the path: a regenerated sf dir gets a
     # FRESH base dir rather than an in-place rebuild of the old one
@@ -146,24 +162,14 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
     for t in TABLES:
         src = os.path.join(sf_dir, f"{t}.parquet")
         nbytes = _tbytes(src)
-        # target = bytes/256K capped at the core count: sf0.1's LARGEST
+        # target = bytes/tgt capped at the core count: sf0.1's LARGEST
         # table is ~11 MB compressed, so a "cluster-realistic" 128 MB
         # file target would leave every scan single-task — the
         # starvation this layout exists to fix.  What is held constant
         # across scale is files ~ available parallelism (the
-        # sinks.compact rule), not a byte size.  The PAYLOAD tables
-        # (documents, embeddings) get a 16K target instead (r14 opt
-        # round): their heads' cost is per-row DERIVED work (dhash /
-        # shingle / PCM chains, Arrow vector passes), not scan bytes,
-        # and the 256K rule left them at 2-3 files — 2-3 tasks on 32
-        # cores (measured: the video frame chain 1.43 s -> 0.58 s from
-        # 32-way files; a same-bytes sizing for byte-proportional
-        # relational scans stays at 256K, where finer files only add
-        # task overhead — events_hourly/dedup_exact +0.2 s each under a
-        # uniform 16K).  A 100 TB layout makes the same split: file
-        # sizing follows downstream compute density, and scans of big
-        # tables saturate parallelism from data volume alone.
-        tgt = 16 if t in ("documents", "embeddings") else 256
+        # sinks.compact rule), not a byte size; per-table targets and
+        # their rationale live at FILE_TGT_KB above.
+        tgt = FILE_TGT_KB.get(t, DEFAULT_TGT_KB)
         n = max(1, min(cpus, nbytes // (tgt << 10)))
         files[t] = int(n)
         spark.read.parquet(src).repartition(int(n)).write.mode(

@@ -214,10 +214,31 @@ def _allpairs_index(docs: DataFrame, threshold: float) -> DataFrame:
 def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
     """Prefix-filtered candidate pairs (a_id, b_id) from an AllPairs
     index — the quadratic-risk step, exposed separately so the
-    adversarial-skew test can count candidates directly."""
-    pre = docs_arr.select("doc_id", "n_sh", F.explode("prefix").alias("shingle"))
+    adversarial-skew test can count candidates directly.
+
+    On top of the prefix join, the PPJoin POSITIONAL filter (Xiao et
+    al. 2008; r15 opt round — the t=0.2 prefix keeps ~80% of each set,
+    so the join alone yields 764k candidates for 256 true pairs at
+    sf0.1): Jaccard >= t forces overlap >= t/(1+t)·(n_a+n_b), and the
+    overlap is bounded above by what the prefix join already saw plus
+    what could still follow.  Both docs' shingle arrays share one
+    global (df, shingle) sort order, so with c = |shared prefix
+    shingles| and pa/pb = the 0-based positions of the LAST shared
+    prefix shingle (position is monotone in that order, so max(pos)
+    on both sides names the SAME shingle): every common shingle
+    ordered <= that shingle must sit before pa/pb in BOTH arrays and
+    inside both prefixes (a common shingle outside one prefix would
+    have to sort after it, contradicting its position before pa/pb) —
+    so exactly c of them exist — and every common shingle after it
+    adds at most min(n_a-pa-1, n_b-pb-1).  Candidates whose bound
+    falls short cannot pass exact verification and are dropped before
+    the shingle arrays ever attach (measured: 764,309 -> ~494k
+    candidates at sf0.1, a ~35% cut of the verify volume)."""
+    pre = docs_arr.select(
+        "doc_id", "n_sh", F.posexplode("prefix").alias("p", "shingle")
+    )
     a, b = pre.alias("a"), pre.alias("b")
-    return (
+    grouped = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -226,10 +247,31 @@ def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> Da
             & (F.col("b.n_sh") >= threshold * F.col("a.n_sh"))
             & (F.col("a.n_sh") >= threshold * F.col("b.n_sh")),
         )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.first(F.lit(1)).alias("_one"))
-        .drop("_one")
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("a.p").alias("pa"),
+            F.max("b.p").alias("pb"),
+        )
     )
+    overlap_ub = F.col("c") + F.least(
+        F.col("n_a") - F.col("pa") - 1, F.col("n_b") - F.col("pb") - 1
+    )
+    # The keep-test is the VERIFY's own float form evaluated at the
+    # overlap upper bound: x/(S-x) is monotone in integer x and double
+    # division is correctly rounded, so jac_d(ub) >= jac_d(true I) —
+    # any pair the exact verify would keep passes here too (an
+    # algebraic t/(1+t)·(n_a+n_b) literal would round DIFFERENTLY from
+    # the verify's division and could clip a borderline pair).
+    jac_ub = overlap_ub.cast("double") / (
+        F.col("n_a") + F.col("n_b") - overlap_ub
+    )
+    return grouped.filter(jac_ub >= threshold).select("a_id", "b_id")
 
 
 def ngram_jaccard_pairs(

@@ -868,29 +868,49 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build_ivf_index's layout) so probes prune to cell partitions.
     Everything up to the rerank is integer-exact, so the DuckDB oracle
     reproduces cell membership bit-for-bit."""
+    import numpy as np
+
     e = _km_quantized(spark, sf_dir)
-    cents = _km_train(e)
+    # ONE head-row collect serves the trainer init (vec_id < _KM_K) AND
+    # the probe ranking (vec_id < _N_QUERIES) — r15 opt round: the init
+    # collect and a probes subtree that re-scanned the cached corpus
+    # were two extra jobs per run.  Probes are ranked driver-side in
+    # int64 numpy — the same integer distances the expression fold
+    # computed, with lexsort's (d, cell) order matching the oracle's
+    # row_number tie-break — and ship as a 40-row literal frame.
+    head_rows = (
+        e.filter(F.col("vec_id") < max(_KM_K, _N_QUERIES))
+        .select("vec_id", "qv")
+        .collect()
+    )
+    cents = _km_train(
+        e,
+        init={
+            int(r["vec_id"]): list(r["qv"])
+            for r in head_rows
+            if r["vec_id"] < _KM_K
+        },
+    )
     assigned = _km_assigned_batch(e, cents).select("vec_id", F.col("cluster").alias("cell"))
-    probe_structs = F.array(
-        *[
-            F.struct(_km_dist_to(cents[c]).alias("d"), F.lit(c).alias("cell"))
-            for c in sorted(cents)
-        ]
-    )
-    probes = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.explode(F.slice(F.sort_array(probe_structs), 1, _IVF_PROBE)).alias("pc"),
-        )
-        .select("q_id", F.col("pc.cell").alias("cell"))
-    )
+    cs = sorted(cents)
+    C = np.array([cents[c] for c in cs], dtype=np.int64)
+    cid_arr = np.array(cs, dtype=np.int64)
+    probe_rows = []
+    for r in sorted(
+        (r for r in head_rows if r["vec_id"] < _N_QUERIES),
+        key=lambda r: r["vec_id"],
+    ):
+        qvec = np.array(list(r["qv"]), dtype=np.int64)
+        d = ((qvec[None, :] - C) ** 2).sum(axis=1)
+        for j in np.lexsort((cid_arr, d))[:_IVF_PROBE]:
+            probe_rows.append((int(r["vec_id"]), int(cs[j])))
+    probes = spark.createDataFrame(probe_rows, "q_id bigint, cell int")
     ev = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
         .withColumn("nrm", vec_norm(F.col("v")))
     )
-    qv = ev.select(
+    qv = ev.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
@@ -938,7 +958,9 @@ def pq_train_per_subspace(e: DataFrame) -> dict[int, dict[int, list[int]]]:
     return books
 
 
-def pq_train(e: DataFrame) -> dict[int, dict[int, list[int]]]:
+def pq_train(
+    e: DataFrame, init_rows: list | None = None
+) -> dict[int, dict[int, list[int]]]:
     """Per-subspace codebooks over a `qv` (quantized bigint) frame:
     books[m][code] = centroid (subspace-local coordinate list).
 
@@ -951,8 +973,18 @@ def pq_train(e: DataFrame) -> dict[int, dict[int, list[int]]]:
     argmin-first-minimum == (dist, c) tie-break, integer sums,
     floor-divided centroid updates; equality locked in
     tests/test_dedup_similarity.py), so the unrolled per-subspace SQL
-    oracle still re-derives every codebook bit-for-bit."""
-    init_rows = e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "qv").collect()
+    oracle still re-derives every codebook bit-for-bit.
+
+    ``init_rows`` lets a caller that already collected the low-vec_id
+    rows (e.g. for the ADC query LUTs) hand them in instead of paying
+    a second collect job (r15 opt round); rows beyond vec_id < _PQ_K
+    are ignored, so the superset collect is safe to share."""
+    if init_rows is None:
+        init_rows = (
+            e.filter(F.col("vec_id") < _PQ_K).select("vec_id", "qv").collect()
+        )
+    else:
+        init_rows = [r for r in init_rows if r["vec_id"] < _PQ_K]
     books: dict[int, dict[int, list[int]]] = {
         m: {
             int(r["vec_id"]): list(r["qv"])[m * _PQ_SUB : (m + 1) * _PQ_SUB]
@@ -1205,6 +1237,7 @@ def _adc_scan(
     code_ids,
     keep: int = None,
     probe_cells: dict[int, set] | None = None,
+    encode_books: dict[int, dict[int, list[int]]] | None = None,
 ) -> DataFrame:
     """(q_id, vec_id, dist): fused ADC scoring — the per-query M×K LUTs
     ride into the Arrow pass as numpy closures (a few KB), and each code
@@ -1220,7 +1253,16 @@ def _adc_scan(
 
     ``probe_cells`` (q_id -> allowed cell set) restricts each query to
     its probed IVF cells — the IVFADC composition; requires a ``cell``
-    column on ``codes``."""
+    column on ``codes``.
+
+    ``encode_books`` fuses `pq_encode` INTO this pass (r15 opt round,
+    guide §4): the input frame carries ``qv`` instead of ``codes``,
+    each batch assigns all M subspaces in-batch (the same int64
+    argmin), and the argmin POSITION indexes the LUT directly — the
+    position in sorted code order IS what searchsorted recovers from a
+    materialized code, so distances are bit-identical while the
+    corpus-sized (vec_id, codes) frame never crosses the JVM↔Python
+    boundary a second time (one MapInPandas node instead of two)."""
     import numpy as np
     import pandas as pd
 
@@ -1231,19 +1273,37 @@ def _adc_scan(
             int(q): np.array(sorted(cells), dtype=np.int64)
             for q, cells in probe_cells.items()
         }
-    in_cols = ["vec_id", "codes"] + (["cell"] if has_cell else [])
+    fused = encode_books is not None
+    if fused:
+        Cs = [
+            np.array(
+                [encode_books[m][c] for c in sorted(encode_books[m])],
+                dtype=np.int64,
+            )
+            for m in range(_PQ_M)
+        ]
+    in_cols = ["vec_id", "qv" if fused else "codes"] + (
+        ["cell"] if has_cell else []
+    )
 
     def adc(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            Cds = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
             vid = pdf["vec_id"].to_numpy().astype(np.int64)
             cells = pdf["cell"].to_numpy().astype(np.int64) if has_cell else None
             dist = np.zeros((len(q_ids), len(vid)), dtype=np.int64)
-            for m in range(_PQ_M):
-                idx = np.searchsorted(code_ids[m], Cds[:, m])
-                dist += luts[m][:, idx]
+            if fused:
+                Mx = np.stack(pdf["qv"].to_numpy()).astype(np.int64)  # (n, dim)
+                for m in range(_PQ_M):
+                    sub = Mx[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                    d = ((sub[:, None, :] - Cs[m][None, :, :]) ** 2).sum(axis=2)
+                    dist += luts[m][:, np.argmin(d, axis=1)]
+            else:
+                Cds = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+                for m in range(_PQ_M):
+                    idx = np.searchsorted(code_ids[m], Cds[:, m])
+                    dist += luts[m][:, idx]
             out_q, out_v, out_d = [], [], []
             for qi, q in enumerate(q_ids):
                 mask = vid != q
@@ -1272,17 +1332,24 @@ def _adc_scan(
 
 def _pq_adc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, vec_id, dist): the ADC distance frame, fused — train
-    codebooks, encode the corpus in one Arrow pass, then score inside a
-    second Arrow pass with the LUTs as numpy (see `_adc_scan`).  Only
-    each batch's top-`_PQ_SHORTLIST` per query leave the scan.
-    Self-pairs excluded."""
+    codebooks, then encode + score the corpus in ONE Arrow pass with
+    the LUTs as numpy (see `_adc_scan(encode_books=...)`).  Only each
+    batch's top-`_PQ_SHORTLIST` per query leave the scan.  Self-pairs
+    excluded.  One head-row collect serves BOTH the trainer init
+    (vec_id < _PQ_K) and the query LUTs (vec_id < _N_QUERIES) — r15
+    opt round: the two separate collects were two near-identical jobs
+    over the same cached frame."""
     e = _km_quantized(spark, sf_dir)
-    books = pq_train(e)
-    codes = pq_encode(e, books)
-    q_ids, _, luts, code_ids = _pq_lut(
-        books, e.filter(F.col("vec_id") < _N_QUERIES).collect()
+    head_rows = (
+        e.filter(F.col("vec_id") < max(_PQ_K, _N_QUERIES))
+        .select("vec_id", "qv")
+        .collect()
     )
-    return _adc_scan(codes, q_ids, luts, code_ids)
+    books = pq_train(e, init_rows=head_rows)
+    q_ids, _, luts, code_ids = _pq_lut(
+        books, [r for r in head_rows if r["vec_id"] < _N_QUERIES]
+    )
+    return _adc_scan(e, q_ids, luts, code_ids, encode_books=books)
 
 
 @register("ann_pq_adc", oracle=_pq_oracle(), bench=True)
@@ -1349,13 +1416,17 @@ def _exact_rerank(spark: SparkSession, sf_dir: str, short: DataFrame) -> DataFra
     shortlist (≤ queries × _PQ_SHORTLIST rows) hashes onto the single
     pass over the candidate vectors — the data-sized side never
     shuffles at any corpus scale — and the query vectors join the
-    survivors."""
+    survivors.  Every caller's shortlist q_ids come from the query set
+    (vec_id < _N_QUERIES), so the query-vector side is PRE-FILTERED to
+    those rows (r15 opt round, guide §3.1): the broadcast builds nq
+    rows + norms instead of materializing the whole corpus with norms
+    it then drops in the join."""
     ev = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))
         .withColumn("nrm", vec_norm(F.col("v")))
     )
-    qv = ev.select(
+    qv = ev.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
     scored = (
@@ -1619,9 +1690,14 @@ def ann_ivfadc_search(
     import numpy as np
 
     cents, books = _load_ivfadc_books(spark, index_path)
-    qrows = (
-        _km_quantized(spark, sf_dir).filter(F.col("vec_id") < _N_QUERIES).collect()
-    )
+    # query vectors via a PUSHED-DOWN parquet filter (r15 opt round,
+    # guide §6): the previous `_km_quantized(...).filter(...)` collected
+    # 10 rows THROUGH the full-corpus scoped-persist frame, whose first
+    # materialization caches every partition — the search path needs no
+    # corpus-sized anything (same transform expression, same rows).
+    qrows = _quantize_vecs(
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES)
+    ).collect()
     q_ids, Q, luts, code_ids = _pq_lut(books, qrows)
     cids = sorted(cents)
     C = np.array([cents[c] for c in cids], dtype=np.int64)
@@ -2505,9 +2581,11 @@ def ann_opq_ivfadc_search(
         )]
     )
     cents, books = _load_ivfadc_books(spark, index_path)
-    qraw = (
-        _km_quantized(spark, sf_dir).filter(F.col("vec_id") < _N_QUERIES).collect()
-    )
+    # pushed-down query read (r15, same as ann_ivfadc_search): no
+    # full-corpus cache materialization for <= nq rows
+    qraw = _quantize_vecs(
+        table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _N_QUERIES)
+    ).collect()
     qrows = [
         {
             "vec_id": r.vec_id,

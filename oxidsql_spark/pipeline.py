@@ -1089,18 +1089,30 @@ def _register_funnel_audit() -> None:
         if not os.path.exists(os.path.join(idx, "_SUCCESS")):
             build_span_index(spark, corpus.select("doc_id", "text"), idx)
 
-        # integer frozen-LM score (bigram_nll_against's joins, micro sums)
-        lp = spark.read.parquet(os.path.join(lm_dir, "lp")).select(
-            "prev", "term", F.col("w").alias("w_bi")
-        )
-        lpu = spark.read.parquet(os.path.join(lm_dir, "lpu")).select(
-            "term", F.col("w").alias("w_uni")
-        )
-        w_oov = spark.read.parquet(os.path.join(lm_dir, "consts")).collect()[0].w_oov
         from .functions import tokens
         from pyspark.sql import Window as W
 
         from .cachescope import scoped_persist
+
+        # integer frozen-LM score (bigram_nll_against's joins, micro
+        # sums).  The tiny artifact frames are scope-persisted (r15 opt
+        # round, VERDICT Next #7: ~7 sub-50 ms artifact reads per run)
+        # so repeated runs hit warm in-memory copies, and w_oov rides
+        # into the plan as a broadcast one-row frame instead of a
+        # per-construction driver collect job.
+        lp = scoped_persist(
+            spark.read.parquet(os.path.join(lm_dir, "lp")).select(
+                "prev", "term", F.col("w").alias("w_bi")
+            )
+        )
+        lpu = scoped_persist(
+            spark.read.parquet(os.path.join(lm_dir, "lpu")).select(
+                "term", F.col("w").alias("w_uni")
+            )
+        )
+        consts = spark.read.parquet(os.path.join(lm_dir, "consts")).select(
+            F.col("w_oov").cast("bigint").alias("w_oov")
+        )
 
         # Tokenize the batch ONCE (r14 opt round, guide §1.2 step 1):
         # this same position-exploded frame feeds the LM score below
@@ -1120,7 +1132,8 @@ def _register_funnel_audit() -> None:
         dsc = (
             seq.join(lp, ["prev", "term"], "left")
             .join(lpu, "term", "left")
-            .select("doc_id", F.coalesce("w_bi", "w_uni", F.lit(int(w_oov))).alias("w"))
+            .crossJoin(F.broadcast(consts))
+            .select("doc_id", F.coalesce("w_bi", "w_uni", "w_oov").alias("w"))
             .groupBy("doc_id")
             .agg(
                 F.count(F.lit(1)).alias("n_tok"),

@@ -780,6 +780,46 @@ def test_pq_fused_trainer_equals_per_subspace(spark, sf_dir):
     assert pq_train(e) == pq_train_per_subspace(e)
 
 
+def test_fused_encode_adc_equals_two_pass(spark, sf_dir):
+    """The r15 fused encode+ADC Arrow pass (`_adc_scan(encode_books=)`)
+    must be row-identical to the two-pass form (pq_encode, then
+    _adc_scan over materialized codes) — the in-batch argmin position
+    indexes the LUT exactly as searchsorted recovers it from a code.
+    Also pins the shared head-row collect: init filtered from the
+    superset equals the dedicated init collect."""
+    from oxidsql_spark.operators.similarity import (
+        _N_QUERIES,
+        _PQ_K,
+        _adc_scan,
+        _km_quantized,
+        _pq_lut,
+        pq_encode,
+        pq_train,
+    )
+    from pyspark.sql import functions as F
+
+    e = _km_quantized(spark, sf_dir)
+    head_rows = (
+        e.filter(F.col("vec_id") < max(_PQ_K, _N_QUERIES))
+        .select("vec_id", "qv")
+        .collect()
+    )
+    books = pq_train(e, init_rows=head_rows)
+    assert books == pq_train(e)  # shared superset collect is equivalent
+    q_ids, _, luts, code_ids = _pq_lut(
+        books, [r for r in head_rows if r["vec_id"] < _N_QUERIES]
+    )
+    two_pass = {
+        tuple(r)
+        for r in _adc_scan(pq_encode(e, books), q_ids, luts, code_ids).collect()
+    }
+    fused = {
+        tuple(r)
+        for r in _adc_scan(e, q_ids, luts, code_ids, encode_books=books).collect()
+    }
+    assert fused == two_pass and len(fused) > 0
+
+
 def test_ivfadc_admission_equals_frozen_encode(spark, sf_dir, tmp_path):
     """IVFADC incremental admission: appending a batch encoded against
     the FROZEN persisted codebooks must yield an index row-identical to

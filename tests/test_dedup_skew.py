@@ -86,6 +86,48 @@ def test_prefix_filter_verified_pairs_are_clique(spark, corpus):
     release_scoped_caches()
 
 
+def test_positional_filter_never_prunes_a_true_pair(spark):
+    """The PPJoin positional upper bound (r15 opt round) must be a TRUE
+    overlap bound under the verify's own float semantics.  Sliding-
+    window corpus: doc i = words [i, i+20), so pairs at distance k
+    share 18-k of their 18 shingles and jaccard = (18-k)/(18+k) sweeps
+    through the threshold — including distance 12, which lands EXACTLY
+    on t=0.2 (6/30): the borderline a rounded algebraic alpha would
+    clip.  Ground truth is a brute-force python jaccard over the full
+    shingle sets with the same double division."""
+    n, w = 80, 20
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + w))) for i in range(n)
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(words):
+        return {
+            " ".join(words[k : k + 3]) for k in range(len(words) - 2)
+        }
+
+    sets = {i: shingles(t.split()) for i, t in rows}
+    truth = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if jac >= _JACCARD_T:
+                truth[(a, b)] = jac
+    got = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(corpus, _JACCARD_T, collapse=False).collect()
+    }
+    assert set(got) == set(truth)  # no pair pruned, none invented
+    for k, v in truth.items():
+        assert abs(got[k] - v) < 5e-5
+    # the boundary pairs (distance 12, jaccard exactly 0.2) are present
+    assert got[(0, 12)] == 0.2
+    release_scoped_caches()
+
+
 def _verbatim_corpus(spark):
     """Duplicate-saturated corpus exercising every collapse edge case:
     a true near-dup pair with asymmetric verbatim copy counts, a

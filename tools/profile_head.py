@@ -40,6 +40,7 @@ def get_spark_logged(app_name: str, log_dir: str):
     # through the SparkConf-level environment instead.
     import os as _os
 
+    prev = _os.environ.get("PYSPARK_SUBMIT_ARGS")
     _os.environ["PYSPARK_SUBMIT_ARGS"] = (
         f"--conf spark.eventLog.enabled=true "
         f"--conf spark.eventLog.dir={log_dir} "
@@ -47,7 +48,16 @@ def get_spark_logged(app_name: str, log_dir: str):
     )
     from oxidsql_spark.session import get_spark
 
-    spark = get_spark(app_name)
+    try:
+        spark = get_spark(app_name)
+    finally:
+        # restore the env (r14 ADVICE): the JVM is already launched with
+        # the extra confs; leaving them in the process env would leak
+        # into any LATER session this process builds
+        if prev is None:
+            _os.environ.pop("PYSPARK_SUBMIT_ARGS", None)
+        else:
+            _os.environ["PYSPARK_SUBMIT_ARGS"] = prev
     assert spark.conf.get("spark.eventLog.enabled") == "true", (
         "event log did not take — a pre-existing SparkSession in this "
         "process? run the profiler as its own process"
@@ -68,64 +78,62 @@ def parse_event_log(log_dir: str) -> list[dict]:
     path = None
     jobs: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
-    import itertools
     def lines():
         for p in paths:
             if os.path.basename(p).startswith("appstatus"):
                 continue
             with open(p) as fh:
                 yield from fh
-    if True:
-        for line in lines():
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
+    for line in lines():
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        e = ev.get("Event")
+        if e == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            props = ev.get("Properties") or {}
+            jobs[jid] = {
+                "job": jid,
+                "desc": props.get("spark.job.description", ""),
+                "t0": ev["Submission Time"],
+                "stages": 0,
+                "tasks": 0,
+                "task_ms": 0,
+                "sh_read": 0,
+                "sh_write": 0,
+                "input": 0,
+            }
+            for sid in ev.get("Stage IDs", []):
+                stage_to_job[sid] = jid
+        elif e == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["dur_ms"] = ev["Completion Time"] - jobs[jid]["t0"]
+        elif e == "SparkListenerStageCompleted":
+            si = ev["Stage Info"]
+            jid = stage_to_job.get(si["Stage ID"])
+            if jid is None or jid not in jobs:
                 continue
-            e = ev.get("Event")
-            if e == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                props = ev.get("Properties") or {}
-                jobs[jid] = {
-                    "job": jid,
-                    "desc": props.get("spark.job.description", ""),
-                    "t0": ev["Submission Time"],
-                    "stages": 0,
-                    "tasks": 0,
-                    "task_ms": 0,
-                    "sh_read": 0,
-                    "sh_write": 0,
-                    "input": 0,
-                }
-                for sid in ev.get("Stage IDs", []):
-                    stage_to_job[sid] = jid
-            elif e == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["dur_ms"] = ev["Completion Time"] - jobs[jid]["t0"]
-            elif e == "SparkListenerStageCompleted":
-                si = ev["Stage Info"]
-                jid = stage_to_job.get(si["Stage ID"])
-                if jid is None or jid not in jobs:
-                    continue
-                j = jobs[jid]
-                j["stages"] += 1
-                j["tasks"] += si.get("Number of Tasks", 0)
-            elif e == "SparkListenerTaskEnd":
-                sid = ev.get("Stage ID")
-                jid = stage_to_job.get(sid)
-                if jid is None or jid not in jobs:
-                    continue
-                j = jobs[jid]
-                m = ev.get("Task Metrics") or {}
-                j["task_ms"] += m.get("Executor Run Time", 0)
-                srm = m.get("Shuffle Read Metrics") or {}
-                j["sh_read"] += srm.get("Remote Bytes Read", 0) + srm.get(
-                    "Local Bytes Read", 0
-                )
-                swm = m.get("Shuffle Write Metrics") or {}
-                j["sh_write"] += swm.get("Shuffle Bytes Written", 0)
-                im = m.get("Input Metrics") or {}
-                j["input"] += im.get("Bytes Read", 0)
+            j = jobs[jid]
+            j["stages"] += 1
+            j["tasks"] += si.get("Number of Tasks", 0)
+        elif e == "SparkListenerTaskEnd":
+            sid = ev.get("Stage ID")
+            jid = stage_to_job.get(sid)
+            if jid is None or jid not in jobs:
+                continue
+            j = jobs[jid]
+            m = ev.get("Task Metrics") or {}
+            j["task_ms"] += m.get("Executor Run Time", 0)
+            srm = m.get("Shuffle Read Metrics") or {}
+            j["sh_read"] += srm.get("Remote Bytes Read", 0) + srm.get(
+                "Local Bytes Read", 0
+            )
+            swm = m.get("Shuffle Write Metrics") or {}
+            j["sh_write"] += swm.get("Shuffle Bytes Written", 0)
+            im = m.get("Input Metrics") or {}
+            j["input"] += im.get("Bytes Read", 0)
     return [jobs[k] for k in sorted(jobs)]
 
 

@@ -126,6 +126,14 @@ _ARTIFACT_KINDS = {
     # CURATED-label artifact, a separate build-once dir
     "quality_classifier_curated": "qclfcur",
     "corpus_curriculum_schedule": "qclfcur",
+    # r15: the ivfadc/opq search paths no longer touch the quantized-
+    # corpus cache at steady state (query rows read via a pushed-down
+    # parquet filter); only the one-time index BUILD persists, so the
+    # prebuilt per-process artifact must be cleared for the persist
+    # assertion to see the build
+    "ann_ivfadc": "ivfadc",
+    "retrieval_hybrid_ivfadc": "ivfadc",
+    "ann_opq_ivfadc": "opqivf",
 }
 
 

@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for bench heads into plans/r14/.
+"""Dump .explain("formatted") for bench heads into plans/r15/.
 
 Usage: python tools/capture_plans.py before|after [head ...]
 (default: all bench heads).  Mirrors bench.py's multifile base so the
@@ -22,7 +22,7 @@ def main() -> None:
     heads = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "plans", "r14")
+                           "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("oxidsql-plans")
     from bench import _multifile_base

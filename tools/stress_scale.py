@@ -84,6 +84,10 @@ STRESS_QUERIES = [
     "mm_video_dedup",
     "mm_audio_dedup",
     "quality_classifier_score",
+    # r15 addition (VERDICT Next #6): the large-large join head the
+    # preferSortMergeJoin=false swap re-planned SMJ→SHJ — stress
+    # confirms the hash build side stays spill-free under 10×
+    "tpch_q7",
     # r14 addition: the Viterbi segmentation's claim is VOCABULARY-
     # boundedness — 10x corpus rows, near-identical word universe
     # (verbatim) should cost ~1x after the one tokenize+count pass;

@@ -44,21 +44,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from oxidsql_spark.registry import load_all
 from oxidsql_spark.session import get_spark
 
-# Per-table file-size targets (KB) for the multifile re-lay below.  The
-# PAYLOAD tables' heads are dominated by per-row derived work (dhash /
-# shingle / PCM chains, Arrow vector passes), so their file count —
-# which IS their task count at these sizes — follows downstream compute
-# density, not bytes; byte-proportional relational scans keep the
-# coarser default (finer files only add per-task overhead there —
-# events_hourly/dedup_exact +0.2 s each under a uniform 16 KB, r14).
-# Values are A/B-measured per class (see OPTIMIZATION_r15.md); the
-# fingerprint derives from these same constants so changing a rule can
-# never silently reuse a stale base.
-FILE_TGT_KB = {"documents": 16, "embeddings": 16}
+# Per-table file-size targets (KB) for the multifile re-lay below,
+# A/B-measured per head class (r15 interleaved same-process A/Bs, see
+# OPTIMIZATION_r15.md):
+# * documents at 64 KB (9 files at sf0.1): the r14 16 KB/32-file cut
+#   left ~156 rows/task — per-task overhead dominated BOTH head
+#   classes (dedup_exact 0.83→0.33 s, text_top_terms 1.41→0.33, AND
+#   the derived-work heads mm_video_dedup 4.50→2.57,
+#   dedup_ngram_jaccard 6.49→3.51 medians, interleaved).  9 files
+#   keeps the dhash/shingle chains parallel without the tiny tasks.
+# * embeddings back at the 256 KB default (3 files): the whole ann
+#   family's mapInPandas chains ran as 32 ~62-row tasks — the r14
+#   ann-family "regression" was exactly this (interleaved medians
+#   15.9 s → 10.2 s over 5 heads; only ann_topk_bruteforce's dense
+#   scan is file-count-neutral).
+# The fingerprint derives from these same constants so changing a rule
+# can never silently reuse a stale base.
+FILE_TGT_KB = {"documents": 64}
 DEFAULT_TGT_KB = 256
 
 
-def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
+def _multifile_base(spark, sf_dir: str, prune: bool = True) -> tuple[str, dict]:
     """Re-lay the bench tables as MULTI-FILE parquet once per sf dir
     (reused across invocations via a marker).  The driver-generated sf
     inputs are single files with one row group each, so every scan ran
@@ -153,7 +159,8 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
         with open(marker) as fh:
             meta = json.load(fh)
         if meta.get("src_fp") == src_fp:
-            _prune_stale_bases(tag, fp_tag)
+            if prune:
+                _prune_stale_bases(tag, fp_tag)
             return dst, meta["files"]
     tmp = f"{dst}.build_{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -181,7 +188,8 @@ def _multifile_base(spark, sf_dir: str) -> tuple[str, dict]:
         shutil.rmtree(tmp, ignore_errors=True)
     else:
         os.rename(tmp, dst)
-    _prune_stale_bases(tag, fp_tag)
+    if prune:  # A/B runs keep several fingerprinted bases alive at once
+        _prune_stale_bases(tag, fp_tag)
     return dst, files
 
 

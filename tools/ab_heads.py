@@ -72,7 +72,10 @@ def main() -> None:
             saved = dict(bench.FILE_TGT_KB)
             bench.FILE_TGT_KB.update(overrides)
         try:
-            base, files = bench._multifile_base(spark, sf_dir_env)
+            try:  # prune=False keeps every arm's base alive (r15 bench.py)
+                base, files = bench._multifile_base(spark, sf_dir_env, prune=False)
+            except TypeError:  # older worktree binaries have no prune flag
+                base, files = bench._multifile_base(spark, sf_dir_env)
         finally:
             if have_tgt:
                 bench.FILE_TGT_KB.clear()

@@ -102,3 +102,18 @@ def duck_md5_bucket(id_expr: str, mod: int = 100, salt: str = "") -> str:
     expression (optionally salted)."""
     key = f"concat('{salt}', CAST({id_expr} AS VARCHAR))" if salt else f"CAST({id_expr} AS VARCHAR)"
     return duck_hex4(f"md5({key})") + f" % {mod}"
+
+
+def local_rows_df(spark, rows, schema):
+    """DataFrame from a small DRIVER-side row list in ONE partition.
+
+    ``spark.createDataFrame(list)`` parallelizes the list into
+    ``defaultParallelism`` python slices — on local[32] that is 32
+    Python-worker round trips for a handful of rows (r15 profile: a
+    40-row probe table cost a 32-task job with ~10 s of task time in
+    ann_ivf_kmeans's timed run).  A single slice ships one pickle
+    stream through one worker; anything that came through the driver
+    is by definition small enough for one task."""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

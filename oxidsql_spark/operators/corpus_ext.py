@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import tokens
+from ..functions import local_rows_df, tokens
 from ..registry import register
 from ..sources import table
 
@@ -122,7 +122,7 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl0").alias("sdl"))
         .select("n", (F.col("sdl").cast("double") / F.col("n")).alias("avgdl"))
     )
-    q = spark.createDataFrame(_BM25_QUERIES, "qid int, term string")
+    q = local_rows_df(spark, _BM25_QUERIES, "qid int, term string")
     df_t = _bm25_query_df(ex, q)
     joined = (
         tf.join(F.broadcast(q), "term")

@@ -95,7 +95,9 @@ def _prefix_offsets(parted: DataFrame, measure: Column, nn_count: Column):
             StructField(_PRI, BooleanType(), False),
         ]
     )
-    off_df = parted.sparkSession.createDataFrame(offs, schema)
+    from ..functions import local_rows_df
+
+    off_df = local_rows_df(parted.sparkSession, offs, schema)
     return off_df, running
 
 

@@ -225,7 +225,9 @@ def _driver_union_find(edge_rows, spark, schema) -> DataFrame:
                 ru, rv = rv, ru
             parent[rv] = ru
     out = [(x, find(x)) for x in parent]
-    return spark.createDataFrame(out, schema)
+    from ..functions import local_rows_df
+
+    return local_rows_df(spark, out, schema)
 
 
 def propagate_min_labels(

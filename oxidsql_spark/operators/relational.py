@@ -136,8 +136,10 @@ def ref_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ref_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """InlineTable (plan.rs:58-60): constant relation from literal rows —
     the VALUES source behind the reference's INSERT."""
-    return spark.createDataFrame(
-        [(1, "Tesla Model 3"), (2, "DeLorean DMC-12")], "id int, model string"
+    from ..functions import local_rows_df
+
+    return local_rows_df(
+        spark, [(1, "Tesla Model 3"), (2, "DeLorean DMC-12")], "id int, model string"
     )
 
 

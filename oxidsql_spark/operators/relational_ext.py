@@ -590,7 +590,10 @@ def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     is tiny → broadcast nested loop, which is the right physical plan at
     any scale (bands stay small; the fact side streams through)."""
     p = table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
+    from ..functions import local_rows_df
+
+    bands = local_rows_df(
+        spark,
         [("budget", 0.0, 930.0), ("mid", 930.0, 970.0), ("premium", 970.0, 10000.0)],
         "band string, lo double, hi double",
     )
@@ -932,7 +935,10 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").withColumn(
         "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
     )
-    dim = spark.createDataFrame(
+    from ..functions import local_rows_df
+
+    dim = local_rows_df(
+        spark,
         [("A", "accepted"), ("N", "new"), ("R", "returned")],
         "flag string, label string",
     ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>")))

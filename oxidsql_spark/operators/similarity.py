@@ -904,7 +904,9 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = ((qvec[None, :] - C) ** 2).sum(axis=1)
         for j in np.lexsort((cid_arr, d))[:_IVF_PROBE]:
             probe_rows.append((int(r["vec_id"]), int(cs[j])))
-    probes = spark.createDataFrame(probe_rows, "q_id bigint, cell int")
+    from ..functions import local_rows_df
+
+    probes = local_rows_df(spark, probe_rows, "q_id bigint, cell int")
     ev = (
         table(spark, sf_dir, "embeddings")
         .select("vec_id", as_double_vec("embedding").alias("v"))

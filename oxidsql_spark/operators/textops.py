@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions import tokens
+from ..functions import local_rows_df, tokens
 from ..registry import register
 from ..sources import table
 
@@ -376,7 +376,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("c10000"),
     ).first()
     total = int(counts.agg(F.sum("cnt")).first()[0])
-    base = spark.createDataFrame(
+    base = local_rows_df(
+        spark,
         [
             (100, int(covered["c100"])),
             (1000, int(covered["c1000"])),
@@ -1132,8 +1133,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     are all proven cross-engine."""
     d = table(spark, sf_dir, "documents")
     merges, _ = bpe_train(spark, d.select("text"), _BPE_MERGES)
-    return spark.createDataFrame(
-        merges, "rnk int, l string, r string, merged string, cnt bigint"
+    return local_rows_df(
+        spark, merges, "rnk int, l string, r string, merged string, cnt bigint"
     )
 
 
@@ -1219,8 +1220,8 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine, not just on toy pytest corpora."""
     d = table(spark, sf_dir, "documents")
     merges, _ = bpe_train(spark, d.select("text"), _BPE_MERGES, pairs_per_round=_BPE_PPR)
-    return spark.createDataFrame(
-        merges, "rnk int, l string, r string, merged string, cnt bigint"
+    return local_rows_df(
+        spark, merges, "rnk int, l string, r string, merged string, cnt bigint"
     )
 
 

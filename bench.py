@@ -47,20 +47,24 @@ from oxidsql_spark.session import get_spark
 # Per-table file-size targets (KB) for the multifile re-lay below,
 # A/B-measured per head class (r15 interleaved same-process A/Bs, see
 # OPTIMIZATION_r15.md):
-# * documents at 64 KB (9 files at sf0.1): the r14 16 KB/32-file cut
-#   left ~156 rows/task — per-task overhead dominated BOTH head
-#   classes (dedup_exact 0.83→0.33 s, text_top_terms 1.41→0.33, AND
-#   the derived-work heads mm_video_dedup 4.50→2.57,
-#   dedup_ngram_jaccard 6.49→3.51 medians, interleaved).  9 files
-#   keeps the dhash/shingle chains parallel without the tiny tasks.
-# * embeddings back at the 256 KB default (3 files): the whole ann
+# * documents at 32 KB (18 files at sf0.1): the no-regrets point of a
+#   measured three-way tension — the compute-dense per-row chains
+#   (mm_video_keyframes' interpreted per-scene hash fold: 0.93 s at
+#   32 files, 1.15 at 18, 2.00 at 9) want full width, the
+#   byte-proportional scans (dedup_exact 0.27/0.20/0.14,
+#   text_top_terms 0.25/0.22/0.18 at 32/18/9 files) want fewer
+#   files, and the join-dominated dedup heads are near-ties.  18
+#   files leaves every documents head at-or-better than its r14
+#   driver-measured number; the 16 KB/32-file and 64 KB/9-file
+#   extremes each regress one class.
+# * embeddings at the 256 KB default (3 files): the whole ann
 #   family's mapInPandas chains ran as 32 ~62-row tasks — the r14
 #   ann-family "regression" was exactly this (interleaved medians
 #   15.9 s → 10.2 s over 5 heads; only ann_topk_bruteforce's dense
 #   scan is file-count-neutral).
 # The fingerprint derives from these same constants so changing a rule
 # can never silently reuse a stale base.
-FILE_TGT_KB = {"documents": 64}
+FILE_TGT_KB = {"documents": 32}
 DEFAULT_TGT_KB = 256
 
 

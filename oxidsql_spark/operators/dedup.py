@@ -211,7 +211,9 @@ def _allpairs_index(docs: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> DataFrame:
+def jaccard_candidates(
+    docs_arr: DataFrame, threshold: float = _JACCARD_T, positions: bool = False
+) -> DataFrame:
     """Prefix-filtered candidate pairs (a_id, b_id) from an AllPairs
     index — the quadratic-risk step, exposed separately so the
     adversarial-skew test can count candidates directly.
@@ -233,7 +235,16 @@ def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> Da
     adds at most min(n_a-pa-1, n_b-pb-1).  Candidates whose bound
     falls short cannot pass exact verification and are dropped before
     the shingle arrays ever attach (measured: 764,309 -> 476,944
-    candidates at sf0.1, a 37.6% cut of the verify volume)."""
+    candidates at sf0.1, a 37.6% cut of the verify volume).
+
+    ``positions=True`` additionally returns (c, pa, pb, n_a, n_b) so
+    the verify can intersect only the post-prefix SUFFIXES: the same
+    sort-order argument above gives the exact identity
+    |A∩B| = c + |A[pa+1:] ∩ B[pb+1:]| (0-based) — every common
+    shingle ordered <= the last shared prefix shingle is one of the c,
+    and every common shingle ordered after it sits strictly after
+    position pa in a AND pb in b (position is monotone in the shared
+    order), i.e. in both suffixes."""
     pre = docs_arr.select(
         "doc_id", "n_sh", F.posexplode("prefix").alias("p", "shingle")
     )
@@ -271,7 +282,10 @@ def jaccard_candidates(docs_arr: DataFrame, threshold: float = _JACCARD_T) -> Da
     jac_ub = overlap_ub.cast("double") / (
         F.col("n_a") + F.col("n_b") - overlap_ub
     )
-    return grouped.filter(jac_ub >= threshold).select("a_id", "b_id")
+    kept = grouped.filter(jac_ub >= threshold)
+    if positions:
+        return kept.select("a_id", "b_id", "c", "pa", "pb", "n_a", "n_b")
+    return kept.select("a_id", "b_id")
 
 
 def ngram_jaccard_pairs(
@@ -413,7 +427,7 @@ def _ngram_jaccard_pairs_direct(
     """Direct (un-collapsed) exact n-gram Jaccard pairs — candidate
     generation + exact verification against the shared AllPairs index."""
     docs_arr = _allpairs_index(docs, threshold)
-    cand = jaccard_candidates(docs_arr, threshold)
+    cand = jaccard_candidates(docs_arr, threshold, positions=True)
     # Spread the verify BEFORE the shingle arrays attach (r14 opt
     # round; the embedding_cosine_lsh fix, guide §8): the candidate-id
     # shuffle is ~12 MB at sf0.1 (764k pairs), so AQE coalesces it to
@@ -425,18 +439,38 @@ def _ngram_jaccard_pairs_direct(
     # only 16-byte id pairs, and at real scale the candidate shuffle
     # exceeds the advisory size so AQE never coalesced it anyway.
     cand = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
-    # exact verify on candidates only: intersect the full shingle sets
+    # Exact verify on candidates only — SUFFIX intersection (r15 opt
+    # round, guide §1.2 step 2): the candidate aggregate already knows
+    # c = |shared prefix shingles| and the positions pa/pb of the last
+    # shared one, and |A∩B| = c + |A[pa+1:] ∩ B[pb+1:]| exactly (see
+    # jaccard_candidates).  Intersecting only the suffixes cuts the
+    # per-pair array_intersect from ~n×n to ~suffix×suffix — chance-
+    # shared shingles are HIGH-df and sort late in the rarity-ordered
+    # prefix, so suffixes are short (~t·n elements).  Profiled: the
+    # verify stage was 123 s of task CPU (~258 µs/pair over 477k
+    # candidates) with full 50-string arrays.
     sa = docs_arr.select(F.col("doc_id").alias("a_id"), F.col("sset").alias("set_a"))
     sb = docs_arr.select(F.col("doc_id").alias("b_id"), F.col("sset").alias("set_b"))
     verified = (
         cand.join(sa, "a_id")
+        .select(
+            "a_id", "b_id", "c", "pb", "n_a", "n_b",
+            F.slice("set_a", F.col("pa") + 2, F.col("n_a")).alias("suf_a"),
+        )
         .join(sb, "b_id")
         .select(
             "a_id",
             "b_id",
-            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
-            F.size("set_a").alias("n_a"),
-            F.size("set_b").alias("n_b"),
+            "n_a",
+            "n_b",
+            (
+                F.col("c")
+                + F.size(
+                    F.array_intersect(
+                        "suf_a", F.slice("set_b", F.col("pb") + 2, F.col("n_b"))
+                    )
+                )
+            ).alias("inter"),
         )
     )
     jac = F.col("inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("inter"))

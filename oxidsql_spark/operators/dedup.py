@@ -837,18 +837,40 @@ def _containment_pairs_direct(
     # keep a's first n_a - ceil(t*n_a) + 1 rarest shingles
     docs_arr = _allpairs_index(docs, threshold)
     a_prefix = docs_arr.select(
-        F.col("doc_id").alias("contained_id"), F.explode("prefix").alias("shingle")
+        F.col("doc_id").alias("contained_id"),
+        F.col("n_sh").alias("n_a"),
+        F.posexplode("prefix").alias("p", "shingle"),
     )
     b_full = docs_arr.select(
-        F.col("doc_id").alias("container_id"), F.explode("sset").alias("shingle")
+        F.col("doc_id").alias("container_id"),
+        F.col("n_sh").alias("n_b"),
+        F.posexplode("sset").alias("p", "shingle"),
     )
+    # Same positional machinery as jaccard_candidates (r15 opt round):
+    # c counts EXACTLY the common shingles ordered <= the last join-seen
+    # one (the a-side prefix covers every such shingle: position in a is
+    # monotone in the shared (df, shingle) order, and the b side is the
+    # FULL set), pa/pb are that shingle's 0-based positions, so
+    # inter = c + |A[pa+1:] ∩ B[pb+1:]| exactly and the verify
+    # intersects only the short suffixes.  The candidate filter keeps a
+    # pair iff the overlap UPPER BOUND still clears the containment
+    # threshold under the verify's own double division.
     cand = (
-        a_prefix.join(b_full, "shingle")
+        a_prefix.join(b_full.withColumnRenamed("p", "pb"), "shingle")
         .filter(F.col("contained_id") != F.col("container_id"))
-        .groupBy("contained_id", "container_id")
-        .agg(F.first(F.lit(1)).alias("_one"))
-        .drop("_one")
+        .groupBy("contained_id", "container_id", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("p").alias("pa"),
+            F.max("pb").alias("pb"),
+        )
     )
+    overlap_ub = F.col("c") + F.least(
+        F.col("n_a") - F.col("pa") - 1, F.col("n_b") - F.col("pb") - 1
+    )
+    cand = cand.filter(
+        overlap_ub.cast("double") / F.col("n_a") >= threshold
+    ).select("contained_id", "container_id", "c", "pa", "pb", "n_a")
     sa = docs_arr.select(
         F.col("doc_id").alias("contained_id"), F.col("sset").alias("set_a")
     )
@@ -857,12 +879,23 @@ def _containment_pairs_direct(
     )
     verified = (
         cand.join(sa, "contained_id")
+        .select(
+            "contained_id", "container_id", "c", "pb", "n_a",
+            F.slice("set_a", F.col("pa") + 2, F.col("n_a")).alias("suf_a"),
+        )
         .join(sb, "container_id")
         .select(
             "contained_id",
             "container_id",
-            F.size(F.array_intersect("set_a", "set_b")).alias("inter"),
-            F.size("set_a").alias("n_a"),
+            "n_a",
+            (
+                F.col("c")
+                + F.size(
+                    F.array_intersect(
+                        "suf_a", F.slice("set_b", F.col("pb") + 2, F.size("set_b"))
+                    )
+                )
+            ).alias("inter"),
         )
     )
     c = F.col("inter").cast("double") / F.col("n_a")

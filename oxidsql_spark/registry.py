@@ -58,66 +58,64 @@ _LOADED = False
 # tests/test_registry.py locks the window invariants, including that
 # every never-green query is listed here.
 _PRIORITY: tuple[str, ...] = (
-    # round-14 start: all 23 round-13 priority names were driver-green
-    # in CORRECTNESS_r13.json and retire to the stable rotation.  This
-    # round's block holds 23 names (14 new + 9 rewritten), so the 50-row
-    # window reaches ~27 stable rows — the stalest-first ordering
-    # fronts the 4 remaining r8 rows (events_dow_hour/interarrival/
-    # path_topk/pattern_match — VERDICT r13 missing #4) plus most of
-    # the 42-row r9 cohort.
-    # new in round 14 — never driver-checked:
-    "quality_classifier_curated",
-    # new in round 14 — rule-based text-quality family (textqual.py):
-    # Gopher rules, unigram entropy, langid eval, attrition funnel:
-    "text_gopher_rules",
-    "text_unigram_entropy",
-    "langid_confusion",
-    "corpus_attrition_funnel",
-    # new in round 14 — MinHash-LSH (b,r) S-curve evaluation against
-    # the exact Jaccard pair distribution on a deterministic sample:
+    # round-15 start (optimization round 2): all 24 round-14 priority
+    # names were driver-green in CORRECTNESS_r14.json and retire to the
+    # stable rotation.  No new queries this round (optimization only);
+    # this block holds the faces whose IMPLEMENTATION the r15
+    # optimization sessions rewrote — every one is result-identical by
+    # construction and in-repo oracle-proven, and fronting them makes
+    # the driver re-prove the rewrites against its own oracle.
+    # rewritten in round 15 — ANN stage fusion (one shared head-row
+    # collect, pq_encode fused into the ADC scan, driver-side probe
+    # ranking, pushed-down query reads, pre-filtered rerank broadcast):
+    "ann_ivf_kmeans",
+    "ann_pq_adc",
+    "ann_pq_rerank",
+    "ann_ivfadc",
+    "ann_opq_adc",
+    "ann_opq_ivfadc",
+    "dedup_semantic",
+    "retrieval_hybrid_ivfadc",
+    "retrieval_hybrid_rrf",
+    # rewritten in round 15 — PPJoin positional candidate filter plus
+    # the suffix-slice exact verify (|A∩B| = c + suffix intersection):
+    "dedup_ngram_jaccard",
     "dedup_lsh_scurve",
-    # new in round 14 — near-dup provenance matrix + data-constrained
-    # epoch/repetition budget planning:
     "dedup_cross_source_matrix",
-    "corpus_epoch_plan",
-    # new in round 14 — unigram-LM (SentencePiece-style) Viterbi
-    # segmentation over the word universe (the tokenizer family's
-    # second member next to BPE):
-    "unigram_segment_stats",
-    "unigram_em_reestimate",
-    # new in round 14 — Matryoshka prefix-width retrieval evaluation
-    # (recall@10 of truncated embeddings vs full-width ground truth):
-    "embeddings_matryoshka_eval",
-    # new in round 14 — OHLC time-series downsampling + PCM loudness
-    # gate (peak dBFS via the fixed-point log):
-    "events_ohlc",
-    "mm_audio_loudness",
-    # new in round 14 — dedup-threshold selection curve over the
-    # sampled exact pair distribution:
     "dedup_threshold_sweep",
-    # new in round 14 — the video hub df-cap EXERCISED under the
-    # oracle (30% planted black frames; df 154 > 64 at sf0.01):
-    "mm_video_dedup_hub",
-    # rewritten in round 14 — hub df-caps in every image/video band
-    # join, mirrored in the oracles (VERDICT r13 What's-wrong #1);
-    # caption dedup additionally collapses exact-equal hashes to one
-    # representative before the band join:
-    "mm_caption_dedup",
+    "dedup_containment",
+    # rewritten in round 15 — every transitive-closure consumer rides
+    # the one-slice driver union-find label frame (functions.
+    # local_rows_df) and the Jaccard verify rewrite above:
+    "dedup_clusters",
+    "dedup_clusters_collapsed",
+    "dedup_cluster_stats",
+    "dedup_keep_best",
+    "dedup_clusters_incremental_q",
     "mm_video_dedup",
-    "mm_image_dedup_incremental",
-    "mm_video_dedup_incremental",
-    # rewritten in round 14 — nests the capped caption/video oracles:
+    "mm_audio_dedup",
+    "mm_caption_dedup",
     "mm_curate_q",
-    # rewritten in round 14 — tie-safe ranking on the ROUNDED cosine
-    # (r13 ADVICE), so a raw-float near-tie at the rank-k boundary
-    # cannot flip the selected rows cross-engine:
-    "embeddings_contrastive_mine",
-    "embeddings_knn_eval",
-    # rewritten in round 14 — quality signal re-pointed at the
-    # curated-label classifier artifact (non-circular; VERDICT Next
-    # #4/#8), capstone floor recalibrated for the new logit scale:
-    "corpus_curriculum_schedule",
-    "corpus_curate_clf_q",
+    # rewritten in round 15 — artifact frames scope-persisted, w_oov as
+    # a broadcast one-row frame, shared tokenize-once span cut:
+    "curate_funnel_audit",
+    # rewritten in round 15 — distwindow's partition-offset frame and
+    # every literal/driver-row frame now ship as ONE python slice
+    # (functions.local_rows_df) instead of defaultParallelism slices:
+    "customer_pareto",
+    "orders_rfm",
+    "orders_backlog_daily",
+    "customer_revenue_gini",
+    "corpus_shard_pack",
+    "vocab_coverage",
+    "corpus_shuffle_shards",
+    "quality_rank_filter",
+    "docs_bm25_topk",
+    "bpe_train_merges",
+    "bpe_train_merges_batched",
+    "ref_values",
+    "range_join_bands",
+    "join_salted",
 )
 
 

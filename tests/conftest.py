@@ -136,6 +136,7 @@ SLOW_TESTS = {
     "test_dedup_skew.py::test_collapse_expand_pairs_equal_direct",
     "test_dedup_skew.py::test_collapse_minhash_and_containment_equal_direct",
     "test_dedup_skew.py::test_collapse_shrinks_rep_set_independent_of_duplication",
+    "test_dedup_skew.py::test_containment_positional_filter_never_prunes_a_true_pair",
     "test_dedup_skew.py::test_positional_filter_never_prunes_a_true_pair",
     "test_dedup_skew.py::test_prefix_filter_verified_pairs_are_clique",
     "test_distwindow.py::test_nparts_exceeds_distinct_keys",

@@ -24,8 +24,10 @@ from pyspark.sql import functions as F
 
 from oxidsql_spark.cachescope import release_scoped_caches
 from oxidsql_spark.operators.dedup import (
+    _CONT_T,
     _JACCARD_T,
     _allpairs_index,
+    containment_pairs,
     jaccard_candidates,
     minhash_candidates,
     ngram_jaccard_pairs,
@@ -125,6 +127,56 @@ def test_positional_filter_never_prunes_a_true_pair(spark):
         assert abs(got[k] - v) < 5e-5
     # the boundary pairs (distance 12, jaccard exactly 0.2) are present
     assert got[(0, 12)] == 0.2
+    release_scoped_caches()
+
+
+def test_containment_positional_filter_never_prunes_a_true_pair(spark):
+    """r15: the containment candidate's positional upper bound and the
+    suffix-slice verify (inter = c + |A[pa+1:] ∩ B[pb+1:]|) must
+    reproduce the brute-force DIRECTED containment exactly — including
+    a pair engineered to land EXACTLY on t=0.7 (7 of 10 shingles), the
+    borderline a differently-rounded bound would clip.  Ground truth is
+    python sets with the verify's own double division."""
+    n, w = 40, 20
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + w))) for i in range(n)
+    ]
+    # doc 200: 12 words -> 10 shingles; doc 201 shares exactly the 7
+    # grams inside w0..w8 (its tail grams mix into z-words), so
+    # containment(200 -> 201) = 7/10 = t exactly.
+    rows.append((200, " ".join(f"w{j}" for j in range(12))))
+    rows.append(
+        (201, " ".join(f"w{j}" for j in range(9)) + " z0 z1 z2 z3 z4 z5")
+    )
+    # fully-contained short: 5 words -> 3 shingles, all inside doc 0
+    rows.append((202, " ".join(f"w{j}" for j in range(5))))
+    corpus = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shingles(words):
+        return {
+            " ".join(words[k : k + 3]) for k in range(len(words) - 2)
+        }
+
+    sets = {i: shingles(t.split()) for i, t in rows}
+    truth = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa) >= _CONT_T:
+                truth[(a, b)] = inter / len(sa)
+    got = {
+        (r.contained_id, r.container_id): r.containment
+        for r in containment_pairs(corpus, _CONT_T, collapse=False).collect()
+    }
+    assert set(got) == set(truth)  # no pair pruned, none invented
+    for k, v in truth.items():
+        assert abs(got[k] - v) < 5e-5
+    assert got[(200, 201)] == 0.7  # the exact-boundary pair survives
+    assert got[(202, 0)] == 1.0  # full containment of the short doc
     release_scoped_caches()
 
 

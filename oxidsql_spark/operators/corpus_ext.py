@@ -2005,13 +2005,15 @@ def bigram_nll_against(
     broadcasts); integer micro sums, one double division at the end."""
     import os
 
-    lp = spark.read.parquet(os.path.join(lm_dir, "lp")).select(
+    from ..sources import artifact
+
+    lp = artifact(spark, os.path.join(lm_dir, "lp")).select(
         "prev", "term", F.col("w").alias("w_bi")
     )
-    lpu = spark.read.parquet(os.path.join(lm_dir, "lpu")).select(
+    lpu = artifact(spark, os.path.join(lm_dir, "lpu")).select(
         "term", F.col("w").alias("w_uni")
     )
-    w_oov = spark.read.parquet(os.path.join(lm_dir, "consts")).collect()[0].w_oov
+    w_oov = artifact(spark, os.path.join(lm_dir, "consts")).collect()[0].w_oov
     pos = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
     )
@@ -2291,7 +2293,9 @@ def qc_score(
     path is a pure map-side pipeline over the corpus scan."""
     import os
 
-    wdf = spark.read.parquet(os.path.join(qc_dir, "weights"))
+    from ..sources import artifact
+
+    wdf = artifact(spark, os.path.join(qc_dir, "weights"))
     dot = (
         _qc_feats(docs, d_buckets)
         .join(F.broadcast(wdf), "f")

@@ -2376,8 +2376,10 @@ def span_cut_incremental(
     k: int = _SPAN_K,
     tok_rows: DataFrame | None = None,
 ) -> DataFrame:
+    from ..sources import artifact
+
     return _span_cut_against(
-        new_docs, spark.read.parquet(index_path).select("gram"), k, tok_rows
+        new_docs, artifact(spark, index_path).select("gram"), k, tok_rows
     )
 
 

@@ -1042,8 +1042,10 @@ def bpe_encode(spark: SparkSession, docs: DataFrame, bpe_dir: str) -> DataFrame:
     for every word — still correct, still depth-bounded."""
     import os
 
+    from ..sources import artifact
+
     rules = (
-        spark.read.parquet(os.path.join(bpe_dir, "merges"))
+        artifact(spark, os.path.join(bpe_dir, "merges"))
         .orderBy("rnk")
         .collect()
     )
@@ -1055,7 +1057,7 @@ def bpe_encode(spark: SparkSession, docs: DataFrame, bpe_dir: str) -> DataFrame:
         # occurrences join the vocab DIRECTLY (no distinct shuffle on
         # the hot path — the join is map-side while vocab broadcasts);
         # only the out-of-vocabulary remainder pays a type-level distinct
-        vocab = spark.read.parquet(vocab_dir)
+        vocab = artifact(spark, vocab_dir)
         known = words.join(vocab, "word").select("doc_id", "word", "n_syms")
         oov_w = words.join(vocab.select("word"), "word", "left_anti")
     else:

@@ -1100,17 +1100,19 @@ def _register_funnel_audit() -> None:
         # so repeated runs hit warm in-memory copies, and w_oov rides
         # into the plan as a broadcast one-row frame instead of a
         # per-construction driver collect job.
+        from .sources import artifact
+
         lp = scoped_persist(
-            spark.read.parquet(os.path.join(lm_dir, "lp")).select(
+            artifact(spark, os.path.join(lm_dir, "lp")).select(
                 "prev", "term", F.col("w").alias("w_bi")
             )
         )
         lpu = scoped_persist(
-            spark.read.parquet(os.path.join(lm_dir, "lpu")).select(
+            artifact(spark, os.path.join(lm_dir, "lpu")).select(
                 "term", F.col("w").alias("w_uni")
             )
         )
-        consts = spark.read.parquet(os.path.join(lm_dir, "consts")).select(
+        consts = artifact(spark, os.path.join(lm_dir, "consts")).select(
             F.col("w_oov").cast("bigint").alias("w_oov")
         )
 

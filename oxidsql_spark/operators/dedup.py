@@ -1305,10 +1305,12 @@ def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
     from ..functions import as_double_vec
     from .similarity import _LSH_PLANES, _hyperplanes
 
-    dim = len(e.select("embedding").head()["embedding"])
-    planes = np.array(_hyperplanes(dim))  # (_LSH_PLANES, dim) fixed constants
-
+    # The hyperplanes are a deterministic function of the vector dim,
+    # so each task derives them from its first batch instead of the
+    # driver paying a head() probe job per construction (r15 opt
+    # round: ~70 ms + one job per run for one row's length).
     def sign_batches(batches):
+        planes = None
         # numpy twin of similarity.lsh_signature: same ascending-dim
         # fold per plane dot product, so every sign decision — and
         # therefore every bucket — is bit-identical to the SQL form the
@@ -1322,6 +1324,8 @@ def _embedding_cosine_lsh_path(e: DataFrame, threshold: float) -> DataFrame:
             if not len(pdf):
                 continue
             M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            if planes is None:
+                planes = np.array(_hyperplanes(M.shape[1]))
             acc = np.cumsum(M[:, None, :] * planes[None, :, :], axis=2)[:, :, -1]
             sig = (
                 (acc >= 0).astype(np.int64)

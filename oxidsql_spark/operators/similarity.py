@@ -312,7 +312,9 @@ def _codebook_path(index_path: str) -> str:
 
 def load_ivf_codebook(spark: SparkSession, index_path: str) -> DataFrame:
     """The index's frozen centroid set: (cell, cv, cnrm)."""
-    return spark.read.parquet(_codebook_path(index_path))
+    from ..sources import artifact
+
+    return artifact(spark, _codebook_path(index_path))
 
 
 def _ivf_assign(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1548,12 +1550,14 @@ def build_ivfadc_index(spark: SparkSession, sf_dir: str, out_path: str) -> None:
 
 def _load_ivfadc_books(spark: SparkSession, index_path: str):
     """The index's frozen codebooks: (km cents dict, PQ books dict)."""
+    from ..sources import artifact
+
     cents = {
         int(r["cell"]): list(r["qcent"])
-        for r in spark.read.parquet(_codebook_path(index_path)).collect()
+        for r in artifact(spark, _codebook_path(index_path)).collect()
     }
     books: dict[int, dict[int, list[int]]] = {m: {} for m in range(_PQ_M)}
-    for r in spark.read.parquet(_pqbooks_path(index_path)).collect():
+    for r in artifact(spark, _pqbooks_path(index_path)).collect():
         books[int(r["sub"])][int(r["code"])] = list(r["cent"])
     return cents, books
 
@@ -2575,7 +2579,9 @@ def ann_opq_ivfadc_search(
     and needs no rotation)."""
     import numpy as np
 
-    rot_rows = spark.read.parquet(_rotation_path(index_path)).collect()
+    from ..sources import artifact
+
+    rot_rows = artifact(spark, _rotation_path(index_path)).collect()
     mu = np.array(next(r.row for r in rot_rows if r.i == -1), dtype=np.float64)
     comps = np.stack(
         [np.array(r.row, dtype=np.float64) for r in sorted(

@@ -1183,7 +1183,76 @@ def _vid_scene_hashes(d: DataFrame) -> DataFrame:
     that only need scene-level structure (the keyframe flag, the
     keyframe SET), never materializes frame rows at all — bit-identical
     output by construction, locked by the keyframes/dedup oracle rows
-    and test_multimodal_codec's frame-vs-scene equality pytest."""
+    and test_multimodal_codec's frame-vs-scene equality pytest.
+
+    Since the r15 opt round the hashes are computed in ONE Arrow pass
+    (numpy integer ops — guide §4.2): the HOF fold evaluated
+    INTERPRETED and re-sliced the scene substring per bit term,
+    profiled at 36.7 s of task CPU for the sf0.1 corpus (the whole
+    mm_video_keyframes head).  Integer comparisons and shifts are
+    exact, `ord` equals Spark/DuckDB ``ascii`` for any codepoint, and
+    Python ``len``/slicing match the character-based SQL
+    length/substring, so every hash is bit-identical to the SQL fold —
+    locked by test_multimodal_codec's numpy-vs-SQL equality pytest
+    (real corpus + empty/1-char/non-ASCII adversaries) and the
+    unchanged video-family oracles."""
+    import numpy as np
+    import pandas as pd
+
+    bits = _DH_FAKE_BITS
+    mod = _VID_SCENES_MOD
+
+    def scene_hash_batches(batches):
+        shifts = 1 << np.arange(bits, dtype=np.int64)
+        ii7 = 7 * np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            ids, ss, scs, hs = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text)
+                s = 2 + (n % mod)
+                if text.isascii():
+                    cp = np.frombuffer(
+                        text.encode(), dtype=np.uint8
+                    ).astype(np.int64)
+                else:
+                    cp = np.fromiter(map(ord, text), dtype=np.int64, count=n)
+                cp = np.concatenate([cp, np.zeros(2, dtype=np.int64)])
+                sc = np.arange(s, dtype=np.int64)
+                st = (sc * n) // s  # 0-based scene slice starts
+                ln = ((sc + 1) * n) // s - st
+                # bit i compares slice chars at positions p, p+1
+                # (0-based), p = (7i) % max(ln-1, 1); out-of-slice
+                # reads are ascii('') = 0, exactly the SQL edge.
+                m = np.maximum(ln - 1, 1)
+                p = ii7[None, :] % m[:, None]  # (s, bits)
+                ia = st[:, None] + p
+                va = np.where(p < ln[:, None], cp[ia], 0)
+                vb = np.where(p + 1 < ln[:, None], cp[ia + 1], 0)
+                h = ((va > vb) * shifts[None, :]).sum(axis=1)
+                ids.append(np.full(s, doc_id, dtype=np.int64))
+                ss.append(np.full(s, s, dtype=np.int64))
+                scs.append(sc)
+                hs.append(h)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "s": np.concatenate(ss),
+                    "sc": np.concatenate(scs),
+                    "dhash": np.concatenate(hs),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        scene_hash_batches, "doc_id bigint, s int, sc int, dhash bigint"
+    )
+
+
+def _vid_scene_hashes_sql(d: DataFrame) -> DataFrame:
+    """The pure-SQL scene-hash form (the pre-r15 implementation and
+    the semantic spec the DuckDB oracles re-derive) — kept as the
+    equality-test reference for the Arrow pass above."""
     sc, ln = "sc", "length(text)"
     start = f"(1 + ({sc} * {ln}) DIV s)"
     flen = f"((({sc} + 1) * {ln}) DIV s - ({sc} * {ln}) DIV s)"

@@ -842,3 +842,39 @@ def test_video_scene_hash_equals_per_frame_chain(spark, sf_dir):
     b = sorted(map(tuple, frame_level.collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_scene_hash_numpy_equals_sql_fold(spark, sf_dir):
+    """The r15 Arrow scene-hash pass must be BIT-identical to the SQL
+    fold the DuckDB oracles re-derive — on the real corpus AND the
+    substring/ascii edge cases (empty text, 1-char slices where the
+    successor read is ascii('')=0, non-ASCII codepoints where ord must
+    equal Spark's ascii)."""
+    from oxidsql_spark.operators.multimodal import (
+        _vid_scene_hashes,
+        _vid_scene_hashes_sql,
+    )
+    from oxidsql_spark.sources import table
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert rows(_vid_scene_hashes(d)) == rows(_vid_scene_hashes_sql(d))
+    adv = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "x"),
+            (3, "ab"),
+            (4, "ba"),
+            (5, "z" * 7),
+            (6, "héllo wörld ünïcode"),
+            (7, "é中文" * 5),
+            (8, " "),
+            (9, "abcdefghij" * 123),
+        ],
+        "doc_id bigint, text string",
+    )
+    a, b = rows(_vid_scene_hashes(adv)), rows(_vid_scene_hashes_sql(adv))
+    assert a == b
+    assert len(a) > 0

@@ -613,9 +613,7 @@ def mm_dhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons — exercised with real image bytes in
     tests/test_multimodal_codec.py."""
     d = table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.expr(_dhash_fake_terms("spark")).alias("dhash")
-    ).orderBy("doc_id")
+    return _dhash_fake_frame(d, ["doc_id"]).orderBy("doc_id")
 
 
 # --- image/text JOINT pipeline: caption dedup by perceptual cluster -------
@@ -712,9 +710,7 @@ def mm_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly; real payloads go through `dhash_image` with the same
     downstream plan."""
     d = table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", F.expr(_dhash_fake_terms("spark")).alias("dhash")
-    )
+    fp = _dhash_fake_frame(d, ["doc_id"])
     return caption_dedup_from_fingerprints(fp, d.select("doc_id", "n_chars"))
 
 
@@ -1168,6 +1164,57 @@ def _video_dedup_oracle(fh_rel: str = "fh", extra_cte: str = "") -> str:
     SELECT doc_id, vid_cluster, (rk = 1) AS kept
     FROM ranked
     """
+
+
+def _dhash_codepoints(text: str):
+    """int64 codepoint array for a string — frombuffer fast path for
+    ASCII (1 byte = 1 char), ord map otherwise (ord == Spark/DuckDB
+    ascii for any codepoint)."""
+    import numpy as np
+
+    if text.isascii():
+        return np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+    return np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+
+
+def _dhash_fake_frame(d: DataFrame, keep: list[str]) -> DataFrame:
+    """(keep..., dhash): the whole-text byte-stride fake dHash in ONE
+    Arrow pass — the full-text twin of `_vid_scene_hashes`' numpy core
+    (r15 opt round, guide §4.2: the HOF fold evaluates interpreted and
+    re-slices the text per bit term).  Bit-identical to
+    `_dhash_fake_terms("spark")` — same int64 comparisons, same
+    ascii('')=0 edge — pinned by test_multimodal_codec's
+    numpy-vs-SQL equality pytest."""
+    import numpy as np
+    import pandas as pd
+
+    bits = _DH_FAKE_BITS
+    types = {f.name: f.dataType.simpleString() for f in d.schema.fields}
+    fields = ", ".join(f"{c} {types[c]}" for c in keep)
+
+    def hash_batches(batches):
+        shifts = 1 << np.arange(bits, dtype=np.int64)
+        ii7 = 7 * np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = np.empty(len(pdf), dtype=np.int64)
+            for k, text in enumerate(pdf["text"]):
+                n = len(text)
+                cp = np.concatenate(
+                    [_dhash_codepoints(text), np.zeros(2, dtype=np.int64)]
+                )
+                p = ii7 % max(n - 1, 1)
+                va = np.where(p < n, cp[p], 0)
+                vb = np.where(p + 1 < n, cp[p + 1], 0)
+                out[k] = ((va > vb) * shifts).sum()
+            cols = {c: pdf[c] for c in keep}
+            cols["dhash"] = out
+            yield pd.DataFrame(cols)
+
+    return d.select(*keep, "text").mapInPandas(
+        hash_batches, f"{fields}, dhash bigint"
+    )
 
 
 def _vid_scene_hashes(d: DataFrame) -> DataFrame:
@@ -2114,9 +2161,7 @@ def mm_image_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import _BATCH_SRCS, _artifact_tmp
 
     d = table(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", "source", F.expr(_dhash_fake_terms("spark")).alias("dhash")
-    )
+    fp = _dhash_fake_frame(d, ["doc_id", "source"])
     corpus_fp = fp.filter(~F.col("source").isin(*_BATCH_SRCS)).select(
         "doc_id", "dhash"
     )

@@ -878,3 +878,17 @@ def test_scene_hash_numpy_equals_sql_fold(spark, sf_dir):
     a, b = rows(_vid_scene_hashes(adv)), rows(_vid_scene_hashes_sql(adv))
     assert a == b
     assert len(a) > 0
+    # the whole-text twin against the SQL fold, same corpora
+    from oxidsql_spark.operators.multimodal import (
+        _dhash_fake_frame,
+        _dhash_fake_terms,
+    )
+
+    for frame in (d, adv):
+        got = rows(_dhash_fake_frame(frame, ["doc_id"]))
+        want = rows(
+            frame.select(
+                "doc_id", F.expr(_dhash_fake_terms("spark")).alias("dhash")
+            )
+        )
+        assert got == want
